@@ -1,0 +1,41 @@
+"""Shared helpers for oracle-matched plan builders."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+DEC = "decimal(38,6)"
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def dsum(col: Column | str) -> Column:
+    """Deterministic sum of a double expression.
+
+    Per-row double arithmetic is IEEE-deterministic and identical across
+    engines; only the *reduction* order varies. Casting each row value to
+    DECIMAL(38,6) and summing exactly removes the order dependence, then
+    the total goes back to DOUBLE for a scale-free wire type. The oracle
+    SQL mirrors the same construction.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Deterministic average: exact decimal sum divided by count, in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+
+
+def sql_dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr})"

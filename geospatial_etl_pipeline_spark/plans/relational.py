@@ -1,0 +1,631 @@
+"""Relational core: scans, filters, joins, aggregates, windows, set ops.
+
+These are the [EXT] operators of SURVEY.md §2b–§2h, exercised over the
+driver's TPC-H-ish tables. Every plan is declarative DataFrame API —
+Catalyst does predicate pushdown, column pruning and join selection; the
+tiny dimensions (region 5 rows, nation 25 rows, supplier 10 rows) are
+explicitly broadcast.
+
+Scale notes (100 TB):
+- orders⋈lineitem is an equi-join on the natural key; at scale both sides
+  shuffle-hash/sort-merge on l_orderkey — AQE handles skew splitting.
+- dimension joins (region/nation/customer-side filters) broadcast, so the
+  fact scan never shuffles for them.
+- every aggregate here is partial-aggregable (map-side combine): sum/count
+  over decimals, min/max — no holistic aggregation in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ._util import DEC, davg, dsum, sql_davg, sql_dsum, t
+from .catalog import register
+
+# --------------------------------------------------------------------------
+# q01 — TPC-H Q1-style pricing summary (the flagship scan+agg query)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    tags=("relational", "agg", "flagship"),
+    oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  {sql_dsum('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
+  {sql_dsum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
+  {sql_davg('l_quantity')} AS avg_qty,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  {sql_davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → filter → hash-aggregate. Single shuffle on the two group
+    keys; all aggregates map-side combinable. The shipdate filter and the
+    7-column projection push down into the parquet scan."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — top-k over a fact-fact join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q02_top_revenue_orders",
+    tags=("relational", "join", "topk"),
+    oracle=f"""
+SELECT o.o_orderkey, o.o_orderdate,
+       {sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+)
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders⋈lineitem equi-join (both sides shuffle on orderkey; at scale
+    this is the sort-merge join AQE loves), aggregate, global top-10 with a
+    deterministic tiebreak. Spark's `orderBy(...).limit(k)` compiles to
+    TakeOrderedAndProject — no full sort at scale."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — TPC-H Q3-style shipping priority
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q03_shipping_priority",
+    tags=("relational", "join", "topk"),
+    oracle=f"""
+SELECT l.l_orderkey,
+       {sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dimension-side filter (mktsegment) broadcast into the
+    fact join; date filters push into both parquet scans."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        F.broadcast(c.select("c_custkey"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(rev).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — snowflake join through region→nation→customer→orders→lineitem
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q05_nation_revenue",
+    tags=("relational", "join", "agg"),
+    oracle=f"""
+SELECT n.n_name,
+       {sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n.n_name
+""",
+)
+def q05_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic snowflake: the 5-row region and 25-row nation dims broadcast
+    all the way down; only orders⋈lineitem shuffles. At 100 TB the dim
+    broadcasts keep this a single fact-fact shuffle."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    dims = F.broadcast(
+        r.join(n, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name")
+    )
+    return (
+        c.join(dims, c.c_nationkey == F.col("n_nationkey"))
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("n_name")
+        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — single-row selective aggregate (pushdown showcase)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q06_revenue_delta",
+    tags=("relational", "agg", "pushdown"),
+    oracle=f"""
+SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue_delta,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24.0
+""",
+)
+def q06_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four predicates push into the parquet scan (PushedFilters);
+    the aggregate is a single partial+final sum — minimal shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue_delta"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# predicates: IN / LIKE / BETWEEN / boolean composition
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q10_filter_predicates",
+    tags=("relational", "filter"),
+    oracle="""
+SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+FROM part
+WHERE p_size IN (1, 5, 9, 13)
+  AND p_type LIKE '%ECONOMY%'
+  AND p_retailprice BETWEEN 200.0 AND 1500.0
+  AND NOT (p_brand = 'Brand#13')
+""",
+)
+def q10_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN/LIKE/BETWEEN/NOT — all pushed to the scan, no shuffle at all."""
+    p = t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").isin(1, 5, 9, 13)
+        & F.col("p_type").like("%ECONOMY%")
+        & F.col("p_retailprice").between(200.0, 1500.0)
+        & (F.col("p_brand") != "Brand#13")
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+
+
+# --------------------------------------------------------------------------
+# outer / semi / anti joins
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q11_left_join_order_counts",
+    tags=("relational", "join"),
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       COUNT(o.o_orderkey) AS order_count,
+       COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS total_spend
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+""",
+)
+def q11_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders; COUNT(col)
+    skips the null-extended rows, matching SQL semantics exactly."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "q12_semi_join_big_spenders",
+    tags=("relational", "join"),
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+)
+""",
+)
+def q12_semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — dedups the probe side inside the join operator,
+    never materializing the match multiplicity."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "q13_anti_join_orderless",
+    tags=("relational", "join"),
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q13_anti_join_orderless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — customers that never ordered."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# distinct aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q14_distinct_agg",
+    tags=("relational", "agg"),
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q14_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregate — Spark expands these
+    with the `expand` operator; partial aggregation still applies."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+# --------------------------------------------------------------------------
+# rollup / cube (multi-dimensional aggregates)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q15_rollup_status_priority",
+    tags=("relational", "agg", "rollup"),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def q15_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets with GROUPING() markers so subtotal rows are
+    distinguishable from genuine NULL keys."""
+    o = t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )
+
+
+@register(
+    "q16_cube_returnflag_status",
+    tags=("relational", "agg", "cube"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q16_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over both lineitem status dimensions."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# window functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q20_topk_orders_per_priority",
+    tags=("relational", "window", "topk"),
+    oracle="""
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS INT) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""",
+)
+def q20_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: the canonical window + filter. One shuffle on the
+    partition key; at scale this beats a self-join top-k by orders of
+    magnitude."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q21_running_customer_spend",
+    tags=("relational", "window"),
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_spend,
+       CAST(LAG(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS DOUBLE) AS prev_price,
+       CAST(RANK() OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+       ) AS INT) AS price_rank
+FROM orders
+""",
+)
+def q21_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate + lag + rank in one pass over a single window
+    partitioning (one shuffle, three frames). Running sum is decimal-exact
+    so the prefix values are engine-invariant."""
+    o = t(spark, sf_dir, "orders")
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w_time.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w_run).cast("double").alias(
+            "running_spend"
+        ),
+        F.lag("o_totalprice").over(w_time).cast("double").alias("prev_price"),
+        F.rank().over(w_rank).cast("int").alias("price_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# set operations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q22_set_ops_nations",
+    tags=("relational", "setops"),
+    oracle="""
+SELECT 'both' AS tag, n FROM (
+  SELECT DISTINCT c_nationkey AS n FROM customer
+  INTERSECT
+  SELECT DISTINCT s_nationkey AS n FROM supplier
+)
+UNION ALL
+SELECT 'customer_only' AS tag, n FROM (
+  SELECT DISTINCT c_nationkey AS n FROM customer
+  EXCEPT
+  SELECT DISTINCT s_nationkey AS n FROM supplier
+)
+""",
+)
+def q22_set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL composition over nation keys."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n")).distinct()
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n")).distinct()
+    both = c.intersect(s).select(F.lit("both").alias("tag"), "n")
+    only = c.subtract(s).select(F.lit("customer_only").alias("tag"), "n")
+    return both.unionByName(only)
+
+
+# --------------------------------------------------------------------------
+# scalar function suites
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q23_string_functions",
+    tags=("relational", "scalar"),
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_upper,
+       SUBSTR(p_name, 1, 8) AS name_prefix,
+       CAST(LENGTH(p_name) AS INT) AS name_len,
+       CONCAT(p_brand, ':', p_type) AS brand_type,
+       REPLACE(p_type, 'ECONOMY', 'ECO') AS type_short,
+       LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       SPLIT_PART(p_brand, '#', 2) AS brand_num
+FROM part
+""",
+)
+def q23_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function suite (REF's filename-surgery functions in their
+    general form — SURVEY §2h): upper/substr/length/concat/replace/lpad/
+    split-part, all whole-stage-codegen JVM expressions."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECO")).alias("type_short"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.split(F.col("p_brand"), "#").getItem(1).alias("brand_num"),
+    )
+
+
+@register(
+    "q24_date_functions",
+    tags=("relational", "scalar", "datetime"),
+    oracle="""
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS INT) AS order_year,
+       CAST(MONTH(o_orderdate) AS INT) AS order_month,
+       CAST(QUARTER(o_orderdate) AS INT) AS order_quarter,
+       CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+       CAST(DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_epoch_start,
+       STRFTIME(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS order_date_iso
+FROM orders
+""",
+)
+def q24_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime suite incl. the reference's ISO-8601 'Z' formatting
+    (copy_esrigrid…py:454–468 semantics via date_format)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+            "order_date_iso"
+        ),
+    )
+
+
+@register(
+    "q25_case_bucketing",
+    tags=("relational", "scalar"),
+    oracle="""
+SELECT CASE
+         WHEN c_acctbal < 0.0 THEN 'debt'
+         WHEN c_acctbal < 3000.0 THEN 'low'
+         WHEN c_acctbal < 7000.0 THEN 'mid'
+         ELSE 'high'
+       END AS balance_bucket,
+       COUNT(*) AS n_customers,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+FROM customer
+GROUP BY 1
+""",
+)
+def q25_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + min/max (order-insensitive, no decimal
+    laundering needed)."""
+    c = t(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0.0, "debt")
+        .when(F.col("c_acctbal") < 3000.0, "low")
+        .when(F.col("c_acctbal") < 7000.0, "mid")
+        .otherwise("high")
+    )
+    return c.groupBy(bucket.alias("balance_bucket")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("c_acctbal").cast("double").alias("min_bal"),
+        F.max("c_acctbal").cast("double").alias("max_bal"),
+    )
