@@ -1,0 +1,103 @@
+"""Text-analysis column builders (LLM-data-pipeline surface).
+
+All builders are pure JVM expressions (split / higher-order array
+functions / regexp) — no Python UDFs in the hot path, so whole-stage
+codegen applies and the same logic is expressible as ANSI SQL for the
+DuckDB oracle.
+
+Hash choice: MD5. It is the one cryptographic hash with identical
+semantics in Spark, DuckDB, and virtually every engine — making every
+hash-derived operator (fingerprints, minhash, LSH bands) differentially
+testable. Swap in xxhash64 for pure-Spark production speed if oracle
+parity is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small, fixed stopword inventory per language for the n-gram
+# heuristic language-ID and stopword-ratio features. Deliberately tiny:
+# the operator contract is the formula, not lexicon quality.
+STOPWORDS = {
+    "en": ("the", "a", "of", "to", "and", "in", "is", "it"),
+    "es": ("el", "la", "de", "los", "las", "y", "en", "que"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est"),
+}
+
+
+def normalized(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.lower(F.trim(c))
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of the normalized text."""
+    return F.split(normalized(text), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def char_ngrams(text: Column | str, n: int = 5) -> Column:
+    """All character n-grams (shingles) of the normalized text.
+
+    Expressed with sequence+transform so it stays JVM-side; a document of
+    L chars yields max(L-n+1, 1) shingles.
+    """
+    c = normalized(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+        lambda i: F.substring(c, i, n),
+    )
+
+
+def word_ngrams(text: Column | str, n: int = 2) -> Column:
+    """Word n-grams joined by single spaces."""
+    tok = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok, i + j) for j in range(n)]
+        ),
+    )
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """How many tokens are stopwords of ``lang`` (with repetition)."""
+    sw = STOPWORDS[lang]
+    return F.size(
+        F.filter(tokens(text), lambda t: t.isin(*sw))
+    ).cast("bigint")
+
+
+def punct_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(r"[.!?,;:]"), F.lit(0))).cast(
+        "bigint"
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonical document fingerprint: MD5 over the space-rejoined,
+    whitespace-normalized, lowercased token stream (the classic
+    'fingerprint' dedup key)."""
+    return F.md5(F.concat_ws(" ", tokens(text)))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic quality heuristic in [0,1]-ish space:
+    rewards moderate length and stopword presence, penalizes punctuation
+    soup. All-integer feature extraction, one double formula at the end."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c).cast("double")
+    n_chars = F.length(c).cast("double")
+    sw = stopword_hits(c, "en").cast("double")
+    punct = punct_count(c).cast("double")
+    return (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + (sw / F.greatest(n_tok, F.lit(1.0))) * F.lit(0.4)
+        + F.when(n_chars > 0, F.lit(0.2) - F.least(punct / n_chars, F.lit(0.2))).otherwise(F.lit(0.0))
+    )

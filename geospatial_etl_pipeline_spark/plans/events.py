@@ -1,1 +1,154 @@
-"""Placeholder — filled in as operators land."""
+"""Event-stream queries over ``events`` (SURVEY §2j [EXT]).
+
+Batch forms of the streaming surface: tumbling windows, as-of join,
+sessionization, JSON prop extraction. The same plans run under
+Structured Streaming (see ``streaming/``); these batch twins are the
+oracle-checkable versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.asof import asof_join
+from ._util import dsum, sql_dsum, t
+from .catalog import register
+
+
+@register(
+    "q60_tumbling_window_counts",
+    tags=("events", "window", "streaming-twin"),
+    oracle=f"""
+SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q60_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling window aggregate — the batch twin of the
+    streaming windowed count (streaming/events.py)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "5 minutes").start.alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q61_asof_last_click",
+    tags=("events", "asof", "join"),
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       MAX(c.ts) AS asof_click_ts,
+       COUNT(c.event_id) AS n_clicks_before
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts
+""",
+)
+def q61_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the latest click at-or-before it.
+
+    The oracle is the quadratic relational spec (join + MAX); the engine
+    runs operators.asof.asof_join — union + single window, O(n log n),
+    one shuffle on user_id."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts"), F.col("ts").alias("click_ts")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts="ts",
+        right_payload=["click_ts"],
+        include_right_count=True,
+        count_col="n_clicks_before",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_click_ts"),
+        "n_clicks_before",
+    )
+
+
+@register(
+    "q62_sessionize",
+    tags=("events", "window", "session"),
+    oracle="""
+WITH x AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM x
+GROUP BY user_id
+""",
+)
+def q62_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap via lag + flag-sum.
+    Integer microsecond arithmetic — engine-exact. One shuffle on
+    user_id shared by the window and the aggregate."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    flagged = e.select(
+        "user_id",
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q63_json_props",
+    tags=("events", "json"),
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def q63_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON string prop → typed column →
+    aggregate. get_json_object is a codegen'd JVM path (no UDF)."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
