@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query executes end-to-end via the no-op sink (full plan execution,
+no collect/driver materialization). A warmup query amortizes JVM/codegen
+startup out of the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from geospatial_etl_pipeline_spark.plans import catalog  # noqa: E402
+from geospatial_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family (scan-agg, join-topk, snowflake,
+# pushdown, window, dedup/LSH, similarity, events/asof, ref-parity
+# metadata, raster clip).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q05_nation_revenue",
+    "q06_revenue_delta",
+    "q20_topk_orders_per_priority",
+    "q21_running_customer_spend",
+    "q40_dedup_exact",
+    "q42_lsh_near_dup_pairs",
+    "q50_cosine_topk",
+    "q60_tumbling_window_counts",
+    "q61_asof_last_click",
+    "q62_sessionize",
+    "q72_metadata_documents",
+    "q90_raster_clip_stats",
+]
+
+
+def run_once(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    catalog.load_all_plans()
+    spark = get_spark("geospatial-etl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: spin the JVM, parquet footer caches, codegen.
+    run_once(spark, catalog.QUERIES["q01_pricing_summary"].fn, sf_dir)
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = catalog.QUERIES[name]
+        times[name] = round(run_once(spark, spec.fn, sf_dir), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,174 @@
-"""Placeholder — filled in as operators land."""
+"""Geometry queries (SURVEY §2i) — the oracle-expressible subset.
+
+No spatial library exists in either engine here, so these queries use
+integer planar coordinates synthesized from testdata keys: envelope
+(bbox) aggregation + WKT polygon encoding, rectangle containment joins
+(the clip predicate), and nearest-centroid assignment. The full WKT /
+reprojection function surface lives in ``functions.geometry`` (unit-
+tested; not oracle-checkable without a spatial oracle — SURVEY §7
+Phase 3 allows rows-only there).
+
+Integer coordinates are deliberate: envelope/containment/distance² stay
+in exact integer arithmetic, so results are engine-identical with no
+float formatting concerns in the WKT strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ._util import t
+from .catalog import register
+
+# x/y in [0, 97) × [0, 89): coprime moduli give a scattered point cloud.
+_X = "CAST(c_custkey % 97 AS INT)"
+_Y = "CAST(c_custkey % 89 AS INT)"
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        (F.col("c_custkey") % 97).cast("int").alias("x"),
+        (F.col("c_custkey") % 89).cast("int").alias("y"),
+    )
+
+
+@register(
+    "q80_envelope_wkt_per_nation",
+    tags=("geometry", "agg"),
+    oracle=f"""
+SELECT c_nationkey,
+       MIN({_X}) AS xmin, MIN({_Y}) AS ymin,
+       MAX({_X}) AS xmax, MAX({_Y}) AS ymax,
+       COUNT(*) AS n_points,
+       concat('POLYGON((',
+              MIN({_X}), ' ', MIN({_Y}), ', ',
+              MAX({_X}), ' ', MIN({_Y}), ', ',
+              MAX({_X}), ' ', MAX({_Y}), ', ',
+              MIN({_X}), ' ', MAX({_Y}), ', ',
+              MIN({_X}), ' ', MIN({_Y}), '))') AS envelope_wkt
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def q80_envelope_wkt_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Envelope + envelope->polygon semantics (copy_esrigrid…py:280,
+    438): bbox aggregate per nation, encoded as a closed WKT ring —
+    ST_PolygonFromEnvelope re-expressed as min/max aggregation."""
+    pts = _points(spark, sf_dir)
+    env = pts.groupBy("c_nationkey").agg(
+        F.min("x").alias("xmin"), F.min("y").alias("ymin"),
+        F.max("x").alias("xmax"), F.max("y").alias("ymax"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    wkt = F.concat(
+        F.lit("POLYGON(("),
+        F.col("xmin"), F.lit(" "), F.col("ymin"), F.lit(", "),
+        F.col("xmax"), F.lit(" "), F.col("ymin"), F.lit(", "),
+        F.col("xmax"), F.lit(" "), F.col("ymax"), F.lit(", "),
+        F.col("xmin"), F.lit(" "), F.col("ymax"), F.lit(", "),
+        F.col("xmin"), F.lit(" "), F.col("ymin"), F.lit("))"),
+    )
+    return env.select(
+        "c_nationkey", "xmin", "ymin", "xmax", "ymax", "n_points",
+        wkt.alias("envelope_wkt"),
+    )
+
+
+_RECTS = [
+    ("r1", 0, 0, 48, 44), ("r2", 48, 0, 97, 44),
+    ("r3", 0, 44, 48, 89), ("r4", 30, 20, 70, 60),
+]
+_SQL_RECTS = ", ".join(
+    f"('{r}', {a}, {b}, {c}, {d})" for r, a, b, c, d in _RECTS
+)
+
+
+@register(
+    "q81_point_in_rect_join",
+    tags=("geometry", "spatial-join"),
+    oracle=f"""
+SELECT r.rect_id, COUNT(*) AS n_points,
+       COUNT(DISTINCT c.c_nationkey) AS n_nations
+FROM customer c
+JOIN (VALUES {_SQL_RECTS}) AS r(rect_id, xmin, ymin, xmax, ymax)
+  ON {_X} >= r.xmin AND {_X} < r.xmax AND {_Y} >= r.ymin AND {_Y} < r.ymax
+GROUP BY r.rect_id
+""",
+)
+def q81_point_in_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clip predicate as a spatial containment join: points ⋈ regions
+    on rectangle containment (right-open edges — the cell-center-in-
+    polygon convention chosen for clip, SURVEY §7). The region side is a
+    broadcast nested-loop join; at 100 TB this is exactly the shape that
+    geohash-bucket pre-filtering turns into an equi-join."""
+    pts = _points(spark, sf_dir)
+    rects = spark.createDataFrame(
+        _RECTS, ["rect_id", "xmin", "ymin", "xmax", "ymax"]
+    )
+    cond = (
+        (pts.x >= F.col("xmin")) & (pts.x < F.col("xmax"))
+        & (pts.y >= F.col("ymin")) & (pts.y < F.col("ymax"))
+    )
+    return (
+        pts.join(F.broadcast(rects), cond)
+        .groupBy("rect_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+    )
+
+
+_CENTROIDS = [(1, 20, 20), (2, 70, 20), (3, 20, 70), (4, 70, 70), (5, 48, 44)]
+_SQL_CENTROIDS = ", ".join(f"({c}, {x}, {y})" for c, x, y in _CENTROIDS)
+
+
+@register(
+    "q82_nearest_centroid",
+    tags=("geometry", "knn"),
+    oracle=f"""
+WITH d AS (
+  SELECT c.c_custkey, k.cid,
+         ({_X} - k.cx) * ({_X} - k.cx) + ({_Y} - k.cy) * ({_Y} - k.cy) AS dist2,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY c.c_custkey
+           ORDER BY ({_X} - k.cx) * ({_X} - k.cx)
+                  + ({_Y} - k.cy) * ({_Y} - k.cy) ASC, k.cid ASC
+         ) AS INT) AS rn
+  FROM customer c, (VALUES {_SQL_CENTROIDS}) AS k(cid, cx, cy)
+)
+SELECT cid, COUNT(*) AS n_assigned,
+       CAST(MIN(dist2) AS BIGINT) AS min_dist2,
+       CAST(MAX(dist2) AS BIGINT) AS max_dist2
+FROM d WHERE rn = 1
+GROUP BY cid
+""",
+)
+def q82_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (one k-means step / 1-NN join):
+    broadcast the centroid set, exact integer distance², deterministic
+    argmin via window tiebreak on centroid id."""
+    pts = _points(spark, sf_dir)
+    cents = spark.createDataFrame(_CENTROIDS, ["cid", "cx", "cy"])
+    d2 = (pts.x - F.col("cx")) * (pts.x - F.col("cx")) + (
+        pts.y - F.col("cy")
+    ) * (pts.y - F.col("cy"))
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("dist2").asc(), F.col("cid").asc()
+    )
+    assigned = (
+        pts.crossJoin(F.broadcast(cents))
+        .select("c_custkey", "cid", d2.alias("dist2"))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") == 1)
+    )
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.min("dist2").cast("bigint").alias("min_dist2"),
+        F.max("dist2").cast("bigint").alias("max_dist2"),
+    )

@@ -1,1 +1,128 @@
-"""Placeholder — filled in as operators land."""
+"""Raster queries (SURVEY §2a/§2i raster core) — oracle-expressible form.
+
+The testdata ships no rasters, so the grid is generated declaratively
+(``spark.range`` ↔ DuckDB ``range()``) with a deterministic integer cell
+function — the *operators* under test are the reference's clip semantics
+(cell-in-polygon masking, copy_esrigrid…py:303–310) and the implicit
+raster statistics it zips as sidecars (:5, :315). The real ASC-file
+reader and raster-struct operators live in ``sources.asc`` /
+``operators.raster`` (unit-tested on synthetic .asc files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import register
+
+_W, _H = 160, 120  # grid width/height (cells)
+
+# Region rectangles in cell space: 4 overlapping "council" footprints.
+_REGIONS = [
+    ("north", 0, 60, 160, 120),
+    ("south", 0, 0, 160, 60),
+    ("east", 80, 0, 160, 120),
+    ("core", 40, 30, 120, 90),
+]
+_SQL_REGIONS = ", ".join(
+    f"('{r}', {a}, {b}, {c}, {d})" for r, a, b, c, d in _REGIONS
+)
+
+
+def _grid(spark: SparkSession) -> DataFrame:
+    """One row per cell: (i, j, val) with val = (i*31 + j*17) % 101.
+
+    Generated with ``spark.range`` so the scan parallelizes; i is the
+    column (x), j the row (y)."""
+    g = spark.range(_W * _H)
+    return g.select(
+        (F.col("id") % _W).cast("int").alias("i"),
+        (F.col("id") / _W).cast("int").alias("j"),
+        ((F.col("id") % _W) * 31 + (F.col("id") / _W).cast("int") * 17)
+        .cast("int")
+        .alias("raw"),
+    ).select("i", "j", (F.col("raw") % 101).alias("val"))
+
+
+@register(
+    "q90_raster_clip_stats",
+    tags=("raster", "clip", "agg"),
+    oracle=f"""
+WITH grid AS (
+  SELECT CAST(id % {_W} AS INT) AS i,
+         CAST(id // {_W} AS INT) AS j,
+         CAST(((id % {_W}) * 31 + (id // {_W}) * 17) % 101 AS INT) AS val
+  FROM range({_W * _H}) t(id)
+)
+SELECT r.region_code,
+       COUNT(*) AS n_cells,
+       CAST(SUM(g.val) AS BIGINT) AS sum_val,
+       MIN(g.val) AS min_val,
+       MAX(g.val) AS max_val,
+       CAST(SUM(g.val) AS DOUBLE) / COUNT(*) AS mean_val
+FROM grid g
+JOIN (VALUES {_SQL_REGIONS}) AS r(region_code, xmin, ymin, xmax, ymax)
+  ON g.i >= r.xmin AND g.i < r.xmax AND g.j >= r.ymin AND g.j < r.ymax
+GROUP BY r.region_code
+""",
+)
+def q90_raster_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-by-region + zonal statistics: every region masks the cells
+    whose centers fall inside it (the engine's defined clip semantics,
+    SURVEY §7 hard-part 1), then min/max/mean/count — the sidecar stats
+    the reference zips per clipped raster (copy_esrigrid…py:315–339).
+
+    Shape note: grid ⋈ regions is the rasters×regions fan-out
+    (:229–270). With a broadcast region side each cell is tested once
+    per region — at scale, bucketing cells by a space-filling-curve key
+    prunes this to overlapping buckets only."""
+    g = _grid(spark)
+    r = spark.createDataFrame(
+        _REGIONS, ["region_code", "xmin", "ymin", "xmax", "ymax"]
+    )
+    cond = (
+        (g.i >= F.col("xmin")) & (g.i < F.col("xmax"))
+        & (g.j >= F.col("ymin")) & (g.j < F.col("ymax"))
+    )
+    return (
+        g.join(F.broadcast(r), cond)
+        .groupBy("region_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            (F.sum("val").cast("double") / F.count(F.lit(1))).alias("mean_val"),
+        )
+    )
+
+
+@register(
+    "q91_raster_histogram",
+    tags=("raster", "agg"),
+    oracle=f"""
+WITH grid AS (
+  SELECT CAST(((id % {_W}) * 31 + (id // {_W}) * 17) % 101 AS INT) AS val
+  FROM range({_W * _H}) t(id)
+)
+SELECT CAST(val // 10 AS INT) AS bucket,
+       COUNT(*) AS n_cells,
+       MIN(val) AS min_val,
+       MAX(val) AS max_val
+FROM grid
+GROUP BY 1
+""",
+)
+def q91_raster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-value histogram (decade buckets) — the raster statistics
+    profile; partial-aggregable, shuffle carries only bucket rows."""
+    g = _grid(spark)
+    return (
+        g.groupBy((F.col("val") / 10).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+    )
