@@ -64,6 +64,7 @@ def main() -> None:
     for name in HEADLINE:
         spec = catalog.QUERIES[name]
         times[name] = round(run_once(spark, spec.fn, sf_dir), 3)
+        print(f"# {name}: {times[name]}s", file=sys.stderr, flush=True)
 
     print(
         json.dumps(

@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import char_ngrams, fingerprint
+from ..functions.text import (
+    char_ngrams_t,
+    fingerprint,
+    normalized,
+    tokens,
+    word_ngrams_t,
+)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -40,12 +46,42 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "word",
+    k: int = 3,
+) -> DataFrame:
+    """(id, sh): the distinct shingle set per document, with the
+    tokenization STAGED as its own projection so the regex split runs
+    once per row (see functions.text.tokens performance note; unstaged,
+    the signature pipeline was 13× slower).
+
+    ``word`` n-grams discriminate much better than char n-grams on
+    shared-vocabulary corpora: char-5-grams over the driver's word-soup
+    documents put EVERY doc pair at Jaccard ~0.5 and LSH candidates
+    explode quadratically (measured: 1.1M pairs at sf0.1); word trigrams
+    yield ~800 candidates on the same data.
+    """
+    if mode == "word":
+        staged = df.select(F.col(id_col), tokens(text_col).alias("_tok"))
+        ngrams = word_ngrams_t(F.col("_tok"), k)
+    elif mode == "char":
+        staged = df.select(F.col(id_col), normalized(text_col).alias("_norm"))
+        ngrams = char_ngrams_t(F.col("_norm"), k)
+    else:
+        raise ValueError(f"unknown shingle mode {mode!r}")
+    return staged.select(F.col(id_col), F.array_distinct(ngrams).alias("sh"))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 8,
-    shingle_k: int = 5,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """(id, mh0..mh{n-1}): per-doc MinHash signature.
 
@@ -53,19 +89,27 @@ def minhash_signatures(
     order-exchangeable min, so it's computed scan-side with no shuffle
     and is engine-reproducible.
     """
-    sh = F.array_distinct(char_ngrams(text_col, shingle_k))
+    sh_df = shingle_sets(df, text_col, id_col, shingle_mode, shingle_k)
+    return _signatures_from_shingles(sh_df, id_col, num_hashes)
 
-    def hasher(seed: int):
-        # NB: the lambda must take exactly ONE argument — F.transform
-        # passes (element, index) to two-argument lambdas, which would
-        # silently replace a default-arg seed with the array index.
-        prefix = f"{seed}:"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
+def _hasher(seed: int):
+    # NB: the lambda must take exactly ONE argument — F.transform
+    # passes (element, index) to two-argument lambdas, which would
+    # silently replace a default-arg seed with the array index.
+    prefix = f"{seed}:"
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+
+def _signatures_from_shingles(
+    sh_df: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
     cols = [F.col(id_col)]
     for i in range(num_hashes):
-        cols.append(F.array_min(F.transform(sh, hasher(i))).alias(f"mh{i}"))
-    return df.select(*cols)
+        cols.append(
+            F.array_min(F.transform(F.col("sh"), _hasher(i))).alias(f"mh{i}")
+        )
+    return sh_df.select(*cols)
 
 
 def lsh_candidate_pairs(
@@ -73,7 +117,8 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 8,
-    shingle_k: int = 5,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
     bands: int = 4,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
@@ -86,7 +131,8 @@ def lsh_candidate_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    shingles = shingle_sets(df, text_col, id_col, shingle_mode, shingle_k)
+    sigs = _signatures_from_shingles(shingles, id_col, num_hashes)
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -113,9 +159,6 @@ def lsh_candidate_pairs(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
-    )
-    shingles = df.select(
-        F.col(id_col), F.array_distinct(char_ngrams(text_col, shingle_k)).alias("sh")
     )
     sa = shingles.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = shingles.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

@@ -1,0 +1,163 @@
+"""Similarity-search operators over embedding columns.
+
+Two tiers (SURVEY §2j, driver north star "similarity search"):
+
+- ``brute_force_topk``: exact cosine top-k of every query vector against
+  the corpus. Query side broadcasts; per-pair dot products are pure JVM
+  higher-order expressions (zip_with + aggregate fold — no Python, no
+  shuffle until the final per-query top-k window). Exact, O(|Q|·|C|·d).
+- ``random_hyperplane_buckets`` / ``lsh_ann_topk``: sign-LSH
+  (SimHash-style) approximate path: project every vector onto `nbits`
+  fixed random hyperplanes (seeded, reproducible), bucket by the sign
+  bitstring, and only score candidates sharing a bucket in at least one
+  of ``ntables`` independent tables. Turns ANN into an equi-join on
+  (table, bucket) — the 100 TB shape: shuffle is bounded by bucket
+  occupancy, never |Q|×|C|.
+
+Recall/cost dial: nbits ↑ → smaller buckets, fewer candidates, lower
+recall; ntables ↑ → recall recovers at linear cost. Tested against the
+brute-force oracle in tests/test_similarity_ops.py.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Exact cosine top-k per query: (query_id, vec_id, cosine_sim, rn).
+
+    The query side is broadcast (small by contract); ties break on
+    vec_id so results are total-ordered and reproducible.
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_q")
+    )
+    sim = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            query_id_col,
+            id_col,
+            (_dot(F.col("_v"), F.col("_q"))
+             / (_norm(F.col("_v")) * _norm(F.col("_q")))).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        sim.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def hyperplanes(dim: int, nbits: int, ntables: int, seed: int = 42) -> list[list[list[float]]]:
+    """Deterministic random hyperplanes: ntables × nbits × dim floats."""
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(nbits)]
+        for _ in range(ntables)
+    ]
+
+
+def random_hyperplane_buckets(
+    df: DataFrame,
+    planes: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Append (table_id, bucket) rows: one output row per input×table.
+
+    bucket = the sign bitstring of the vector against each table's
+    hyperplanes — computed with JVM array expressions over literal plane
+    arrays (broadcast as part of the plan, no Python)."""
+    v = F.col(vec_col).cast("array<double>")
+    rows = []
+    for t_id, table in enumerate(planes):
+        bits = F.concat(
+            *[
+                F.when(
+                    _dot(v, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit("1")
+                ).otherwise(F.lit("0"))
+                for plane in table
+            ]
+        )
+        rows.append(
+            df.select("*", F.lit(t_id).alias("table_id"), bits.alias(out_col))
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nbits: int = 8,
+    ntables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share a (table, bucket) with
+    the query in ≥1 of the ntables sign-LSH tables; exact cosine scores
+    only the candidates. Returns (query_id, vec_id, cosine_sim, rn)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, nbits, ntables, seed)
+    cb = random_hyperplane_buckets(
+        corpus.select(id_col, vec_col), planes, vec_col
+    ).select(id_col, "table_id", "bucket",
+             F.col(vec_col).cast("array<double>").alias("_v"))
+    qb = random_hyperplane_buckets(
+        queries.select(query_id_col, query_vec_col), planes, query_vec_col
+    ).select(query_id_col, "table_id", "bucket",
+             F.col(query_vec_col).cast("array<double>").alias("_q"))
+    cand = (
+        cb.join(F.broadcast(qb), ["table_id", "bucket"])
+        .select(query_id_col, id_col, "_v", "_q")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    sim = cand.select(
+        query_id_col,
+        id_col,
+        (_dot(F.col("_v"), F.col("_q"))
+         / (_norm(F.col("_v")) * _norm(F.col("_q")))).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        sim.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )

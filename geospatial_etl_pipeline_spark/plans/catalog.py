@@ -67,6 +67,7 @@ def load_all_plans() -> None:
     from . import (  # noqa: F401
         dedup,
         events,
+        extra,
         geometry,
         raster,
         ref_parity,

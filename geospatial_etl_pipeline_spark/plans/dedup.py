@@ -21,16 +21,22 @@ from .catalog import register
 
 _NUM_HASHES = 8
 _BANDS = 4
-_SHINGLE_K = 5
+_SHINGLE_K = 3  # word trigrams (see operators.dedup._shingles rationale)
 _JACCARD = 0.25
 
 # ---- SQL mirrors of the operator pipeline ---------------------------------
 
 _SQL_NORM = "lower(trim(text))"
+_SQL_TOKENS = rf"regexp_split_to_array({_SQL_NORM}, '\s+')"
+# word trigrams: mirror of functions.text.word_ngrams(text, 3) —
+# sequence(1, greatest(n_tok-2, 1)) with concat_ws skipping the NULL
+# tail elements on short docs.
 _SQL_SHINGLES = (
     f"list_distinct(list_transform("
-    f"range(1, greatest(length({_SQL_NORM}) - {_SHINGLE_K - 2}, 2)), "
-    f"i -> substr({_SQL_NORM}, i::INT, {_SHINGLE_K})))"
+    f"range(1, greatest(len({_SQL_TOKENS}) - {_SHINGLE_K - 2}, 2)), "
+    f"i -> concat_ws(' ', "
+    + ", ".join(f"({_SQL_TOKENS})[i::INT + {j}]" for j in range(_SHINGLE_K))
+    + ")))"
 )
 
 
@@ -88,7 +94,7 @@ FROM sh_t
 """,
 )
 def q41_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature (8 hashes over 5-char shingles) —
+    """Per-doc MinHash signature (8 hashes over word-trigram shingles) —
     scan-side, zero shuffle."""
     return minhash_signatures(
         t(spark, sf_dir, "documents"),
@@ -136,37 +142,4 @@ def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_k=_SHINGLE_K,
         bands=_BANDS,
         jaccard_threshold=_JACCARD,
-    )
-
-
-@register(
-    "q43_top_word_bigrams",
-    tags=("text", "llm-data"),
-    oracle=rf"""
-WITH tok AS (
-  SELECT regexp_split_to_array({_SQL_NORM}, '\s+') AS tokens FROM documents
-),
-bg AS (
-  SELECT unnest(list_transform(range(1, greatest(len(tokens), 2)),
-                i -> concat_ws(' ', tokens[i::INT], tokens[i::INT + 1]))) AS bigram
-  FROM tok
-)
-SELECT bigram, COUNT(*) AS n
-FROM bg
-GROUP BY bigram
-ORDER BY n DESC, bigram ASC
-LIMIT 20
-""",
-)
-def q43_top_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level top-20 word bigrams — explode + count + TakeOrdered."""
-    from ..functions.text import word_ngrams
-
-    d = t(spark, sf_dir, "documents")
-    return (
-        d.select(F.explode(word_ngrams("text", 2)).alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("bigram").asc())
-        .limit(20)
     )

@@ -1,0 +1,249 @@
+"""Second-wave operator coverage: pivot, SQL-API subqueries, exact
+percentiles, sketches (rows-only), SimHash, multi-query kNN."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokens
+from ._util import qsum, sql_qsum, t
+from .catalog import register
+
+_STATUSES = ["F", "O", "P"]
+
+
+@register(
+    "q26_pivot_status_by_priority",
+    tags=("relational", "pivot"),
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS n_p,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+            FILTER (o_orderstatus = 'F'), 0) AS DOUBLE) AS total_f
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q26_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per order status (explicit value list so the
+    plan needs no discovery pass — at scale, never let pivot infer its
+    columns from the data)."""
+    o = t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(38,6)")
+    return o.groupBy("o_orderpriority").agg(
+        *[
+            F.count(F.when(F.col("o_orderstatus") == s, 1)).alias(f"n_{s.lower()}")
+            for s in _STATUSES
+        ],
+        F.coalesce(
+            F.sum(F.when(F.col("o_orderstatus") == "F", dec)), F.lit(0).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("total_f"),
+    )
+
+
+@register(
+    "q27_sql_api_in_subquery",
+    tags=("relational", "sql-api", "subquery"),
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_nationkey IN (
+  SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%'
+)
+AND c_acctbal > 5000.0
+""",
+)
+def q27_sql_api_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql entry point with an IN-subquery — the engine's SQL
+    surface over registered temp views (Catalyst rewrites the subquery
+    into a left-semi join)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer_v
+        WHERE c_nationkey IN (
+          SELECT n_nationkey FROM nation_v WHERE n_name LIKE 'NATION_1%'
+        )
+        AND c_acctbal > 5000.0
+        """
+    )
+
+
+@register(
+    "q28_exact_percentiles",
+    tags=("relational", "agg", "percentile"),
+    oracle="""
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q28_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines implement the same
+    linear-interpolation definition). Holistic aggregate: requires the
+    group's values together — at 100 TB prefer q29's sketch variant."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.percentile("o_totalprice", 0.99).alias("p99"),
+    )
+
+
+@register(
+    "q29_sketch_aggregates",
+    tags=("relational", "agg", "sketch"),
+    oracle=None,  # sketches are engine-specific -> driver rows-only check
+)
+def q29_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — HyperLogLog++ distinct counts and quantile
+    sketches. Mergeable, fixed-size state: the ONLY percentile/distinct
+    shapes that hold at 100 TB. No oracle: sketch results are
+    engine-specific by construction (rows-only driver check)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_p50"),
+        F.percentile_approx("o_totalprice", 0.99, 1000).alias("approx_p99"),
+    )
+
+
+@register(
+    "q44_simhash",
+    tags=("dedup", "llm-data", "simhash"),
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS tk
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS hv FROM tok
+),
+bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (hv >> b.bit::INT) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, unnest(range(0, 32)) b(bit)
+  GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END) AS BIGINT)
+         AS simhash32
+FROM bits
+GROUP BY doc_id
+""",
+)
+def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over distinct tokens: bit j is the sign of the sum
+    of ±1 votes from each token's hash bit j. Near-duplicate docs land
+    within small Hamming distance. Explode(tokens×bits) + two hash-aggs —
+    all partial-aggregable, integer-exact."""
+    d = t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens("text").alias("_tok"))
+    tok = staged.select(
+        "doc_id", F.explode(F.array_distinct("_tok")).alias("tk")
+    )
+    hv = F.conv(F.substring(F.md5("tk"), 1, 8), 16, 10).cast("bigint")
+    hashed = tok.select("doc_id", hv.alias("hv"))
+    bits = (
+        hashed.select(
+            "doc_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
+        )
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                # column-valued shift amounts need the SQL expression form;
+                # the Python shiftright/shiftleft API only takes int literals
+                F.when(F.expr("(hv >> CAST(bit AS INT)) & 1") == 1, 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("simhash32")
+    )
+
+
+@register(
+    "q53_knn_topk_multi_query",
+    tags=("similarity", "llm-data", "topk"),
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+e AS (SELECT vec_id, embedding FROM embeddings),
+prod AS (
+  SELECT q.query_id, e.vec_id,
+         e.embedding[i::INT]::DOUBLE AS x, qv[i::INT]::DOUBLE AS y
+  FROM e, q, unnest(range(1, len(e.embedding) + 1)) t(i)
+  WHERE e.vec_id <> q.query_id
+),
+agg AS (
+  SELECT query_id, vec_id,
+         CAST({sql_qsum('x * y')} AS DOUBLE) / 1e12 AS dot,
+         CAST({sql_qsum('x * x')} AS DOUBLE) / 1e12 AS na,
+         CAST({sql_qsum('y * y')} AS DOUBLE) / 1e12 AS nq
+  FROM prod GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         dot / (sqrt(na) * sqrt(nq)) AS cosine_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY dot / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC
+         ) AS INT) AS rn
+  FROM agg
+)
+SELECT query_id, vec_id, cosine_sim, rn FROM ranked WHERE rn <= 3
+""",
+)
+def q53_knn_topk_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN for a query SET (5 vectors × corpus, top-3 each): broadcast
+    queries, explode dims, quantized-exact dots, per-query window top-k.
+    The same plan shape the brute-force arm of operators.similarity
+    uses — this is its oracle-checked twin."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    prods = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.posexplode("v").alias("i", "x"), "qv")
+        .select(
+            "query_id", "vec_id", "x",
+            F.element_at("qv", F.col("i") + 1).alias("y"),
+        )
+    )
+    agg = prods.groupBy("query_id", "vec_id").agg(
+        (qsum(F.col("x") * F.col("y")).cast("double") / F.lit(1e12)).alias("dot"),
+        (qsum(F.col("x") * F.col("x")).cast("double") / F.lit(1e12)).alias("na"),
+        (qsum(F.col("y") * F.col("y")).cast("double") / F.lit(1e12)).alias("nq"),
+    )
+    sim = agg.select(
+        "query_id", "vec_id",
+        (F.col("dot") / (F.sqrt("na") * F.sqrt("nq"))).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        sim.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+    )

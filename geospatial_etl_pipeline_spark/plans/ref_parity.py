@@ -340,3 +340,99 @@ def q73_file_inventory_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q74_ref_pipeline_e2e",
+    tags=("ref-parity", "raster", "e2e"),
+    oracle=None,  # file-based raster pipeline -> driver rows-only check
+)
+def q74_ref_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE dataflow spine as one lazy plan
+    (copy_esrigrid…py:225–373): synthesize deterministic .asc grids,
+    recursive-scan + decode them (sources.asc), fan out rasters×regions
+    (:229–270), clip each raster to each region polygon
+    (operators.raster.clip_to_polygon), compute the sidecar statistics
+    (:315–339), and compose output names via the lookup dims
+    (:244–251, 292: ``{product}_{region}``). Rows-only check: the
+    pipeline is file-based, outside the SQL oracle's reach."""
+    import os
+    import tempfile
+
+    from ..operators.raster import clip_to_polygon, raster_stats
+    from ..sources.asc import read_asc, write_asc
+
+    base_dir = os.path.join(tempfile.gettempdir(), "geoetl_ref_e2e_fixture")
+    if not os.path.isdir(base_dir):
+        os.makedirs(base_dir, exist_ok=True)
+        for i, (param, period) in enumerate(
+            [("00", "monthly1"), ("02", "annual"), ("09", "seasonal3")]
+        ):
+            cells = [
+                float((r * 7 + c * 3 + i) % 50)
+                for r in range(20)
+                for c in range(20)
+            ]
+            write_asc(
+                os.path.join(base_dir, f"vcsn_{param}_a_b_mean_{period}.asc"),
+                20, 20, cells,
+            )
+
+    rasters = read_asc(spark, base_dir, crs="EPSG:27200")
+    parsed = parse_base_name(F.col("base_name"))
+    naming = rasters.select(
+        F.col("base_name").alias("grid_name"),
+        *[c.alias(n) for n, c in parsed.items()],
+    )
+
+    regions = (
+        dim_df(spark, REGION, "regc_code", "region_name")
+        .filter(F.col("regc_code").isin("01", "09", "13"))
+        .select(
+            "regc_code",
+            "region_name",
+            # deterministic triangular "council" footprint in grid space
+            F.format_string(
+                "POLYGON((%d 0, 20 0, 20 %d, %d 0))",
+                F.col("regc_code").cast("int") % 7,
+                F.col("regc_code").cast("int") % 11 + 5,
+                F.col("regc_code").cast("int") % 7,
+            ).alias("wkt"),
+        )
+    )
+
+    # rasters × regions fan-out; region identity rides inside base_name
+    # (the reference names outputs `{product}_{region}.tif`, :292)
+    fanout = (
+        rasters.crossJoin(F.broadcast(regions))
+        .withColumn(
+            "base_name", F.concat_ws("#", "base_name", "region_name")
+        )
+        .drop("regc_code", "region_name")
+    )
+    clipped = clip_to_polygon(fanout, F.col("wkt"))
+    stats = raster_stats(clipped).select(
+        F.element_at(F.split("base_name", "#"), 1).alias("grid_name"),
+        F.element_at(F.split("base_name", "#"), 2).alias("region_name"),
+        "n_cells", "min_val", "max_val", "mean_val",
+    )
+
+    pn = dim_df(spark, PARAMETER, "parameter_code", "parameter_name")
+    mn = dim_df(spark, MONTH_SEASON, "period_key", "period_name")
+    return (
+        stats.join(naming, "grid_name")
+        .join(F.broadcast(pn), ["parameter_code"])
+        .join(F.broadcast(mn), ["period_key"])
+        .select(
+            "grid_name",
+            F.concat_ws(
+                "_",
+                product_name(
+                    F.col("parameter_name"), F.col("statistic"),
+                    F.col("period_name"),
+                ),
+                F.col("region_name"),
+            ).alias("output_name"),
+            "region_name", "n_cells", "min_val", "max_val", "mean_val",
+        )
+    )

@@ -2,6 +2,11 @@
 
 Language-ID, quality scoring, token statistics, fingerprinting — all
 pure JVM expressions from ``functions.text`` with exact SQL mirrors.
+
+Every builder stages the token array as its own projection before
+fanning out into multi-reference expressions — Catalyst duplicates
+expression subtrees per reference, so an unstaged token split runs
+once per token access (measured 13× slowdown; see functions.text.tokens).
 """
 
 from __future__ import annotations
@@ -11,12 +16,12 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     STOPWORDS,
-    fingerprint,
+    fingerprint_t,
     punct_count,
-    quality_score,
-    stopword_hits,
-    token_count,
+    stopword_hits_t,
+    token_count_t,
     tokens,
+    word_ngrams_t,
 )
 from ._util import t
 from .catalog import register
@@ -24,6 +29,12 @@ from .catalog import register
 # SQL fragments mirroring functions.text builders exactly.
 _SQL_NORM = "lower(trim(text))"
 _SQL_TOKENS = rf"regexp_split_to_array({_SQL_NORM}, '\s+')"
+
+
+def _staged(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
+    """documents with the token array materialized once per row."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", *extra, tokens("text").alias("_tok"))
 
 
 def _sql_stopword_hits(lang: str) -> str:
@@ -46,13 +57,12 @@ FROM documents
 )
 def q30_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token statistics — scan-side only, zero shuffle."""
-    d = t(spark, sf_dir, "documents")
-    tok = tokens("text")
-    return d.select(
+    tok = F.col("_tok")
+    return _staged(spark, sf_dir, "lang", "text").select(
         "doc_id",
         "lang",
         F.length("text").cast("bigint").alias("text_len"),
-        token_count("text").alias("n_tokens"),
+        token_count_t(tok).alias("n_tokens"),
         F.size(F.array_distinct(tok)).cast("bigint").alias("n_unique_tokens"),
         (
             F.aggregate(tok, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x))
@@ -83,13 +93,24 @@ FROM documents
 def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length/stopword/punctuation quality heuristic (training-data
     filtering stage); one pass, no shuffle."""
-    d = t(spark, sf_dir, "documents")
-    return d.select(
+    tok = F.col("_tok")
+    n_tok = token_count_t(tok).cast("double")
+    n_chars = F.length("text").cast("double")
+    sw = stopword_hits_t(tok, "en").cast("double")
+    punct = punct_count("text").cast("double")
+    quality = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + (sw / F.greatest(n_tok, F.lit(1.0))) * F.lit(0.4)
+        + F.when(
+            n_chars > 0, F.lit(0.2) - F.least(punct / n_chars, F.lit(0.2))
+        ).otherwise(F.lit(0.0))
+    )
+    return _staged(spark, sf_dir, "text").select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
-        stopword_hits("text", "en").alias("stopword_hits_en"),
+        token_count_t(tok).alias("n_tokens"),
+        stopword_hits_t(tok, "en").alias("stopword_hits_en"),
         punct_count("text").alias("punct_cnt"),
-        quality_score("text").alias("quality"),
+        quality.alias("quality"),
     )
 
 
@@ -118,16 +139,14 @@ FROM documents
 def q32_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language-ID heuristic with a deterministic argmax
     tie-break (en > es > fr)."""
-    d = t(spark, sf_dir, "documents")
-    en = stopword_hits("text", "en")
-    es = stopword_hits("text", "es")
-    fr = stopword_hits("text", "fr")
+    tok = F.col("_tok")
+    en = stopword_hits_t(tok, "en")
+    es = stopword_hits_t(tok, "es")
+    fr = stopword_hits_t(tok, "fr")
     pred = (
-        F.when((en >= es) & (en >= fr), "en")
-        .when(es >= fr, "es")
-        .otherwise("fr")
+        F.when((en >= es) & (en >= fr), "en").when(es >= fr, "es").otherwise("fr")
     )
-    return d.select(
+    return _staged(spark, sf_dir, "lang").select(
         "doc_id",
         "lang",
         en.alias("en_hits"),
@@ -149,9 +168,40 @@ FROM documents
 )
 def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical whitespace-normalized MD5 fingerprint per document."""
-    d = t(spark, sf_dir, "documents")
-    return d.select(
+    tok = F.col("_tok")
+    return _staged(spark, sf_dir).select(
         "doc_id",
-        fingerprint("text").alias("fp"),
-        token_count("text").alias("n_tokens"),
+        fingerprint_t(tok).alias("fp"),
+        token_count_t(tok).alias("n_tokens"),
+    )
+
+
+@register(
+    "q43_top_word_bigrams",
+    tags=("text", "llm-data"),
+    oracle=rf"""
+WITH tok AS (
+  SELECT {_SQL_TOKENS} AS tokens FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(range(1, greatest(len(tokens), 2)),
+                i -> concat_ws(' ', tokens[i::INT], tokens[i::INT + 1]))) AS bigram
+  FROM tok
+)
+SELECT bigram, COUNT(*) AS n
+FROM bg
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+""",
+)
+def q43_top_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word bigrams — explode + count + TakeOrdered."""
+    staged = _staged(spark, sf_dir)
+    return (
+        staged.select(F.explode(word_ngrams_t(F.col("_tok"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
     )

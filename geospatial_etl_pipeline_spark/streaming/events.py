@@ -1,0 +1,112 @@
+"""Structured Streaming surface over the ``events`` table (SURVEY §2j).
+
+The reference has no streaming (it is a batch script); this is the [EXT]
+surface the driver's ``events`` table mandates. Each builder takes a
+*streaming* DataFrame (``readStream``) and returns the transformed
+stream; the batch twins in ``plans/events.py`` define the expected
+results, and tests/test_streaming.py replays the parquet file through a
+file stream and asserts batch equivalence.
+
+Design notes:
+- watermarks bound state: windows/dedup state is dropped once the event
+  time passes watermark + lateness — constant memory at any scale.
+- all aggregations are partial-aggregable, so streaming state stores one
+  (window, key) accumulator row, not raw events.
+- sessionization uses ``session_window`` (state-store native) rather
+  than the batch lag/cumsum formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans._util import DEC
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (nanos handled like the
+    batch loader: read as long, truncate to micros)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_counts(
+    stream: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type — the streaming
+    twin of q60_tumbling_window_counts."""
+    # group on the window STRUCT (not window.start): append-mode watermark
+    # tracking requires the event-time window column itself in the keys
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user with a 30-minute inactivity gap — the
+    streaming twin of q62_sessionize (same session boundaries)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Drop duplicate event_ids arriving within the watermark horizon —
+    bounded-state streaming dedup."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, mode: str = "append"
+) -> DataFrame:
+    """Drive a (bounded) stream to completion synchronously and return
+    the materialized result table — the test harness for this module.
+
+    Append mode only emits windows/sessions the watermark has passed —
+    results inside the final watermark horizon stay in the state store.
+    For whole-input comparisons against a batch twin, use
+    ``mode="complete"`` (aggregations only)."""
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

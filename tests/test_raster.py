@@ -1,0 +1,122 @@
+"""Unit tests: ASC reader + raster operators on synthetic grids."""
+
+from __future__ import annotations
+
+import json
+import math
+import struct
+
+import pytest
+
+from geospatial_etl_pipeline_spark.operators.raster import (
+    GEOTIFF_STUB_MAGIC,
+    clip_to_bbox,
+    clip_to_polygon,
+    encode_geotiff_stub,
+    raster_stats,
+    resample_nearest,
+)
+from geospatial_etl_pipeline_spark.sources.asc import read_asc, write_asc
+
+
+@pytest.fixture(scope="module")
+def asc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("grids")
+    sub = d / "07"
+    sub.mkdir()
+    # 10x10 grid, cells 0..99 row-major (row 0 = top), extent [0,10)x[0,10)
+    write_asc(str(sub / "grid_02_a_b_mean_monthly7.asc"), 10, 10,
+              [float(v) for v in range(100)])
+    # 4x4 grid with NODATA holes
+    cells = [1.0, -9999.0, 3.0, 4.0,
+             5.0, 6.0, -9999.0, 8.0,
+             9.0, 10.0, 11.0, 12.0,
+             13.0, 14.0, 15.0, 16.0]
+    write_asc(str(d / "small.asc"), 4, 4, cells)
+    (d / "ignore.txt").write_text("not a grid")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def rasters(spark, asc_dir):
+    return read_asc(spark, asc_dir, crs="EPSG:27200").cache()
+
+
+def test_read_asc_recursive_scan(rasters):
+    rows = {r["base_name"]: r for r in rasters.collect()}
+    assert set(rows) == {"grid_02_a_b_mean_monthly7", "small"}
+    g = rows["grid_02_a_b_mean_monthly7"]
+    assert (g["width"], g["height"]) == (10, 10)
+    assert g["cells"][0] == 0.0 and g["cells"][99] == 99.0
+    assert g["crs"] == "EPSG:27200"
+    assert rows["small"]["nodata_value"] == -9999.0
+
+
+def test_raster_stats_excludes_nodata(rasters):
+    stats = {r["base_name"]: r for r in raster_stats(rasters).collect()}
+    s = stats["small"]
+    vals = [1, 3, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+    assert s["n_cells"] == 14
+    assert s["min_val"] == 1.0 and s["max_val"] == 16.0
+    assert s["mean_val"] == pytest.approx(sum(vals) / 14)
+    g = stats["grid_02_a_b_mean_monthly7"]
+    assert g["n_cells"] == 100 and g["mean_val"] == pytest.approx(49.5)
+
+
+def test_clip_to_bbox_center_semantics(spark, rasters):
+    big = rasters.filter("base_name = 'grid_02_a_b_mean_monthly7'")
+    out = clip_to_bbox(big, 2.0, 3.0, 5.0, 7.0).collect()[0]
+    # columns with centers in [2,5): c=2,3,4 ; rows with centers in [3,7):
+    # y centers are 9.5-r ; keep rows r=3..6 (centers 6.5,5.5,4.5,3.5)
+    assert (out["width"], out["height"]) == (3, 4)
+    assert out["xllcorner"] == 2.0 and out["yllcorner"] == 3.0
+    # top-left retained cell = row 3, col 2 -> value 32
+    assert out["cells"][:3] == [32.0, 33.0, 34.0]
+    assert out["cells"][-3:] == [62.0, 63.0, 64.0]
+
+
+def test_clip_to_bbox_disjoint_is_empty(rasters):
+    big = rasters.filter("base_name = 'grid_02_a_b_mean_monthly7'")
+    out = clip_to_bbox(big, 100.0, 100.0, 110.0, 110.0).collect()[0]
+    assert out["width"] == 0 and out["cells"] == []
+
+
+def test_clip_to_polygon_masks_outside(spark, rasters):
+    from pyspark.sql import functions as F
+
+    big = rasters.filter("base_name = 'grid_02_a_b_mean_monthly7'")
+    # triangle covering the lower-left half (y < x): cell centers with
+    # ycenter < xcenter stay, everything else -> NODATA
+    tri = "POLYGON((0 0, 10 0, 10 10, 0 0))"
+    out = clip_to_polygon(big.withColumn("wkt", F.lit(tri)), "wkt").collect()[0]
+    kept = [v for v in out["cells"] if v != -9999.0]
+    # 45 centers strictly below the diagonal + 10 centers exactly ON the
+    # diagonal (ray-cast even-odd counts these inside for this edge
+    # orientation — boundary semantics are formulation-defined)
+    assert len(kept) == 55
+    # cell (row 0, col 0): center (0.5, 9.5), above the diagonal -> NODATA
+    assert out["cells"][0] == -9999.0
+    # cell (row 9, col 9): center (9.5, 0.5) inside
+    assert out["cells"][99] == 99.0
+
+
+def test_resample_nearest(rasters):
+    big = rasters.filter("base_name = 'grid_02_a_b_mean_monthly7'")
+    out = resample_nearest(big, 2).collect()[0]
+    assert (out["width"], out["height"]) == (5, 5)
+    assert out["cellsize"] == 2.0
+    assert out["cells"][:5] == [0.0, 2.0, 4.0, 6.0, 8.0]
+    assert out["cells"][5:7] == [20.0, 22.0]
+
+
+def test_encode_geotiff_stub_roundtrip(rasters):
+    small = rasters.filter("base_name = 'small'")
+    row = encode_geotiff_stub(small).collect()[0]
+    blob = row["tiff"]
+    assert blob.startswith(GEOTIFF_STUB_MAGIC)
+    (hlen,) = struct.unpack_from("<I", blob, len(GEOTIFF_STUB_MAGIC))
+    off = len(GEOTIFF_STUB_MAGIC) + 4
+    header = json.loads(blob[off : off + hlen])
+    assert header["w"] == 4 and header["h"] == 4 and header["nodata"] == -9999.0
+    cells = struct.unpack_from(f"<{header['w'] * header['h']}d", blob, off + hlen)
+    assert cells[0] == 1.0 and math.isclose(cells[15], 16.0)

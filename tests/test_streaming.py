@@ -1,0 +1,54 @@
+"""Streaming tests: file-stream replay of events vs batch twins."""
+
+from __future__ import annotations
+
+import pytest
+
+from geospatial_etl_pipeline_spark.plans import catalog
+from geospatial_etl_pipeline_spark.streaming.events import (
+    dedup_within_watermark,
+    run_to_memory_sink,
+    sessionized,
+    stream_events,
+    windowed_counts,
+)
+
+catalog.load_all_plans()
+
+
+@pytest.fixture(scope="module")
+def stream(spark, sf_dir):
+    return stream_events(spark, sf_dir)
+
+
+def test_windowed_counts_matches_batch(spark, sf_dir, stream):
+    got = run_to_memory_sink(windowed_counts(stream), "t_windowed", mode="complete")
+    batch = catalog.QUERIES["q60_tumbling_window_counts"].fn(spark, sf_dir)
+    g = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+         for r in got.collect()}
+    b = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+         for r in batch.collect()}
+    assert g == b and len(g) > 0
+
+
+def test_sessionized_stream_counts(spark, sf_dir, stream):
+    got = run_to_memory_sink(sessionized(stream), "t_sessions", mode="complete")
+    per_user = {}
+    for r in got.collect():
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + 1
+    batch = {r["user_id"]: r["n_sessions"]
+             for r in catalog.QUERIES["q62_sessionize"].fn(spark, sf_dir).collect()}
+    assert per_user == batch
+
+
+def test_dedup_within_watermark_passthrough(spark, sf_dir, stream):
+    # event_ids are unique in the fixture: dedup must be a no-op
+    got = run_to_memory_sink(
+        dedup_within_watermark(stream).select("event_id"), "t_dedup"
+    )
+    n_stream = got.count()
+    n_batch = (
+        catalog.QUERIES["q62_sessionize"].fn(spark, sf_dir)
+        .agg({"n_events": "sum"}).collect()[0][0]
+    )
+    assert n_stream == n_batch
