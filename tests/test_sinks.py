@@ -1,0 +1,61 @@
+"""Unit tests: zip-bundle sink, JSON metadata sink, S3 URI builder."""
+
+from __future__ import annotations
+
+import json
+import zipfile
+
+from geospatial_etl_pipeline_spark.operators.sinks import (
+    upload_prefix,
+    write_metadata_json,
+    write_product_zips,
+)
+
+
+def test_write_product_zips(spark, tmp_path):
+    rows = [
+        ("prod_a", "/in/prod_a.asc", b"grid-a"),
+        ("prod_a", "/in/prod_a.prj", b"proj-a"),
+        ("prod_a", "/in/prod_a.lock", b"LOCK"),  # excluded
+        ("prod_b", "/in/prod_b.asc", b"grid-b"),
+    ]
+    df = spark.createDataFrame(rows, ["base_name", "path", "content"])
+    n = write_product_zips(df, str(tmp_path / "zips"))
+    assert n == 2
+    za = zipfile.ZipFile(tmp_path / "zips" / "prod_a.zip")
+    assert sorted(za.namelist()) == ["prod_a.asc", "prod_a.prj"]
+    assert za.read("prod_a.asc") == b"grid-a"
+    zb = zipfile.ZipFile(tmp_path / "zips" / "prod_b.zip")
+    assert zb.namelist() == ["prod_b.asc"]
+
+
+def test_write_product_zips_idempotent(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("p", "/x/p.asc", b"v1")], ["base_name", "path", "content"]
+    )
+    out = str(tmp_path / "zips2")
+    assert write_product_zips(df, out) == 1
+    df2 = spark.createDataFrame(
+        [("p", "/x/p.asc", b"v2")], ["base_name", "path", "content"]
+    )
+    assert write_product_zips(df2, out) == 1  # overwrite, not append
+    assert zipfile.ZipFile(f"{out}/p.zip").read("p.asc") == b"v2"
+
+
+def test_write_metadata_json_pretty(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("prod_a", json.dumps({"src": "x", "metadata": {"title": "prod_a"}}))],
+        ["product_name", "metadata_json"],
+    )
+    n = write_metadata_json(df, str(tmp_path / "json"))
+    assert n == 1
+    text = (tmp_path / "json" / "prod_a.json").read_text()
+    assert json.loads(text)["metadata"]["title"] == "prod_a"
+    assert '\n    "src"' in text  # indent=4, reference parity (REF:498)
+
+
+def test_upload_prefix():
+    assert upload_prefix("b", "pre/fix/", "x.zip") == "s3a://b/pre/fix/x.zip"
+    assert upload_prefix("b", "/pre/", "x.zip") == "s3a://b/pre/x.zip"
+    assert upload_prefix("b", None, "x.zip") == "s3a://b/x.zip"
+    assert upload_prefix("b", "", "x.zip") == "s3a://b/x.zip"
