@@ -69,6 +69,7 @@ def load_all_plans() -> None:
         events,
         extra,
         geometry,
+        multimodal,
         raster,
         ref_parity,
         relational,

@@ -143,3 +143,74 @@ def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
         jaccard_threshold=_JACCARD,
     )
+
+
+_SQL_BIGRAMS = (
+    f"list_distinct(list_transform(range(1, greatest(len({_SQL_TOKENS}), 2)), "
+    f"i -> concat_ws(' ', ({_SQL_TOKENS})[i::INT], ({_SQL_TOKENS})[i::INT + 1])))"
+)
+_NGRAM_JACCARD = 0.2
+
+
+@register(
+    "q48_ngram_jaccard_pairs",
+    tags=("dedup", "llm-data", "ngram-jaccard"),
+    oracle=f"""
+WITH bg AS (
+  SELECT doc_id, lang, {_SQL_BIGRAMS} AS bgs FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.bgs, b.bgs)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.bgs, b.bgs))) AS DOUBLE) AS jaccard
+FROM bg a JOIN bg b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.bgs, b.bgs)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.bgs, b.bgs))) AS DOUBLE)
+      >= {_NGRAM_JACCARD}
+""",
+)
+def q48_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard near-dup pairs, blocked by language.
+
+    The lang equality is the blocking key (the classic metadata-blocked
+    near-dup sweep): the self-join shuffles on lang only, and Jaccard is
+    computed pairwise within blocks. Jaccard = |A∩B| / |A∪B| over
+    DISTINCT bigram sets — two exact integers, so the double division is
+    bit-identical across engines and the threshold cut is exact.
+
+    At 100 TB, lang alone would leave blocks too large; compose the key
+    with coarser content bits (e.g. length bucket or a minhash band as
+    in q42) — same plan shape, finer key."""
+    from ..functions.text import tokens, word_ngrams_t
+
+    d = t(spark, sf_dir, "documents")
+    # stage the token array so the regex split runs once per row, not
+    # once per element_at reference (see plans/text.py module docstring)
+    staged = d.select("doc_id", "lang", tokens("text").alias("_tok"))
+    bg = staged.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(word_ngrams_t(F.col("_tok"), 2)).alias("bgs"),
+    )
+    a = bg.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("bgs").alias("bgs_a"),
+    )
+    b = bg.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("bgs").alias("bgs_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang_a") == F.col("lang_b")) & (F.col("id_a") < F.col("id_b")),
+    )
+    jac = (
+        F.size(F.array_intersect("bgs_a", "bgs_b")).cast("double")
+        / F.size(F.array_union("bgs_a", "bgs_b")).cast("double")
+    )
+    return (
+        pairs.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _NGRAM_JACCARD)
+    )

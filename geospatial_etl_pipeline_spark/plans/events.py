@@ -129,6 +129,82 @@ def q62_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q46_range_join_clicks_before_purchase",
+    tags=("events", "join", "range-join"),
+    oracle="""
+SELECT p.event_id, p.user_id,
+       COUNT(c.event_id) AS n_clicks_30m
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL '30 minutes'
+ AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+""",
+)
+def q46_range_join_clicks_before_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval/range join: clicks in the 30 minutes strictly before
+    each purchase, per user.
+
+    The equality on user_id makes this a hash/sort-merge equi join with
+    the time range as a post-join predicate — at 100 TB the shuffle is
+    keyed on user_id only, so the range adds no extra exchange. (A
+    band-bucketing key would be needed only for a pure range join with
+    no equality column.)"""
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_event_id"),
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("ts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("c_event_id").alias("n_clicks_30m")
+    )
+
+
+@register(
+    "q47_user_event_gaps",
+    tags=("events", "window", "lag-lead"),
+    oracle="""
+SELECT event_id, user_id,
+       LAG(event_id)  OVER w AS prev_event_id,
+       LEAD(event_id) OVER w AS next_event_id,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q47_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: neighbor event ids and the inter-event gap in
+    integer microseconds (engine-exact). One shuffle on user_id serves
+    both window functions."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+@register(
     "q63_json_props",
     tags=("events", "json"),
     oracle="""

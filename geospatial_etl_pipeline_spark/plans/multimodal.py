@@ -1,0 +1,68 @@
+"""Multimodal-column queries (SURVEY §2j [EXT], driver north star).
+
+Media rides as opaque binary blobs + typed metadata (operators.
+multimodal). The decode kernel is a clearly-marked deterministic fake
+(codec libraries absent in this image) — but the plumbing these queries
+exercise is the production shape: explicit schemas, Arrow-batched
+``mapInPandas``, content-addressed hashing.
+
+q95 is fully oracle-checked: blob synthesis, byte length and MD5
+content hash are all engine-exact. q96 aggregates fake-decoded feature
+vectors (an iterated-MD5 chain, not SQL-expressible) — rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import decode_features, synthesize_media
+from ._util import t
+from .catalog import register
+
+
+@register(
+    "q95_media_content_stats",
+    tags=("multimodal", "llm-data"),
+    oracle="""
+SELECT doc_id AS media_id,
+       'image' AS kind,
+       CAST(octet_length(encode(repeat(text, 3))) AS BIGINT) AS n_bytes,
+       md5(repeat(text, 3)) AS content_hash
+FROM documents
+""",
+)
+def q95_media_content_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column content statistics through the real media path:
+    synthesize blob+metadata rows from documents, run the Arrow-batched
+    decode (fake kernel), emit per-blob byte count and MD5 content hash.
+
+    The hash/length are computed inside ``mapInPandas`` on the binary
+    column — the same plumbing a real image decode uses — and both are
+    engine-exact, so the whole pipeline is oracle-checked end to end."""
+    media = synthesize_media(t(spark, sf_dir, "documents"))
+    feats = decode_features(media, dims=8, allow_fake=True)
+    return feats.select("media_id", "kind", "n_bytes", "content_hash")
+
+
+@register(
+    "q96_media_feature_moments",
+    tags=("multimodal", "llm-data", "agg"),
+    oracle=None,  # features are an iterated-MD5 chain (operators.
+    # multimodal._fake_decode) — not SQL-expressible; the decode
+    # contract is unit-tested in tests/test_operators.py
+)
+def q96_media_feature_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature moments over fake-decoded media vectors:
+    decode via mapInPandas, posexplode the feature array, hash-agg per
+    (kind, dim). The aggregate-after-UDF shape is the canonical
+    feature-extraction pipeline at scale: the Python stage streams Arrow
+    batches, the shuffle carries only |kinds|×dims partial aggregates."""
+    media = synthesize_media(t(spark, sf_dir, "documents"))
+    feats = decode_features(media, dims=8, allow_fake=True)
+    ex = feats.select("kind", F.posexplode("features").alias("dim", "x"))
+    return ex.groupBy("kind", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+    )

@@ -145,3 +145,146 @@ def q52_norm_stats_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l2").alias("min_norm"),
         F.max("l2").alias("max_norm"),
     )
+
+
+def _sign_block(vec_col, nbits: int):
+    """Blocking key: concatenated sign bits of the first nbits raw float
+    components. Pure comparison on stored values — no arithmetic, so the
+    key is trivially bit-identical across engines."""
+    return F.concat(
+        *[
+            F.when(F.element_at(vec_col, j + 1) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for j in range(nbits)
+        ]
+    )
+
+
+def _qdot(a, b):
+    """Order-independent quantized dot product: per-element
+    floor((x*y)*1e12) -> BIGINT, exact integer sum. Associative integer
+    addition means ANY reduction order gives the same bits."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.floor(x * y * F.lit(_S)).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+_ND_BITS = 6
+_ND_TOPK = 25
+
+_SQL_ND_BLK = (
+    "list_aggregate(list_transform(embedding[1:"
+    + str(_ND_BITS)
+    + "], x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), 'string_agg', '')"
+)
+
+
+@register(
+    "q55_embedding_near_dup",
+    tags=("similarity", "dedup", "llm-data", "topk"),
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_SQL_ND_BLK} AS blk FROM embeddings
+),
+norms AS (
+  SELECT vec_id,
+         {sql_qsum('embedding[i::INT]::DOUBLE * embedding[i::INT]::DOUBLE')} AS qn
+  FROM e, unnest(range(1, len(embedding) + 1)) t(i)
+  GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+  FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT id_a, id_b,
+         {sql_qsum('ea[i::INT]::DOUBLE * eb[i::INT]::DOUBLE')} AS qd
+  FROM pairs, unnest(range(1, len(ea) + 1)) t(i)
+  GROUP BY id_a, id_b
+)
+SELECT d.id_a, d.id_b,
+       (CAST(d.qd AS DOUBLE) / {_S!r})
+         / (sqrt(CAST(na.qn AS DOUBLE) / {_S!r})
+            * sqrt(CAST(nb.qn AS DOUBLE) / {_S!r})) AS cosine_sim
+FROM dots d
+JOIN norms na ON na.vec_id = d.id_a
+JOIN norms nb ON nb.vec_id = d.id_b
+ORDER BY cosine_sim DESC, d.id_a ASC, d.id_b ASC
+LIMIT {_ND_TOPK}
+""",
+)
+def q55_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates: sign-LSH blocked
+    self-join + exact cosine re-rank, top-{_ND_TOPK} pairs.
+
+    The blocking key (sign bits of the first 6 components) turns the
+    O(n²) pair space into per-bucket self-joins — shuffle keyed on the
+    block, ~n²/2^bits pairs scored. The production form filters
+    ``cosine_sim >= threshold``; this test corpus is near-orthogonal
+    (max pairwise cosine ≈ 0.51), so the query returns the global
+    top-k of the blocked pairs with a total-order tiebreak instead.
+
+    Cosine is computed from per-element floor-quantized integer dots
+    (order-free integer sums), so Spark and DuckDB agree bit-for-bit."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        _sign_block(F.col("embedding"), _ND_BITS).alias("blk"),
+    )
+    norms = e.select("vec_id", _qdot(F.col("v"), F.col("v")).alias("qn"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "blk"
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "blk"
+    )
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    dots = pairs.select(
+        "id_a", "id_b", _qdot(F.col("va"), F.col("vb")).alias("qd")
+    )
+    na = norms.select(F.col("vec_id").alias("id_a"), F.col("qn").alias("qna"))
+    nb = norms.select(F.col("vec_id").alias("id_b"), F.col("qn").alias("qnb"))
+    out = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                (F.col("qd").cast("double") / F.lit(_S))
+                / (
+                    F.sqrt(F.col("qna").cast("double") / F.lit(_S))
+                    * F.sqrt(F.col("qnb").cast("double") / F.lit(_S))
+                )
+            ).alias("cosine_sim"),
+        )
+    )
+    return out.orderBy(
+        F.col("cosine_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(_ND_TOPK)
+
+
+@register(
+    "q54_ann_lsh_topk",
+    tags=("similarity", "llm-data", "ann", "lsh", "topk"),
+    oracle=None,  # approximate: candidate set depends on LSH bucket
+    # collisions (seeded hyperplanes), not SQL-expressible; recall vs the
+    # exact baseline is asserted in tests/test_similarity_ops.py
+)
+def q54_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors — the 100 TB scale path for q50's
+    brute force: sign-LSH bucket join generates candidates for 3 query
+    vectors, exact cosine re-ranks only candidates (operators.similarity
+    .lsh_ann_topk). Deterministic (seeded planes, total-order tiebreak)
+    but not relational — registered rows-only."""
+    from ..operators.similarity import lsh_ann_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.filter(F.col("vec_id") >= 3)
+    return lsh_ann_topk(corpus, queries, k=10, nbits=8, ntables=4)
