@@ -73,8 +73,12 @@ STOP_DATE = "2020-12-31"  # copy_esrigrid…py:115
 
 
 def dim_df(spark: SparkSession, d: dict[str, str], key: str, value: str) -> DataFrame:
-    """A broadcast-sized dimension DataFrame from a lookup dict."""
-    return spark.createDataFrame(sorted(d.items()), [key, value])
+    """A broadcast-sized dimension DataFrame from a lookup dict —
+    built as a pure-JVM literal plan (see plans/_util.literal_df: the
+    Python-RDD path costs nondeterministic multi-second worker spinups)."""
+    from ..plans._util import literal_df
+
+    return literal_df(spark, sorted(d.items()), [key, value])
 
 
 def sql_values(d: dict[str, str], key: str, value: str) -> str:

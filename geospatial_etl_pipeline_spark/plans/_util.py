@@ -14,6 +14,30 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def literal_df(spark: SparkSession, rows: list[tuple], cols: list[str]) -> DataFrame:
+    """Broadcast-sized DataFrame from literal rows as a PURE-JVM plan.
+
+    ``spark.createDataFrame(list)`` routes through a Python RDD
+    (``applySchemaToPythonRDD``): every action that touches it launches
+    Python workers just to emit a dozen constant rows — measured as
+    multi-second nondeterministic stalls when several such dims appear
+    in one query (Python worker pool contention). ``range(1) +
+    explode(array(struct(lit...)))`` keeps the constants inside the JVM
+    plan: no Python, no RDD, constant-folded by Catalyst, and eligible
+    for broadcast like any other relation."""
+    arr = F.array(
+        *[
+            F.struct(*[F.lit(v).alias(c) for v, c in zip(row, cols)])
+            for row in rows
+        ]
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(arr).alias("_s"))
+        .select(*[F.col(f"_s.{c}").alias(c) for c in cols])
+    )
+
+
 def dsum(col: Column | str) -> Column:
     """Deterministic sum of a double expression.
 

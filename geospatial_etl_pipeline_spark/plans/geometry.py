@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ._util import t
+from ._util import literal_df, t
 from .catalog import register
 
 # x/y in [0, 97) × [0, 89): coprime moduli give a scattered point cloud.
@@ -107,8 +107,8 @@ def q81_point_in_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast nested-loop join; at 100 TB this is exactly the shape that
     geohash-bucket pre-filtering turns into an equi-join."""
     pts = _points(spark, sf_dir)
-    rects = spark.createDataFrame(
-        _RECTS, ["rect_id", "xmin", "ymin", "xmax", "ymax"]
+    rects = literal_df(
+        spark, _RECTS, ["rect_id", "xmin", "ymin", "xmax", "ymax"]
     )
     cond = (
         (pts.x >= F.col("xmin")) & (pts.x < F.col("xmax"))
@@ -154,7 +154,7 @@ def q82_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast the centroid set, exact integer distance², deterministic
     argmin via window tiebreak on centroid id."""
     pts = _points(spark, sf_dir)
-    cents = spark.createDataFrame(_CENTROIDS, ["cid", "cx", "cy"])
+    cents = literal_df(spark, _CENTROIDS, ["cid", "cx", "cy"])
     d2 = (pts.x - F.col("cx")) * (pts.x - F.col("cx")) + (
         pts.y - F.col("cy")
     ) * (pts.y - F.col("cy"))

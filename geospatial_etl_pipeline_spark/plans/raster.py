@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._util import literal_df
 from .catalog import register
 
 _W, _H = 160, 120  # grid width/height (cells)
@@ -78,8 +79,8 @@ def q90_raster_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per region — at scale, bucketing cells by a space-filling-curve key
     prunes this to overlapping buckets only."""
     g = _grid(spark)
-    r = spark.createDataFrame(
-        _REGIONS, ["region_code", "xmin", "ymin", "xmax", "ymax"]
+    r = literal_df(
+        spark, _REGIONS, ["region_code", "xmin", "ymin", "xmax", "ymax"]
     )
     cond = (
         (g.i >= F.col("xmin")) & (g.i < F.col("xmax"))
