@@ -97,25 +97,32 @@ def random_hyperplane_buckets(
 
     bucket = the sign bitstring of the vector against each table's
     hyperplanes — computed with JVM array expressions over literal plane
-    arrays (broadcast as part of the plan, no Python)."""
+    arrays (broadcast as part of the plan, no Python). All tables are
+    computed in ONE pass and exploded, rather than a union of per-table
+    branches which would re-scan the input ntables times."""
     v = F.col(vec_col).cast("array<double>")
-    rows = []
-    for t_id, table in enumerate(planes):
-        bits = F.concat(
-            *[
-                F.when(
-                    _dot(v, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit("1")
-                ).otherwise(F.lit("0"))
-                for plane in table
-            ]
-        )
-        rows.append(
-            df.select("*", F.lit(t_id).alias("table_id"), bits.alias(out_col))
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    per_table = F.array(
+        *[
+            F.struct(
+                F.lit(t_id).alias("table_id"),
+                F.concat(
+                    *[
+                        F.when(
+                            _dot(v, F.array(*[F.lit(x) for x in plane])) >= 0,
+                            F.lit("1"),
+                        ).otherwise(F.lit("0"))
+                        for plane in table
+                    ]
+                ).alias("_bucket"),
+            )
+            for t_id, table in enumerate(planes)
+        ]
+    )
+    return (
+        df.select("*", F.explode(per_table).alias("_tb"))
+        .select("*", F.col("_tb.table_id"), F.col("_tb._bucket").alias(out_col))
+        .drop("_tb")
+    )
 
 
 def lsh_ann_topk(

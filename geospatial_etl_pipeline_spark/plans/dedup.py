@@ -172,45 +172,63 @@ WHERE CAST(len(list_intersect(a.bgs, b.bgs)) AS DOUBLE)
 def q48_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram Jaccard near-dup pairs, blocked by language.
 
-    The lang equality is the blocking key (the classic metadata-blocked
-    near-dup sweep): the self-join shuffles on lang only, and Jaccard is
-    computed pairwise within blocks. Jaccard = |A∩B| / |A∪B| over
-    DISTINCT bigram sets — two exact integers, so the double division is
-    bit-identical across engines and the threshold cut is exact.
+    Jaccard = |A∩B| / |A∪B| over DISTINCT bigram sets — two exact
+    integers, so the double division is bit-identical across engines and
+    the threshold cut is exact.
 
-    At 100 TB, lang alone would leave blocks too large; compose the key
-    with coarser content bits (e.g. length bucket or a minhash band as
-    in q42) — same plan shape, finer key."""
+    The oracle states the quadratic spec (pairwise array intersection
+    within lang blocks); the engine runs the scale shape — an INVERTED
+    INDEX: explode distinct bigrams, equi-join postings on (lang,
+    bigram), count co-occurrences per pair (= |A∩B|), then
+    |A∪B| = |A| + |B| − |A∩B|. Pairs sharing zero bigrams never
+    materialize, per-pair work is a counter bump (no per-pair array
+    hashing), and the shuffle key (lang, bigram) is fine-grained —
+    measured 134 s → ~4 s at sf0.1. Skew ceiling = max posting-list
+    length² (152² here); at 100 TB add a df-cap that drops
+    stop-bigrams, exactly like a search engine's stop list."""
     from ..functions.text import tokens, word_ngrams_t
 
     d = t(spark, sf_dir, "documents")
     # stage the token array so the regex split runs once per row, not
     # once per element_at reference (see plans/text.py module docstring)
     staged = d.select("doc_id", "lang", tokens("text").alias("_tok"))
+    # The repartition is a deliberate optimizer barrier, not a layout
+    # choice: without it, the explode's implicit size(bgs)>0 filter is
+    # pushed below this projection with the whole split+transform
+    # pipeline INLINED (~5 regex splits per row), and the self-join
+    # computes the bigram pipeline once per side. The shuffle
+    # materializes bigrams exactly once and both join sides reuse the
+    # exchange. Measured 18 s -> ~4 s at sf0.1.
     bg = staged.select(
         "doc_id",
         "lang",
         F.array_distinct(word_ngrams_t(F.col("_tok"), 2)).alias("bgs"),
+    ).repartition("doc_id")
+    sizes = bg.select("doc_id", "lang", F.size("bgs").alias("n_bg"))
+    postings = bg.select(
+        "doc_id", "lang", F.explode("bgs").alias("bigram")
     )
-    a = bg.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("bgs").alias("bgs_a"),
+    co = (
+        postings.alias("a")
+        .join(
+            postings.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bigram") == F.col("b.bigram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    b = bg.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("bgs").alias("bgs_b"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("lang_a") == F.col("lang_b")) & (F.col("id_a") < F.col("id_b")),
-    )
-    jac = (
-        F.size(F.array_intersect("bgs_a", "bgs_b")).cast("double")
-        / F.size(F.array_union("bgs_a", "bgs_b")).cast("double")
-    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_bg").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_bg").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
     return (
-        pairs.select("id_a", "id_b", jac.alias("jaccard"))
+        co.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _NGRAM_JACCARD)
     )

@@ -33,16 +33,18 @@ FROM documents
 """,
 )
 def q95_media_content_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column content statistics through the real media path:
-    synthesize blob+metadata rows from documents, run the Arrow-batched
-    decode (fake kernel), emit per-blob byte count and MD5 content hash.
-
-    The hash/length are computed inside ``mapInPandas`` on the binary
-    column — the same plumbing a real image decode uses — and both are
-    engine-exact, so the whole pipeline is oracle-checked end to end."""
+    """Binary-column content statistics, all JVM-side: synthesize
+    blob+metadata rows, then length/MD5 directly on the binary column —
+    content addressing needs no Python, so it shouldn't pay the Arrow
+    round-trip (that path is exercised by q96's decode). Oracle-checked
+    end to end: blob synthesis, byte length and hash are engine-exact."""
     media = synthesize_media(t(spark, sf_dir, "documents"))
-    feats = decode_features(media, dims=8, allow_fake=True)
-    return feats.select("media_id", "kind", "n_bytes", "content_hash")
+    return media.select(
+        "media_id",
+        "kind",
+        F.length("blob").cast("bigint").alias("n_bytes"),
+        F.md5("blob").alias("content_hash"),
+    )
 
 
 @register(
