@@ -125,6 +125,83 @@ def random_hyperplane_buckets(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    ncells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    ``ncells`` Voronoi cells around coarse centroids, probe only the
+    ``nprobe`` cells nearest each query, exact-cosine re-rank within the
+    probed cells. Returns (query_id, vec_id, cosine_sim, rn).
+
+    The coarse quantizer here is deterministic — the first ``ncells``
+    corpus vectors by id serve as centroids — so the whole index build is
+    a relational plan (no iterative training step); a production build
+    swaps in k-means centroids with the identical plan shape. Scale
+    shape: centroid assignment is a broadcast cross-join (ncells rows
+    broadcast, map-side only), the candidate generation is an equi-join
+    on cell_id, and re-ranking touches ~nprobe/ncells of the corpus
+    instead of all of it.
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    w_cent = Window.orderBy(F.col(id_col).asc())
+    cents = (
+        c.orderBy(id_col)
+        .limit(ncells)
+        .select(
+            (F.row_number().over(w_cent) - 1).alias("cent_id"),
+            F.col("_v").alias("_c"),
+        )
+    )
+
+    def _assign(df, idc, vc, keep_n):
+        score = _dot(F.col(vc), F.col("_c")) / _norm(F.col("_c"))
+        w = Window.partitionBy(idc).orderBy(
+            score.desc(), F.col("cent_id").asc()
+        )
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= keep_n)
+            .select(idc, "cent_id")
+        )
+
+    cells = _assign(c, id_col, "_v", 1)
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("_q"),
+    )
+    qcells = _assign(q, query_id_col, "_q", nprobe)
+    cand = (
+        qcells.join(cells, "cent_id")
+        .select(query_id_col, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .join(c, id_col)
+    )
+    sim = cand.select(
+        query_id_col,
+        id_col,
+        (_dot(F.col("_v"), F.col("_q"))
+         / (_norm(F.col("_v")) * _norm(F.col("_q")))).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        sim.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ._util import qsum, sql_qsum, t
 from .catalog import register
@@ -265,6 +266,168 @@ def q55_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.col("cosine_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
     ).limit(_ND_TOPK)
+
+
+_IVF_K = 16
+_IVF_NPROBE = 4
+_IVF_TOPK = 10
+
+
+@register(
+    "q56_ivf_topk",
+    tags=("similarity", "llm-data", "ann", "ivf", "topk"),
+    oracle=f"""
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding AS cv
+  FROM corpus ORDER BY vec_id LIMIT {_IVF_K}
+),
+cnorm AS (
+  SELECT cent_id, {sql_qsum('cv[i::INT]::DOUBLE * cv[i::INT]::DOUBLE')} AS qnc
+  FROM cents, unnest(range(1, len(cv) + 1)) t(i) GROUP BY cent_id
+),
+vass AS (
+  SELECT c.vec_id, k.cent_id,
+         {sql_qsum('c.embedding[i::INT]::DOUBLE * k.cv[i::INT]::DOUBLE')} AS qd
+  FROM corpus c, cents k, unnest(range(1, len(c.embedding) + 1)) t(i)
+  GROUP BY c.vec_id, k.cent_id
+),
+cells AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT v.vec_id, v.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY (CAST(v.qd AS DOUBLE) / {_S!r})
+                        / sqrt(CAST(n.qnc AS DOUBLE) / {_S!r}) DESC,
+                      v.cent_id ASC) AS arn
+    FROM vass v JOIN cnorm n USING (cent_id)
+  ) WHERE arn = 1
+),
+qv AS (SELECT vec_id AS query_id, embedding AS qvec
+       FROM embeddings WHERE vec_id < 3),
+qass AS (
+  SELECT q.query_id, k.cent_id,
+         {sql_qsum('q.qvec[i::INT]::DOUBLE * k.cv[i::INT]::DOUBLE')} AS qd
+  FROM qv q, cents k, unnest(range(1, len(q.qvec) + 1)) t(i)
+  GROUP BY q.query_id, k.cent_id
+),
+qcells AS (
+  SELECT query_id, cent_id FROM (
+    SELECT a.query_id, a.cent_id,
+           row_number() OVER (PARTITION BY a.query_id
+             ORDER BY (CAST(a.qd AS DOUBLE) / {_S!r})
+                        / sqrt(CAST(n.qnc AS DOUBLE) / {_S!r}) DESC,
+                      a.cent_id ASC) AS arn
+    FROM qass a JOIN cnorm n USING (cent_id)
+  ) WHERE arn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT qc.query_id, ce.vec_id
+  FROM qcells qc JOIN cells ce USING (cent_id)
+),
+vnorm AS (
+  SELECT vec_id,
+         {sql_qsum('embedding[i::INT]::DOUBLE * embedding[i::INT]::DOUBLE')} AS qn
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i) GROUP BY vec_id
+),
+cdot AS (
+  SELECT cd.query_id, cd.vec_id,
+         {sql_qsum('q.qvec[i::INT]::DOUBLE * c.embedding[i::INT]::DOUBLE')} AS qd
+  FROM cand cd
+  JOIN qv q ON q.query_id = cd.query_id
+  JOIN corpus c ON c.vec_id = cd.vec_id,
+  unnest(range(1, len(c.embedding) + 1)) t(i)
+  GROUP BY cd.query_id, cd.vec_id
+)
+SELECT query_id, vec_id, cosine_sim, CAST(rn AS INT) AS rn FROM (
+  SELECT d.query_id, d.vec_id,
+         (CAST(d.qd AS DOUBLE) / {_S!r})
+           / (sqrt(CAST(nq.qn AS DOUBLE) / {_S!r})
+              * sqrt(CAST(nv.qn AS DOUBLE) / {_S!r})) AS cosine_sim,
+         row_number() OVER (PARTITION BY d.query_id
+           ORDER BY (CAST(d.qd AS DOUBLE) / {_S!r})
+                      / (sqrt(CAST(nq.qn AS DOUBLE) / {_S!r})
+                         * sqrt(CAST(nv.qn AS DOUBLE) / {_S!r})) DESC,
+                    d.vec_id ASC) AS rn
+  FROM cdot d
+  JOIN vnorm nq ON nq.vec_id = d.query_id
+  JOIN vnorm nv ON nv.vec_id = d.vec_id
+) WHERE rn <= {_IVF_TOPK}
+""",
+)
+def q56_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-{_IVF_TOPK} for 3 query vectors — the inverted-file
+    scale path beside q54's LSH: corpus partitioned into {_IVF_K} Voronoi
+    cells around deterministic seed centroids (first {_IVF_K} corpus
+    vectors by id — a relational coarse quantizer, so the ENTIRE index
+    build + probe is SQL-expressible and fully oracle-checked, unlike
+    seeded-random LSH), queries probe their {_IVF_NPROBE} nearest cells,
+    exact cosine re-ranks candidates.
+
+    Scale shape: centroids broadcast (map-side assignment, no shuffle),
+    candidates via equi-join on cent_id, re-rank touches ~nprobe/ncells
+    of the corpus. All similarity math is floor-quantized integer sums
+    (bit-identical across engines)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = e.filter(F.col("vec_id") >= 3)
+    w_cent = Window.orderBy(F.col("vec_id").asc())
+    cents = (
+        corpus.orderBy("vec_id")
+        .limit(_IVF_K)
+        .select(
+            (F.row_number().over(w_cent) - 1).alias("cent_id"),
+            F.col("v").alias("cv"),
+        )
+    )
+    cnorm = cents.select("cent_id", _qdot(F.col("cv"), F.col("cv")).alias("qnc"))
+
+    def _assign(df, idc, vc, keep_n):
+        qd = _qdot(F.col(vc), F.col("cv"))
+        score = (qd.cast("double") / F.lit(_S)) / F.sqrt(
+            F.col("qnc").cast("double") / F.lit(_S)
+        )
+        w = Window.partitionBy(idc).orderBy(score.desc(), F.col("cent_id").asc())
+        return (
+            df.crossJoin(F.broadcast(cents.join(cnorm, "cent_id")))
+            .withColumn("arn", F.row_number().over(w))
+            .filter(F.col("arn") <= keep_n)
+            .select(idc, "cent_id")
+        )
+
+    cells = _assign(corpus, "vec_id", "v", 1)
+    qv = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
+    )
+    qcells = _assign(qv, "query_id", "qvec", _IVF_NPROBE)
+    vnorm = e.select("vec_id", _qdot(F.col("v"), F.col("v")).alias("qn"))
+    cand = (
+        qcells.join(cells, "cent_id")
+        .select("query_id", "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .join(corpus, "vec_id")
+    )
+    dots = cand.select(
+        "query_id", "vec_id", _qdot(F.col("qvec"), F.col("v")).alias("qd")
+    )
+    nq = vnorm.select(F.col("vec_id").alias("query_id"), F.col("qn").alias("qnq"))
+    nv = vnorm.select("vec_id", F.col("qn").alias("qnv"))
+    cosine = (F.col("qd").cast("double") / F.lit(_S)) / (
+        F.sqrt(F.col("qnq").cast("double") / F.lit(_S))
+        * F.sqrt(F.col("qnv").cast("double") / F.lit(_S))
+    )
+    scored = (
+        dots.join(nq, "query_id")
+        .join(nv, "vec_id")
+        .select("query_id", "vec_id", cosine.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= _IVF_TOPK)
+    )
 
 
 @register(

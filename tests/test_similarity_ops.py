@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from geospatial_etl_pipeline_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_ann_topk,
 )
 from geospatial_etl_pipeline_spark.sources.tables import load_table
@@ -40,6 +41,25 @@ def test_brute_force_topk_self_is_best(corpus, queries):
         sims = [r["cosine_sim"] for r in rows]
         assert sims == sorted(sims, reverse=True)
         assert len(rows) == 5
+
+
+def test_ivf_topk_recall_against_brute_force(corpus, queries):
+    exact = brute_force_topk(corpus, queries, k=5).collect()
+    approx = ivf_topk(corpus, queries, k=5, ncells=8, nprobe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qid, ex in exact_sets.items():
+        ap = approx_sets.get(qid, set())
+        # self vector lives in the query's own nearest cell by construction
+        assert qid in ap
+        recall = len(ex & ap) / len(ex)
+        assert recall >= 0.4, f"query {qid} recall {recall}"
+        # probed fraction really is partial: candidates < corpus
+        assert len(ap) <= 5
 
 
 def test_lsh_ann_recall_against_brute_force(corpus, queries):
