@@ -96,32 +96,27 @@ def random_hyperplane_buckets(
     """Append (table_id, bucket) rows: one output row per input×table.
 
     bucket = the sign bitstring of the vector against each table's
-    hyperplanes — computed with JVM array expressions over literal plane
-    arrays (broadcast as part of the plan, no Python). All tables are
-    computed in ONE pass and exploded, rather than a union of per-table
-    branches which would re-scan the input ntables times."""
+    hyperplanes — computed with JVM array expressions over ONE nested
+    literal (ntables × nbits × dim), no Python. All tables are computed
+    in one pass and posexploded. A single 3-D array literal + nested
+    transforms keeps the codegen tree tiny; the earlier form (one
+    when()-chain per plane, ntables×nbits separate literal arrays)
+    spent seconds per run just compiling the expression."""
     v = F.col(vec_col).cast("array<double>")
-    per_table = F.array(
-        *[
-            F.struct(
-                F.lit(t_id).alias("table_id"),
-                F.concat(
-                    *[
-                        F.when(
-                            _dot(v, F.array(*[F.lit(x) for x in plane])) >= 0,
-                            F.lit("1"),
-                        ).otherwise(F.lit("0"))
-                        for plane in table
-                    ]
-                ).alias("_bucket"),
-            )
-            for t_id, table in enumerate(planes)
-        ]
+    buckets = F.transform(
+        F.lit(planes),
+        lambda table: F.array_join(
+            F.transform(
+                table,
+                lambda plane: F.when(_dot(v, plane) >= 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                ),
+            ),
+            "",
+        ),
     )
-    return (
-        df.select("*", F.explode(per_table).alias("_tb"))
-        .select("*", F.col("_tb.table_id"), F.col("_tb._bucket").alias(out_col))
-        .drop("_tb")
+    return df.select(
+        "*", F.posexplode(buckets).alias("table_id", out_col)
     )
 
 

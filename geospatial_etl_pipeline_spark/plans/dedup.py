@@ -192,22 +192,28 @@ def q48_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage the token array so the regex split runs once per row, not
     # once per element_at reference (see plans/text.py module docstring)
     staged = d.select("doc_id", "lang", tokens("text").alias("_tok"))
-    # The repartition is a deliberate optimizer barrier, not a layout
-    # choice: without it, the explode's implicit size(bgs)>0 filter is
-    # pushed below this projection with the whole split+transform
-    # pipeline INLINED (~5 regex splits per row), and the self-join
-    # computes the bigram pipeline once per side. The shuffle
-    # materializes bigrams exactly once and both join sides reuse the
-    # exchange. Measured 18 s -> ~4 s at sf0.1.
     bg = staged.select(
         "doc_id",
         "lang",
         F.array_distinct(word_ngrams_t(F.col("_tok"), 2)).alias("bgs"),
-    ).repartition("doc_id")
-    sizes = bg.select("doc_id", "lang", F.size("bgs").alias("n_bg"))
-    postings = bg.select(
-        "doc_id", "lang", F.explode("bgs").alias("bigram")
     )
+    # n_bg rides WITH each posting so |A| and |B| fall out of the
+    # self-join for free — joining sizes back onto the ~|pairs|-sized
+    # aggregate afterwards would be two more shuffles of the widest
+    # relation in the query. explode_OUTER, not explode: inner explode
+    # plants an implicit size(bgs)>0 filter that gets pushed below the
+    # staged projections with the whole split+transform pipeline inlined
+    # (5 regex splits per row, interpreted, below the scan — measured
+    # ~4 s extra at sf0.1); outer explode emits no filter, and the
+    # array is never empty (sequence upper bound is greatest(..,1)).
+    # The repartition keys the exchange on the join keys so BOTH
+    # self-join sides read the same shuffle output (ReusedExchange).
+    postings = bg.select(
+        "doc_id",
+        "lang",
+        F.size("bgs").alias("n_bg"),
+        F.explode_outer("bgs").alias("bigram"),
+    ).repartition("lang", "bigram")
     co = (
         postings.alias("a")
         .join(
@@ -219,16 +225,15 @@ def q48_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.col("a.n_bg")).alias("na"),
+            F.first(F.col("b.n_bg")).alias("nb"),
+        )
     )
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_bg").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_bg").alias("nb"))
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     ).cast("double")
-    return (
-        co.join(na, "id_a")
-        .join(nb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= _NGRAM_JACCARD)
+    return co.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= _NGRAM_JACCARD
     )

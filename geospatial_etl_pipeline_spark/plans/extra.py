@@ -151,8 +151,11 @@ def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     all partial-aggregable, integer-exact."""
     d = t(spark, sf_dir, "documents")
     staged = d.select("doc_id", tokens("text").alias("_tok"))
+    # explode_outer: inner explode's implicit size>0 filter is pushed
+    # below the staged projection with the token pipeline inlined (see
+    # q48 in plans/dedup.py); the array is never empty, so outer == inner.
     tok = staged.select(
-        "doc_id", F.explode(F.array_distinct("_tok")).alias("tk")
+        "doc_id", F.explode_outer(F.array_distinct("_tok")).alias("tk")
     )
     hv = F.conv(F.substring(F.md5("tk"), 1, 8), 16, 10).cast("bigint")
     hashed = tok.select("doc_id", hv.alias("hv"))

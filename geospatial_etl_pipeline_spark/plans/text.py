@@ -199,7 +199,12 @@ def q43_top_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-20 word bigrams — explode + count + TakeOrdered."""
     staged = _staged(spark, sf_dir)
     return (
-        staged.select(F.explode(word_ngrams_t(F.col("_tok"), 2)).alias("bigram"))
+        # explode_outer: avoids the pushed-down size>0 filter that would
+        # inline the bigram pipeline below the scan (see q48 in dedup.py);
+        # word_ngrams_t is never empty (sequence bound greatest(..,1)).
+        staged.select(
+            F.explode_outer(word_ngrams_t(F.col("_tok"), 2)).alias("bigram")
+        )
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
