@@ -40,9 +40,11 @@ HEADLINE = [
     "q50_cosine_topk",
     "q54_ann_lsh_topk",
     "q55_embedding_near_dup",
+    "q56_ivf_topk",
     "q60_tumbling_window_counts",
     "q61_asof_last_click",
     "q62_sessionize",
+    "q64_pandas_udaf_wavg",
     "q72_metadata_documents",
     "q90_raster_clip_stats",
     "q95_media_content_stats",

@@ -1,0 +1,59 @@
+"""User-defined-function registration surface (SURVEY §2j [EXT]).
+
+The reference has no UDF registration (the whole 585-line script IS one
+big UDF, copy_esrigrid_to_geotiff_rename_and_clip_w_Arguments.py:225-373);
+this is the [EXT] surface a general engine needs. Three tiers, fastest
+first, per the engine's "UDFs are the slow path" rule:
+
+1. Built-in expressions — everything in ``functions/`` composes
+   `pyspark.sql.functions` and stays inside whole-stage codegen. Always
+   prefer this tier; it needs no registration.
+2. Vectorized pandas UDFs (Arrow batch transfer) — SCALAR for per-row
+   math over batches, GROUPED_AGG for custom aggregates. ~10-100× faster
+   than row-at-a-time Python; still pays Arrow (de)serialization, so hot
+   paths should stay in tier 1.
+3. Row-at-a-time Python UDFs — only for logic that genuinely needs
+   per-row Python objects. None ship in this engine.
+
+Determinism note: ``qwavg_pandas`` mirrors plans/_util.qsum — values are
+floor-quantized to int64 INSIDE the UDF so the numpy integer sum is
+exact and order-free, making even the Python-side aggregate
+oracle-comparable bit-for-bit (see q64_pandas_udaf_wavg).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_S = float(10**12)
+
+
+@pandas_udf("double")
+def relu_pandas(v: pd.Series) -> pd.Series:
+    """SCALAR pandas UDF: elementwise max(v, 0) over Arrow batches.
+    (Illustrative — production code uses F.greatest, tier 1.)"""
+    return v.clip(lower=0.0)
+
+
+@pandas_udf("double")
+def qwavg_pandas(v: pd.Series, w: pd.Series) -> float:  # -> float = GROUPED_AGG
+    """GROUPED_AGG pandas UDAF: weighted average with floor-quantized
+    integer accumulation — sum(floor(v*1e12)*w) / sum(w) / 1e12.
+
+    int64 sums are associative, so the result is identical for ANY
+    partial-aggregation order and bit-identical to the SQL spec
+    ``SUM(CAST(FLOOR(v*1e12) AS BIGINT)*w) / SUM(w) / 1e12``."""
+    import numpy as np
+
+    qv = np.floor(v.to_numpy(dtype="float64") * _S).astype("int64")
+    wi = w.to_numpy(dtype="int64")
+    return float((qv * wi).sum()) / float(wi.sum()) / _S
+
+
+def register_udfs(spark: SparkSession) -> None:
+    """Register the pandas UDFs for SQL use: SELECT relu(x), qwavg(v, w)."""
+    spark.udf.register("relu", relu_pandas)
+    spark.udf.register("qwavg", qwavg_pandas)

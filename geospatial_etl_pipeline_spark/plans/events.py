@@ -228,3 +228,39 @@ def q63_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@register(
+    "q64_pandas_udaf_wavg",
+    tags=("events", "udf", "pandas-udaf"),
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(FLOOR(value * 1000000000000.0) AS BIGINT)
+                * (1 + user_id % 10)) AS DOUBLE)
+         / CAST(SUM(1 + user_id % 10) AS DOUBLE)
+         / 1000000000000.0 AS wavg_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q64_pandas_udaf_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF surface (SURVEY §2j): weighted average of
+    ``value`` (weight = 1 + user_id % 10) per event type, computed in a
+    vectorized Arrow-batched UDAF.
+
+    The UDAF floor-quantizes values to int64 INSIDE the kernel
+    (functions/udfs.qwavg_pandas) so the numpy accumulation is exact and
+    order-free — which is what makes a Python-side aggregate
+    oracle-comparable bit-for-bit. Arrow transfers columns batch-wise;
+    the aggregate is partial-agg'd per partition like any JVM agg."""
+    from ..functions.udfs import qwavg_pandas
+
+    e = t(spark, sf_dir, "events")
+    weighted = e.select(
+        "event_type",
+        "value",
+        (F.lit(1) + F.col("user_id") % 10).cast("long").alias("w"),
+    )
+    return weighted.groupBy("event_type").agg(
+        qwavg_pandas("value", "w").alias("wavg_value")
+    )

@@ -362,3 +362,84 @@ def q45_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) * 1.5
         """
     )
+
+
+@register(
+    "q34_rank_functions",
+    tags=("window", "rank"),
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk,
+       percent_rank() OVER w AS prnk,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       cume_dist() OVER w AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey ASC)
+""",
+)
+def q34_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function suite (SURVEY §2e): rank, dense_rank,
+    percent_rank, ntile, cume_dist per market segment ordered by account
+    balance. One window spec -> one shuffle on the partition key; the
+    total order (tiebreak on c_custkey) makes every rank deterministic."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@register(
+    "q35_full_outer_join",
+    tags=("join", "outer"),
+    oracle="""
+WITH big_cust AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 9000
+),
+big_orders AS (
+  SELECT o_custkey, COUNT(*) AS n_big_orders
+  FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey
+)
+SELECT COALESCE(bc.c_custkey, bo.o_custkey) AS custkey,
+       bc.c_name,
+       CAST(bc.c_acctbal AS DOUBLE) AS acctbal,
+       bo.n_big_orders
+FROM big_cust bc
+FULL OUTER JOIN big_orders bo ON bc.c_custkey = bo.o_custkey
+""",
+)
+def q35_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (SURVEY §2c [EXT]): rich customers vs customers
+    with big orders — rows survive from BOTH unmatched sides. Sort-merge
+    full-outer on the key; both sides pre-filtered so the shuffle carries
+    only qualifying rows (filters pushed to the parquet scans)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    big_cust = c.filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    big_orders = (
+        o.filter(F.col("o_totalprice") > 200000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big_orders"))
+    )
+    joined = big_cust.join(
+        big_orders, big_cust.c_custkey == big_orders.o_custkey, "full_outer"
+    )
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        "n_big_orders",
+    )

@@ -90,6 +90,42 @@ def dedup_within_watermark(stream: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def running_user_totals(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (SURVEY
+    §2j): per-user running (n_events, total_value) maintained in an
+    explicit state store — the escape hatch for aggregation logic the
+    built-in windowed aggs can't express (here deliberately simple so
+    the batch twin is a plain groupBy and equivalence is testable).
+
+    State schema is one (count, sum) accumulator per user — constant
+    per-key memory; the pandas batches stream through Arrow. Emits the
+    updated running totals for every user seen in the micro-batch."""
+    import pandas as pd  # local: Arrow path only
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, mode: str = "append"
 ) -> DataFrame:

@@ -52,3 +52,30 @@ def test_dedup_within_watermark_passthrough(spark, sf_dir, stream):
         .agg({"n_events": "sum"}).collect()[0][0]
     )
     assert n_stream == n_batch
+
+
+def test_running_user_totals_stateful(spark, sf_dir, stream):
+    from pyspark.sql import functions as F
+
+    from geospatial_etl_pipeline_spark.streaming.events import (
+        running_user_totals,
+    )
+
+    got = run_to_memory_sink(
+        running_user_totals(stream), "t_stateful", mode="update"
+    )
+    # keep only each user's LAST emitted running total (one per batch)
+    final = {}
+    for r in got.collect():
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = (
+        stream.sparkSession.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    assert len(final) == len(batch) > 0
+    for r in batch:
+        n, s = final[r["user_id"]]
+        assert n == r["n"]
+        assert abs(s - r["s"]) < 1e-6 * max(1.0, abs(r["s"]))
