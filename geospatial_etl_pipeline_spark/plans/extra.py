@@ -443,3 +443,39 @@ def q35_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("double").alias("acctbal"),
         "n_big_orders",
     )
+
+
+@register(
+    "q36_salted_skew_join",
+    tags=("join", "skew", "scale"),
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber,
+       CAST(l.l_quantity AS DOUBLE) AS quantity,
+       o.o_orderpriority
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 150000
+""",
+)
+def q36_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-join operator under the correctness gate: lineitem ⋈
+    orders through operators.skew.salted_join (8 salts), oracle'd by the
+    PLAIN SQL join — salting must be a pure physical rewrite with zero
+    semantic footprint. At 100 TB this is the pre-emptive answer to hot
+    order keys that AQE can only split after observing them."""
+    from ..operators.skew import salted_join
+
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    return salted_join(l, o, ["l_orderkey"], n_salts=8).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        "o_orderpriority",
+    )
