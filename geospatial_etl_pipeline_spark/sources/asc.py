@@ -130,15 +130,25 @@ def read_asc(
     return binf.mapInPandas(decode, RASTER_SCHEMA)
 
 
+def asc_text(width: int, height: int, cells: list[float],
+             xll: float = 0.0, yll: float = 0.0, cellsize: float = 1.0,
+             nodata: float = -9999.0) -> str:
+    """Esri ASCII grid encoding of one raster (the inverse of
+    parse_asc_bytes) — used by the CLI sink to emit clipped grids."""
+    lines = [
+        f"ncols {width}\nnrows {height}\nxllcorner {xll}\n"
+        f"yllcorner {yll}\ncellsize {cellsize}\nNODATA_value {nodata}\n"
+    ]
+    for r in range(height):
+        lines.append(
+            " ".join(str(v) for v in cells[r * width : (r + 1) * width]) + "\n"
+        )
+    return "".join(lines)
+
+
 def write_asc(path: str, width: int, height: int, cells: list[float],
               xll: float = 0.0, yll: float = 0.0, cellsize: float = 1.0,
               nodata: float = -9999.0) -> None:
     """Test helper: materialize a synthetic .asc file."""
     with open(path, "w") as f:
-        f.write(
-            f"ncols {width}\nnrows {height}\nxllcorner {xll}\n"
-            f"yllcorner {yll}\ncellsize {cellsize}\nNODATA_value {nodata}\n"
-        )
-        for r in range(height):
-            f.write(" ".join(str(v) for v in cells[r * width : (r + 1) * width]))
-            f.write("\n")
+        f.write(asc_text(width, height, cells, xll, yll, cellsize, nodata))
