@@ -210,3 +210,103 @@ def q43_top_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+_BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+@register(
+    "q37_bpe_token_count",
+    tags=("text", "llm-data", "tokenize"),
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT)
+         AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_PAT}')))
+            AS BIGINT) AS n_unique_bpe
+FROM documents
+""",
+)
+def q37_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (north-star "whitespace + a BPE-ish
+    regex"): whitespace tokens vs a GPT-2-style pre-tokenizer
+    approximation (letter runs | digit runs | punctuation runs — no
+    lookarounds, so the pattern means the same thing to Java regex and
+    RE2/DuckDB). Scan-side only, zero shuffle."""
+    d = t(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    return d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_ws_tokens"),
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).cast("bigint").alias("n_unique_bpe"),
+    )
+
+
+_RH_B = 131
+_RH_M = 2147483647  # 2^31 - 1: acc*131 + 255 < 2^38, no BIGINT overflow
+_RH_K = 5  # char-gram width
+
+_SQL_RH_NORM = "lower(trim(text))"
+_SQL_RH_GRAMS = (
+    f"list_transform(range(1, greatest(length({_SQL_RH_NORM}) - {_RH_K - 1}, 1) + 1), "
+    f"i -> substr({_SQL_RH_NORM}, i::INT, {_RH_K}))"
+)
+_SQL_RH_HASH = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(range(1, length(g) + 1), "
+    "i -> ascii(substr(g, i::INT, 1))::BIGINT)), "
+    f"(acc, c) -> (acc * {_RH_B} + c) % {_RH_M})"
+)
+
+
+@register(
+    "q38_rolling_hash_fingerprint",
+    tags=("text", "llm-data", "fingerprint"),
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, unnest({_SQL_RH_GRAMS}) AS g FROM documents
+),
+hashes AS (
+  SELECT doc_id, {_SQL_RH_HASH} AS h FROM grams
+)
+SELECT doc_id,
+       CAST(MIN(h) AS BIGINT) AS fp_min,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_grams
+FROM hashes
+GROUP BY doc_id
+""",
+)
+def q38_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (north-star "document
+    fingerprinting (rolling hash)"): polynomial Rabin-Karp hash
+    h = fold((acc*B + code) mod M) over every char {_RH_K}-gram, then
+    the winnowing-style per-document MIN plus the distinct-gram
+    cardinality. Integer modular arithmetic — bit-identical across
+    engines; scan-side explode + one partial-agg'd shuffle on doc_id."""
+    from ..functions.text import char_ngrams_t, normalized
+
+    d = t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", normalized("text").alias("_norm"))
+    grams = staged.select(
+        "doc_id",
+        F.explode_outer(char_ngrams_t(F.col("_norm"), _RH_K)).alias("g"),
+    )
+    # substring with a column-valued start needs the SQL expression form
+    # (the Python substring API takes int literals only)
+    codes = F.expr(
+        f"transform(sequence(1, length(g)), "
+        f"i -> CAST(ascii(substring(g, i, 1)) AS BIGINT))"
+    )
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * _RH_B + c) % _RH_M,
+    )
+    hashes = grams.select("doc_id", h.alias("h"))
+    return hashes.groupBy("doc_id").agg(
+        F.min("h").cast("bigint").alias("fp_min"),
+        F.countDistinct("h").cast("bigint").alias("n_distinct_grams"),
+    )
