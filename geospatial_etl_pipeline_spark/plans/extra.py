@@ -216,28 +216,28 @@ SELECT query_id, vec_id, cosine_sim, rn FROM ranked WHERE rn <= 3
 )
 def q53_knn_topk_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN for a query SET (5 vectors × corpus, top-3 each): broadcast
-    queries, explode dims, quantized-exact dots, per-query window top-k.
-    The same plan shape the brute-force arm of operators.similarity
-    uses — this is its oracle-checked twin."""
+    queries, zip_with integer-fold dots inside each row (no explode, no
+    aggregation shuffle — integer sums are order-free so the fold equals
+    the oracle's explode+SUM), per-query window top-k. The same plan
+    shape the brute-force arm of operators.similarity uses — this is
+    its oracle-checked twin."""
+    from .similarity import _qdot
+
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    prods = (
+    agg = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", F.posexplode("v").alias("i", "x"), "qv")
         .select(
-            "query_id", "vec_id", "x",
-            F.element_at("qv", F.col("i") + 1).alias("y"),
+            "query_id", "vec_id",
+            (_qdot(F.col("v"), F.col("qv")).cast("double") / F.lit(1e12)).alias("dot"),
+            (_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(1e12)).alias("na"),
+            (_qdot(F.col("qv"), F.col("qv")).cast("double") / F.lit(1e12)).alias("nq"),
         )
-    )
-    agg = prods.groupBy("query_id", "vec_id").agg(
-        (qsum(F.col("x") * F.col("y")).cast("double") / F.lit(1e12)).alias("dot"),
-        (qsum(F.col("x") * F.col("x")).cast("double") / F.lit(1e12)).alias("na"),
-        (qsum(F.col("y") * F.col("y")).cast("double") / F.lit(1e12)).alias("nq"),
     )
     sim = agg.select(
         "query_id", "vec_id",

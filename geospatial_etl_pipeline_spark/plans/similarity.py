@@ -50,22 +50,24 @@ LIMIT 10
 )
 def q50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 against the query vector
-    (vec_id=0). Broadcast query side; one aggregation shuffle on vec_id;
-    TakeOrdered top-k — the pattern scales to |corpus| × small-query-set."""
+    (vec_id=0). Broadcast query side; the dot/norm fold runs as zip_with
+    + integer aggregate INSIDE each row — no explode, no aggregation
+    shuffle; the only exchange is the final TakeOrdered top-k. The
+    per-element floor-quantized integers are identical to the oracle's
+    explode+SUM formulation because integer addition is order-free."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(F.col("v").alias("qv"))
-    prods = (
+    agg = (
         e.filter(F.col("vec_id") != _QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
-        .select("vec_id", F.posexplode("v").alias("i", "x"), F.col("qv"))
-        .select("vec_id", "x", F.element_at("qv", F.col("i") + 1).alias("y"))
-    )
-    agg = prods.groupBy("vec_id").agg(
-        (qsum(F.col("x") * F.col("y")).cast("double") / F.lit(_S)).alias("dot"),
-        (qsum(F.col("x") * F.col("x")).cast("double") / F.lit(_S)).alias("na"),
-        (qsum(F.col("y") * F.col("y")).cast("double") / F.lit(_S)).alias("nq"),
+        .select(
+            "vec_id",
+            (_qdot(F.col("v"), F.col("qv")).cast("double") / F.lit(_S)).alias("dot"),
+            (_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(_S)).alias("na"),
+            (_qdot(F.col("qv"), F.col("qv")).cast("double") / F.lit(_S)).alias("nq"),
+        )
     )
     return (
         agg.select(
@@ -123,18 +125,18 @@ FROM norms GROUP BY label
 """,
 )
 def q52_norm_stats_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-level aggregate: per-vector L2 norm, then per-label stats."""
+    """Per-vector L2 norm folded inside the row (zip_with integer sum —
+    order-free, so identical to the oracle's explode+SUM), then ONE
+    shuffle for the per-label stats."""
     e = t(spark, sf_dir, "embeddings").select(
         "label", "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    norms = (
-        e.select("label", "vec_id", F.explode("v").alias("x"))
-        .groupBy("label", "vec_id")
-        .agg(
-            F.sqrt(
-                qsum(F.col("x") * F.col("x")).cast("double") / F.lit(_S)
-            ).alias("l2")
-        )
+    norms = e.select(
+        "label",
+        "vec_id",
+        F.sqrt(_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(_S)).alias(
+            "l2"
+        ),
     )
     return norms.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
