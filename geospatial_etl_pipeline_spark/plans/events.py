@@ -45,6 +45,36 @@ def q60_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q65_sliding_window_counts",
+    tags=("events", "window", "streaming-twin"),
+    oracle=f"""
+SELECT CAST(time_bucket(INTERVAL '5 minutes', ts)
+            - k.k * INTERVAL '5 minutes' AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
+GROUP BY 1, 2
+""",
+)
+def q65_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes — each event belongs to
+    exactly window/slide = 2 overlapping windows. Spark's F.window
+    expands the event into its window memberships before the aggregate
+    (one shuffle, partial-agg'd); the oracle states the same expansion
+    relationally as a cross join against the offset set {0, 1}. Batch
+    twin of streaming windowed_counts(slide=...)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.window("ts", "10 minutes", "5 minutes").start.alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+@register(
     "q61_asof_last_click",
     tags=("events", "asof", "join"),
     oracle="""

@@ -42,15 +42,22 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def windowed_counts(
-    stream: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+    stream: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window counts per event type — the streaming
-    twin of q60_tumbling_window_counts."""
+    """Watermarked tumbling (or, with ``slide``, overlapping sliding)
+    window counts per event type — the streaming twin of
+    q60_tumbling_window_counts / q65_sliding_window_counts. A sliding
+    window keeps window/slide concurrent accumulators per key; state is
+    still bounded by the watermark horizon."""
     # group on the window STRUCT (not window.start): append-mode watermark
     # tracking requires the event-time window column itself in the keys
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),

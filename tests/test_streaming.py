@@ -31,6 +31,20 @@ def test_windowed_counts_matches_batch(spark, sf_dir, stream):
     assert g == b and len(g) > 0
 
 
+def test_sliding_window_counts_matches_batch(spark, sf_dir, stream):
+    got = run_to_memory_sink(
+        windowed_counts(stream, window="10 minutes", slide="5 minutes"),
+        "t_sliding",
+        mode="complete",
+    )
+    batch = catalog.QUERIES["q65_sliding_window_counts"].fn(spark, sf_dir)
+    g = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+         for r in got.collect()}
+    b = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+         for r in batch.collect()}
+    assert g == b and len(g) > 0
+
+
 def test_sessionized_stream_counts(spark, sf_dir, stream):
     got = run_to_memory_sink(sessionized(stream), "t_sessions", mode="complete")
     per_user = {}
