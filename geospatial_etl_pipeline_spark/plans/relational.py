@@ -629,3 +629,214 @@ def q25_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_acctbal").cast("double").alias("min_bal"),
         F.max("c_acctbal").cast("double").alias("max_bal"),
     )
+
+
+# --------------------------------------------------------------------------
+# q04/q07/q08/q09 — the remaining TPC-H-shape classics (adapted to the
+# driver schema: no partsupp/commitdate, so Q4's predicate becomes
+# "shipped after the order date" and Q9's cost leg uses p_retailprice)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q04_order_priority",
+    tags=("relational", "join", "semi-join", "exists"),
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join. The
+    equi-key (orderkey) carries the shuffle; the non-equi shipdate
+    predicate is evaluated at probe time, so no extra exchange. The
+    3-month orders filter pushes into the scan and shrinks the build
+    side before the join."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q07_volume_shipping",
+    tags=("relational", "join", "multi-join"),
+    oracle=f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(YEAR(l_shipdate) AS INT) AS l_year,
+       {sql_dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+""",
+)
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. supplier⋈nation and the customer-side nation broadcast;
+    the nation-pair disjunction is applied after both broadcasts so
+    Catalyst can still push each equality into its own dim filter.
+    Only lineitem⋈orders and orders⋈customer shuffle at scale."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = t(spark, sf_dir, "nation")
+    s = F.broadcast(
+        t(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = t(spark, sf_dir, "customer").join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(rev).alias("revenue"))
+    )
+
+
+@register(
+    "q08_market_share",
+    tags=("relational", "join", "agg", "share"),
+    oracle="""
+WITH vol AS (
+  SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n2.n_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                     ELSE CAST(0.0 AS DECIMAL(38,6)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM vol
+GROUP BY o_year
+""",
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_7's share of supply revenue into ASIA
+    customers, by order year. Both the numerator (conditional sum) and
+    denominator reduce exactly in DECIMAL before one double division, so
+    the share is engine-exact. One fact-fact shuffle (lineitem⋈orders),
+    one orders⋈customer shuffle; every dim broadcasts."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = F.broadcast(
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey")).select("n_nationkey")
+    )
+    c = t(spark, sf_dir, "customer").join(
+        asia_nations, F.col("c_nationkey") == F.col("n_nationkey"), "left_semi"
+    ).select("c_custkey")
+    s = F.broadcast(
+        t(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    zero = F.lit(0.0).cast(DEC)
+    return (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q09_product_profit",
+    tags=("relational", "join", "multi-join", "agg"),
+    oracle=f"""
+SELECT n_name AS nation,
+       CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       {sql_dsum('l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity')} AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%red%'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON n_nationkey = s_nationkey
+GROUP BY 1, 2
+""",
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (cost leg adapted to p_retailprice — no partsupp
+    in the driver schema): profit on 'red' parts by supplier nation and
+    order year. The p_name LIKE filter prunes part BEFORE its join —
+    at 100 TB the filtered part side is small enough for AQE to convert
+    lineitem⋈part to broadcast at runtime; supplier⋈nation broadcasts
+    statically; lineitem⋈orders stays the one big shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = t(spark, sf_dir, "nation")
+    s = F.broadcast(
+        t(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    profit = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(profit).alias("profit"))
+    )
