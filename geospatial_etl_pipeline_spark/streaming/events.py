@@ -89,6 +89,44 @@ def sessionized(
     )
 
 
+def clicks_before_purchases(
+    stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched with the
+    clicks of the same user in the 30 minutes strictly before it — the
+    streaming twin of q46_range_join_clicks_before_purchase's inner
+    pairs.
+
+    Both sides carry watermarks and the join condition bounds c_ts
+    relative to ts on both ends, so the state store can evict: a click
+    older than (watermark + 30 min) behind the purchase-side event-time
+    frontier can never match again. Without the two-sided time bound the
+    join state would grow without limit — that is the scale contract of
+    stream-stream joins."""
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", watermark)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_event_id"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "c_user_id = user_id AND c_ts >= ts - INTERVAL 30 MINUTES "
+            "AND c_ts < ts"
+        ),
+        "inner",
+    )
+
+
 def dedup_within_watermark(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Drop duplicate event_ids arriving within the watermark horizon —
     bounded-state streaming dedup."""

@@ -55,6 +55,25 @@ def test_sessionized_stream_counts(spark, sf_dir, stream):
     assert per_user == batch
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir, stream):
+    from pyspark.sql import functions as F
+
+    from geospatial_etl_pipeline_spark.streaming.events import (
+        clicks_before_purchases,
+    )
+
+    got = run_to_memory_sink(clicks_before_purchases(stream), "t_ssjoin")
+    # batch twin q46 is the LEFT variant with a per-purchase count; the
+    # stream emits inner pairs, so total pairs == sum of the counts
+    batch_pairs = (
+        catalog.QUERIES["q46_range_join_clicks_before_purchase"]
+        .fn(spark, sf_dir)
+        .agg(F.sum("n_clicks_30m"))
+        .collect()[0][0]
+    )
+    assert got.count() == batch_pairs > 0
+
+
 def test_dedup_within_watermark_passthrough(spark, sf_dir, stream):
     # event_ids are unique in the fixture: dedup must be a no-op
     got = run_to_memory_sink(
