@@ -58,15 +58,18 @@ def run_once(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def run_query(spark, fn, sf_dir: str, reps: int = 2) -> float:
+def run_query(spark, fn, sf_dir: str, reps: int = 3) -> float:
     """Min of ``reps`` end-to-end executions (fresh plan each time).
 
     Single-shot numbers on this box are bimodal: identical plans swing
     10-20x across runs in multi-minute phases (verified not to be our
     plans: single-core and 32-way CPU microbenchmarks are stable ±5%,
     zero steal, no swap — the noise arrives from outside the guest).
-    The min of two runs is the steady-state cost of the PLAN, which is
-    what this benchmark is for."""
+    Measured per-query: the first rep is routinely 2-3x the steady
+    state even after global warmup (fresh codegen + shuffle-file cache
+    per plan), and the second rep still occasionally catches a noise
+    phase — min of three is the steady-state cost of the PLAN, which
+    is what this benchmark is for."""
     return min(run_once(spark, fn, sf_dir) for _ in range(reps))
 
 
