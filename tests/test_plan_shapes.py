@@ -81,3 +81,48 @@ def test_no_python_udfs_in_jvm_queries(plans):
     for name, p in plans.items():
         assert "BatchEvalPython" not in p, f"{name} fell back to row Python"
         assert "ArrowEvalPython" not in p, f"{name} uses pandas UDF unnecessarily"
+
+
+# ---- TPC-H-shape classics (q04/q07/q08/q09) ------------------------------
+
+
+@pytest.fixture(scope="module")
+def tpch_plans(spark):
+    return {
+        name: plan_text(catalog.QUERIES[name].fn(spark, SF))
+        for name in [
+            "q04_order_priority",
+            "q07_volume_shipping",
+            "q08_market_share",
+            "q09_product_profit",
+        ]
+    }
+
+
+def test_q04_semi_join_no_extra_exchange(tpch_plans):
+    p = tpch_plans["q04_order_priority"]
+    assert "LeftSemi" in p
+    # orderkey equi-join + one aggregate exchange; the non-equi shipdate
+    # predicate must NOT add an exchange of its own
+    assert p.count("Exchange hashpartitioning") <= 3
+
+
+def test_q07_dims_broadcast(tpch_plans):
+    p = tpch_plans["q07_volume_shipping"]
+    assert "BroadcastHashJoin" in p
+    # supplier+nation and customer-side nation ride broadcasts
+    assert p.count("BroadcastExchange") >= 2
+
+
+def test_q08_share_single_aggregate(tpch_plans):
+    p = tpch_plans["q08_market_share"]
+    # numerator and denominator fold into ONE aggregate (no join of two
+    # aggregated subqueries)
+    assert "partial_sum" in p
+    assert "LeftSemi" in p  # ASIA-customer restriction as a semi join
+
+
+def test_q09_part_filter_pushed(tpch_plans):
+    p = tpch_plans["q09_product_profit"]
+    pushed = p.split("PushedFilters:")
+    assert any("p_name" in seg.splitlines()[0] for seg in pushed[1:])
