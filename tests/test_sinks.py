@@ -59,3 +59,33 @@ def test_upload_prefix():
     assert upload_prefix("b", "/pre/", "x.zip") == "s3a://b/pre/x.zip"
     assert upload_prefix("b", None, "x.zip") == "s3a://b/x.zip"
     assert upload_prefix("b", "", "x.zip") == "s3a://b/x.zip"
+
+
+def test_golden_metadata_json(spark, tmp_path):
+    """SURVEY §5.3: byte-compare one fixed product's metadata document
+    against the committed golden file. updatedAt is the injected fixed
+    clock (plans/ref_parity._FIXED_CLOCK), so the comparison is exact —
+    any drift in naming, the GeoJSON ring, the $date wrappers, or the
+    climatology window fails this test."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geospatial_etl_pipeline_spark.plans import catalog
+
+    catalog.load_all_plans()
+    docs = (
+        catalog.QUERIES["q72_metadata_documents"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .filter((F.col("p_partkey") == 1) & (F.col("regc_code") == "01"))
+        .withColumn(
+            "product_name",
+            F.concat(F.lit("golden_p"), "p_partkey", F.lit("_r"), "regc_code"),
+        )
+    )
+    assert write_metadata_json(docs, str(tmp_path)) == 1
+    got = (tmp_path / "golden_p1_r01.json").read_text()
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "golden_p1_r01.json"
+    )
+    assert got == open(golden_path).read()
