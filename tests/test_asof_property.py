@@ -1,0 +1,54 @@
+"""Property-based test: asof_join vs the brute-force quadratic spec.
+
+hypothesis generates small random (key, ts) event sets; the operator's
+union+window formulation must match "for every left row, the max right
+ts at-or-before it, and how many right rows precede (inclusive)" exactly
+— including empty sides, all-ties, and keys present on only one side.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from geospatial_etl_pipeline_spark.operators.asof import asof_join
+
+ROW = st.tuples(
+    st.integers(min_value=0, max_value=3),  # user_id: few keys => collisions
+    st.integers(min_value=0, max_value=20),  # ts: small range => ties
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    left_rows=st.lists(ROW, min_size=1, max_size=12),
+    right_rows=st.lists(ROW, max_size=12),
+)
+def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
+    left = spark.createDataFrame(
+        [(i, u, ts) for i, (u, ts) in enumerate(left_rows)],
+        "event_id int, user_id int, ts int",
+    )
+    right = spark.createDataFrame(
+        [(u, ts, ts) for u, ts in right_rows] or [(None, None, None)],
+        "user_id int, ts int, payload int",
+    ).filter("user_id IS NOT NULL")
+    got = {
+        r["event_id"]: (r["asof_payload"], r["n_right_before"])
+        for r in asof_join(
+            left,
+            right,
+            on=["user_id"],
+            ts="ts",
+            right_payload=["payload"],
+            include_right_count=True,
+        ).collect()
+    }
+    for i, (u, ts) in enumerate(left_rows):
+        before = [rts for ru, rts in right_rows if ru == u and rts <= ts]
+        expected = (max(before) if before else None, len(before))
+        assert got[i] == expected, (i, u, ts, got[i], expected)
