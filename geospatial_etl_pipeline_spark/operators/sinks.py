@@ -107,3 +107,32 @@ def upload_prefix(bucket: str, prefix: str | None, name: str) -> str:
     if clean:
         return f"s3a://{bucket}/{clean}/{name}"
     return f"s3a://{bucket}/{name}"
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    out_dir: str,
+    partition_cols: list[str],
+    dynamic_overwrite: bool = True,
+    target_file_rows: int | None = None,
+) -> None:
+    """Land results as hive-partitioned parquet — the operational sink
+    for pipeline output at scale.
+
+    - ``partitionBy`` gives directory-level partition pruning to every
+      downstream reader (the write-side analogue of the scan-side
+      pushdown this engine asserts in test_plan_shapes).
+    - dynamic partition overwrite replaces ONLY the partitions present
+      in ``df`` — an idempotent daily/region backfill never truncates
+      sibling partitions (static mode, the default in Spark, would).
+    - ``target_file_rows`` repartitions by the partition columns first,
+      bounding files-per-partition: without it every upstream task
+      writes a file into every partition it touches — the classic
+      small-files explosion at 1000 executors.
+    """
+    spark = df.sparkSession
+    if dynamic_overwrite:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if target_file_rows:
+        df = df.repartition(*partition_cols)
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(out_dir)

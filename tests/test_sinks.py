@@ -89,3 +89,24 @@ def test_golden_metadata_json(spark, tmp_path):
         os.path.dirname(__file__), "golden", "golden_p1_r01.json"
     )
     assert got == open(golden_path).read()
+
+
+def test_write_partitioned_parquet_dynamic_overwrite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from geospatial_etl_pipeline_spark.operators.sinks import (
+        write_partitioned_parquet,
+    )
+
+    out = str(tmp_path / "part_out")
+    df1 = spark.range(100).withColumn("bucket", (F.col("id") % 2).cast("int"))
+    write_partitioned_parquet(df1, out, ["bucket"])
+    # overwrite ONLY bucket=0 with 10 rows; bucket=1 must survive intact
+    df2 = spark.range(10).withColumn("bucket", F.lit(0))
+    write_partitioned_parquet(df2, out, ["bucket"])
+    back = spark.read.parquet(out)
+    counts = {r["bucket"]: r["n"] for r in
+              back.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 10, 1: 50}
+    # partition pruning visible to the reader: filter hits one directory
+    assert back.filter("bucket = 1").count() == 50
