@@ -88,12 +88,18 @@ def sql_values(d: dict[str, str], key: str, value: str) -> str:
 
 
 def parse_base_name(base: Column) -> dict[str, Column]:
-    """Positional filename-schema parse (copy_esrigrid…py:244–251)."""
+    """Positional filename-schema parse (copy_esrigrid…py:244–251).
+
+    try_element_at: a malformed (too-short) filename parses to NULL
+    fields and is dropped by the downstream inner dimension join — the
+    permissive-mode decision of SURVEY §2k.6 (the reference crashes
+    with IndexError/KeyError instead). ANSI element_at would throw on
+    the whole batch."""
     parts = F.split(base, "_")
     return {
-        "parameter_code": F.element_at(parts, 2),
-        "statistic": F.element_at(parts, 5),
-        "period_key": F.element_at(parts, -1),
+        "parameter_code": F.try_element_at(parts, F.lit(2)),
+        "statistic": F.try_element_at(parts, F.lit(5)),
+        "period_key": F.try_element_at(parts, F.lit(-1)),
     }
 
 

@@ -55,9 +55,16 @@ def token_count_t(tok: Column) -> Column:
 
 
 def word_ngrams_t(tok: Column, n: int = 2) -> Column:
+    # try_element_at, not element_at: docs shorter than n tokens index
+    # past the array end; ANSI element_at throws, try_element_at yields
+    # NULL and concat_ws skips it — matching the DuckDB oracle, where
+    # out-of-range list indexing is NULL (found by hypothesis on
+    # single-token documents)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j) for j in range(n)]),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(tok, i + j) for j in range(n)]
+        ),
     )
 
 
@@ -100,7 +107,7 @@ def word_ngrams(text: Column | str, n: int = 2) -> Column:
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(
-            " ", *[F.element_at(tok, i + j) for j in range(n)]
+            " ", *[F.try_element_at(tok, i + j) for j in range(n)]
         ),
     )
 

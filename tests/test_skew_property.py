@@ -57,3 +57,44 @@ def test_null_safe_join_row_identical(spark, left, right, how):
     got = null_safe_skew_join(l_df, r_df, on=["k"], how=how)
     want = l_df.join(r_df, ["k"], how)
     assert _rows(got.select(*want.columns)) == _rows(want)
+
+
+# ---- LSH banding guarantee (dedup core promise) --------------------------
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=12, max_size=40),
+        min_size=2, max_size=6, unique=True,
+    ),
+    dup_idx=st.integers(min_value=0, max_value=5),
+)
+def test_lsh_always_finds_exact_duplicates(spark, texts, dup_idx):
+    """Identical documents share every minhash, hence every band bucket:
+    LSH candidate generation can never miss them, and their verified
+    Jaccard is exactly 1.0. (Near-dups may be missed probabilistically —
+    exact dups must not be.)"""
+    from hypothesis import assume
+
+    from geospatial_etl_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    # need at least one multi-token doc to duplicate
+    assume(any(len(t.split()) >= 3 for t in texts))
+    eligible = [t for t in texts if len(t.split()) >= 3]
+    dup_source = eligible[dup_idx % len(eligible)]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    dup_id = len(rows)
+    rows.append((dup_id, dup_source))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh_candidate_pairs(
+            df, num_hashes=8, bands=4, jaccard_threshold=0.99
+        ).collect()
+    }
+    src_id = next(i for i, t in rows if t == dup_source)
+    assert pairs.get((src_id, dup_id)) == 1.0
