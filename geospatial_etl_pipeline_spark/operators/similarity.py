@@ -157,17 +157,29 @@ def ivf_topk(
             F.col("_v").alias("_c"),
         )
     )
+    # all centroids as ONE broadcast row; assignment is an in-row argmax
+    # fold (struct(-score, cent_id) ascending == score DESC, cent_id ASC)
+    # instead of crossJoin(x ncells) + window — which shuffled and sorted
+    # corpus x ncells rows just to pick each row's best centroid
+    carr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "_c"))).alias("_cents")
+    )
 
     def _assign(df, idc, vc, keep_n):
-        score = _dot(F.col(vc), F.col("_c")) / _norm(F.col("_c"))
-        w = Window.partitionBy(idc).orderBy(
-            score.desc(), F.col("cent_id").asc()
+        scored = F.transform(
+            F.col("_cents"),
+            lambda ct: F.struct(
+                (-(_dot(F.col(vc), ct["_c"]) / _norm(ct["_c"]))).alias(
+                    "negscore"
+                ),
+                ct["cent_id"].alias("cent_id"),
+            ),
         )
+        top = F.slice(F.array_sort(scored), 1, keep_n)
         return (
-            df.crossJoin(F.broadcast(cents))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= keep_n)
-            .select(idc, "cent_id")
+            df.crossJoin(F.broadcast(carr))
+            .select(F.col(idc), F.explode(top).alias("_t"))
+            .select(idc, F.col("_t.cent_id").alias("cent_id"))
         )
 
     cells = _assign(c, id_col, "_v", 1)

@@ -383,18 +383,37 @@ def q56_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cnorm = cents.select("cent_id", _qdot(F.col("cv"), F.col("cv")).alias("qnc"))
+    # ONE row holding all (cent_id, cv, qnc) structs: assignment becomes a
+    # broadcast of a single row + an in-row argmax fold — the previous
+    # crossJoin(x ncells) + row_number() window shuffled corpus x ncells
+    # rows and sorted them, a full-corpus exchange that exists only to
+    # pick each row's best centroid. In-row, assignment is map-side only.
+    carr = cents.join(cnorm, "cent_id").agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv", "qnc"))).alias(
+            "_cents"
+        )
+    )
 
     def _assign(df, idc, vc, keep_n):
-        qd = _qdot(F.col(vc), F.col("cv"))
-        score = (qd.cast("double") / F.lit(_S)) / F.sqrt(
-            F.col("qnc").cast("double") / F.lit(_S)
+        # struct(-score, cent_id): ascending struct order == the window's
+        # (score DESC, cent_id ASC) — same comparator, same tiebreak
+        scored = F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (
+                    -(
+                        (_qdot(F.col(vc), c["cv"]).cast("double") / F.lit(_S))
+                        / F.sqrt(c["qnc"].cast("double") / F.lit(_S))
+                    )
+                ).alias("negscore"),
+                c["cent_id"].alias("cent_id"),
+            ),
         )
-        w = Window.partitionBy(idc).orderBy(score.desc(), F.col("cent_id").asc())
+        top = F.slice(F.array_sort(scored), 1, keep_n)
         return (
-            df.crossJoin(F.broadcast(cents.join(cnorm, "cent_id")))
-            .withColumn("arn", F.row_number().over(w))
-            .filter(F.col("arn") <= keep_n)
-            .select(idc, "cent_id")
+            df.crossJoin(F.broadcast(carr))
+            .select(F.col(idc), F.explode(top).alias("_t"))
+            .select(idc, F.col("_t.cent_id").alias("cent_id"))
         )
 
     cells = _assign(corpus, "vec_id", "v", 1)
