@@ -147,40 +147,34 @@ GROUP BY doc_id
 def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over distinct tokens: bit j is the sign of the sum
     of ±1 votes from each token's hash bit j. Near-duplicate docs land
-    within small Hamming distance. Explode(tokens×bits) + two hash-aggs —
-    all partial-aggregable, integer-exact."""
+    within small Hamming distance.
+
+    The whole signature folds IN-ROW: hash the distinct tokens into an
+    array, then for each of the 32 bits run an integer vote fold over
+    that array (order-free, engine-exact) — zero shuffles. The previous
+    explode(tokens)×explode(32 bits) + two hash-aggs did the identical
+    arithmetic but paid (doc_id,bit) and (doc_id) exchanges, shuffling
+    32× the token count in rows, for a per-document value."""
     d = t(spark, sf_dir, "documents")
-    staged = d.select("doc_id", tokens("text").alias("_tok"))
-    # explode_outer: inner explode's implicit size>0 filter is pushed
-    # below the staged projection with the token pipeline inlined (see
-    # q48 in plans/dedup.py); the array is never empty, so outer == inner.
-    tok = staged.select(
-        "doc_id", F.explode_outer(F.array_distinct("_tok")).alias("tk")
+    staged = d.select("doc_id", tokens("text").alias("_tok")).select(
+        "doc_id",
+        F.expr(
+            "transform(array_distinct(_tok), "
+            "tk -> CAST(conv(substring(md5(tk), 1, 8), 16, 10) AS BIGINT))"
+        ).alias("_hvs"),
     )
-    hv = F.conv(F.substring(F.md5("tk"), 1, 8), 16, 10).cast("bigint")
-    hashed = tok.select("doc_id", hv.alias("hv"))
-    bits = (
-        hashed.select(
-            "doc_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
-        )
-        .groupBy("doc_id", "bit")
-        .agg(
-            F.sum(
-                # column-valued shift amounts need the SQL expression form;
-                # the Python shiftright/shiftleft API only takes int literals
-                F.when(F.expr("(hv >> CAST(bit AS INT)) & 1") == 1, 1).otherwise(-1)
-            ).alias("s")
-        )
+    simhash = F.expr(
+        "aggregate("
+        "  transform(sequence(0, 31), j ->"
+        "    CASE WHEN aggregate(_hvs, CAST(0 AS BIGINT),"
+        "           (acc, h) -> acc + IF(((h >> j) & 1) = 1,"
+        "                                CAST(1 AS BIGINT),"
+        "                                CAST(-1 AS BIGINT))) > 0"
+        "         THEN shiftleft(CAST(1 AS BIGINT), j)"
+        "         ELSE CAST(0 AS BIGINT) END),"
+        "  CAST(0 AS BIGINT), (a, b) -> a + b)"
     )
-    return bits.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("simhash32")
-    )
+    return staged.select("doc_id", simhash.cast("bigint").alias("simhash32"))
 
 
 @register(

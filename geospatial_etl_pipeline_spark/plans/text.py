@@ -285,28 +285,27 @@ def q38_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = fold((acc*B + code) mod M) over every char {_RH_K}-gram, then
     the winnowing-style per-document MIN plus the distinct-gram
     cardinality. Integer modular arithmetic — bit-identical across
-    engines; scan-side explode + one partial-agg'd shuffle on doc_id."""
+    engines. The whole fingerprint folds IN-ROW (transform over the
+    gram array, then array_min / array_distinct): zero shuffles — the
+    previous explode + min/countDistinct formulation paid two
+    (doc_id,h) then (doc_id) exchanges for what is a per-row value."""
     from ..functions.text import char_ngrams_t, normalized
 
     d = t(spark, sf_dir, "documents")
-    staged = d.select("doc_id", normalized("text").alias("_norm"))
-    grams = staged.select(
-        "doc_id",
-        F.explode_outer(char_ngrams_t(F.col("_norm"), _RH_K)).alias("g"),
+    staged = d.select("doc_id", normalized("text").alias("_norm")).select(
+        "doc_id", char_ngrams_t(F.col("_norm"), _RH_K).alias("_grams")
     )
     # substring with a column-valued start needs the SQL expression form
     # (the Python substring API takes int literals only)
-    codes = F.expr(
-        f"transform(sequence(1, length(g)), "
-        f"i -> CAST(ascii(substring(g, i, 1)) AS BIGINT))"
+    hs = F.expr(
+        f"transform(_grams, g -> aggregate("
+        f"  transform(sequence(1, length(g)),"
+        f"            i -> CAST(ascii(substring(g, i, 1)) AS BIGINT)),"
+        f"  CAST(0 AS BIGINT),"
+        f"  (acc, c) -> (acc * {_RH_B} + c) % {_RH_M}))"
     )
-    h = F.aggregate(
-        codes,
-        F.lit(0).cast("bigint"),
-        lambda acc, c: (acc * _RH_B + c) % _RH_M,
-    )
-    hashes = grams.select("doc_id", h.alias("h"))
-    return hashes.groupBy("doc_id").agg(
-        F.min("h").cast("bigint").alias("fp_min"),
-        F.countDistinct("h").cast("bigint").alias("n_distinct_grams"),
+    return staged.select(
+        "doc_id",
+        F.array_min(hs).cast("bigint").alias("fp_min"),
+        F.size(F.array_distinct(hs)).cast("bigint").alias("n_distinct_grams"),
     )
