@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ._util import literal_df, t
 from .catalog import register
@@ -150,22 +149,31 @@ GROUP BY cid
 """,
 )
 def q82_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest-centroid assignment (one k-means step / 1-NN join):
-    broadcast the centroid set, exact integer distance², deterministic
-    argmin via window tiebreak on centroid id."""
+    """Nearest-centroid assignment (one k-means step / 1-NN join): exact
+    integer distance², deterministic argmin with tiebreak on centroid id.
+
+    The centroid set is a literal, so the argmin is an IN-ROW array_min
+    over k (dist2, cid) structs — struct ordering IS the window's
+    (dist2 ASC, cid ASC) — and the only shuffle is the final per-cid
+    aggregate. The previous crossJoin(x k) + row_number shuffled
+    customers x k rows on c_custkey first."""
     pts = _points(spark, sf_dir)
-    cents = literal_df(spark, _CENTROIDS, ["cid", "cx", "cy"])
-    d2 = (pts.x - F.col("cx")) * (pts.x - F.col("cx")) + (
-        pts.y - F.col("cy")
-    ) * (pts.y - F.col("cy"))
-    w = Window.partitionBy("c_custkey").orderBy(
-        F.col("dist2").asc(), F.col("cid").asc()
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        (pts.x - F.lit(cx)) * (pts.x - F.lit(cx))
+                        + (pts.y - F.lit(cy)) * (pts.y - F.lit(cy))
+                    ).alias("dist2"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cx, cy in _CENTROIDS
+            ]
+        )
     )
-    assigned = (
-        pts.crossJoin(F.broadcast(cents))
-        .select("c_custkey", "cid", d2.alias("dist2"))
-        .withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") == 1)
+    assigned = pts.select(
+        best["cid"].alias("cid"), best["dist2"].alias("dist2")
     )
     return assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_assigned"),
