@@ -24,17 +24,20 @@ from geospatial_etl_pipeline_spark.plans import catalog  # noqa: E402
 from geospatial_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per operator family (scan-agg, join-topk, snowflake,
-# pushdown, window, dedup/LSH, similarity, events/asof, ref-parity
-# metadata, raster clip).
+# multi-join profit, pushdown, window, dedup/LSH/simhash/fingerprint,
+# similarity, events/asof, ref-parity metadata, raster clip).
 HEADLINE = [
     "q01_pricing_summary",
     "q02_top_revenue_orders",
     "q05_nation_revenue",
     "q06_revenue_delta",
+    "q09_product_profit",
     "q20_topk_orders_per_priority",
     "q21_running_customer_spend",
+    "q38_rolling_hash_fingerprint",
     "q40_dedup_exact",
     "q42_lsh_near_dup_pairs",
+    "q44_simhash",
     "q46_range_join_clicks_before_purchase",
     "q48_ngram_jaccard_pairs",
     "q50_cosine_topk",
