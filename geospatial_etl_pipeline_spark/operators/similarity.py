@@ -224,7 +224,10 @@ def lsh_ann_topk(
     """Approximate cosine top-k: candidates share a (table, bucket) with
     the query in ≥1 of the ntables sign-LSH tables; exact cosine scores
     only the candidates. Returns (query_id, vec_id, cosine_sim, rn)."""
-    dim = len(corpus.select(vec_col).first()[0])
+    probe = corpus.select(vec_col).first()
+    if probe is None:
+        raise ValueError("lsh_ann_topk: empty corpus — no vector to size the hyperplanes from")
+    dim = len(probe[0])
     planes = hyperplanes(dim, nbits, ntables, seed)
     cb = random_hyperplane_buckets(
         corpus.select(id_col, vec_col), planes, vec_col
