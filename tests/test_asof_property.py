@@ -52,3 +52,54 @@ def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
         before = [rts for ru, rts in right_rows if ru == u and rts <= ts]
         expected = (max(before) if before else None, len(before))
         assert got[i] == expected, (i, u, ts, got[i], expected)
+
+
+# ---- sessionization (q62 semantics) --------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(events=st.lists(ROW, min_size=1, max_size=20))
+def test_sessionize_matches_bruteforce(spark, events):
+    """30-unit-gap sessionization (lag + flag-sum) vs the obvious python
+    spec: sort each user's times, count gaps > threshold. Ties in ts are
+    broken by event_id in both — boundary gap == threshold starts NO new
+    session (strict >)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    gap = 30
+    df = spark.createDataFrame(
+        [(i, u, ts) for i, (u, ts) in enumerate(events)],
+        "event_id int, user_id int, ts int",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = df.select(
+        "user_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts") - F.lag("ts").over(w)) > gap),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    got = {
+        r["user_id"]: r["n"]
+        for r in flagged.groupBy("user_id")
+        .agg(F.sum("new_session").alias("n"))
+        .collect()
+    }
+    expect = {}
+    for u in {u for u, _ in events}:
+        ts_sorted = sorted(ts for uu, ts in events if uu == u)
+        n = 1 + sum(
+            1
+            for a, b in zip(ts_sorted, ts_sorted[1:])
+            if b - a > gap
+        )
+        expect[u] = n
+    assert got == expect
