@@ -171,6 +171,34 @@ def running_user_totals(stream: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def stream_to_partitioned_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    partition_cols: list[str],
+    checkpoint_dir: str,
+) -> None:
+    """Land a stream as hive-partitioned parquet via ``foreachBatch`` +
+    the batch partitioned sink (operators.sinks.write_partitioned_parquet
+    semantics, dynamic partition overwrite per micro-batch is NOT used —
+    each batch appends, and exactly-once comes from the checkpoint +
+    idempotent task files). foreachBatch is the escape hatch that gives a
+    stream every batch sink Spark has; the checkpoint dir carries the
+    stream's progress so a restart resumes, never re-lands, a batch."""
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").partitionBy(*partition_cols).parquet(
+            out_dir
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, mode: str = "append"
 ) -> DataFrame:

@@ -112,3 +112,29 @@ def test_running_user_totals_stateful(spark, sf_dir, stream):
         n, s = final[r["user_id"]]
         assert n == r["n"]
         assert abs(s - r["s"]) < 1e-6 * max(1.0, abs(r["s"]))
+
+
+def test_stream_to_partitioned_parquet(spark, sf_dir, stream, tmp_path):
+    from pyspark.sql import functions as F
+
+    from geospatial_etl_pipeline_spark.streaming.events import (
+        stream_to_partitioned_parquet,
+    )
+
+    out = str(tmp_path / "landed")
+    stream_to_partitioned_parquet(
+        stream.select("event_id", "event_type", "value"),
+        out,
+        ["event_type"],
+        str(tmp_path / "ckpt"),
+    )
+    back = spark.read.parquet(out)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {r["event_type"]: r["n"] for r in
+           back.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    want = {r["event_type"]: r["n"] for r in
+            batch.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert got == want
+    # partition pruning works on the landed layout
+    any_type = next(iter(want))
+    assert back.filter(F.col("event_type") == any_type).count() == want[any_type]
