@@ -298,16 +298,23 @@ def q18_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "agg", "array"),
     oracle="""
 SELECT c_nationkey,
-       (list(c_acctbal ORDER BY c_acctbal DESC, c_custkey ASC))[1:3] AS top3_bal,
+       array_to_string(
+         list_transform(
+           (list(c_acctbal ORDER BY c_acctbal DESC, c_custkey ASC))[1:3],
+           x -> printf('%.2f', x)),
+         '|') AS top3_bal,
        CAST(len(list(c_acctbal)) AS INT) AS n_customers
 FROM customer
 GROUP BY c_nationkey
 """,
 )
 def q19_array_agg_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered array aggregation + slicing: top-3 balances per nation as
-    an ARRAY column. collect_list carries (balance, custkey) structs so
-    the sort is total-ordered, then slices and projects."""
+    """Ordered array aggregation + slicing: top-3 balances per nation.
+    collect_list carries (balance, custkey) structs so the sort is
+    total-ordered, then slices and projects. The slice is emitted as a
+    canonical '|'-joined %.2f string (not ARRAY<DOUBLE>) so external
+    hash-based comparators can digest the cell; balances are 2-decimal
+    currency, so %.2f is an exact round-trip of the stored double."""
     c = t(spark, sf_dir, "customer")
     pairs = F.collect_list(F.struct(F.col("c_acctbal"), F.col("c_custkey")))
     # sort structs by (acctbal DESC, custkey ASC): negate both fields
@@ -323,7 +330,9 @@ def q19_array_agg_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: s["b"],
     )
     return c.groupBy("c_nationkey").agg(
-        sorted_bals.alias("top3_bal"),
+        F.array_join(
+            F.transform(sorted_bals, lambda b: F.format_string("%.2f", b)), "|"
+        ).alias("top3_bal"),
         F.size(pairs).cast("int").alias("n_customers"),
     )
 
