@@ -120,43 +120,92 @@ def random_hyperplane_buckets(
     )
 
 
+def sampled_centroids(
+    df: DataFrame,
+    ncells: int,
+    id_col: str,
+    vec_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic *sampled* coarse-quantizer centroids:
+    (cent_id, _c) — the ``ncells`` rows ranking smallest under
+    ``md5(seed || ':' || id)``, i.e. a seeded uniform pseudo-random draw
+    expressible identically in any engine with md5 (so the whole index
+    build stays oracle-checkable).
+
+    Scale shape: ``orderBy(h).limit(n)`` compiles to
+    TakeOrderedAndProject — a per-partition partial top-k merged at the
+    driver (O(rows·log ncells) map-side, ncells rows moved per
+    partition), NOT a full sort/exchange of the corpus. cent_id
+    numbering then windows over only the ncells survivors. Asserted in
+    tests/test_plan_shapes.py."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col("_cid").cast("string")))
+    picked = (
+        df.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_c"))
+        .withColumn("_h", h)
+        .orderBy("_h", "_cid")
+        .limit(ncells)
+    )
+    w_cent = Window.orderBy("_h", "_cid")
+    return picked.select(
+        (F.row_number().over(w_cent) - 1).alias("cent_id"), "_c"
+    )
+
+
+def auto_ncells(corpus_rows: int, nprobe: int = 4) -> int:
+    """√n dial for the IVF cell count (classic IVF sizing): cells ≈ √n
+    keeps both the per-cell candidate list (~√n) and the join-key
+    cardinality (√n distinct cent_ids) growing with the corpus, so the
+    cand equi-join on cent_id never concentrates a 100 TB corpus into a
+    handful of partitions. Floor at 4×nprobe so probing stays selective."""
+    import math
+
+    return max(4 * nprobe, int(math.isqrt(max(corpus_rows, 1))))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    ncells: int = 16,
+    ncells: int | None = None,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
+    corpus_rows: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     ``ncells`` Voronoi cells around coarse centroids, probe only the
     ``nprobe`` cells nearest each query, exact-cosine re-rank within the
     probed cells. Returns (query_id, vec_id, cosine_sim, rn).
 
-    The coarse quantizer here is deterministic — the first ``ncells``
-    corpus vectors by id serve as centroids — so the whole index build is
-    a relational plan (no iterative training step); a production build
-    swaps in k-means centroids with the identical plan shape. Scale
-    shape: centroid assignment is a broadcast cross-join (ncells rows
-    broadcast, map-side only), the candidate generation is an equi-join
-    on cell_id, and re-ranking touches ~nprobe/ncells of the corpus
-    instead of all of it.
+    The coarse quantizer is a seeded *sampled* pick
+    (:func:`sampled_centroids` — md5-ranked partial top-k, no full sort,
+    no dependence on id distribution), so the whole index build is a
+    relational plan (no iterative training step); a production build
+    swaps in k-means|| centroids with the identical downstream shape.
+
+    ``ncells=None`` applies the √n dial (:func:`auto_ncells`) using the
+    ``corpus_rows`` hint if given, else ONE count job at index-build
+    time (parquet footer metadata — cheap, and an index build is a
+    once-per-corpus cost). Fixed small ncells is the scale-killer the
+    dial exists to avoid: a 16-value cent_id join key funnels the corpus
+    into 16 partitions; √n keys keep the shuffle even.
+
+    Scale shape: centroid assignment is a broadcast of ONE struct-array
+    row + in-row argmax fold (map-side only), candidate generation is an
+    equi-join on cent_id (~√n distinct keys), re-ranking touches
+    ~nprobe/ncells of the corpus instead of all of it.
     """
+    if ncells is None:
+        n = corpus_rows if corpus_rows is not None else corpus.count()
+        ncells = auto_ncells(n, nprobe)
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    w_cent = Window.orderBy(F.col(id_col).asc())
-    cents = (
-        c.orderBy(id_col)
-        .limit(ncells)
-        .select(
-            (F.row_number().over(w_cent) - 1).alias("cent_id"),
-            F.col("_v").alias("_c"),
-        )
-    )
+    cents = sampled_centroids(c, ncells, id_col, "_v", seed=seed)
     # all centroids as ONE broadcast row; assignment is an in-row argmax
     # fold (struct(-score, cent_id) ascending == score DESC, cent_id ASC)
     # instead of crossJoin(x ncells) + window — which shuffled and sorted
@@ -220,14 +269,23 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share a (table, bucket) with
     the query in ≥1 of the ntables sign-LSH tables; exact cosine scores
-    only the candidates. Returns (query_id, vec_id, cosine_sim, rn)."""
-    probe = corpus.select(vec_col).first()
-    if probe is None:
-        raise ValueError("lsh_ann_topk: empty corpus — no vector to size the hyperplanes from")
-    dim = len(probe[0])
+    only the candidates. Returns (query_id, vec_id, cosine_sim, rn).
+
+    Pass ``dim`` (the embedding dimensionality — fixed per corpus by
+    contract) to keep index build fully lazy; if omitted, ONE driver
+    probe of the first corpus row sizes the hyperplanes (a job per
+    index build — fine interactively, avoid in pipelines)."""
+    if dim is None:
+        probe = corpus.select(vec_col).first()
+        if probe is None:
+            raise ValueError(
+                "lsh_ann_topk: empty corpus — pass dim= or a non-empty corpus"
+            )
+        dim = len(probe[0])
     planes = hyperplanes(dim, nbits, ntables, seed)
     cb = random_hyperplane_buckets(
         corpus.select(id_col, vec_col), planes, vec_col
