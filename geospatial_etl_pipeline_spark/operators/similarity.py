@@ -258,6 +258,79 @@ def ivf_topk(
     )
 
 
+def auto_block_bits(corpus_rows: int, pairs_per_row: float = 8.0, min_bits: int = 6) -> int:
+    """Blocking-bits dial for :func:`embedding_near_dup`: pick nbits so
+    the expected candidate-pair count stays ~linear in the corpus.
+
+    With ~uniform sign bits, 2^nbits buckets of ~n/2^nbits rows give
+    ~n²/2^(nbits+1) pairs; solving pairs ≈ pairs_per_row·n gives
+    2^nbits ≈ n/(2·pairs_per_row). A FIXED nbits is the scale-killer
+    VERDICT r1 flagged: 64 buckets means ~n²/64 pairs — quadratic at
+    100×. This dial keeps the pair space O(n) as the corpus grows."""
+    import math
+
+    if corpus_rows <= 1:
+        return min_bits
+    return max(min_bits, math.ceil(math.log2(max(corpus_rows / (2.0 * pairs_per_row), 2.0))))
+
+
+def embedding_near_dup(
+    corpus: DataFrame,
+    nbits: int | None = None,
+    threshold: float = 0.85,
+    topk: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_rows: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the production form of
+    q55: sign-block blocked self-join + exact cosine re-rank, with the
+    ``cosine_sim >= threshold`` predicate applied BELOW any global
+    top-k, so the TakeOrdered input is the (tiny) set of true near-dups,
+    not every blocked pair.
+
+    Returns (id_a, id_b, cosine_sim) with id_a < id_b.
+
+    - ``nbits=None`` applies :func:`auto_block_bits` (corpus_rows hint or
+      one count job) so candidate pairs stay ~linear in corpus size.
+    - The blocking key is the sign bitstring of the first nbits
+      components — computed in-row, the self-join is an equi-join on the
+      block (shuffle keyed on block, never all-pairs).
+    - ``topk`` optionally returns only the strongest pairs
+      (total-ordered tiebreak) AFTER the threshold filter.
+
+    Recall note: sign-blocking on raw components is exact only for pairs
+    agreeing on all nbits signs; near-dups with a sign flip in the first
+    nbits dims are missed — raise recall with multiple shifted blocks
+    (cf. lsh_ann_topk's ntables) when the miss rate matters."""
+    if nbits is None:
+        n = corpus_rows if corpus_rows is not None else corpus.count()
+        nbits = auto_block_bits(n)
+    v = F.col(vec_col).cast("array<double>")
+    blk = F.array_join(
+        F.transform(
+            F.slice(v, 1, nbits),
+            lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+    e = corpus.select(F.col(id_col).alias("_id"), v.alias("_v"), blk.alias("_blk"))
+    a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_blk")
+    b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_blk")
+    pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        (_dot(F.col("_va"), F.col("_vb"))
+         / (_norm(F.col("_va")) * _norm(F.col("_vb")))).alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") >= threshold)
+    if topk is not None:
+        scored = scored.orderBy(
+            F.col("cosine_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+        ).limit(topk)
+    return scored
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -177,6 +177,7 @@ def _qdot(a, b):
 
 _ND_BITS = 6
 _ND_TOPK = 25
+_ND_TAU = 0.0  # cosine threshold, applied BELOW the global top-k
 
 _SQL_ND_BLK = (
     "list_aggregate(list_transform(embedding[1:"
@@ -208,27 +209,34 @@ dots AS (
   FROM pairs, unnest(range(1, len(ea) + 1)) t(i)
   GROUP BY id_a, id_b
 )
-SELECT d.id_a, d.id_b,
-       (CAST(d.qd AS DOUBLE) / {_S!r})
-         / (sqrt(CAST(na.qn AS DOUBLE) / {_S!r})
-            * sqrt(CAST(nb.qn AS DOUBLE) / {_S!r})) AS cosine_sim
-FROM dots d
-JOIN norms na ON na.vec_id = d.id_a
-JOIN norms nb ON nb.vec_id = d.id_b
-ORDER BY cosine_sim DESC, d.id_a ASC, d.id_b ASC
+SELECT * FROM (
+  SELECT d.id_a, d.id_b,
+         (CAST(d.qd AS DOUBLE) / {_S!r})
+           / (sqrt(CAST(na.qn AS DOUBLE) / {_S!r})
+              * sqrt(CAST(nb.qn AS DOUBLE) / {_S!r})) AS cosine_sim
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.id_a
+  JOIN norms nb ON nb.vec_id = d.id_b
+)
+WHERE cosine_sim >= {_ND_TAU!r}
+ORDER BY cosine_sim DESC, id_a ASC, id_b ASC
 LIMIT {_ND_TOPK}
 """,
 )
 def q55_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate candidates: sign-LSH blocked
-    self-join + exact cosine re-rank, top-{_ND_TOPK} pairs.
+    self-join + exact cosine re-rank, ``cosine_sim >= {_ND_TAU}``
+    pushed BELOW the global top-{_ND_TOPK} (the TakeOrdered input is
+    only threshold-passing pairs, not every blocked pair).
 
-    The blocking key (sign bits of the first 6 components) turns the
-    O(n²) pair space into per-bucket self-joins — shuffle keyed on the
-    block, ~n²/2^bits pairs scored. The production form filters
-    ``cosine_sim >= threshold``; this test corpus is near-orthogonal
-    (max pairwise cosine ≈ 0.51), so the query returns the global
-    top-k of the blocked pairs with a total-order tiebreak instead.
+    The blocking key (sign bits of the first {_ND_BITS} components)
+    turns the O(n²) pair space into per-bucket self-joins — shuffle
+    keyed on the block. {_ND_BITS} bits fit this test corpus; the
+    production dial is operators.similarity.auto_block_bits
+    (2^nbits ≈ n/16, keeping candidate pairs O(n)) via
+    operators.similarity.embedding_near_dup, which also takes the real
+    dedup threshold (this corpus is near-orthogonal, max pairwise
+    cosine ≈ 0.51, so τ={_ND_TAU} keeps the result non-trivial).
 
     Cosine is computed from per-element floor-quantized integer dots
     (order-free integer sums), so Spark and DuckDB agree bit-for-bit."""
@@ -265,9 +273,13 @@ def q55_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine_sim"),
         )
     )
-    return out.orderBy(
-        F.col("cosine_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
-    ).limit(_ND_TOPK)
+    return (
+        out.filter(F.col("cosine_sim") >= _ND_TAU)
+        .orderBy(
+            F.col("cosine_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+        )
+        .limit(_ND_TOPK)
+    )
 
 
 _IVF_K = 16

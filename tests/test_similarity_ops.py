@@ -6,7 +6,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from geospatial_etl_pipeline_spark.operators.similarity import (
+    auto_block_bits,
     brute_force_topk,
+    embedding_near_dup,
     ivf_topk,
     lsh_ann_topk,
 )
@@ -84,3 +86,61 @@ def test_lsh_candidates_are_subset_scored(corpus, queries):
     n_cand = approx.count()
     n_total = corpus.count() * 3
     assert 0 < n_cand < n_total  # pruning actually happened
+
+
+def test_auto_block_bits_keeps_pairs_linear():
+    # 2^nbits ≈ n/16 ⇒ expected pairs ≈ 8n; never below the floor
+    assert auto_block_bits(10) == 6
+    assert auto_block_bits(1 << 20) == 16
+    assert auto_block_bits(1 << 30) == 26
+
+
+def test_embedding_near_dup_matches_quadratic_reference(spark, corpus):
+    """Blocked+thresholded near-dup == the quadratic spec restricted to
+    same-block pairs, on a corpus where planted near-dups exist."""
+    import math
+
+    base = corpus.limit(40).collect()
+    rows, planted = [], []
+    for r in base:
+        rows.append((r["vec_id"], [float(x) for x in r["embedding"]]))
+    # plant exact near-dups: copy of each of the first 5 vectors with a
+    # tiny same-sign perturbation → cosine ≈ 1, same sign block
+    for i in range(5):
+        vid, v = rows[i]
+        planted.append((10_000 + vid, [x * 1.001 for x in v]))
+    df = spark.createDataFrame(rows + planted, ["vec_id", "embedding"])
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup(df, nbits=6, threshold=0.95).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a)) / math.sqrt(sum(x * x for x in b))
+
+    def blk(v):
+        return tuple(x >= 0 for x in v[:6])
+
+    data = rows + planted
+    want = {
+        (a[0], b[0])
+        for i, a in enumerate(data)
+        for b in data[i + 1 :]
+        if blk(a[1]) == blk(b[1]) and cos(a[1], b[1]) >= 0.95
+    }
+    want = {(min(p), max(p)) for p in want}
+    assert got == want
+    assert len(want) >= 5  # the planted dups were actually found
+
+
+def test_embedding_near_dup_threshold_below_topk(spark, corpus):
+    """topk applies AFTER the threshold: raising τ can only shrink the
+    result, never let a sub-threshold pair into the top-k."""
+    lo = embedding_near_dup(corpus, nbits=4, threshold=-1.0, topk=50).collect()
+    hi = embedding_near_dup(corpus, nbits=4, threshold=0.3, topk=50).collect()
+    assert all(r["cosine_sim"] >= 0.3 for r in hi)
+    hi_pairs = {(r["id_a"], r["id_b"]) for r in hi}
+    lo_top = {(r["id_a"], r["id_b"]) for r in lo if r["cosine_sim"] >= 0.3}
+    assert hi_pairs.issuperset(lo_top)
