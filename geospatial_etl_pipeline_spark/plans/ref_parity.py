@@ -343,6 +343,83 @@ def q73_file_inventory_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q75_ref_product_inventory",
+    tags=("ref-parity", "naming", "crossjoin", "agg"),
+    oracle=f"""
+WITH inv AS ({_SQL_INVENTORY}),
+prod AS (
+  SELECT inv.p_partkey,
+         concat_ws('_', pn.parameter_name,
+                   string_split(inv.base_name, '_')[5], '1991-2020',
+                   mn.period_name) AS product_name,
+         pn.parameter_name, mn.period_name,
+         string_split(inv.base_name, '_')[5] AS statistic
+  FROM inv
+  JOIN (VALUES {_SQL_PARAM_NAME}) AS pn(code, parameter_name)
+    ON pn.code = string_split(inv.base_name, '_')[2]
+  JOIN (VALUES {_SQL_PERIOD_NAME}) AS mn(period_key, period_name)
+    ON mn.period_key = string_split(inv.base_name, '_')[-1]
+),
+reg AS (
+  SELECT * FROM (VALUES {_SQL_REGION_NAME}) AS r(regc_code, region_name)
+  WHERE regc_code <> '99'
+)
+SELECT concat(prod.product_name, '_', reg.region_name) AS output_name,
+       prod.parameter_name AS parameter,
+       prod.period_name AS period,
+       prod.statistic,
+       reg.region_name AS region,
+       COUNT(*) AS n_source_grids
+FROM prod, reg
+GROUP BY output_name, parameter, period, prod.statistic, region
+""",
+)
+def q75_ref_product_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship REF-parity dataflow's RELATIONAL CORE, hash-checked:
+    positional parse → lookup-dim joins → product naming
+    (copy_esrigrid…py:244–251) → products × regions fan-out (:229–270,
+    output naming ``{{product}}_{{region}}``, :292) → per-output source
+    counts. This is q74 minus the file-based raster decode/clip (which
+    stays rows-only + pytest-covered by construction): the naming, dim
+    joins, skip-99 predicate, fan-out, and inventory grouping are now
+    under the external hash gate (VERDICT r1 'What's wrong' #7)."""
+    inv = _inventory(spark, sf_dir)
+    parsed = parse_base_name(F.col("base_name"))
+    pn = dim_df(spark, PARAMETER, "parameter_code", "parameter_name")
+    mn = dim_df(spark, MONTH_SEASON, "period_key", "period_name")
+    prod = (
+        inv.select("p_partkey", "base_name", *[c.alias(n) for n, c in parsed.items()])
+        .join(F.broadcast(pn), ["parameter_code"])
+        .join(F.broadcast(mn), ["period_key"])
+        .select(
+            "p_partkey",
+            product_name(
+                F.col("parameter_name"), F.col("statistic"), F.col("period_name")
+            ).alias("product_name"),
+            "parameter_name",
+            "period_name",
+            "statistic",
+        )
+    )
+    reg = dim_df(spark, REGION, "regc_code", "region_name").filter(
+        F.col("regc_code") != "99"
+    )
+    return (
+        prod.crossJoin(F.broadcast(reg))
+        .groupBy(
+            F.concat(
+                F.col("product_name"), F.lit("_"), F.col("region_name")
+            ).alias("output_name"),
+            F.col("parameter_name").alias("parameter"),
+            F.col("period_name").alias("period"),
+            F.col("statistic"),
+            F.col("region_name").alias("region"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_source_grids"))
+    )
+
+
+@register(
     "q74_ref_pipeline_e2e",
     tags=("ref-parity", "raster", "e2e"),
     oracle=None,  # file-based raster pipeline -> driver rows-only check
