@@ -89,8 +89,15 @@ def build_products(
     )
     clipped = clipped_part.unionByName(passthrough)
 
+    # LEFT join + zero-coalesce: raster_stats drops all-NODATA rasters
+    # (its groupBy emits no row), so an inner join would silently lose a
+    # region clip that masks every cell — and strict mode would then
+    # misattribute the shortfall to unknown parameter/period codes.
+    # Fully-masked products surface with n_cells=0 and null min/max/mean.
     stats = raster_stats(clipped)
-    with_stats = clipped.join(stats, "base_name")
+    with_stats = clipped.join(stats, "base_name", "left").withColumn(
+        "n_cells", F.coalesce(F.col("n_cells"), F.lit(0))
+    )
 
     split = F.split("base_name", "#")
     parsed = parse_base_name(F.element_at(split, 1))
@@ -131,6 +138,8 @@ def product_files(products: DataFrame) -> DataFrame:
     """(base_name=product, path, content) rows: the clipped .asc grid and
     its stats sidecar — the zip sink's input shape."""
 
+    from .operators.geotiff import encode_geotiff as geotiff_bytes
+
     def encode(rows: Iterator) -> Iterator:
         import pandas as pd
 
@@ -143,6 +152,13 @@ def product_files(products: DataFrame) -> DataFrame:
                     row["xllcorner"], row["yllcorner"], row["cellsize"],
                     row["nodata_value"],
                 )
+                # the reference's core conversion (:259–261): a REAL
+                # GeoTIFF (operators/geotiff.py), openable downstream
+                tif = geotiff_bytes(
+                    int(row["width"]), int(row["height"]),
+                    row["xllcorner"], row["yllcorner"], row["cellsize"],
+                    row["nodata_value"], row["crs"], list(row["cells"]),
+                )
                 stats = json.dumps(
                     {
                         "n_cells": int(row["n_cells"]),
@@ -151,6 +167,10 @@ def product_files(products: DataFrame) -> DataFrame:
                         "mean": row["mean_val"],
                     },
                     indent=4,
+                )
+                out.append(
+                    {"base_name": name, "path": f"{name}.tif",
+                     "content": tif}
                 )
                 out.append(
                     {"base_name": name, "path": f"{name}.asc",
@@ -233,14 +253,27 @@ def run(
     n_docs = write_metadata_json(
         product_metadata(products), output_folder
     )
-    uploads = []
+    uploads: list[str] = []
+    n_uploads = 0
     if bucket_name:
-        # the filesystem IS the uploader on a cluster (s3a committer);
-        # locally we surface the target URIs (permissive like :77–92)
-        names = [r["product_name"] for r in
-                 products.select("product_name").collect()]
+        # the filesystem IS the uploader on a cluster (s3a committer):
+        # the target URI is a COLUMN (stays distributed — no collect of
+        # every product name to the driver), and the full manifest lands
+        # beside the zips as parquet. The result dict carries a bounded
+        # sample for logging (permissive like :77–92).
+        base = upload_prefix(bucket_name, s3prefix, "")
+        targets = products.select(
+            F.concat(
+                F.lit(base), F.col("product_name"), F.lit(".zip")
+            ).alias("upload_target")
+        )
+        targets.write.mode("overwrite").parquet(
+            os.path.join(output_folder, "_upload_manifest")
+        )
+        n_uploads = n_products
         uploads = [
-            upload_prefix(bucket_name, s3prefix, f"{n}.zip") for n in names
+            r["upload_target"]
+            for r in targets.orderBy("upload_target").limit(10).collect()
         ]
     products.unpersist()
     return {
@@ -248,6 +281,7 @@ def run(
         "zips": n_zips,
         "metadata_docs": n_docs,
         "upload_targets": uploads,
+        "n_upload_targets": n_uploads,
     }
 
 

@@ -12,10 +12,10 @@ as composable DataFrame transformations:
   SURVEY §7 hard-part 1) via an Arrow-batched pandas UDF.
 - ``resample_nearest``: cellSize="MINOF" resampling analogue (:300) in
   JVM expressions (nearest-neighbor decimation/replication).
-- ``encode_geotiff_stub``: the COG sink boundary (:259–261). GDAL is not
-  in this image, so encoding yields a deterministic fake container that
-  round-trips the raster struct — the Spark-side plumbing (binary
-  column, schema, partitioning) is real; swap the codec to go live.
+- ``encode_geotiff``: the GeoTIFF sink boundary (:259–261) — a real
+  minimal GeoTIFF (pure-``struct`` TIFF 6.0 + GeoTIFF 1.1 tags, codec
+  in operators/geotiff.py), openable by any float64-capable TIFF
+  reader; swap the kernel for GDAL to add COG tiling/compression.
 
 Scale: one row per raster keeps lineage columnar; a 10k×10k float grid
 is ~800 MB of cells, so production tiling would split rasters into
@@ -26,8 +26,6 @@ the explicit width/height arithmetic.
 
 from __future__ import annotations
 
-import json
-import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -205,43 +203,32 @@ def resample_nearest(rasters: DataFrame, factor: int) -> DataFrame:
     )
 
 
-GEOTIFF_STUB_MAGIC = b"FAKETIFF"
-
-
-def encode_geotiff_stub(rasters: DataFrame) -> DataFrame:
-    """COG-encode boundary (copy_esrigrid…py:259–261).
-
-    GDAL is unavailable in this image, so this emits a deterministic fake
-    container: MAGIC + json header + float64-LE cells. The DataFrame
-    plumbing (binary column production, schema, per-row encode in Arrow
-    batches) is the real operator shape; replace ``_encode`` with a GDAL
-    call to produce genuine COGs.
-    """
-
-    def _encode(row) -> bytes:
-        header = json.dumps(
-            {
-                "w": int(row.width), "h": int(row.height),
-                "xll": row.xllcorner, "yll": row.yllcorner,
-                "cs": row.cellsize, "nodata": row.nodata_value,
-                "crs": row.crs,
-            },
-            sort_keys=True,
-        ).encode()
-        cells = struct.pack(f"<{len(row.cells)}d", *row.cells)
-        return (
-            GEOTIFF_STUB_MAGIC
-            + struct.pack("<I", len(header))
-            + header
-            + cells
-        )
+def encode_geotiff(rasters: DataFrame) -> DataFrame:
+    """GeoTIFF sink boundary (copy_esrigrid…py:259–261): encode each
+    raster row into a REAL (minimal) GeoTIFF — classic little-endian
+    TIFF, one uncompressed float64 strip, ModelPixelScale/ModelTiepoint/
+    GeoKeyDirectory georeferencing and GDAL_NODATA, written with stdlib
+    ``struct`` against the public TIFF 6.0 + GeoTIFF 1.1 specs (codec in
+    operators/geotiff.py; round-trip-tested via decode_geotiff). Output:
+    (base_name, tiff binary), one artifact per row, encoded inside
+    Arrow-batched ``mapInPandas`` — parallel per raster/tile, nothing on
+    the driver. Production COG (tiled + overviews + compression) swaps
+    the kernel for GDAL; the operator shape is unchanged."""
+    from .geotiff import encode_geotiff as _enc_one
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "base_name": pdf["base_name"],
-                    "tiff": [_encode(r) for r in pdf.itertuples(index=False)],
+                    "tiff": [
+                        _enc_one(
+                            int(r["width"]), int(r["height"]),
+                            r["xllcorner"], r["yllcorner"], r["cellsize"],
+                            r["nodata_value"], r["crs"], list(r["cells"]),
+                        )
+                        for r in pdf.to_dict("records")
+                    ],
                 }
             )
 

@@ -51,8 +51,14 @@ def test_cli_end_to_end(spark, io_dirs):
     with zipfile.ZipFile(out / "zips" / zips[0]) as zf:
         names = sorted(zf.namelist())
         assert names[0].endswith(".asc") and names[1].endswith(".stats.json")
+        assert names[2].endswith(".tif")
         stats = json.loads(zf.read(names[1]))
         assert stats["n_cells"] > 0
+        # the .tif is a REAL GeoTIFF (round-trips through our decoder)
+        from geospatial_etl_pipeline_spark.operators.geotiff import decode_geotiff
+
+        tif = decode_geotiff(zf.read(names[2]))
+        assert tif["width"] == 10 and tif["crs"] == "EPSG:27200"
 
     docs = sorted(p for p in os.listdir(out) if p.endswith(".json"))
     assert len(docs) == 4

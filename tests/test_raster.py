@@ -2,17 +2,18 @@
 
 from __future__ import annotations
 
-import json
-import math
 import struct
 
 import pytest
 
+from geospatial_etl_pipeline_spark.operators.geotiff import (
+    decode_geotiff,
+    encode_geotiff as encode_geotiff_bytes,
+)
 from geospatial_etl_pipeline_spark.operators.raster import (
-    GEOTIFF_STUB_MAGIC,
     clip_to_bbox,
     clip_to_polygon,
-    encode_geotiff_stub,
+    encode_geotiff,
     raster_stats,
     resample_nearest,
 )
@@ -109,14 +110,47 @@ def test_resample_nearest(rasters):
     assert out["cells"][5:7] == [20.0, 22.0]
 
 
-def test_encode_geotiff_stub_roundtrip(rasters):
+def test_encode_geotiff_is_valid_tiff(rasters):
+    """The operator output is a structurally valid classic TIFF: correct
+    byte-order mark, magic 42, an IFD with ascending tags, and the strip
+    where StripOffsets says it is."""
     small = rasters.filter("base_name = 'small'")
-    row = encode_geotiff_stub(small).collect()[0]
+    row = encode_geotiff(small).collect()[0]
     blob = row["tiff"]
-    assert blob.startswith(GEOTIFF_STUB_MAGIC)
-    (hlen,) = struct.unpack_from("<I", blob, len(GEOTIFF_STUB_MAGIC))
-    off = len(GEOTIFF_STUB_MAGIC) + 4
-    header = json.loads(blob[off : off + hlen])
-    assert header["w"] == 4 and header["h"] == 4 and header["nodata"] == -9999.0
-    cells = struct.unpack_from(f"<{header['w'] * header['h']}d", blob, off + hlen)
-    assert cells[0] == 1.0 and math.isclose(cells[15], 16.0)
+    assert blob[:2] == b"II"
+    assert struct.unpack_from("<H", blob, 2)[0] == 42
+    (ifd_off,) = struct.unpack_from("<I", blob, 4)
+    (n_entries,) = struct.unpack_from("<H", blob, ifd_off)
+    tags = [
+        struct.unpack_from("<H", blob, ifd_off + 2 + i * 12)[0]
+        for i in range(n_entries)
+    ]
+    assert tags == sorted(tags)  # TIFF 6.0 requires ascending tag order
+    assert 256 in tags and 257 in tags and 34735 in tags  # dims + GeoKeys
+
+
+def test_encode_geotiff_roundtrip(rasters):
+    """decode(encode(raster)) recovers dims, extent, CRS, nodata, cells."""
+    small = rasters.filter("base_name = 'small'")
+    row = encode_geotiff(small).collect()[0]
+    src = rasters.filter("base_name = 'small'").collect()[0]
+    got = decode_geotiff(row["tiff"])
+    assert (got["width"], got["height"]) == (src["width"], src["height"])
+    assert got["xllcorner"] == src["xllcorner"]
+    assert got["yllcorner"] == pytest.approx(src["yllcorner"])
+    assert got["cellsize"] == src["cellsize"]
+    assert got["nodata_value"] == src["nodata_value"]
+    assert got["crs"] == "EPSG:27200"
+    assert got["model_type"] == "projected"
+    assert got["cells"] == list(src["cells"])
+
+
+def test_encode_geotiff_bytes_geographic_crs():
+    blob = encode_geotiff_bytes(2, 2, 10.0, 20.0, 0.5, -1.0, "EPSG:4326",
+                                [1.0, 2.0, 3.0, 4.0])
+    got = decode_geotiff(blob)
+    assert got["model_type"] == "geographic"
+    assert got["crs"] == "EPSG:4326"
+    assert got["cells"] == [1.0, 2.0, 3.0, 4.0]
+    # tiepoint maps top-left: ytop = yll + h*cs = 21.0
+    assert got["yllcorner"] == pytest.approx(20.0)
