@@ -56,8 +56,18 @@ from .operators.sinks import upload_prefix, write_metadata_json, write_product_z
 from .sources.asc import asc_text, read_asc
 
 
-def load_regions(spark: SparkSession, regions_csv: str | None) -> DataFrame:
-    """(regc_code, region_name_ascii, wkt) — CSV or pass-through default."""
+def load_regions(
+    spark: SparkSession,
+    regions_csv: str | None,
+    regions_url: str | None = None,
+) -> DataFrame:
+    """(regc_code, region_name_ascii, wkt) — hosted feature service
+    (REF:184–187, via sources.feature_service), CSV, or pass-through
+    default, in that priority order."""
+    if regions_url is not None:
+        from .sources.feature_service import read_feature_service
+
+        return read_feature_service(spark, regions_url)
     if regions_csv is None:
         return dim_df(
             spark, {"00": "New Zealand"}, "regc_code", "region_name_ascii"
@@ -232,10 +242,11 @@ def run(
     s3prefix: str | None = None,
     crs: str = "EPSG:27200",
     strict: bool = False,
+    regions_url: str | None = None,
 ) -> dict:
     """Execute the pipeline; returns counts for logging/tests."""
     rasters = read_asc(spark, file_folder, crs=crs)
-    regions = load_regions(spark, regions_csv)
+    regions = load_regions(spark, regions_csv, regions_url)
     products = build_products(spark, rasters, regions).cache()
 
     n_products = products.count()
@@ -294,6 +305,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--output_folder_zipped", default=None)
     ap.add_argument("-r", "--regions_file", default=None,
                     help="CSV: regc_code,region_name_ascii,wkt")
+    ap.add_argument("--regions_url", default=None,
+                    help="ArcGIS REST feature-layer URL (REF:184-187); "
+                         "takes precedence over --regions_file")
     ap.add_argument("-b", "--bucket_name", default=None)
     ap.add_argument("--s3prefix", default=None)
     ap.add_argument("--crs", default="EPSG:27200")
@@ -313,6 +327,7 @@ def main(argv: list[str] | None = None) -> None:
         args.s3prefix,
         args.crs,
         args.strict,
+        regions_url=args.regions_url,
     )
     print(json.dumps({k: v for k, v in result.items()}, indent=2))
 
