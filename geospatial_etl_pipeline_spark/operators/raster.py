@@ -203,6 +203,81 @@ def resample_nearest(rasters: DataFrame, factor: int) -> DataFrame:
     )
 
 
+def tile(rasters: DataFrame, tile_px: int) -> DataFrame:
+    """Split each raster row into fixed-size tile rows (edge tiles
+    smaller) — the scale operator this module's header promises: a
+    10k×10k float64 grid is ~800 MB in ONE row, which breaks row-based
+    shuffle/memory budgets; tiles of e.g. 1024px are ~8 MB rows that
+    partition evenly across executors.
+
+    Output schema = input raster struct (width/height/xllcorner/
+    yllcorner updated per tile, same base_name/cellsize/nodata/crs) plus
+    ``tile_id`` ("ty_tx"). Because ``base_name`` is preserved and tiles
+    partition the cells exactly, ``raster_stats`` composes UNCHANGED:
+    stats over tile rows == stats over the whole raster (count/min/max/
+    mean/stddev are flat aggregates over exploded cells). ``clip_to_*``
+    and ``encode_geotiff`` likewise see ordinary (smaller) rasters.
+    Pure JVM array expressions — one explode per tile, no Python.
+    """
+    if tile_px < 1:
+        raise ValueError("tile_px must be >= 1")
+    tp = F.lit(tile_px)
+    pre = rasters.select(
+        "*",
+        F.ceil(F.col("width") / tp).cast("int").alias("_ntx"),
+        F.ceil(F.col("height") / tp).cast("int").alias("_nty"),
+    )
+    tiled = pre.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.col("_ntx") * F.col("_nty") - 1)).alias(
+            "_ti"
+        ),
+    ).select(
+        "*",
+        (F.col("_ti") % F.col("_ntx")).cast("int").alias("_tx"),
+        (F.col("_ti") / F.col("_ntx")).cast("int").alias("_ty"),
+    )
+    tw = F.least(tp, F.col("width") - F.col("_tx") * tp).cast("int")
+    th = F.least(tp, F.col("height") - F.col("_ty") * tp).cast("int")
+    staged = tiled.select("*", tw.alias("_tw"), th.alias("_th"))
+    rows_ = F.sequence(F.lit(0), F.col("_th") - 1)
+    cols_ = F.sequence(F.lit(0), F.col("_tw") - 1)
+    cells = F.flatten(
+        F.transform(
+            rows_,
+            lambda r: F.transform(
+                cols_,
+                lambda c: F.element_at(
+                    F.col("cells"),
+                    (
+                        (F.col("_ty") * tp + r) * F.col("width")
+                        + F.col("_tx") * tp + c + 1
+                    ).cast("int"),
+                ),
+            ),
+        )
+    )
+    ytop = F.col("yllcorner") + F.col("height") * F.col("cellsize")
+    final = staged.select("*", cells.alias("_cells"))
+    return final.select(
+        "path",
+        "base_name",
+        F.concat_ws("_", F.col("_ty"), F.col("_tx")).alias("tile_id"),
+        F.col("_tw").alias("width"),
+        F.col("_th").alias("height"),
+        (F.col("xllcorner") + F.col("_tx") * tp * F.col("cellsize")).alias(
+            "xllcorner"
+        ),
+        (ytop - (F.col("_ty") * tp + F.col("_th")) * F.col("cellsize")).alias(
+            "yllcorner"
+        ),
+        "cellsize",
+        "nodata_value",
+        "crs",
+        F.col("_cells").alias("cells"),
+    )
+
+
 def encode_geotiff(rasters: DataFrame) -> DataFrame:
     """GeoTIFF sink boundary (copy_esrigrid…py:259–261): encode each
     raster row into a REAL (minimal) GeoTIFF — classic little-endian

@@ -127,3 +127,75 @@ def q91_raster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("val").alias("max_val"),
         )
     )
+
+
+_TILE_PX = 13  # deliberately not a divisor of 160/120: edge tiles shrink
+
+
+@register(
+    "q92_tiled_raster_stats",
+    tags=("raster", "tiling", "agg"),
+    oracle=f"""
+WITH cells AS (
+  SELECT g.base_name,
+         CASE WHEN ((id % {_W}) + (id // {_W}) + g.off) % 57 = 0 THEN -9999.0
+              ELSE CAST(((id % {_W}) * 31 + (id // {_W}) * 17 + g.off) % 101
+                        AS DOUBLE) END AS val
+  FROM (VALUES ('g0', 0), ('g5', 5)) AS g(base_name, off),
+       range({_W * _H}) t(id)
+)
+SELECT base_name,
+       COUNT(*) AS n_cells,
+       MIN(val) AS min_val,
+       MAX(val) AS max_val,
+       AVG(val) AS mean_val
+FROM cells WHERE val <> -9999.0
+GROUP BY base_name
+""",
+)
+def q92_tiled_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tiling operator under the hash gate: build two {_W}×{_H}
+    rasters declaratively (integer-valued cells + NODATA holes), split
+    them with operators.raster.tile({_TILE_PX}px — a non-divisor, so
+    edge tiles shrink), then raster_stats over the TILE rows. The oracle
+    computes the same stats straight from the cell function: any
+    dropped/duplicated/misindexed cell in the tiler breaks the hash.
+
+    Determinism: cells are integer-valued doubles (sums < 2^53), so
+    min/max/avg are exact in any reduction order. Scale shape: tiling is
+    one explode (rows × ~W·H/tile_px² tiles), stats stay a partial-agg
+    groupBy on base_name."""
+    from ..operators.raster import raster_stats, tile
+
+    ids = F.sequence(F.lit(0), F.lit(_W * _H - 1))
+
+    def cells_for(off: int):
+        return F.transform(
+            ids,
+            lambda i: F.when(
+                ((i % _W) + F.floor(i / _W) + off) % 57 == 0, F.lit(-9999.0)
+            ).otherwise(
+                (((i % _W) * 31 + F.floor(i / _W) * 17 + off) % 101).cast(
+                    "double"
+                )
+            ),
+        )
+
+    base = literal_df(spark, [("g0", 0), ("g5", 5)], ["base_name", "off"])
+    rasters = base.select(
+        F.lit("mem").alias("path"),
+        "base_name",
+        F.lit(_W).alias("width"),
+        F.lit(_H).alias("height"),
+        F.lit(0.0).alias("xllcorner"),
+        F.lit(0.0).alias("yllcorner"),
+        F.lit(1.0).alias("cellsize"),
+        F.lit(-9999.0).alias("nodata_value"),
+        F.lit("EPSG:27200").alias("crs"),
+        F.when(F.col("off") == 0, cells_for(0))
+        .otherwise(cells_for(5))
+        .alias("cells"),
+    )
+    return raster_stats(tile(rasters, _TILE_PX)).select(
+        "base_name", "n_cells", "min_val", "max_val", "mean_val"
+    )

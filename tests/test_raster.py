@@ -145,6 +145,73 @@ def test_encode_geotiff_roundtrip(rasters):
     assert got["cells"] == list(src["cells"])
 
 
+@pytest.mark.parametrize("w,h,tp", [(10, 10, 4), (7, 5, 3), (10, 10, 10),
+                                    (6, 9, 2), (5, 7, 16)])
+def test_tile_partitions_cells_exactly(spark, w, h, tp):
+    """Property: tiles partition the raster exactly — reassembling tile
+    cells by (ty, tx) recovers the whole grid, extents abut, and edge
+    tiles shrink (never pad)."""
+    from geospatial_etl_pipeline_spark.operators.raster import tile
+
+    cells = [float(i) for i in range(w * h)]
+    df = spark.createDataFrame(
+        [("p", "g", w, h, 2.0, 3.0, 1.5, -9999.0, "EPSG:27200", cells)],
+        "path string, base_name string, width int, height int, "
+        "xllcorner double, yllcorner double, cellsize double, "
+        "nodata_value double, crs string, cells array<double>",
+    )
+    tiles = {t["tile_id"]: t for t in tile(df, tp).collect()}
+    ntx, nty = -(-w // tp), -(-h // tp)
+    assert len(tiles) == ntx * nty
+    # reassemble row-major and compare to the source
+    rebuilt = []
+    for r in range(h):
+        for c in range(w):
+            t = tiles[f"{r // tp}_{c // tp}"]
+            rebuilt.append(t["cells"][(r % tp) * t["width"] + (c % tp)])
+    assert rebuilt == cells
+    # geometry: tile (0,0) is the TOP-left; its yll + th*cs == raster ytop
+    t00 = tiles["0_0"]
+    assert t00["xllcorner"] == 2.0
+    assert t00["yllcorner"] + t00["height"] * 1.5 == pytest.approx(3.0 + h * 1.5)
+    # all widths/heights sum correctly per band
+    assert sum(tiles[f"0_{tx}"]["width"] for tx in range(ntx)) == w
+    assert sum(tiles[f"{ty}_0"]["height"] for ty in range(nty)) == h
+
+
+def test_tile_stats_equal_whole(rasters):
+    """raster_stats composes over tiles UNCHANGED: same groupBy
+    base_name over tile rows == whole-raster stats (incl. NODATA)."""
+    from geospatial_etl_pipeline_spark.operators.raster import tile
+
+    whole = {r["base_name"]: r for r in raster_stats(rasters).collect()}
+    tiled = {r["base_name"]: r for r in raster_stats(tile(rasters, 3)).collect()}
+    assert set(whole) == set(tiled)
+    for name in whole:
+        for col in ("n_cells", "min_val", "max_val"):
+            assert whole[name][col] == tiled[name][col], (name, col)
+        assert tiled[name]["mean_val"] == pytest.approx(whole[name]["mean_val"])
+        assert tiled[name]["stddev_val"] == pytest.approx(
+            whole[name]["stddev_val"]
+        )
+
+
+def test_tile_clip_bbox_equal_whole(spark, rasters):
+    """clip_to_bbox over tiles ≡ clip over the whole raster: clipping
+    each tile to the bbox and re-aggregating stats matches clipping the
+    un-tiled raster (tiles fully outside collapse to 0-cell rasters)."""
+    from geospatial_etl_pipeline_spark.operators.raster import tile
+
+    big = rasters.filter("base_name = 'grid_02_a_b_mean_monthly7'")
+    whole = raster_stats(clip_to_bbox(big, 2.0, 3.0, 5.0, 7.0)).collect()[0]
+    tiles_clipped = clip_to_bbox(tile(big, 4), 2.0, 3.0, 5.0, 7.0)
+    tiled = raster_stats(tiles_clipped).collect()[0]
+    assert tiled["n_cells"] == whole["n_cells"]
+    assert tiled["min_val"] == whole["min_val"]
+    assert tiled["max_val"] == whole["max_val"]
+    assert tiled["mean_val"] == pytest.approx(whole["mean_val"])
+
+
 def test_encode_geotiff_bytes_geographic_crs():
     blob = encode_geotiff_bytes(2, 2, 10.0, 20.0, 0.5, -1.0, "EPSG:4326",
                                 [1.0, 2.0, 3.0, 4.0])
