@@ -11,10 +11,12 @@ Two layers:
   slow path for semantics Spark expressions can't reach)
 
 Reprojection note: the reference requests an NTv2 grid-shift datum
-transformation (New_Zealand_1949_To_NZGD_2000_3_NTv2). Grid-shift files
-are not available here; we implement the standard Transverse Mercator
-forward mapping (Krüger series, GRS80) for the NZTM2000 projection and
-document the datum-shift tolerance (SURVEY §7 hard-part 2).
+transformation (New_Zealand_1949_To_NZGD_2000_3_NTv2). The NZTM2000
+projection is the standard Transverse Mercator forward (Krüger series,
+GRS80); the NZGD1949 datum shift is a pluggable hook (functions/datum.py:
+NTv2 .gsb parser + bilinear shift when a grid is supplied, published
+3-parameter geocentric fallback within a pinned tolerance otherwise —
+SURVEY §7 hard-part 2).
 """
 
 from __future__ import annotations
@@ -166,10 +168,22 @@ def _tm_forward(
     return easting, northing
 
 
-def lonlat_to_nztm(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """EPSG:4326 -> EPSG:2193 (NZTM2000). NZGD2000 is ~WGS84 (<1 m);
-    the NTv2 NZGD1949 datum shift is NOT applied (grids unavailable) —
-    documented tolerance per SURVEY §7."""
+def lonlat_to_nztm(
+    lon: np.ndarray,
+    lat: np.ndarray,
+    datum_shift=None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """lon/lat -> EPSG:2193 (NZTM2000). NZGD2000 is ~WGS84 (<1 m).
+
+    ``datum_shift`` is the pluggable NZGD1949 hook (REF requests
+    New_Zealand_1949_To_NZGD_2000_3_NTv2, copy_esrigrid…py:301): pass
+    ``functions.datum.nzgd1949_to_nzgd2000`` (optionally closed over a
+    parsed NTv2 grid) when the input is NZGD1949; with no grid file the
+    3-parameter geocentric fallback applies, within
+    ``datum.FALLBACK_TOLERANCE_M`` of the grid path (tolerance pinned in
+    tests/test_geometry_functions.py). None = input already NZGD2000."""
+    if datum_shift is not None:
+        lon, lat = datum_shift(lon, lat)
     return _tm_forward(lon, lat, **NZTM)
 
 

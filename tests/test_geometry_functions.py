@@ -103,3 +103,115 @@ def test_spark_udfs(spark):
     assert by_id[1]["area"] == 96.0
     assert by_id[1]["env"].startswith("POLYGON((0 0, 10 0")
     assert json.loads(by_id[1]["gj"])["type"] == "Polygon"
+
+
+# --------------------------------------------------------------------------
+# NTv2 datum-shift hook (functions/datum.py)
+# --------------------------------------------------------------------------
+
+
+def _nz_fixture_grid(nrows=15, ncols=14):
+    """Synthetic NZ-extent NTv2 grid whose node shifts are EXACTLY the
+    3-parameter fallback's shifts — so grid-path vs fallback-path
+    agreement is pure interpolation error, and the pinned
+    FALLBACK_TOLERANCE_M documents the real-grid bound."""
+    import numpy as np
+
+    from geospatial_etl_pipeline_spark.functions.datum import (
+        NTv2Grid,
+        nzgd1949_to_nzgd2000,
+    )
+
+    s_lat, n_lat = -48.0 * 3600, -34.0 * 3600
+    e_long, w_long = -179.0 * 3600, -166.0 * 3600  # positive-west secs
+    lat_inc = (n_lat - s_lat) / (nrows - 1)
+    long_inc = (w_long - e_long) / (ncols - 1)
+    lats = (s_lat + lat_inc * np.arange(nrows)) / 3600.0
+    lons_w = e_long + long_inc * np.arange(ncols)
+    lons = -lons_w / 3600.0
+    LON, LAT = np.meshgrid(lons, lats)
+    lon2, lat2 = nzgd1949_to_nzgd2000(LON.ravel(), LAT.ravel())
+    dlat_sec = (lat2 - LAT.ravel()) * 3600.0
+    dlon_w_sec = -(lon2 - LON.ravel()) * 3600.0
+    return NTv2Grid(s_lat, n_lat, e_long, w_long, lat_inc, long_inc,
+                    dlat_sec, dlon_w_sec)
+
+
+def test_ntv2_gsb_roundtrip():
+    import numpy as np
+
+    from geospatial_etl_pipeline_spark.functions.datum import (
+        make_ntv2_bytes,
+        parse_ntv2,
+    )
+
+    g = _nz_fixture_grid(5, 4)
+    blob = make_ntv2_bytes(g.s_lat, g.n_lat, g.e_long, g.w_long,
+                           g.lat_inc, g.long_inc,
+                           g.lat_shift, g.lon_shift)
+    back = parse_ntv2(blob)
+    assert (back.nrows, back.ncols) == (5, 4)
+    assert back.s_lat == g.s_lat and back.w_long == g.w_long
+    # float32 storage in the .gsb format
+    assert np.allclose(back.lat_shift, g.lat_shift, atol=1e-3)
+    assert np.allclose(back.lon_shift, g.lon_shift, atol=1e-3)
+
+
+def test_ntv2_bilinear_exact_at_nodes_and_outside_passthrough():
+    import numpy as np
+
+    g = _nz_fixture_grid()
+    # at a grid node the interpolation is exact
+    lat0 = g.s_lat / 3600.0
+    lon0 = -g.e_long / 3600.0
+    lon_s, lat_s = g.shift(np.array([lon0]), np.array([lat0]))
+    assert lat_s[0] - lat0 == pytest.approx(g.lat_shift[0, 0] / 3600.0, abs=1e-12)
+    # a point far outside the grid passes through unshifted
+    lon_o, lat_o = g.shift(np.array([10.0]), np.array([50.0]))
+    assert lon_o[0] == 10.0 and lat_o[0] == 50.0
+
+
+def test_datum_fallback_within_documented_tolerance_of_grid():
+    """nzgd1949_to_nzgd2000 without a grid stays within
+    FALLBACK_TOLERANCE_M of the grid path (here the grid encodes the
+    fallback at nodes, so the gap is interpolation error only — the
+    4 m constant documents the bound vs the real LINZ grid)."""
+    import numpy as np
+
+    from geospatial_etl_pipeline_spark.functions.datum import (
+        FALLBACK_TOLERANCE_M,
+        nzgd1949_to_nzgd2000,
+    )
+
+    g = _nz_fixture_grid()
+    lons = np.array([172.5, 174.78, 168.3, 176.9])
+    lats = np.array([-43.5, -41.29, -46.4, -37.8])
+    glon, glat = nzgd1949_to_nzgd2000(lons, lats, grid=g)
+    flon, flat = nzgd1949_to_nzgd2000(lons, lats)
+    # degrees -> meters (~111.3 km/deg lat; scale lon by cos(lat))
+    dlat_m = np.abs(glat - flat) * 111_320.0
+    dlon_m = np.abs(glon - flon) * 111_320.0 * np.cos(np.radians(lats))
+    assert float(np.max(dlat_m)) < FALLBACK_TOLERANCE_M
+    assert float(np.max(dlon_m)) < FALLBACK_TOLERANCE_M
+    # and the shift itself is the physically expected ~150-220 m
+    shift_m = np.hypot((glat - lats) * 111_320.0,
+                       (glon - lons) * 111_320.0 * np.cos(np.radians(lats)))
+    assert np.all(shift_m > 50.0) and np.all(shift_m < 400.0)
+
+
+def test_lonlat_to_nztm_datum_hook():
+    """The hook plugs into the NZTM projection: NZGD1949 input shifted
+    through the datum hook lands ~100-300 m from the unshifted result."""
+    import numpy as np
+
+    from geospatial_etl_pipeline_spark.functions.datum import (
+        nzgd1949_to_nzgd2000,
+    )
+    from geospatial_etl_pipeline_spark.functions.geometry import lonlat_to_nztm
+
+    lon = np.array([174.7762])
+    lat = np.array([-41.2865])
+    e0, n0 = lonlat_to_nztm(lon, lat)
+    e1, n1 = lonlat_to_nztm(lon, lat, datum_shift=nzgd1949_to_nzgd2000)
+    d = float(np.hypot(e1 - e0, n1 - n0))
+    assert 50.0 < d < 400.0
