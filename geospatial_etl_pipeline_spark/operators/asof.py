@@ -68,9 +68,18 @@ def asof_join(
         F.struct(*right_payload).alias("_r"),
     )
     u = lhs.unionByName(rhs)
+    # Tie policy (documented, deterministic): when several RIGHT rows
+    # share the same (key, ts), the survivor is the one with the
+    # GREATEST payload struct (field-order lexicographic comparison over
+    # right_payload) — `_r` joins the orderBy so `last(_r)` is total-
+    # ordered and reproducible across runs/partitionings, not a
+    # partition-order accident (ADVICE r1). Left rows sort after right
+    # rows at equal ts via `_side`, so at-or-before semantics hold.
+    # Requires orderable payload types (no maps) — true of columnar
+    # payloads in practice.
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_r").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = u.withColumn("_last_r", F.last("_r", ignorenulls=True).over(w))

@@ -125,14 +125,20 @@ def write_partitioned_parquet(
     - dynamic partition overwrite replaces ONLY the partitions present
       in ``df`` — an idempotent daily/region backfill never truncates
       sibling partitions (static mode, the default in Spark, would).
-    - ``target_file_rows`` repartitions by the partition columns first,
-      bounding files-per-partition: without it every upstream task
-      writes a file into every partition it touches — the classic
-      small-files explosion at 1000 executors.
+    - ``target_file_rows`` bounds BOTH ends of file sizing: repartition
+      by the partition columns collapses the fan-in (without it every
+      upstream task writes a file into every partition it touches — the
+      small-files explosion at 1000 executors), and ``maxRecordsPerFile``
+      makes the writer roll a new file every ``target_file_rows`` rows,
+      so one-task-per-partition can't produce one giant file either.
     """
     spark = df.sparkSession
     if dynamic_overwrite:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    writer = df.write
     if target_file_rows:
-        df = df.repartition(*partition_cols)
-    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(out_dir)
+        writer = (
+            df.repartition(*partition_cols)
+            .write.option("maxRecordsPerFile", int(target_file_rows))
+        )
+    writer.mode("overwrite").partitionBy(*partition_cols).parquet(out_dir)

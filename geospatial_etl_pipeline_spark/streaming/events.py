@@ -177,17 +177,26 @@ def stream_to_partitioned_parquet(
     partition_cols: list[str],
     checkpoint_dir: str,
 ) -> None:
-    """Land a stream as hive-partitioned parquet via ``foreachBatch`` +
-    the batch partitioned sink (operators.sinks.write_partitioned_parquet
-    semantics, dynamic partition overwrite per micro-batch is NOT used —
-    each batch appends, and exactly-once comes from the checkpoint +
-    idempotent task files). foreachBatch is the escape hatch that gives a
-    stream every batch sink Spark has; the checkpoint dir carries the
-    stream's progress so a restart resumes, never re-lands, a batch."""
+    """Land a stream as hive-partitioned parquet via ``foreachBatch``,
+    EXACTLY-ONCE: the layout is partitioned by (batch_id, *partition_cols)
+    and each micro-batch writes with DYNAMIC partition overwrite, so a
+    replay of batch N (failure after some task files committed but before
+    the checkpoint advanced) overwrites exactly the batch_id=N partitions
+    it had written instead of appending duplicates — checkpoint resume +
+    idempotent rewrite is the standard exactly-once recipe for a
+    non-transactional file sink. A blind ``append`` here would be
+    at-least-once (ADVICE r1). Readers still get partition pruning on
+    ``partition_cols``; drop/ignore the leading ``batch_id`` column."""
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").partitionBy(*partition_cols).parquet(
-            out_dir
+        batch_df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id", *partition_cols)
+            .parquet(out_dir)
         )
 
     q = (

@@ -103,3 +103,38 @@ def test_sessionize_matches_bruteforce(spark, events):
         )
         expect[u] = n
     assert got == expect
+
+
+def test_asof_join_ts_tie_is_deterministic(spark):
+    """Right rows sharing (key, ts) with different payloads: the
+    documented tie policy (greatest payload struct wins) holds, and the
+    result is identical across input partitionings."""
+    from pyspark.sql import functions as F
+
+    from geospatial_etl_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 50), (2, 100)], ["k", "ts"]
+    )
+    right_rows = [
+        (1, 100, "b", 7.0), (1, 100, "a", 9.0), (1, 100, "c", 1.0),
+        (1, 40, "z", 2.0),
+        (2, 100, "m", 5.0), (2, 100, "m", 4.0),
+    ]
+    results = []
+    for nparts in (1, 3, 7):
+        right = spark.createDataFrame(
+            right_rows, ["k", "ts", "tag", "score"]
+        ).repartition(nparts)
+        out = asof_join(left, right, on=["k"], ts="ts",
+                        right_payload=["tag", "score"])
+        results.append(
+            sorted((r["k"], r["ts"], r["asof_tag"], r["asof_score"])
+                   for r in out.collect())
+        )
+    assert results[0] == results[1] == results[2]
+    by = {(k, ts): (tag, sc) for k, ts, tag, sc in results[0]}
+    # greatest struct (tag, score): ('c', 1.0) > ('b', 7.0) > ('a', 9.0)
+    assert by[(1, 100)] == ("c", 1.0)
+    assert by[(1, 50)] == ("z", 2.0)   # no tie: ordinary at-or-before
+    assert by[(2, 100)] == ("m", 5.0)  # tag tie -> greater score wins

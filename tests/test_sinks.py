@@ -110,3 +110,32 @@ def test_write_partitioned_parquet_dynamic_overwrite(spark, tmp_path):
     assert counts == {0: 10, 1: 50}
     # partition pruning visible to the reader: filter hits one directory
     assert back.filter("bucket = 1").count() == 50
+
+
+def test_write_partitioned_parquet_target_file_rows(spark, tmp_path):
+    """target_file_rows is honored: one task per partition (repartition
+    collapses fan-in) AND the writer rolls files every N rows
+    (maxRecordsPerFile), so 60 rows at target 25 → 3 files, not 1."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geospatial_etl_pipeline_spark.operators.sinks import (
+        write_partitioned_parquet,
+    )
+
+    out = str(tmp_path / "sized_out")
+    df = (
+        spark.range(120)
+        .withColumn("bucket", (F.col("id") % 2).cast("int"))
+        .repartition(8)  # many upstream tasks: the fan-in to collapse
+    )
+    write_partitioned_parquet(df, out, ["bucket"], target_file_rows=25)
+    for b in (0, 1):
+        files = [
+            f for f in os.listdir(os.path.join(out, f"bucket={b}"))
+            if f.endswith(".parquet")
+        ]
+        # 60 rows / 25-row cap = 3 rolled files from the single task
+        assert len(files) == 3, files
+    assert spark.read.parquet(out).count() == 120

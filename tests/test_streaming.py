@@ -128,7 +128,9 @@ def test_stream_to_partitioned_parquet(spark, sf_dir, stream, tmp_path):
         ["event_type"],
         str(tmp_path / "ckpt"),
     )
-    back = spark.read.parquet(out)
+    # batch_id is the sink's idempotence key (exactly-once replay unit);
+    # consumers drop it
+    back = spark.read.parquet(out).drop("batch_id")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     got = {r["event_type"]: r["n"] for r in
            back.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
@@ -138,3 +140,26 @@ def test_stream_to_partitioned_parquet(spark, sf_dir, stream, tmp_path):
     # partition pruning works on the landed layout
     any_type = next(iter(want))
     assert back.filter(F.col("event_type") == any_type).count() == want[any_type]
+
+
+def test_stream_sink_replay_is_idempotent(spark, stream, tmp_path):
+    """Replaying the same batches into the same out_dir (fresh
+    checkpoint = full reprocess, the worst-case 'failed before
+    checkpoint advanced' replay) must NOT duplicate rows: the
+    batch_id-keyed dynamic overwrite rewrites, never appends."""
+    from pyspark.sql import functions as F
+
+    from geospatial_etl_pipeline_spark.streaming.events import (
+        stream_to_partitioned_parquet,
+    )
+
+    out = str(tmp_path / "landed")
+    sel = stream.select("event_id", "event_type", "value")
+    stream_to_partitioned_parquet(sel, out, ["event_type"],
+                                  str(tmp_path / "ckpt1"))
+    n1 = spark.read.parquet(out).count()
+    stream_to_partitioned_parquet(sel, out, ["event_type"],
+                                  str(tmp_path / "ckpt2"))
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2
+    assert spark.read.parquet(out).select("event_id").distinct().count() == n1
