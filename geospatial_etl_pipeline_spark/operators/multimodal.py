@@ -5,12 +5,13 @@ the only schema that scales to 100 TB of images/audio/video in a
 relational engine (content-addressed blobs, columnar metadata, operators
 as Arrow-batched transforms).
 
-The image/audio codec libraries are NOT in this container, so the decode
-kernels are STUBS: ``decode_image`` raises NotImplementedError unless
-``allow_fake=True``, in which case a clearly-marked deterministic fake
-decoder (bytes -> pseudo-pixel stats via MD5) exercises the real Spark
-plumbing — schema, batch iteration, partition sizing — end to end.
-Swap ``_fake_decode`` for Pillow/ffmpeg calls to go live.
+The image/audio codec libraries are NOT in this container, so ONLY the
+byte<->pixel codec boundary is faked (clearly-marked deterministic fake
+containers, ``allow_fake=True`` required): feature extraction, the
+nearest-neighbor ``resize`` math, ``frame_sample`` timestamp
+arithmetic, and all Spark plumbing — schema, Arrow batch iteration,
+per-frame fan-out, partition sizing — are real and tested end to end.
+Swap the fake_*code_* functions for Pillow/ffmpeg calls to go live.
 """
 
 from __future__ import annotations
@@ -125,19 +126,210 @@ def decode_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize operator boundary — stub (no codec). The signature,
-    schema and partition behavior are the production shape."""
-    raise NotImplementedError(
-        "resize requires an image codec; the operator contract is "
-        "media(MEDIA_SCHEMA) -> media(MEDIA_SCHEMA) with meta.width/height "
-        "rewritten and blob re-encoded, applied via mapInPandas"
-    )
+# --------------------------------------------------------------------------
+# Pluggable pixel codec. ONLY the byte<->pixel codec is fake (no
+# Pillow/ffmpeg in this image); everything downstream of decode —
+# nearest-neighbor resize indexing, frame timestamp arithmetic, the
+# Spark plumbing — is the real production math and runs unchanged when
+# the codec swaps to Pillow/ffmpeg.
+# --------------------------------------------------------------------------
+
+_FAKEIMG = b"FIMG"  # fake image container: magic + <HH> h,w + uint8 pixels
+_FAKEVID = b"FVID"  # fake video: magic + <IHHI> n_frames,h,w,frame_ms + frames
 
 
-def frame_sample_stub(media: DataFrame, every_ms: int) -> DataFrame:
-    """Video frame-sampling operator boundary — stub (no codec). Contract:
-    one output row per sampled frame (media_id, frame_idx, ts_ms, blob)."""
-    raise NotImplementedError(
-        "frame sampling requires ffmpeg; contract documented in docstring"
+def fake_encode_image(arr: np.ndarray) -> bytes:
+    """FAKE image encoder (grayscale uint8). Round-trips with
+    :func:`fake_decode_image`, so codec→math→codec compositions are
+    testable end to end."""
+    import struct
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = a.shape
+    return _FAKEIMG + struct.pack("<HH", h, w) + a.tobytes()
+
+
+def fake_decode_image(blob: bytes, meta_w: int | None = None,
+                      meta_h: int | None = None) -> np.ndarray:
+    """FAKE image decoder: parses the FIMG container; for arbitrary
+    bytes (e.g. synthesize_media fixtures) deterministically tiles the
+    raw bytes into the metadata's (h, w) shape — codec-free pixels that
+    still exercise real array math downstream."""
+    import struct
+
+    if blob[:4] == _FAKEIMG:
+        h, w = struct.unpack_from("<HH", blob, 4)
+        return np.frombuffer(blob, dtype=np.uint8, count=h * w,
+                             offset=8).reshape(h, w)
+    if not meta_w or not meta_h:
+        raise ValueError("raw blob needs meta width/height to shape pixels")
+    raw = np.frombuffer(blob, dtype=np.uint8)
+    reps = -(-(meta_h * meta_w) // max(len(raw), 1))
+    return np.tile(raw, reps)[: meta_h * meta_w].reshape(meta_h, meta_w)
+
+
+def fake_encode_video(frames: np.ndarray, frame_ms: int) -> bytes:
+    """FAKE video encoder: (n, h, w) uint8 frames at a fixed frame
+    interval."""
+    import struct
+
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = f.shape
+    return _FAKEVID + struct.pack("<IHHI", n, h, w, frame_ms) + f.tobytes()
+
+
+def fake_decode_video(blob: bytes) -> tuple[np.ndarray, int]:
+    import struct
+
+    if blob[:4] != _FAKEVID:
+        raise ValueError("not a FVID container")
+    n, h, w, frame_ms = struct.unpack_from("<IHHI", blob, 4)
+    frames = np.frombuffer(blob, dtype=np.uint8, count=n * h * w,
+                           offset=16).reshape(n, h, w)
+    return frames, frame_ms
+
+
+def _nn_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """REAL nearest-neighbor resize (the math is identical under any
+    codec): source index = floor((i + 0.5) * src/dst)."""
+    in_h, in_w = arr.shape
+    rows = np.minimum(
+        ((np.arange(out_h) + 0.5) * in_h / out_h).astype(np.int64), in_h - 1
     )
+    cols = np.minimum(
+        ((np.arange(out_w) + 0.5) * in_w / out_w).astype(np.int64), in_w - 1
+    )
+    return arr[np.ix_(rows, cols)]
+
+
+def resize(
+    media: DataFrame, width: int, height: int, allow_fake: bool = False
+) -> DataFrame:
+    """Image resize: media(MEDIA_SCHEMA) -> media(MEDIA_SCHEMA) with
+    meta.width/height rewritten and the blob re-encoded at the target
+    size. Nearest-neighbor sampling (real math); decode/encode go
+    through the pluggable codec — ``allow_fake=True`` runs the
+    deterministic fake codec (this image has no Pillow), a production
+    deploy swaps in a real one with zero plan changes. Arrow-batched
+    ``mapInPandas``: one task per partition of blobs, no driver work."""
+    if not allow_fake:
+        raise NotImplementedError(
+            "image codecs (Pillow) are not available in this environment; "
+            "pass allow_fake=True to run the deterministic fake codec "
+            "through the real resize math and Spark plumbing"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.to_dict("records"):
+                meta = row["meta"]
+                arr = fake_decode_image(
+                    row["blob"], meta.get("width"), meta.get("height")
+                )
+                resized = _nn_resize(arr, width, height)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "blob": fake_encode_image(resized),
+                        "meta": {
+                            "mime": "image/x-fake",
+                            "width": width,
+                            "height": height,
+                            "duration_ms": meta.get("duration_ms"),
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", IntegerType(), False),
+        StructField("blob", BinaryType(), False),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame, every_ms: int, allow_fake: bool = False
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame
+    (media_id, frame_idx, ts_ms, blob=encoded frame image), sampling at
+    t = 0, every_ms, 2*every_ms, … < duration; frame_idx = t // the
+    stream's frame interval. The timestamp arithmetic is the real
+    operator; only the byte<->frame codec is fake (no ffmpeg here) —
+    swap it for a real demuxer with no change to the Spark shape (the
+    per-row fan-out to N frame rows is the part that matters at scale:
+    it happens inside the executor batch, never on the driver)."""
+    if not allow_fake:
+        raise NotImplementedError(
+            "video codecs (ffmpeg) are not available in this environment; "
+            "pass allow_fake=True to run the deterministic fake codec "
+            "through the real sampling math and Spark plumbing"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.to_dict("records"):
+                frames, frame_ms = fake_decode_video(row["blob"])
+                duration = len(frames) * frame_ms
+                ts = 0
+                while ts < duration:
+                    idx = ts // frame_ms
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": int(idx),
+                            "ts_ms": int(ts),
+                            "blob": fake_encode_image(frames[idx]),
+                        }
+                    )
+                    ts += every_ms
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "frame_idx", "ts_ms", "blob"],
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def synthesize_videos(
+    docs: DataFrame, n_frames: int = 12, frame_ms: int = 100,
+    h: int = 6, w: int = 8,
+) -> DataFrame:
+    """Test fixture: deterministic fake-video blobs derived from doc_id
+    (frame k pixel (r,c) = (doc_id*7 + k*5 + r*3 + c) % 251)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                k = np.arange(n_frames)[:, None, None]
+                r = np.arange(h)[None, :, None]
+                c = np.arange(w)[None, None, :]
+                frames = ((int(did) * 7 + k * 5 + r * 3 + c) % 251).astype(
+                    np.uint8
+                )
+                out.append(
+                    {
+                        "media_id": int(did),
+                        "kind": "video",
+                        "blob": fake_encode_video(frames, frame_ms),
+                        "meta": {
+                            "mime": "video/x-fake",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": n_frames * frame_ms,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)

@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import decode_features, synthesize_media
+from ..operators.multimodal import (
+    decode_features,
+    frame_sample,
+    synthesize_media,
+    synthesize_videos,
+)
 from ._util import t
 from .catalog import register
 
@@ -67,4 +72,43 @@ def q96_media_feature_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("x").alias("min_x"),
         F.max("x").alias("max_x"),
+    )
+
+
+@register(
+    "q97_video_frame_inventory",
+    tags=("multimodal", "llm-data", "video", "agg"),
+    oracle="""
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+frames AS (
+  SELECT doc_id AS media_id,
+         CAST((ts // 100) AS INT) AS frame_idx,
+         CAST(ts AS INT) AS ts_ms
+  FROM docs, unnest(range(0, 1200, 250)) t(ts)
+)
+SELECT media_id,
+       COUNT(*) AS n_frames,
+       CAST(MIN(ts_ms) AS INT) AS first_ts,
+       CAST(MAX(ts_ms) AS INT) AS last_ts,
+       CAST(SUM(frame_idx) AS BIGINT) AS sum_idx
+FROM frames GROUP BY media_id
+""",
+)
+def q97_video_frame_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling under the oracle gate: synthesize fake
+    videos (12 frames @ 100 ms), sample every 250 ms via
+    operators.multimodal.frame_sample (the real per-row frame fan-out +
+    timestamp/index arithmetic; only the byte<->frame codec is fake),
+    then aggregate the frame inventory per video. The oracle re-derives
+    the sampling arithmetic relationally — wrong fan-out, timestamps, or
+    frame indexing breaks the hash. Frame PIXEL content is covered by
+    unit tests (not SQL-expressible)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    vids = synthesize_videos(docs, n_frames=12, frame_ms=100)
+    frames = frame_sample(vids, 250, allow_fake=True)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("ts_ms").alias("first_ts"),
+        F.max("ts_ms").alias("last_ts"),
+        F.sum("frame_idx").cast("bigint").alias("sum_idx"),
     )

@@ -149,3 +149,82 @@ def test_multimodal_fake_decode_plumbing(spark, sf_dir):
     again = {r["media_id"]: r["content_hash"]
              for r in decode_features(media, dims=8, allow_fake=True).collect()}
     assert all(again[r["media_id"]] == r["content_hash"] for r in rows)
+
+
+def test_multimodal_resize_real_math(spark, sf_dir):
+    """resize: the nearest-neighbor math is real — pixels match the
+    numpy reference; only the byte<->pixel codec is fake."""
+    import numpy as np
+
+    from geospatial_etl_pipeline_spark.operators.multimodal import (
+        fake_decode_image,
+        fake_encode_image,
+        resize,
+    )
+    from geospatial_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(3)
+    # build FIMG media with known pixels
+    import pandas as pd
+
+    rows = []
+    for i, _ in enumerate(docs.collect()):
+        arr = ((np.arange(12)[:, None] * 7 + np.arange(16)[None, :] + i) % 256
+               ).astype(np.uint8)
+        rows.append((i, "image", bytearray(fake_encode_image(arr)),
+                     ("image/x-fake", 16, 12, None)))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, blob binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    with pytest.raises(NotImplementedError):
+        resize(media, 8, 6)  # codec boundary stays honest
+    out = {r["media_id"]: r for r in
+           resize(media, 8, 6, allow_fake=True).collect()}
+    assert len(out) == 3
+    for i in out:
+        src = ((np.arange(12)[:, None] * 7 + np.arange(16)[None, :] + i) % 256
+               ).astype(np.uint8)
+        got = fake_decode_image(bytes(out[i]["blob"]))
+        assert got.shape == (6, 8)
+        rowsel = np.minimum(((np.arange(6) + 0.5) * 12 / 6).astype(int), 11)
+        colsel = np.minimum(((np.arange(8) + 0.5) * 16 / 8).astype(int), 15)
+        assert np.array_equal(got, src[np.ix_(rowsel, colsel)])
+        assert out[i]["meta"]["width"] == 8 and out[i]["meta"]["height"] == 6
+
+
+def test_multimodal_frame_sample(spark, sf_dir):
+    """frame_sample: per-row fan-out to frame rows with correct
+    timestamp/index arithmetic and decodable frame blobs."""
+    import numpy as np
+
+    from geospatial_etl_pipeline_spark.operators.multimodal import (
+        fake_decode_image,
+        frame_sample,
+        synthesize_videos,
+    )
+    from geospatial_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(2)
+    vids = synthesize_videos(docs, n_frames=12, frame_ms=100)
+    with pytest.raises(NotImplementedError):
+        frame_sample(vids, 250)
+    frames = frame_sample(vids, 250, allow_fake=True).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert len(by_media) == 2
+    for mid, rows in by_media.items():
+        rows.sort(key=lambda r: r["ts_ms"])
+        # duration 1200ms, every 250ms -> ts 0,250,500,750,1000 (5 frames)
+        assert [r["ts_ms"] for r in rows] == [0, 250, 500, 750, 1000]
+        assert [r["frame_idx"] for r in rows] == [0, 2, 5, 7, 10]
+        # frame pixels match the synthesis function for that frame index
+        for r in rows:
+            got = fake_decode_image(bytes(r["blob"]))
+            k = r["frame_idx"]
+            want = ((mid * 7 + k * 5
+                     + np.arange(6)[:, None] * 3 + np.arange(8)[None, :])
+                    % 251).astype(np.uint8)
+            assert np.array_equal(got, want)
