@@ -149,12 +149,16 @@ def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     of ±1 votes from each token's hash bit j. Near-duplicate docs land
     within small Hamming distance.
 
-    The whole signature folds IN-ROW: hash the distinct tokens into an
-    array, then for each of the 32 bits run an integer vote fold over
-    that array (order-free, engine-exact) — zero shuffles. The previous
-    explode(tokens)×explode(32 bits) + two hash-aggs did the identical
-    arithmetic but paid (doc_id,bit) and (doc_id) exchanges, shuffling
-    32× the token count in rows, for a per-document value."""
+    The whole signature folds IN-ROW in ONE pass: hash the distinct
+    tokens into an array, then a single aggregate over the tokens
+    carries ALL 32 vote counters as an array accumulator
+    (zip_with(acc, bits)), and a final zip_with turns counter signs
+    into bits (order-free integer votes, engine-exact) — zero shuffles.
+    The previous form ran 32 separate per-bit folds over the token
+    array: identical arithmetic, but 32 interpreted higher-order passes
+    instead of 1 — measured 3.0 s → 0.4 s at sf0.1 (the md5 hashing
+    itself is only ~0.25 s). The round-1 explode×bits + two hash-aggs
+    version was worse still (shuffled 32× the token count)."""
     d = t(spark, sf_dir, "documents")
     staged = d.select("doc_id", tokens("text").alias("_tok")).select(
         "doc_id",
@@ -165,13 +169,14 @@ def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     simhash = F.expr(
         "aggregate("
-        "  transform(sequence(0, 31), j ->"
-        "    CASE WHEN aggregate(_hvs, CAST(0 AS BIGINT),"
-        "           (acc, h) -> acc + IF(((h >> j) & 1) = 1,"
-        "                                CAST(1 AS BIGINT),"
-        "                                CAST(-1 AS BIGINT))) > 0"
-        "         THEN shiftleft(CAST(1 AS BIGINT), j)"
-        "         ELSE CAST(0 AS BIGINT) END),"
+        "  zip_with("
+        "    aggregate(_hvs, transform(sequence(0, 31), j -> CAST(0 AS BIGINT)),"
+        "      (acc, h) -> zip_with(acc, sequence(0, 31),"
+        "        (a, j) -> a + IF(((h >> j) & 1) = 1,"
+        "                         CAST(1 AS BIGINT), CAST(-1 AS BIGINT)))),"
+        "    sequence(0, 31),"
+        "    (s, j) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), j),"
+        "                 CAST(0 AS BIGINT))),"
         "  CAST(0 AS BIGINT), (a, b) -> a + b)"
     )
     return staged.select("doc_id", simhash.cast("bigint").alias("simhash32"))

@@ -285,24 +285,37 @@ def q38_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = fold((acc*B + code) mod M) over every char {_RH_K}-gram, then
     the winnowing-style per-document MIN plus the distinct-gram
     cardinality. Integer modular arithmetic — bit-identical across
-    engines. The whole fingerprint folds IN-ROW (transform over the
-    gram array, then array_min / array_distinct): zero shuffles — the
-    previous explode + min/countDistinct formulation paid two
-    (doc_id,h) then (doc_id) exchanges for what is a per-row value."""
-    from ..functions.text import char_ngrams_t, normalized
+    engines. Zero shuffles, and the gram hashing is VECTORIZED in-row:
+    ``split('')`` yields the char-code array in ONE pass, then each
+    gram's hash is 5 ``element_at`` + a dot product with the
+    precomputed powers of B (mod once at the end — identical mod M to
+    the oracle's iterated fold; max sum ≈ 5·255·B⁴ ≈ 3.8e11 « 2^63, no
+    overflow). The previous form materialized every 5-char gram with
+    ``substring(norm, i, 5)`` and re-hashed it char by char — per-index
+    substring seeks are O(i) on UTF8 strings, so that path went
+    quadratic on long docs: measured 2.48 s → 0.64 s at sf0.1. Short
+    docs (< {_RH_K} chars → a single short gram) take the iterated-fold
+    branch, matching the oracle's substr clamp semantics."""
+    from ..functions.text import normalized
 
+    b4, b3, b2 = _RH_B**4, _RH_B**3, _RH_B**2
     d = t(spark, sf_dir, "documents")
     staged = d.select("doc_id", normalized("text").alias("_norm")).select(
-        "doc_id", char_ngrams_t(F.col("_norm"), _RH_K).alias("_grams")
+        "doc_id",
+        F.expr(
+            "transform(split(_norm, ''), ch -> CAST(ascii(ch) AS BIGINT))"
+        ).alias("_codes"),
+        F.length("_norm").alias("_L"),
     )
-    # substring with a column-valued start needs the SQL expression form
-    # (the Python substring API takes int literals only)
     hs = F.expr(
-        f"transform(_grams, g -> aggregate("
-        f"  transform(sequence(1, length(g)),"
-        f"            i -> CAST(ascii(substring(g, i, 1)) AS BIGINT)),"
-        f"  CAST(0 AS BIGINT),"
-        f"  (acc, c) -> (acc * {_RH_B} + c) % {_RH_M}))"
+        f"IF(_L >= {_RH_K},"
+        f" transform(sequence(1, _L - {_RH_K - 1}), i ->"
+        f"  (element_at(_codes, i) * {b4} + element_at(_codes, i+1) * {b3}"
+        f"   + element_at(_codes, i+2) * {b2}"
+        f"   + element_at(_codes, i+3) * {_RH_B}"
+        f"   + element_at(_codes, i+4)) % {_RH_M}),"
+        f" array(aggregate(_codes, CAST(0 AS BIGINT),"
+        f"   (acc, c) -> (acc * {_RH_B} + c) % {_RH_M})))"
     )
     return staged.select(
         "doc_id",
