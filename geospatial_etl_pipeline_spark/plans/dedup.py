@@ -41,9 +41,12 @@ _SQL_SHINGLES = (
 
 
 def _sql_mh(i: int, shingles: str = "sh") -> str:
+    # mirror of operators.dedup._signatures_from_shingles: four 32-bit
+    # hash functions per md5 (8-hex-char slices), seed = i // 4
+    seed, off = i // 4, (i % 4) * 8 + 1
     return (
         f"list_aggregate(list_transform({shingles}, "
-        f"s -> md5(concat('{i}:', s))), 'min')"
+        f"s -> substr(md5(concat('{seed}:', s)), {off}, 8)), 'min')"
     )
 
 
