@@ -1,0 +1,105 @@
+"""Iterative graph operators — the dedup-clustering tail of the LLM-data
+pipeline (near-dup PAIRS are only half the job: training-set dedup needs
+the transitive closure — duplicate CLUSTERS and one canonical keeper per
+cluster).
+
+``connected_components`` is min-label propagation (the Pregel/BSP shape
+every distributed graph engine uses for CC): each round a node adopts
+the minimum label among itself and its neighbors; converges in at most
+``diameter`` rounds. Near-dup graphs have tiny diameters (dup clusters
+are dense), so 3–6 rounds is typical.
+
+Scale shape per round: one equi-join (labels ⋈ edges on node) + one
+groupBy-min — both shuffle on node id, partial-aggregable, no driver
+data. The driver runs only the loop control: a ``count`` of changed
+labels per round (the convergence check is inherent to iterative
+algorithms — GraphX/Pregel does exactly this) and ``localCheckpoint``
+to cut the growing lineage, without which the plan tree doubles every
+round and the optimizer chokes long before the data does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(node, component): component = MIN node id reachable from node
+    (deterministic canonical labels; singletons label themselves).
+
+    ``edges`` is undirected input (each pair once is enough — it is
+    symmetrized here); ``nodes`` supplies the full vertex set so
+    isolated nodes appear in the output.
+
+    Raises RuntimeError if not converged within ``max_rounds`` (a
+    pathological chain longer than max_rounds — raise the cap for
+    long-diameter graphs; near-dup graphs never get close).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = nodes.select(F.col(node_col).alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        # labels flowing one hop: neighbor's current component
+        prop = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .select(F.col("b").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        # cut lineage every round; eager so the convergence check below
+        # doesn't recompute the whole history
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs → duplicate clusters with a canonical keeper:
+    (doc_id, cluster_id, is_keeper, cluster_size). cluster_id = MIN
+    doc id in the component (the same survivor policy as
+    exact_dedup_groups); singleton docs keep themselves."""
+    comp = connected_components(
+        pairs, docs.select(F.col(id_col).alias("node")), src=id_a, dst=id_b,
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias(id_col),
+            F.col("component").alias("cluster_id"),
+            (F.col("node") == F.col("component")).alias("is_keeper"),
+            F.col("cluster_size").cast("bigint"),
+        )
+    )

@@ -106,11 +106,9 @@ def q41_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q42_lsh_near_dup_pairs",
-    tags=("dedup", "llm-data", "minhash", "lsh"),
-    oracle=f"""
-WITH sh_t AS (
+# the LSH pair pipeline as reusable CTEs (q42 emits the pairs; q49
+# builds duplicate CLUSTERS on top of the same edge set)
+_SQL_LSH_CTES = f"""sh_t AS (
   SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents
 ),
 sig AS (
@@ -125,15 +123,27 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
     ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-)
-SELECT cand.id_a, cand.id_b,
-       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-         / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jaccard
-FROM cand
-JOIN sh_t sa ON sa.doc_id = cand.id_a
-JOIN sh_t sb ON sb.doc_id = cand.id_b
-WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-        / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= {_JACCARD}
+),
+lsh_pairs AS (
+  SELECT cand.id_a, cand.id_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+           AS jaccard
+  FROM cand
+  JOIN sh_t sa ON sa.doc_id = cand.id_a
+  JOIN sh_t sb ON sb.doc_id = cand.id_b
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+        >= {_JACCARD}
+)"""
+
+
+@register(
+    "q42_lsh_near_dup_pairs",
+    tags=("dedup", "llm-data", "minhash", "lsh"),
+    oracle=f"""
+WITH {_SQL_LSH_CTES}
+SELECT id_a, id_b, jaccard FROM lsh_pairs
 """,
 )
 def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,6 +156,61 @@ def q42_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
         jaccard_threshold=_JACCARD,
     )
+
+
+@register(
+    "q49_dedup_clusters",
+    tags=("dedup", "llm-data", "graph", "iterative"),
+    oracle=f"""
+WITH RECURSIVE {_SQL_LSH_CTES},
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM lsh_pairs
+  UNION
+  SELECT id_b, id_a FROM lsh_pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+),
+comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT l.doc_id,
+       l.cluster_id,
+       l.doc_id = l.cluster_id AS is_keeper,
+       CAST(COUNT(*) OVER (PARTITION BY l.cluster_id) AS BIGINT)
+         AS cluster_size
+FROM labeled l
+""",
+)
+def q49_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-clustering TAIL: LSH near-dup pairs → transitive
+    closure → duplicate clusters with one canonical keeper (MIN doc id)
+    per cluster — what a training-set dedup actually ships (keep one doc
+    per cluster, drop the rest).
+
+    Engine side runs ITERATIVE min-label propagation
+    (operators.graph.connected_components — the Pregel/BSP shape, one
+    join + one groupBy-min per round, converges in ≤ diameter rounds);
+    the oracle states the same closure as a recursive CTE. An iterative
+    Spark algorithm hash-checked against a recursive SQL spec — both
+    sides deterministic (MIN labels)."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs,
+        num_hashes=_NUM_HASHES,
+        shingle_k=_SHINGLE_K,
+        bands=_BANDS,
+        jaccard_threshold=_JACCARD,
+    )
+    from ..operators.graph import dedup_clusters
+
+    return dedup_clusters(pairs, docs)
 
 
 _SQL_BIGRAMS = (

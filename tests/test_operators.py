@@ -228,3 +228,45 @@ def test_multimodal_frame_sample(spark, sf_dir):
                      + np.arange(6)[:, None] * 3 + np.arange(8)[None, :])
                     % 251).astype(np.uint8)
             assert np.array_equal(got, want)
+
+
+def test_connected_components_random_graphs(spark):
+    """Min-label CC vs a Python union-find on random edge sets,
+    including isolated nodes and a long chain."""
+    import random
+
+    from geospatial_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(25)]
+        edges += [(i, i + 1) for i in range(30, 36)]  # chain
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in range(n)}
+        # canonicalize: min member per root
+        roots = {}
+        for x, r in want.items():
+            roots.setdefault(r, []).append(x)
+        want = {x: min(roots[r]) for x, r in want.items()}
+
+        e_df = spark.createDataFrame(edges, ["src", "dst"])
+        n_df = spark.createDataFrame([(i,) for i in range(n)], ["node"])
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(e_df, n_df).collect()
+        }
+        assert got == want, f"trial {trial}"
