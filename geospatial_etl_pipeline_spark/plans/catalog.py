@@ -73,6 +73,7 @@ def load_all_plans() -> None:
         raster,
         ref_parity,
         relational,
+        sampling,
         similarity,
         text,
     )

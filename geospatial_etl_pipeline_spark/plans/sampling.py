@@ -1,0 +1,179 @@
+"""Dataset-assembly queries: deterministic splits and sequence packing
+(SURVEY §2j [EXT], driver north star "operations a large-scale
+training-data pipeline would need").
+
+Both are the shapes an LLM pretraining data pipeline runs on every
+corpus snapshot:
+
+- q39: hash-based train/val/test assignment — content-addressed
+  (md5 of the id), so the split is stable under reshuffles, re-ingests
+  and corpus growth (a doc never migrates between splits), and needs
+  no global sort or random state. The classic anti-pattern it replaces
+  is ``rand() < 0.8``, which reassigns docs every run.
+- q66: greedy contiguous sequence packing — concatenate docs in a
+  deterministic order and chunk into fixed token-budget context
+  windows; the output maps every doc to its window (bin) and offset.
+  This is the concat-and-chunk packing used in GPT-style pretraining;
+  a window cumulative sum, so it parallelizes as one window spec
+  (running totals), not a sequential loop.
+
+Determinism: md5 hex compares/parses identically in Spark and DuckDB
+(verified in q56/q19); token counts and cumulative sums are exact
+integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ._util import t
+from .catalog import register
+
+_TRAIN, _VAL = 0.8, 0.1  # remaining 0.1 = test
+# 32-hex md5 prefix → uniform in [0, 2^32)
+_BUCKETS = 2**32
+_TRAIN_CUT = int(_TRAIN * _BUCKETS)
+_VAL_CUT = int((_TRAIN + _VAL) * _BUCKETS)
+
+
+@register(
+    "q39_train_test_split",
+    tags=("llm-data", "sampling", "split"),
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           AS bucket
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN bucket < {_TRAIN_CUT} THEN 'train'
+            WHEN bucket < {_VAL_CUT} THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+""",
+)
+def q39_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/val/test split: bucket =
+    first 32 bits of md5('split:' || doc_id), thresholds at 80/10/10.
+    Stable under reshuffles and corpus growth (no rand(), no global
+    sort, no state); map-side only — the one-expression scan shape that
+    splits 100 TB without a shuffle."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < _TRAIN_CUT, "train")
+        .when(bucket < _VAL_CUT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+_CTX_BUDGET = 512  # tokens per packed context window
+
+
+@register(
+    "q66_sequence_packing",
+    tags=("llm-data", "sampling", "packing", "window"),
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+           AS n_tok
+  FROM documents
+),
+run AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS run_total
+  FROM toks
+)
+SELECT doc_id, n_tok,
+       CAST((run_total - n_tok) // {_CTX_BUDGET} AS BIGINT) AS bin_id,
+       CAST((run_total - n_tok) % {_CTX_BUDGET} AS BIGINT) AS bin_offset
+FROM run
+""",
+)
+def q66_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: docs concatenated in doc_id
+    order, chunked into {_CTX_BUDGET}-token context windows; each doc
+    maps to the window where it STARTS (bin_id) and its token offset
+    there (long docs simply span windows — exactly how GPT-style
+    pretraining packs).
+
+    Shape: whitespace token count in-row, then ONE running-sum window.
+    The global ordering makes this a single-partition window at this
+    scale; at 100 TB you pack per shard (partitionBy(shard_id) in the
+    window spec) — same plan, embarrassingly parallel, and shard-local
+    ordering is exactly what packing needs (any stable order works)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast(
+            "bigint"
+        ).alias("n_tok"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    run = toks.withColumn("run_total", F.sum("n_tok").over(w))
+    start = F.col("run_total") - F.col("n_tok")
+    return run.select(
+        "doc_id",
+        "n_tok",
+        F.floor(start / _CTX_BUDGET).cast("bigint").alias("bin_id"),
+        (start % _CTX_BUDGET).cast("bigint").alias("bin_offset"),
+    )
+
+
+@register(
+    "q67_term_stats",
+    tags=("llm-data", "text", "tfidf", "agg"),
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS cf,
+       CAST(MAX(tf) AS BIGINT) AS max_tf,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM tf
+GROUP BY term
+""",
+)
+def q67_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics — the df/cf table behind tf-idf weighting,
+    stop-listing and the q48 docstring's df-cap: per term, document
+    frequency, collection frequency, max in-doc tf, first containing
+    doc. Two partial-aggregable hash aggs (explode → (doc,term) → term);
+    the shuffle carries term rows, not token occurrences. Integer-exact
+    (tf-idf's float idf = ln(N/df) is left to the caller so the gate
+    stays bit-exact)."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.max("tf").cast("bigint").alias("max_tf"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
