@@ -142,3 +142,42 @@ def write_partitioned_parquet(
             .write.option("maxRecordsPerFile", int(target_file_rows))
         )
     writer.mode("overwrite").partitionBy(*partition_cols).parquet(out_dir)
+
+
+def compact_parquet(
+    spark,
+    in_dir: str,
+    out_dir: str,
+    target_file_rows: int = 1_000_000,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Small-files compaction — the maintenance job every long-lived
+    100 TB dataset needs (streaming sinks and per-batch appends leave
+    thousands of row-dribble files; each file costs a task + a footer
+    read downstream). Reads ``in_dir``, rewrites to ``out_dir`` with
+    file sizes bounded by ``target_file_rows`` (coalesce to
+    ceil(rows/target) tasks — coalesce, not repartition: compaction
+    must not pay a full shuffle — plus ``maxRecordsPerFile`` as the
+    hard per-file cap). Preserves hive partitioning when
+    ``partition_cols`` is given. Returns the row count (one pass,
+    reused for sizing). Writes to a NEW directory — atomic swap is the
+    caller's move (rename/retarget), never an in-place rewrite."""
+    df = spark.read.parquet(in_dir)
+    n = df.count()
+    ntasks = max(1, -(-n // target_file_rows))
+    writer = (
+        df.coalesce(ntasks)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", int(target_file_rows))
+    )
+    if partition_cols:
+        # partition layout must survive: group rows back to their
+        # partitions (repartition here is unavoidable and keyed)
+        writer = (
+            df.repartition(*partition_cols)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", int(target_file_rows))
+            .partitionBy(*partition_cols)
+        )
+    writer.parquet(out_dir)
+    return n

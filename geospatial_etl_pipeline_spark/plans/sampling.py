@@ -177,3 +177,101 @@ def q67_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tf").cast("bigint").alias("max_tf"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_URL = "https?://[^ ]+"
+_PII_NUM = "[0-9]+"
+
+
+@register(
+    "q68_pii_scrub",
+    tags=("llm-data", "text", "pii", "scrub"),
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{_PII_EMAIL}')) AS INT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(lower(text), '{_PII_URL}')) AS INT)
+         AS n_urls,
+       CAST(len(regexp_extract_all(lower(text), '{_PII_NUM}')) AS INT)
+         AS n_numbers,
+       md5(regexp_replace(regexp_replace(regexp_replace(lower(text),
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_URL}', '<URL>', 'g'),
+             '{_PII_NUM}', '<NUM>', 'g')) AS scrubbed_hash,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(lower(text),
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_URL}', '<URL>', 'g'),
+             '{_PII_NUM}', '<NUM>', 'g')) AS INT) AS scrubbed_len
+FROM documents
+""",
+)
+def q68_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / pattern scrubbing — the redaction pass every training
+    corpus gets: count emails / URLs / digit runs, then rewrite them to
+    typed placeholders (email → URL → number order, so a URL's digits
+    don't double-redact). All in-row regexp expressions (map-side only,
+    the 100 TB shape); the scrubbed text is emitted as md5 + length so
+    the gate hashes the FULL rewritten string without shipping it.
+    Patterns use the regex subset where Java and RE2 agree (character
+    classes, bounded repeats — no lookaround, per q37's rationale)."""
+    d = t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(low, _PII_EMAIL, "<EMAIL>"),
+            _PII_URL, "<URL>",
+        ),
+        _PII_NUM, "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit(_PII_EMAIL), F.lit(0))).cast(
+            "int"
+        ).alias("n_emails"),
+        F.size(F.regexp_extract_all(low, F.lit(_PII_URL), F.lit(0))).cast(
+            "int"
+        ).alias("n_urls"),
+        F.size(F.regexp_extract_all(low, F.lit(_PII_NUM), F.lit(0))).cast(
+            "int"
+        ).alias("n_numbers"),
+        F.md5(F.encode(scrubbed, "utf-8")).alias("scrubbed_hash"),
+        F.length(scrubbed).cast("int").alias("scrubbed_len"),
+    )
+
+
+_STRATUM_K = 10
+
+
+@register(
+    "q69_stratified_sample",
+    tags=("llm-data", "sampling", "stratified", "window"),
+    oracle=f"""
+SELECT doc_id, lang, CAST(rn AS INT) AS rn
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= {_STRATUM_K}
+""",
+)
+def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: the {_STRATUM_K} docs ranking
+    smallest under md5('samp:'||doc_id) per language stratum — a seeded
+    uniform draw that is reproducible across runs/engines AND stable
+    under corpus reshuffles (same property as q39's split; rand()-based
+    sampling has neither). One window per stratum; at 100 TB the
+    partitionBy(lang) window is embarrassingly parallel across strata,
+    and a heavy-stratum top-k can swap in the groupBy + min_by(k)
+    partial-aggregate form without changing semantics."""
+    d = t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _STRATUM_K)
+        .select("doc_id", "lang", F.col("rn").cast("int"))
+    )

@@ -139,3 +139,28 @@ def test_write_partitioned_parquet_target_file_rows(spark, tmp_path):
         # 60 rows / 25-row cap = 3 rolled files from the single task
         assert len(files) == 3, files
     assert spark.read.parquet(out).count() == 120
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Compaction collapses a file-dribble directory into
+    ceil(rows/target) files with identical data."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geospatial_etl_pipeline_spark.operators.sinks import compact_parquet
+
+    src = str(tmp_path / "dribble")
+    # 16 tasks x 1 file = 16 small files for 200 rows
+    spark.range(200).withColumn("v", F.col("id") * 2).repartition(16)\
+        .write.parquet(src)
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 16
+
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, out, target_file_rows=100)
+    assert n == 200
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 2  # ceil(200/100)
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert back.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(200))
