@@ -160,7 +160,11 @@ def test_compact_parquet_small_files(spark, tmp_path):
     n = compact_parquet(spark, src, out, target_file_rows=100)
     assert n == 200
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]
-    assert len(files) == 2  # ceil(200/100)
+    # ~ceil(200/100) files: coalesce packs unevenly, so a task holding
+    # >100 rows rolls one extra file — still bounded, never 16
+    assert 2 <= len(files) <= 3
+    for f in files:  # the per-file row cap is hard
+        assert spark.read.parquet(os.path.join(out, f)).count() <= 100
     back = spark.read.parquet(out)
     assert back.count() == 200
     assert back.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(200))
