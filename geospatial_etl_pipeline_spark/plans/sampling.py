@@ -275,3 +275,90 @@ def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _STRATUM_K)
         .select("doc_id", "lang", F.col("rn").cast("int"))
     )
+
+
+_CHUNK_TOK = 64  # tokens per chunk
+_CHUNK_OVERLAP = 16  # tokens shared between adjacent chunks
+
+
+@register(
+    "q83_document_chunking",
+    tags=("llm-data", "text", "chunking"),
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS tok
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, tok, len(tok) AS n_tok,
+         CAST(greatest(
+           ceil((len(tok) - {_CHUNK_OVERLAP})
+                / ({_CHUNK_TOK} - {_CHUNK_OVERLAP})::DOUBLE), 1) AS BIGINT)
+           AS n_chunks
+  FROM toks
+)
+SELECT doc_id,
+       CAST(c.i AS INT) AS chunk_idx,
+       CAST(c.i * ({_CHUNK_TOK} - {_CHUNK_OVERLAP}) + 1 AS INT) AS tok_start,
+       CAST(least(c.i * ({_CHUNK_TOK} - {_CHUNK_OVERLAP}) + {_CHUNK_TOK},
+                  n_tok) AS INT) AS tok_end,
+       md5(array_to_string(
+             list_slice(tok,
+                        (c.i * ({_CHUNK_TOK} - {_CHUNK_OVERLAP}) + 1)::INT,
+                        least(c.i * ({_CHUNK_TOK} - {_CHUNK_OVERLAP})
+                              + {_CHUNK_TOK}, n_tok)::INT),
+             ' ')) AS chunk_hash
+FROM sized, unnest(range(0, n_chunks)) c(i)
+""",
+)
+def q83_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — long docs split into
+    {_CHUNK_TOK}-token chunks with {_CHUNK_OVERLAP}-token overlap (the
+    RAG/embedding-ingest shape): one output row per chunk with its
+    token span and the md5 of the re-joined chunk text (the gate hashes
+    the full chunk content without shipping it).
+
+    Shape: tokenization staged once per row, chunk fan-out is one
+    in-row sequence + explode (no join, no shuffle) — the 100 TB form
+    of a chunker. Chunk count = ceil((n - overlap) / stride), min 1, so
+    short docs emit exactly one whole-doc chunk."""
+    stride = _CHUNK_TOK - _CHUNK_OVERLAP
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("tok"),
+    ).select(
+        "doc_id", "tok", F.size("tok").alias("n_tok"),
+        F.greatest(
+            F.ceil((F.size("tok") - F.lit(_CHUNK_OVERLAP))
+                   / F.lit(float(stride))),
+            F.lit(1),
+        ).cast("bigint").alias("n_chunks"),
+    )
+    fan = toks.select(
+        "doc_id", "tok", "n_tok",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("i"),
+    )
+    tok_start = (F.col("i") * stride + 1).cast("int")
+    tok_end = F.least(
+        F.col("i") * stride + _CHUNK_TOK, F.col("n_tok").cast("long")
+    ).cast("int")
+    staged = fan.select(
+        "doc_id", "tok",
+        F.col("i").cast("int").alias("chunk_idx"),
+        tok_start.alias("tok_start"),
+        tok_end.alias("tok_end"),
+    )
+    chunk_text = F.array_join(
+        F.slice(
+            F.col("tok"),
+            F.col("tok_start"),
+            F.col("tok_end") - F.col("tok_start") + 1,
+        ),
+        " ",
+    )
+    return staged.select(
+        "doc_id", "chunk_idx", "tok_start", "tok_end",
+        F.md5(F.encode(chunk_text, "utf-8")).alias("chunk_hash"),
+    )
