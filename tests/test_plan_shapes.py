@@ -162,3 +162,27 @@ def test_ivf_operator_auto_ncells_sqrt_dial():
     assert auto_ncells(100) == 16          # floor: 4*nprobe
     assert auto_ncells(1_000_000) == 1000  # √n
     assert auto_ncells(10_000_000_000) == 100_000
+
+
+def test_q39_split_is_map_side_only(spark):
+    """The train/val/test split must be a pure scan projection — zero
+    exchanges: a split that shuffles 100 TB to label rows is broken."""
+    p = plan_text(catalog.QUERIES["q39_train_test_split"].fn(spark, SF))
+    assert n_shuffles(p) == 0
+    assert "Exchange" not in p
+
+
+def test_q68_pii_scrub_is_map_side_only(spark):
+    """Scrubbing is per-row regexp work; the plan must stay exchange-free
+    and JVM-side (no Python eval)."""
+    p = plan_text(catalog.QUERIES["q68_pii_scrub"].fn(spark, SF))
+    assert n_shuffles(p) == 0
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q83_chunking_no_join(spark):
+    """Chunk fan-out is an in-row sequence+explode: no join, no
+    aggregation — at most the scan; zero hash exchanges."""
+    p = plan_text(catalog.QUERIES["q83_document_chunking"].fn(spark, SF))
+    assert n_shuffles(p) == 0
+    assert "Generate" in p  # the explode is the fan-out
