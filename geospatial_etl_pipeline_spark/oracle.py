@@ -82,6 +82,23 @@ def compare(
     s_cols = list(sdf.columns)
     s_rows = [tuple(r) for r in sdf.collect()]
 
+    issues: list[str] = []
+    # External hash-based comparators choke on container-typed cells
+    # (round-1 q19 failed ONLY in the driver: its hasher hit
+    # `unhashable type: 'list'` while this harness tuple-ized the
+    # arrays and passed). Gate-checked queries must emit scalar columns
+    # only — serialize arrays/structs canonically (to_json, array_join,
+    # md5) in BOTH plan and oracle.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for f in sdf.schema.fields:
+        if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            issues.append(
+                f"container-typed output column {f.name!r} "
+                f"({f.dataType.simpleString()}): driver hash cannot digest "
+                "it — emit a canonical scalar (to_json/array_join/md5)"
+            )
+
     con = duckdb_connection(sf_dir)
     try:
         cur = con.execute(oracle)
@@ -90,7 +107,6 @@ def compare(
     finally:
         con.close()
 
-    issues: list[str] = []
     if sorted(s_cols) != sorted(o_cols):
         issues.append(f"schema mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
     if len(s_rows) != len(o_rows):
