@@ -171,6 +171,17 @@ def running_user_totals(stream: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join — the lookup every live pipeline
+    runs (events × slowly-changing dim): the static side is re-resolved
+    per micro-batch (so a dim refresh is picked up without restarting
+    the query) and broadcast when small. No watermark needed — a
+    stream-static inner/left join is stateless by construction (each
+    batch joins against the static snapshot; nothing buffers).
+    Batch-equivalence asserted in test_streaming."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
 def stream_to_partitioned_parquet(
     stream_df: DataFrame,
     out_dir: str,

@@ -163,3 +163,32 @@ def test_stream_sink_replay_is_idempotent(spark, stream, tmp_path):
     n2 = spark.read.parquet(out).count()
     assert n1 == n2
     assert spark.read.parquet(out).select("event_id").distinct().count() == n1
+
+
+def test_stream_static_enrichment(spark, sf_dir, stream):
+    """Stream-static join ≡ the same join in batch: every event row
+    carries its dim payload; unmatched keys survive (left join)."""
+    from pyspark.sql import functions as F
+
+    from geospatial_etl_pipeline_spark.streaming.events import (
+        enrich_with_dim,
+        run_to_memory_sink,
+    )
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0)],
+        ["event_type", "weight"],
+    )
+    enriched = enrich_with_dim(
+        stream.select("event_id", "event_type", "value"), dim, "event_type"
+    )
+    got = run_to_memory_sink(enriched, "enriched_events")
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type")
+        .join(F.broadcast(dim), "event_type", "left")
+    )
+    g = {r["event_id"]: r["weight"] for r in got.collect()}
+    w = {r["event_id"]: r["weight"] for r in batch.collect()}
+    assert g == w
+    assert len(g) == batch.count()  # no rows lost or duplicated
