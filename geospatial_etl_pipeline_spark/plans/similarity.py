@@ -500,3 +500,178 @@ def q54_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (TESTDATA.md); passing it keeps the index build fully lazy —
     # no driver probe job (VERDICT r1 "What's wrong" #4).
     return lsh_ann_topk(corpus, queries, k=10, nbits=8, ntables=4, dim=64)
+
+
+_LSH_T, _LSH_B, _LSH_D = 4, 8, 64  # tables, bits, embedding dim
+_LSH_TOPK = 10
+
+
+def _md5_planes() -> list[list[list[float]]]:
+    """Hyperplane component (t,b,d) = md5('p:t:b:d') first 32 bits
+    mapped to [-1, 1) — every step (int/2^31, minus 1) is exact dyadic
+    float64 arithmetic, so Python, Spark literals and DuckDB compute
+    the IDENTICAL plane matrix. Rademacher/uniform planes preserve
+    sign-LSH's cosine-collision property (only the direction
+    distribution changes); what matters here is that the whole index
+    becomes engine-reproducible."""
+    import hashlib
+
+    return [
+        [
+            [
+                int(
+                    hashlib.md5(f"p:{t_}:{b_}:{d_}".encode()).hexdigest()[:8],
+                    16,
+                )
+                / 2147483648.0
+                - 1.0
+                for d_ in range(_LSH_D)
+            ]
+            for b_ in range(_LSH_B)
+        ]
+        for t_ in range(_LSH_T)
+    ]
+
+
+_SQL_PLANE = (
+    "('0x' || substr(md5('p:' || t || ':' || b || ':' || d), 1, 8))::BIGINT"
+    " / 2147483648.0 - 1.0"
+)
+
+
+@register(
+    "q84_lsh_ann_oracle",
+    tags=("similarity", "llm-data", "ann", "lsh", "topk"),
+    oracle=f"""
+WITH planes AS (
+  SELECT t.t, b.b, d.d, {_SQL_PLANE} AS pc
+  FROM range({_LSH_T}) t(t), range({_LSH_B}) b(b), range({_LSH_D}) d(d)
+),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+qv AS (SELECT vec_id AS query_id, embedding AS qvec
+       FROM embeddings WHERE vec_id < 3),
+cbits AS (
+  SELECT c.vec_id, p.t, p.b,
+         CASE WHEN {sql_qsum('c.embedding[p.d + 1]::DOUBLE * p.pc')} >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM corpus c, planes p
+  GROUP BY c.vec_id, p.t, p.b
+),
+cbuckets AS (
+  SELECT vec_id, t, string_agg(bit, '' ORDER BY b) AS bucket
+  FROM cbits GROUP BY vec_id, t
+),
+qbits AS (
+  SELECT q.query_id, p.t, p.b,
+         CASE WHEN {sql_qsum('q.qvec[p.d + 1]::DOUBLE * p.pc')} >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM qv q, planes p
+  GROUP BY q.query_id, p.t, p.b
+),
+qbuckets AS (
+  SELECT query_id, t, string_agg(bit, '' ORDER BY b) AS bucket
+  FROM qbits GROUP BY query_id, t
+),
+cand AS (
+  SELECT DISTINCT qb.query_id, cb.vec_id
+  FROM qbuckets qb JOIN cbuckets cb
+    ON cb.t = qb.t AND cb.bucket = qb.bucket
+),
+vnorm AS (
+  SELECT vec_id,
+         {sql_qsum('embedding[i::INT]::DOUBLE * embedding[i::INT]::DOUBLE')} AS qn
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i) GROUP BY vec_id
+),
+cdot AS (
+  SELECT cd.query_id, cd.vec_id,
+         {sql_qsum('q.qvec[i::INT]::DOUBLE * c.embedding[i::INT]::DOUBLE')} AS qd
+  FROM cand cd
+  JOIN qv q ON q.query_id = cd.query_id
+  JOIN corpus c ON c.vec_id = cd.vec_id,
+  unnest(range(1, len(c.embedding) + 1)) t(i)
+  GROUP BY cd.query_id, cd.vec_id
+)
+SELECT query_id, vec_id, cosine_sim, CAST(rn AS INT) AS rn FROM (
+  SELECT d.query_id, d.vec_id,
+         (CAST(d.qd AS DOUBLE) / {_S!r})
+           / (sqrt(CAST(nq.qn AS DOUBLE) / {_S!r})
+              * sqrt(CAST(nv.qn AS DOUBLE) / {_S!r})) AS cosine_sim,
+         row_number() OVER (PARTITION BY d.query_id
+           ORDER BY (CAST(d.qd AS DOUBLE) / {_S!r})
+                      / (sqrt(CAST(nq.qn AS DOUBLE) / {_S!r})
+                         * sqrt(CAST(nv.qn AS DOUBLE) / {_S!r})) DESC,
+                    d.vec_id ASC) AS rn
+  FROM cdot d
+  JOIN vnorm nq ON nq.vec_id = d.query_id
+  JOIN vnorm nv ON nv.vec_id = d.vec_id
+) WHERE rn <= {_LSH_TOPK}
+""",
+)
+def q84_lsh_ann_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN with the ENTIRE index hash-checked — the companion
+    to q54 that closes its no-oracle gap: hyperplanes derive from
+    md5('p:t:b:d') (exact dyadic map to [-1,1), identical in Python,
+    Spark and DuckDB), bucket bits come from floor-quantized integer
+    dots (order-free), so bucket assignment, candidate generation AND
+    the cosine re-rank all hash-match the SQL oracle. q54 remains the
+    fast production path (numpy matmul bucketing, Gaussian planes);
+    this query proves the LSH dataflow itself — bucket join on
+    (table, bucket), dedup, re-rank — is correct end to end."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = e.filter(F.col("vec_id") >= 3)
+    qv = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
+    )
+    planes = _md5_planes()
+
+    def buckets(df, idc, vc):
+        vcol = F.col(vc)
+        arr = F.transform(
+            F.lit(planes),
+            lambda table: F.array_join(
+                F.transform(
+                    table,
+                    lambda plane: F.when(
+                        _qdot(vcol, plane) >= 0, F.lit("1")
+                    ).otherwise(F.lit("0")),
+                ),
+                "",
+            ),
+        )
+        return df.select(
+            F.col(idc), F.posexplode(arr).alias("t", "bucket")
+        )
+
+    cb = buckets(corpus, "vec_id", "v")
+    qb = buckets(qv, "query_id", "qvec")
+    cand = (
+        cb.join(F.broadcast(qb), ["t", "bucket"])
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    vnorm = e.select("vec_id", _qdot(F.col("v"), F.col("v")).alias("qn"))
+    dots = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(corpus, "vec_id")
+        .select("query_id", "vec_id", _qdot(F.col("qvec"), F.col("v")).alias("qd"))
+    )
+    nq = vnorm.select(F.col("vec_id").alias("query_id"), F.col("qn").alias("qnq"))
+    nv = vnorm.select("vec_id", F.col("qn").alias("qnv"))
+    cosine = (F.col("qd").cast("double") / F.lit(_S)) / (
+        F.sqrt(F.col("qnq").cast("double") / F.lit(_S))
+        * F.sqrt(F.col("qnv").cast("double") / F.lit(_S))
+    )
+    scored = (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(nv, "vec_id")
+        .select("query_id", "vec_id", cosine.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= _LSH_TOPK)
+    )
