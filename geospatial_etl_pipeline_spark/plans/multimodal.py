@@ -55,16 +55,34 @@ def q95_media_content_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q96_media_feature_moments",
     tags=("multimodal", "llm-data", "agg"),
-    oracle=None,  # features are an iterated-MD5 chain (operators.
-    # multimodal._fake_decode) — not SQL-expressible; the decode
-    # contract is unit-tested in tests/test_operators.py
+    oracle="""
+WITH feats AS (
+  SELECT doc_id, 'image' AS kind, CAST(d.j AS INT) AS dim,
+         ('0x' || substr(md5(repeat(text, 3)), 2 * d.j + 1, 2))::BIGINT
+           / 256.0 AS x
+  FROM documents, range(0, 8) d(j)
+)
+SELECT kind, dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(x) AS min_x,
+       MAX(x) AS max_x
+FROM feats
+GROUP BY kind, dim
+""",
 )
 def q96_media_feature_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension feature moments over fake-decoded media vectors:
     decode via mapInPandas, posexplode the feature array, hash-agg per
     (kind, dim). The aggregate-after-UDF shape is the canonical
     feature-extraction pipeline at scale: the Python stage streams Arrow
-    batches, the shuffle carries only |kinds|×dims partial aggregates."""
+    batches, the shuffle carries only |kinds|×dims partial aggregates.
+
+    Oracle-checked (was rows-only in r1): for dims ≤ 16 the fake kernel
+    is exactly the first ``dims`` md5 digest bytes / 256 — byte j of
+    the digest == hex pair [2j, 2j+2), an exact dyadic double, so the
+    SQL re-derivation hashes identically and the gate verifies the
+    PYTHON kernel's arithmetic end to end (the >16-dim chained case
+    stays unit-tested)."""
     media = synthesize_media(t(spark, sf_dir, "documents"))
     feats = decode_features(media, dims=8, allow_fake=True)
     ex = feats.select("kind", F.posexplode("features").alias("dim", "x"))
