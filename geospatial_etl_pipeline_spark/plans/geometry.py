@@ -180,3 +180,56 @@ def q82_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dist2").cast("bigint").alias("min_dist2"),
         F.max("dist2").cast("bigint").alias("max_dist2"),
     )
+
+
+_BIN_CELL = 16.0  # grid-cell size for the binned spatial join
+_SQL_RECTS_SP = (
+    "('r1', 0, 0, 30, 25), ('r2', 20, 10, 60, 50), ('r3', 50, 40, 97, 89), "
+    "('r4', 10, 60, 45, 89), ('r5', 64, 0, 96, 32)"
+)
+_RECTS_SP = [
+    ("r1", 0, 0, 30, 25), ("r2", 20, 10, 60, 50), ("r3", 50, 40, 97, 89),
+    ("r4", 10, 60, 45, 89), ("r5", 64, 0, 96, 32),
+]
+
+
+@register(
+    "q85_spatial_bin_join",
+    tags=("geometry", "spatial-join", "join", "agg"),
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey, {_X} AS x, {_Y} AS y FROM customer
+)
+SELECT r.rid,
+       COUNT(*) AS n_points,
+       CAST(MIN(p.c_custkey) AS BIGINT) AS min_key,
+       CAST(SUM(p.x) AS BIGINT) AS sum_x,
+       CAST(SUM(p.y) AS BIGINT) AS sum_y
+FROM pts p
+JOIN (VALUES {_SQL_RECTS_SP}) AS r(rid, xmin, ymin, xmax, ymax)
+  ON p.x >= r.xmin AND p.x < r.xmax AND p.y >= r.ymin AND p.y < r.ymax
+GROUP BY r.rid
+""",
+)
+def q85_spatial_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial join (operators.spatial): the oracle states
+    the quadratic containment spec (non-equi theta join — the plan shape
+    that dies at 100 TB as a BroadcastNestedLoopJoin); the engine runs
+    the SCALE form — both sides keyed by the grid cells they touch, a
+    plain equi-join on (bx, by), exact predicate as post-filter. Same
+    pairs, shuffle bounded by cell occupancy. Cell size {_BIN_CELL} ≈
+    rect scale keeps per-rect covers small. Equi-join plan asserted in
+    test_plan_shapes; skew on hot cells composes with operators/skew."""
+    from ..operators.spatial import bin_join_points_in_rects
+
+    pts = _points(spark, sf_dir).select("c_custkey", "x", "y")
+    rects = literal_df(
+        spark, _RECTS_SP, ["rid", "xmin", "ymin", "xmax", "ymax"]
+    )
+    joined = bin_join_points_in_rects(pts, rects, cell=_BIN_CELL)
+    return joined.groupBy("rid").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("c_custkey").cast("bigint").alias("min_key"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+    )

@@ -270,3 +270,37 @@ def test_connected_components_random_graphs(spark):
             for r in connected_components(e_df, n_df).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_spatial_bin_join_equals_quadratic(spark):
+    """Binned join == quadratic containment, including rects landing
+    exactly on cell boundaries and points at rect edges (half-open)."""
+    import random
+
+    from geospatial_etl_pipeline_spark.operators.spatial import (
+        bin_join_points_in_rects,
+    )
+
+    rng = random.Random(11)
+    pts = [(i, rng.uniform(-5, 105), rng.uniform(-5, 105)) for i in range(300)]
+    # boundary-heavy rects: aligned to cell=16 edges, negatives, thin
+    rects = [
+        ("a", 0.0, 0.0, 16.0, 16.0),
+        ("b", 16.0, 16.0, 48.0, 32.0),
+        ("c", -10.0, -10.0, 3.0, 90.0),
+        ("d", 31.9, 15.9, 32.1, 16.1),
+        ("e", 80.0, 80.0, 80.0, 90.0),  # zero-width: empty by half-open
+    ]
+    p_df = spark.createDataFrame(pts, ["pid", "x", "y"])
+    r_df = spark.createDataFrame(rects, ["rid", "xmin", "ymin", "xmax", "ymax"])
+    got = {
+        (r["pid"], r["rid"])
+        for r in bin_join_points_in_rects(p_df, r_df, cell=16.0).collect()
+    }
+    want = {
+        (pid, rid)
+        for pid, x, y in pts
+        for rid, x0, y0, x1, y1 in rects
+        if x0 <= x < x1 and y0 <= y < y1
+    }
+    assert got == want and len(want) > 0

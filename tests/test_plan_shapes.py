@@ -186,3 +186,13 @@ def test_q83_chunking_no_join(spark):
     p = plan_text(catalog.QUERIES["q83_document_chunking"].fn(spark, SF))
     assert n_shuffles(p) == 0
     assert "Generate" in p  # the explode is the fan-out
+
+
+def test_q85_spatial_join_is_equi_not_nested_loop(spark):
+    """The binned spatial join must compile to an EQUI join on the grid
+    cell key — a raw containment theta-join compiles to
+    BroadcastNestedLoopJoin (O(|A|·|B|) comparisons), the plan this
+    operator exists to eliminate."""
+    p = plan_text(catalog.QUERIES["q85_spatial_bin_join"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
