@@ -294,3 +294,138 @@ def q64_pandas_udaf_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted.groupBy("event_type").agg(
         qwavg_pandas("value", "w").alias("wavg_value")
     )
+
+
+@register(
+    "q86_funnel_steps",
+    tags=("events", "funnel", "sequence", "join"),
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(0 AS BIGINT) AS sum_gap_us FROM v
+UNION ALL
+SELECT 'click', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(epoch_us(c.t2) - epoch_us(v.t1)) AS BIGINT)
+FROM c JOIN v USING (user_id)
+UNION ALL
+SELECT 'purchase', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(epoch_us(p.t3) - epoch_us(c.t2)) AS BIGINT)
+FROM p JOIN c USING (user_id)
+""",
+)
+def q86_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per stage, how many
+    users progressed STRICTLY AFTER their previous-stage first event,
+    plus the summed stage-transition latency (exact integer micros —
+    emit the sum, not the float mean, so the gate stays bit-exact).
+
+    Shape: each stage is one filtered groupBy-min plus an equi-join on
+    user_id against the previous stage — partial-aggregable, shuffles
+    keyed on user_id and reused across stages; no window over the full
+    event stream, no self-theta-join. The k-stage generalization is the
+    same chain, k joins deep."""
+    e = t(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev, prev_t: str, out_t: str):
+        f = e.filter(F.col("event_type") == etype).select("user_id", "ts")
+        return (
+            f.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+
+    s1 = v.agg(
+        F.lit("view").alias("stage"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.lit(0).cast("bigint").alias("sum_gap_us"),
+    )
+    s2 = (
+        c.join(v, "user_id")
+        .agg(
+            F.lit("click").alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.unix_micros("t2") - F.unix_micros("t1"))
+            .cast("bigint")
+            .alias("sum_gap_us"),
+        )
+    )
+    s3 = (
+        p.join(c, "user_id")
+        .agg(
+            F.lit("purchase").alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.unix_micros("t3") - F.unix_micros("t2"))
+            .cast("bigint")
+            .alias("sum_gap_us"),
+        )
+    )
+    return s1.unionByName(s2).unionByName(s3)
+
+
+@register(
+    "q87_cohort_retention",
+    tags=("events", "cohort", "retention", "agg"),
+    oracle="""
+WITH first_day AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort FROM events
+  GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+)
+SELECT CAST(f.cohort AS TIMESTAMP) AS cohort_day,
+       CAST(date_diff('day', f.cohort, a.d) AS INT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM activity a JOIN first_day f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q87_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-activity day,
+    counted active per (cohort, day-offset) — the engagement analysis
+    every event warehouse runs. COUNT(*) over the DISTINCT
+    (user, day) activity set = exact distinct-user counts without a
+    second distinct aggregation.
+
+    Shape: two hash aggs (first-day per user; distinct activity days)
+    + one equi-join on user_id + one partial-aggregable rollup. All
+    integer/date arithmetic — engine-exact."""
+    e = t(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    return (
+        activity.join(first_day, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("cohort")).cast("int").alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
