@@ -429,3 +429,38 @@ def q87_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "q88_scd2_user_history",
+    tags=("events", "scd2", "window", "cdc"),
+    oracle="""
+SELECT user_id, event_id, value,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q88_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build — the warehouse versioning shape: treat
+    each user's event stream as CDC updates and emit one VERSIONED row
+    per change with [valid_from, valid_to) and an is_current flag
+    (valid_to = next change's timestamp via lead(); open-ended for the
+    latest). event_id joins the window ordering so timestamp ties
+    version deterministically.
+
+    Shape: ONE window keyed on user_id — a single shuffle regardless of
+    history depth; the same plan incrementalizes per partition (merge
+    new changes, re-window only affected keys)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
