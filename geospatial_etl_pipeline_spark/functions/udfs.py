@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 _S = float(10**12)
