@@ -464,3 +464,40 @@ def q88_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "q89_range_frame_rolling",
+    tags=("events", "window", "range-frame"),
+    oracle="""
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_last_10m,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_last_10m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def q89_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling aggregates — the time-based window frame
+    (everything within the last 10 minutes of EVENT TIME per user),
+    distinct from q21's ROWS frame (last N rows): RANGE frames bound by
+    the ordering VALUE, so ties and gaps behave correctly for event
+    data. Ordering key = exact integer micros; the windowed sum uses
+    the DECIMAL(38,6) exact-sum construction (order-free, engine-exact,
+    same as _util.dsum). One window = one shuffle keyed on user_id."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_10m"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_last_10m"),
+    )
