@@ -86,29 +86,40 @@ def main() -> None:
     # Warmup: spin the JVM, parquet footer caches, codegen — and the
     # Python worker pool (first Arrow UDF of a session pays worker
     # startup; that's session setup, not query cost).
-    run_once(spark, catalog.QUERIES["q01_pricing_summary"].fn, sf_dir)
-    ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    spark.range(1000, numPartitions=ncpu).mapInPandas(
-        lambda it: it, "id long"
-    ).write.mode("overwrite").format("noop").save()
+    try:
+        run_once(spark, catalog.QUERIES["q01_pricing_summary"].fn, sf_dir)
+        ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+        spark.range(1000, numPartitions=ncpu).mapInPandas(
+            lambda it: it, "id long"
+        ).write.mode("overwrite").format("noop").save()
+    except Exception as exc:  # noqa: BLE001 — warmup is best-effort
+        print(f"# warmup failed: {exc}", file=sys.stderr, flush=True)
 
+    # Per-query failure isolation: one broken query must never abort the
+    # run (round-2 lesson — a single AnalysisException cost the entire
+    # perf record). Failures are reported in "errors" and excluded from
+    # the total; the JSON line is emitted regardless.
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = catalog.QUERIES[name]
-        times[name] = round(run_query(spark, spec.fn, sf_dir), 3)
-        print(f"# {name}: {times[name]}s", file=sys.stderr, flush=True)
+        try:
+            times[name] = round(run_query(spark, spec.fn, sf_dir), 3)
+            print(f"# {name}: {times[name]}s", file=sys.stderr, flush=True)
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr, flush=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -32,18 +32,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects. Read nanos as long (runtime conf) and truncate
-    to microsecond timestamps — exactly what DuckDB's reader does when it
-    surfaces the column as TIMESTAMP, so oracle comparisons see the same
-    instants. Integer division only: the raw nanos exceed 2**53 and would
-    lose precision through a double."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a plain (UTC-instant) TIMESTAMP whatever
+    encoding the parquet files use. Seen in the wild across testdata
+    regenerations:
+
+    - TIMESTAMP(NANOS): Spark's reader rejects it; with
+      ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as ``bigint``
+      nanos, which we integer-truncate to micros (integer division only:
+      raw nanos exceed 2**53 and would lose precision through a double) —
+      matching DuckDB's reader, so oracle comparisons see the same
+      instants.
+    - timestamp[us] without the UTC flag → Spark ``TIMESTAMP_NTZ``:
+      functions like ``unix_micros`` reject NTZ, so cast to TIMESTAMP.
+      Value-identical under the UTC-pinned session (session.py sets
+      ``spark.sql.session.timeZone=UTC``).
+    - plain TIMESTAMP: the cast is a no-op.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dtype is not None and dtype != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

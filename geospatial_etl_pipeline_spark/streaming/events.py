@@ -22,23 +22,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans._util import DEC
+from ..sources.tables import normalize_event_ts
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table (nanos handled like the
-    batch loader: read as long, truncate to micros)."""
+    """File-source stream of the events table. ``readStream`` needs an
+    explicit schema, so we take it from a batch read of the same file —
+    one footer read, no data scan — and then route through the SAME
+    ``ts`` normalizer as the batch loader (nanos-as-long, TIMESTAMP_NTZ,
+    or plain TIMESTAMP all handled), so stream and batch see identical
+    instants whatever encoding the current testdata uses."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.format("parquet")
         .schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(raw)
 
 
 def windowed_counts(
