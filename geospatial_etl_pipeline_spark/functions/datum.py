@@ -24,6 +24,7 @@ the existing Arrow-batched pandas UDFs — per-batch, no driver work.
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -63,18 +64,61 @@ def _xyz_to_geodetic(x, y, z, a, f):
     return np.degrees(lon), np.degrees(lat)
 
 
-def nzgd1949_to_nzgd2000(lon, lat, grid: "NTv2Grid | None" = None):
-    """Datum shift NZGD1949 → NZGD2000 on (lon, lat) degree arrays.
+# Shipped synthetic NTv2 fixture for the NZ window (built by
+# tools/make_nz_grid.py from the 3-param transform sampled at the nodes;
+# real LINZ nzgd2kgrid0005.gsb drops in at the same path).
+_DEFAULT_GRID_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)),
+    "data", "nz_nzgd49_nzgd2000_synth.gsb",
+)
+_default_grid_cache: list = []  # [] = unloaded, [None] = missing, [grid]
 
-    With ``grid``: NTv2 bilinear interpolation (the reference's exact
-    request). Without: the 3-parameter geocentric translation fallback —
-    International 1924 geodetic → XYZ, +(tx,ty,tz), → GRS80 geodetic —
-    within :data:`FALLBACK_TOLERANCE_M` of the grid path nationally."""
-    if grid is not None:
-        return grid.shift(lon, lat)
+
+def default_nz_grid() -> "NTv2Grid | None":
+    """Lazily parse the shipped NZ ``.gsb`` (None if the file is absent).
+    Parsed once per process; executors each pay one ~50 KB parse, not
+    one per batch."""
+    if not _default_grid_cache:
+        try:
+            with open(_DEFAULT_GRID_PATH, "rb") as f:
+                _default_grid_cache.append(parse_ntv2(f.read()))
+        except OSError:
+            _default_grid_cache.append(None)
+    return _default_grid_cache[0]
+
+
+def _three_param_shift(lon, lat):
     tx, ty, tz = NZGD1949_TO_NZGD2000_TXYZ
     x, y, z = _geodetic_to_xyz(lon, lat, _INTL_A, _INTL_F)
     return _xyz_to_geodetic(x + tx, y + ty, z + tz, _GRS80_A, _GRS80_F)
+
+
+def nzgd1949_to_nzgd2000(lon, lat, grid: "NTv2Grid | None | bool" = None):
+    """Datum shift NZGD1949 → NZGD2000 on (lon, lat) degree arrays.
+
+    Grid resolution order (the reference's exact request is the NTv2
+    path, REF:301):
+
+    - ``grid=None`` (default): use the shipped NZ grid fixture when
+      present — NTv2 bilinear interpolation inside the grid window,
+      3-parameter geocentric fallback for points outside it.
+    - ``grid=<NTv2Grid>``: that grid (same inside/outside blend).
+    - ``grid=False``: force the pure 3-parameter fallback —
+      International 1924 geodetic → XYZ, +(tx,ty,tz), → GRS80 geodetic —
+      within :data:`FALLBACK_TOLERANCE_M` of the grid path nationally.
+    """
+    if grid is None:
+        grid = default_nz_grid()
+    if grid is None or grid is False:
+        return _three_param_shift(lon, lat)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    glon, glat = grid.shift(lon, lat)
+    inside = grid.contains(lon, lat)
+    if bool(np.all(inside)):
+        return glon, glat
+    flon, flat = _three_param_shift(lon, lat)
+    return np.where(inside, glon, flon), np.where(inside, glat, flat)
 
 
 class NTv2Grid:
@@ -100,6 +144,16 @@ class NTv2Grid:
         )
         self.lon_shift = np.asarray(lon_shift, dtype=np.float64).reshape(
             self.nrows, self.ncols
+        )
+
+    def contains(self, lon, lat):
+        """Boolean mask: which east-positive (lon, lat) degree points
+        fall inside the grid window."""
+        lon_w = -np.asarray(lon, dtype=np.float64) * 3600.0
+        lat_s = np.asarray(lat, dtype=np.float64) * 3600.0
+        return (
+            (lat_s >= self.s_lat) & (lat_s <= self.n_lat)
+            & (lon_w >= self.e_long) & (lon_w <= self.w_long)
         )
 
     def shift(self, lon, lat):

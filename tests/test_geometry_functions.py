@@ -130,7 +130,7 @@ def _nz_fixture_grid(nrows=15, ncols=14):
     lons_w = e_long + long_inc * np.arange(ncols)
     lons = -lons_w / 3600.0
     LON, LAT = np.meshgrid(lons, lats)
-    lon2, lat2 = nzgd1949_to_nzgd2000(LON.ravel(), LAT.ravel())
+    lon2, lat2 = nzgd1949_to_nzgd2000(LON.ravel(), LAT.ravel(), grid=False)
     dlat_sec = (lat2 - LAT.ravel()) * 3600.0
     dlon_w_sec = -(lon2 - LON.ravel()) * 3600.0
     return NTv2Grid(s_lat, n_lat, e_long, w_long, lat_inc, long_inc,
@@ -187,7 +187,7 @@ def test_datum_fallback_within_documented_tolerance_of_grid():
     lons = np.array([172.5, 174.78, 168.3, 176.9])
     lats = np.array([-43.5, -41.29, -46.4, -37.8])
     glon, glat = nzgd1949_to_nzgd2000(lons, lats, grid=g)
-    flon, flat = nzgd1949_to_nzgd2000(lons, lats)
+    flon, flat = nzgd1949_to_nzgd2000(lons, lats, grid=False)
     # degrees -> meters (~111.3 km/deg lat; scale lon by cos(lat))
     dlat_m = np.abs(glat - flat) * 111_320.0
     dlon_m = np.abs(glon - flon) * 111_320.0 * np.cos(np.radians(lats))
@@ -197,6 +197,34 @@ def test_datum_fallback_within_documented_tolerance_of_grid():
     shift_m = np.hypot((glat - lats) * 111_320.0,
                        (glon - lons) * 111_320.0 * np.cos(np.radians(lats)))
     assert np.all(shift_m > 50.0) and np.all(shift_m < 400.0)
+
+
+def test_default_grid_path_is_the_shipped_ntv2_fixture():
+    """With no argument, nzgd1949_to_nzgd2000 resolves the SHIPPED
+    synthetic .gsb (REF:301's NTv2 request) — inside the NZ window it
+    agrees with the 3-param derivation to interpolation error (<5 cm,
+    tightened from the 4 m no-grid bound); outside the window it falls
+    back to the 3-param path exactly."""
+    import numpy as np
+
+    from geospatial_etl_pipeline_spark.functions.datum import (
+        default_nz_grid,
+        nzgd1949_to_nzgd2000,
+    )
+
+    assert default_nz_grid() is not None, "shipped .gsb fixture missing"
+    rng = np.random.default_rng(7)
+    lons = rng.uniform(166.1, 179.6, 500)
+    lats = rng.uniform(-47.9, -34.1, 500)
+    glon, glat = nzgd1949_to_nzgd2000(lons, lats)  # default = grid path
+    flon, flat = nzgd1949_to_nzgd2000(lons, lats, grid=False)
+    d_m = np.hypot((glon - flon) * 111_320.0 * np.cos(np.radians(lats)),
+                   (glat - flat) * 111_320.0)
+    assert float(np.max(d_m)) < 0.05
+    # outside the grid window: exact 3-param fallback, never unshifted
+    out = (np.array([150.0]), np.array([-20.0]))
+    assert np.allclose(nzgd1949_to_nzgd2000(*out),
+                       nzgd1949_to_nzgd2000(*out, grid=False), rtol=0, atol=0)
 
 
 def test_lonlat_to_nztm_datum_hook():
