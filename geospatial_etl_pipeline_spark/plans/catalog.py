@@ -39,6 +39,12 @@ class QuerySpec:
     oracle: str | None  # None => driver falls back to rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    # For rows-only entries whose DATAFLOW is fully hash-checked by a
+    # companion query (same operators, engine-reproducible parameters):
+    # the companion's name. e.g. q54 (Gaussian-plane production ANN) is
+    # oracle-twinned by q84 (md5-plane variant of the identical bucket
+    # join + re-rank, value-hash-checked end to end).
+    oracle_twin: str | None = None
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -48,6 +54,7 @@ def register(
     name: str,
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
+    oracle_twin: str | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a (spark, sf_dir) -> DataFrame plan builder."""
 
@@ -55,7 +62,8 @@ def register(
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
         QUERIES[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or "")
+            name=name, fn=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or ""),
+            oracle_twin=oracle_twin,
         )
         return fn
 

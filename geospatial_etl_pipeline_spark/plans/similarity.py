@@ -479,9 +479,13 @@ def q56_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q54_ann_lsh_topk",
     tags=("similarity", "llm-data", "ann", "lsh", "topk"),
-    oracle=None,  # approximate: candidate set depends on LSH bucket
-    # collisions (seeded hyperplanes), not SQL-expressible; recall vs the
-    # exact baseline is asserted in tests/test_similarity_ops.py
+    oracle=None,  # the Gaussian-plane float-matmul path is not
+    # SQL-reproducible (sign-at-boundary of a float dot differs between
+    # engines); recall vs the exact baseline is asserted in
+    # tests/test_similarity_ops.py, and the IDENTICAL dataflow (bucket
+    # join on (table, bucket), dedup, cosine re-rank) is value-hash
+    # oracle-checked by the md5-plane twin q84_lsh_ann_oracle.
+    oracle_twin="q84_lsh_ann_oracle",
 )
 def q54_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors — the 100 TB scale path for q50's
