@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.asof import asof_join
-from ._util import dsum, sql_dsum, t
+from ._util import DEC, dsum, sql_dsum, t
 from .catalog import register
 
 
@@ -500,4 +500,75 @@ def q89_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .cast("double")
         .alias("sum_last_10m"),
+    )
+
+
+@register(
+    "q94_session_stats",
+    tags=("events", "window", "session"),
+    oracle="""
+WITH x AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, value, us,
+         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM x
+),
+numbered AS (
+  SELECT user_id, value, us,
+         CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+)
+def q94_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregates on top of q62's sessionization: session id
+    via cumulative-sum of the 30-minute-gap flag, then events, duration
+    (integer micros) and exact-decimal value sum per (user, session).
+
+    Shape at scale: ONE shuffle total. The lag window, the cumsum
+    window and the final groupBy all key on user_id —
+    HashPartitioning(user_id) satisfies the ClusteredDistribution on
+    (user_id, session_id), so Catalyst inserts no second exchange for
+    the aggregate (asserted in tests/test_plan_shapes.py). The cumsum
+    window orders by (us, event_id) — unique per user — so the default
+    RANGE frame has no tie peers and both engines agree row-for-row."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    cum_w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    numbered = flagged.select(
+        "user_id",
+        "value",
+        "us",
+        F.sum("new_session").over(cum_w).cast("bigint").alias("session_id"),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).cast("bigint").alias("duration_us"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import (
     STOPWORDS,
@@ -242,6 +243,84 @@ def q37_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens("text")).cast("bigint").alias("n_ws_tokens"),
         F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
         F.size(F.array_distinct(bpe)).cast("bigint").alias("n_unique_bpe"),
+    )
+
+
+_TFIDF_TOPK = 5
+_TFIDF_Q = 10_000  # score quantizer; see overflow analysis in the docstring
+
+
+@register(
+    "q93_tfidf_salient_terms",
+    tags=("text", "llm-data", "tfidf", "topk"),
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, t AS token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM documents)
+  GROUP BY doc_id, t
+),
+sc AS (
+  SELECT doc_id, token, tf,
+         CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT) AS df
+  FROM tf
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+SELECT doc_id, token, tf, df, score_q, CAST(rn AS INT) AS rn FROM (
+  SELECT doc_id, token, tf, df,
+         CAST(({_TFIDF_Q} * tf * (2 * (SELECT n FROM n) - 2 * df + 1))
+              // (2 * df + 1) AS BIGINT) AS score_q,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY ({_TFIDF_Q} * tf * (2 * (SELECT n FROM n) - 2 * df + 1))
+                      // (2 * df + 1) DESC, token ASC) AS rn
+  FROM sc
+) WHERE rn <= {_TFIDF_TOPK}
+""",
+)
+def q93_tfidf_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TFIDF_TOPK} salient terms per document by a TF-IDF-style
+    score — the classic training-data keyword/topic surfacing stage.
+
+    The usual tf·ln(N/df) is NOT cross-engine hashable (ln differs in
+    the last ulp between libm and DuckDB, which can flip ranks and
+    floors), so the idf factor is the BM25-style odds ratio
+    (N - df + 1/2)/(df + 1/2) — same monotonicity in df, but exact:
+    score_q = ({_TFIDF_Q}·tf·(2N - 2df + 1)) div (2df + 1), all BIGINT
+    arithmetic, bit-identical in Spark and DuckDB. Overflow bound:
+    {_TFIDF_Q}·tf·2N ≲ 1e4·1e4·2e10 = 2e18 < 2^63 even at a 10-billion
+    document corpus with 10k-term docs.
+
+    Shape at scale: explode → partial-agg count on (doc_id, token)
+    (one shuffle), df via a count window PARTITION BY token (second
+    shuffle, no join, no broadcast build), N as a 1-row broadcast
+    cross join, top-k via row_number on the doc_id partitioning the
+    first shuffle already established (HashPartitioning(doc_id, token)
+    does not serve it, so this is the third and last exchange —
+    stopword-skewed token partitions are bounded because the payload
+    per (token) row is already aggregated to one row per document)."""
+    staged = _staged(spark, sf_dir)
+    tf = (
+        staged.select("doc_id", F.explode_outer("_tok").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_w = Window.partitionBy("token")
+    sc = tf.withColumn("df", F.count(F.lit(1)).over(df_w))
+    n1 = t(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    score = F.expr(
+        f"CAST(({_TFIDF_Q} * tf * (2 * _n - 2 * df + 1)) div (2 * df + 1)"
+        " AS BIGINT)"
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_q").desc(), F.col("token").asc()
+    )
+    return (
+        sc.crossJoin(F.broadcast(n1))
+        .select("doc_id", "token", "tf", "df", score.alias("score_q"))
+        .withColumn("rn", F.row_number().over(rank_w).cast("int"))
+        .filter(F.col("rn") <= _TFIDF_TOPK)
     )
 
 

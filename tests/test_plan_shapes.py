@@ -196,3 +196,25 @@ def test_q85_spatial_join_is_equi_not_nested_loop(spark):
     p = plan_text(catalog.QUERIES["q85_spatial_bin_join"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" not in p
     assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_q94_single_exchange_for_sessions(spark):
+    """lag window, cumsum window and the (user_id, session_id) aggregate
+    must all reuse ONE user_id exchange — HashPartitioning(user_id)
+    satisfies the aggregate's ClusteredDistribution(user_id, session_id),
+    so a second exchange means the plan regressed."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q94_session_stats"].fn(spark, SF))
+    assert n_shuffles(p) == 1, p
+
+
+def test_q93_three_exchanges_and_broadcast_n(spark):
+    """tfidf: (doc_id, token) agg + token df-window + doc_id rank-window
+    = exactly three hash exchanges; the corpus size N joins as a 1-row
+    BroadcastExchange (never a shuffle)."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q93_tfidf_salient_terms"].fn(spark, SF))
+    assert n_shuffles(p) == 3, p
+    assert "BroadcastExchange" in p
