@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.dedup import (
     exact_dedup_groups,
@@ -304,4 +305,150 @@ def q48_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     return co.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= _NGRAM_JACCARD
+    )
+
+
+_SQL_FP = f"md5({_SQL_NORM})"
+
+
+@register(
+    "q77_incremental_dedup",
+    tags=("dedup", "llm-data", "incremental", "anti-join"),
+    oracle=f"""
+SELECT i.doc_id, md5(lower(trim(i.text))) AS fp
+FROM documents i
+WHERE i.doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM documents h
+    WHERE h.doc_id % 2 = 0
+      AND md5(lower(trim(h.text))) = md5(lower(trim(i.text))))
+""",
+)
+def q77_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: the new batch (odd doc_ids) minus
+    everything already in the corpus (even doc_ids) by content
+    fingerprint — the daily-ingest stage of a training-data pipeline.
+
+    Scale shape: both sides project to (doc_id, fp) BEFORE the anti
+    join, so the shuffle moves two narrow columns, never text. The fp
+    equi anti-join is the Spark-first answer to a "bloom pre-filter":
+    with AQE enabled, InjectRuntimeFilter plants exactly that bloom on
+    the incoming scan when the historical side is selective, and if the
+    historical corpus is stored bucketed by fp the join goes
+    exchange-free (operators/bucketing.py). At 100 TB the historical
+    side is the big one — Spark builds/streams per-partition hash sides
+    after the fp shuffle, constant memory per task."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    fp = F.md5(norm)
+    incoming = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", fp.alias("fp")
+    )
+    historical = d.filter(F.col("doc_id") % 2 == 0).select(fp.alias("fp"))
+    return incoming.join(historical, "fp", "left_anti").select("doc_id", "fp")
+
+
+@register(
+    "q78_canonical_doc_selection",
+    tags=("dedup", "llm-data", "canonical", "window"),
+    oracle=f"""
+SELECT doc_id,
+       FIRST_VALUE(doc_id) OVER (
+         PARTITION BY {_SQL_FP}
+         ORDER BY n_chars DESC, doc_id ASC) AS canonical_doc_id,
+       CAST(COUNT(*) OVER (PARTITION BY {_SQL_FP}) AS BIGINT) AS group_size
+FROM documents
+""",
+)
+def q78_canonical_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within each exact-duplicate group
+    (same normalized-text fingerprint) every row learns its group's
+    canonical representative — longest text wins, doc_id breaks ties —
+    the "which copy do we keep" stage that follows duplicate detection.
+
+    ONE shuffle keyed on fp serves both the first_value and the count
+    window; emitting the full mapping (not just survivors) is
+    deliberate: downstream joins re-point references from any duplicate
+    to its canonical id."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    w_rank = Window.partitionBy("fp").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    w_all = Window.partitionBy("fp")
+    return (
+        d.select("doc_id", "n_chars", fp.alias("fp"))
+        .select(
+            "doc_id",
+            F.first("doc_id").over(w_rank).alias("canonical_doc_id"),
+            F.count(F.lit(1)).over(w_all).cast("bigint").alias("group_size"),
+        )
+    )
+
+
+_DECON_N = 5  # word n-gram width for contamination matching
+_DECON_BENCH_IDS = 10  # doc_id < 10 plays the held-out benchmark set
+
+_SQL_DECON_GRAMS = (
+    f"list_distinct(list_transform("
+    f"range(1, greatest(len({_SQL_TOKENS}) - {_DECON_N - 2}, 2)), "
+    f"i -> concat_ws(' ', "
+    + ", ".join(f"({_SQL_TOKENS})[i::INT + {j}]" for j in range(_DECON_N))
+    + ")))"
+)
+
+
+@register(
+    "q79_benchmark_decontamination",
+    tags=("dedup", "llm-data", "decontamination"),
+    oracle=f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({_SQL_DECON_GRAMS}) AS gram
+  FROM documents WHERE doc_id < {_DECON_BENCH_IDS}
+),
+corpus AS (
+  SELECT doc_id, unnest({_SQL_DECON_GRAMS}) AS gram
+  FROM documents WHERE doc_id >= {_DECON_BENCH_IDS}
+)
+SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM corpus c JOIN bench b ON b.gram = c.gram
+GROUP BY c.doc_id
+""",
+)
+def q79_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word {_DECON_N}-gram with a held-out evaluation set (doc_id <
+    {_DECON_BENCH_IDS} stands in for the benchmark) and report how many
+    distinct grams leak — the contamination-audit stage every serious
+    pretraining pipeline runs (n-gram overlap flagging, as in the
+    GPT-3/PaLM decontamination appendices).
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus
+    → BROADCAST it; the corpus side explodes grams map-side and
+    inner-joins without any corpus-wide shuffle, then aggregates hits
+    per doc (partial agg on doc_id). The only exchange is the final
+    per-doc count — asserted in tests/test_plan_shapes.py."""
+    from ..functions.text import tokens, word_ngrams_t
+
+    d = t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens("text").alias("_tok"))
+    grams = staged.select(
+        "doc_id",
+        F.array_distinct(word_ngrams_t(F.col("_tok"), _DECON_N)).alias("gs"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") < _DECON_BENCH_IDS)
+        .select(F.explode_outer("gs").alias("gram"))
+        .dropDuplicates(["gram"])
+    )
+    corpus = grams.filter(F.col("doc_id") >= _DECON_BENCH_IDS).select(
+        "doc_id", F.explode_outer("gs").alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        # plain count, NOT count_distinct: grams are array_distinct'd
+        # per document before the explode, so (doc_id, gram) is already
+        # unique and a distinct-agg would add a (doc_id, gram) exchange
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
     )

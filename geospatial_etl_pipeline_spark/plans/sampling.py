@@ -362,3 +362,42 @@ def q83_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "chunk_idx", "tok_start", "tok_end",
         F.md5(F.encode(chunk_text, "utf-8")).alias("chunk_hash"),
     )
+
+
+_CAP_PER_CELL = 25  # max docs kept per (lang, source) cell
+
+
+@register(
+    "q98_per_source_caps",
+    tags=("llm-data", "sampling", "data-mixing", "window"),
+    oracle=f"""
+SELECT doc_id, lang, source, CAST(rn AS INT) AS rn
+FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= {_CAP_PER_CELL}
+""",
+)
+def q98_per_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing caps: keep at most {_CAP_PER_CELL} documents per
+    (lang, source) cell, chosen by a seeded md5 draw — the
+    over-represented-source downweighting stage of corpus assembly
+    (bound how much of any one crawl/domain enters the mix).
+
+    Same determinism contract as q69/q39: content-addressed rank, no
+    rand(), reproducible across runs, engines and corpus reshuffles.
+    One window exchange on (lang, source); a pathologically heavy cell
+    can swap in the groupBy + min_by(k) partial-agg form, which caps
+    per-task state at k rows instead of the cell's row count."""
+    d = t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang", "source").orderBy(h, F.col("doc_id"))
+    return (
+        d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _CAP_PER_CELL)
+        .select("doc_id", "lang", "source", F.col("rn").cast("int"))
+    )

@@ -218,3 +218,22 @@ def test_q93_three_exchanges_and_broadcast_n(spark):
     p = plan_text(cat.QUERIES["q93_tfidf_salient_terms"].fn(spark, SF))
     assert n_shuffles(p) == 3, p
     assert "BroadcastExchange" in p
+
+
+def test_q78_single_exchange_for_both_windows(spark):
+    """first_value rank window and count window share one fp exchange."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q78_canonical_doc_selection"].fn(spark, SF))
+    assert n_shuffles(p) == 1, p
+
+
+def test_q79_benchmark_set_is_broadcast(spark):
+    """decontamination joins the benchmark gram set via BroadcastExchange;
+    the only hash exchange is the final per-doc aggregate — the corpus
+    side must never shuffle its exploded grams."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q79_benchmark_decontamination"].fn(spark, SF))
+    assert "BroadcastExchange" in p
+    assert n_shuffles(p) <= 2, p  # partial+final distinct-count agg on doc_id
