@@ -401,3 +401,80 @@ def q98_per_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _CAP_PER_CELL)
         .select("doc_id", "lang", "source", F.col("rn").cast("int"))
     )
+
+
+_BUILD_MIN_TOKENS = 20  # quality gate: drop very short docs
+_BUILD_CAP = 50  # per-(lang, source) mixing cap
+
+
+@register(
+    "q99_corpus_build",
+    tags=("llm-data", "pipeline", "dedup", "sampling", "flagship"),
+    oracle=rf"""
+WITH staged AS (
+  SELECT doc_id, lang, source,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+           AS n_tokens,
+         md5(lower(trim(text))) AS fp
+  FROM documents
+),
+keepers AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS dup_rank
+  FROM staged
+),
+quality AS (
+  SELECT doc_id, lang, source, n_tokens, fp
+  FROM keepers
+  WHERE dup_rank = 1 AND n_tokens >= {_BUILD_MIN_TOKENS}
+),
+capped AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang, source
+    ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM quality
+)
+SELECT doc_id, lang, source, n_tokens, fp, CAST(rn AS INT) AS rn
+FROM capped WHERE rn <= {_BUILD_CAP}
+""",
+)
+def q99_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP composite: the training-corpus assembly pipeline as one
+    declarative DataFrame DAG — exact dedup (keep lowest doc_id per
+    normalized-text fingerprint) → quality gate (≥{_BUILD_MIN_TOKENS}
+    tokens) → per-(lang, source) mixing cap ({_BUILD_CAP} docs by
+    seeded md5 draw) → manifest rows.
+
+    The point of expressing the WHOLE pipeline as one plan (rather than
+    materializing between stages): Catalyst sees it end to end — the
+    fingerprint/token projections compute once per row in the scan
+    stage, the quality filter prunes before the cap shuffle, and the
+    job runs in exactly TWO exchanges (fp window, then (lang, source)
+    window — plan-asserted). At 100 TB each stage is the already-proven
+    scale shape (q40's hash dedup, q31's map-side gate, q98's capped
+    draw); chaining them adds no new shuffle beyond the two windows."""
+    from ..functions.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    staged = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        F.md5(norm).alias("fp"),
+    )
+    w_dup = Window.partitionBy("fp").orderBy("doc_id")
+    quality = (
+        staged.withColumn("dup_rank", F.row_number().over(w_dup))
+        .filter(
+            (F.col("dup_rank") == 1)
+            & (F.col("n_tokens") >= _BUILD_MIN_TOKENS)
+        )
+        .drop("dup_rank")
+    )
+    h = F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    w_cap = Window.partitionBy("lang", "source").orderBy(h, F.col("doc_id"))
+    return (
+        quality.withColumn("rn", F.row_number().over(w_cap).cast("int"))
+        .filter(F.col("rn") <= _BUILD_CAP)
+    )

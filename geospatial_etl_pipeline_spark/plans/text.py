@@ -401,3 +401,47 @@ def q38_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(hs).cast("bigint").alias("fp_min"),
         F.size(F.array_distinct(hs)).cast("bigint").alias("n_distinct_grams"),
     )
+
+
+@register(
+    "q76_token_length_histogram",
+    tags=("text", "llm-data", "histogram"),
+    oracle=f"""
+SELECT lang,
+       CAST(LENGTH(bin(CAST(len({_SQL_TOKENS}) AS BIGINT))) - 1 AS INT)
+         AS log2_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(len({_SQL_TOKENS}) AS BIGINT)) AS BIGINT) AS sum_tokens,
+       CAST(MIN(len({_SQL_TOKENS})) AS BIGINT) AS min_tokens,
+       CAST(MAX(len({_SQL_TOKENS})) AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY lang, log2_bucket
+""",
+)
+def q76_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-distribution report: documents per (lang,
+    floor(log2(token_count))) bucket with token totals — the
+    sequence-length histogram that sizes packing/truncation budgets
+    before training.
+
+    floor(log2(n)) is computed EXACTLY as length(bin(n)) - 1 (binary
+    digit count, integer-only — no libm log2 whose last-ulp rounding
+    could flip a bucket boundary between engines). Single hash
+    aggregate with map-side partial agg; integer sums, engine-exact."""
+    tok = F.col("_tok")
+    n_tok = token_count_t(tok)
+    staged = _staged(spark, sf_dir, "lang")
+    return (
+        staged.select(
+            "lang",
+            n_tok.alias("n_tokens"),
+            (F.length(F.bin(n_tok)) - 1).cast("int").alias("log2_bucket"),
+        )
+        .groupBy("lang", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+    )

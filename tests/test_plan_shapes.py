@@ -237,3 +237,23 @@ def test_q79_benchmark_set_is_broadcast(spark):
     p = plan_text(cat.QUERIES["q79_benchmark_decontamination"].fn(spark, SF))
     assert "BroadcastExchange" in p
     assert n_shuffles(p) <= 2, p  # partial+final distinct-count agg on doc_id
+
+
+def test_q99_corpus_build_two_exchanges(spark):
+    """The whole corpus-assembly pipeline (dedup -> quality gate ->
+    mixing cap) must compile to exactly two hash exchanges: the fp
+    window and the (lang, source) cap window."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q99_corpus_build"].fn(spark, SF))
+    assert n_shuffles(p) == 2, p
+
+
+def test_q76_histogram_single_aggregate(spark):
+    """Length histogram is one partial+final hash aggregate — a single
+    exchange on (lang, log2_bucket)."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q76_token_length_histogram"].fn(spark, SF))
+    assert n_shuffles(p) == 1, p
+    assert "partial" in p.lower() or "HashAggregate" in p, p
