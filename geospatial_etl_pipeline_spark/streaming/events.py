@@ -77,16 +77,29 @@ def sessionized(
     stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
     """Session windows per user with a 30-minute inactivity gap — the
-    streaming twin of q62_sessionize (same session boundaries)."""
+    streaming twin of q62_sessionize / q94_session_stats (same session
+    boundaries, same per-session stats). duration_us is max−min EVENT
+    time (matching q94's batch definition), not the session_window
+    span, whose end is last_event + gap by construction. All stats are
+    partial-aggregable, so streaming state per open session is one
+    accumulator row."""
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+            .cast("bigint")
+            .alias("duration_us"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
         .select(
             "user_id",
             F.col("sw.start").alias("session_start"),
             F.col("sw.end").alias("session_end"),
             "n_events",
+            "duration_us",
+            "sum_value",
         )
     )
 

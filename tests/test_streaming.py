@@ -55,6 +55,23 @@ def test_sessionized_stream_counts(spark, sf_dir, stream):
     assert per_user == batch
 
 
+def test_sessionized_stream_stats_match_q94(spark, sf_dir, stream):
+    """session_window per-session stats ≡ q94's batch lag/cumsum stats:
+    identical (user, n_events, duration_us, sum_value) multisets —
+    session ids differ by construction (batch numbers them 1..k, the
+    stream keys them by window start), so compare id-free."""
+    got = run_to_memory_sink(sessionized(stream), "t_session_stats", mode="complete")
+    stream_set = sorted(
+        (r["user_id"], r["n_events"], r["duration_us"], round(r["sum_value"], 6))
+        for r in got.collect()
+    )
+    batch_set = sorted(
+        (r["user_id"], r["n_events"], r["duration_us"], round(r["sum_value"], 6))
+        for r in catalog.QUERIES["q94_session_stats"].fn(spark, sf_dir).collect()
+    )
+    assert stream_set == batch_set
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir, stream):
     from pyspark.sql import functions as F
 
