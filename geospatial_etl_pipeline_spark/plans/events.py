@@ -572,3 +572,80 @@ def q94_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("us") - F.min("us")).cast("bigint").alias("duration_us"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "q100_hourly_gap_fill",
+    tags=("events", "time-series", "resample", "gap-fill"),
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS hour_value
+  FROM events GROUP BY user_id, hr
+),
+bounds AS (
+  SELECT user_id,
+         date_trunc('hour', MIN(ts)) AS hr_min,
+         date_trunc('hour', MAX(ts)) AS hr_max
+  FROM events GROUP BY user_id
+),
+spine AS (
+  SELECT b.user_id, unnest(generate_series(b.hr_min, b.hr_max,
+                                           INTERVAL 1 HOUR)) AS hr
+  FROM bounds b
+)
+SELECT s.user_id, s.hr AS hour_start,
+       CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+       last_value(h.hour_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+FROM spine s LEFT JOIN hourly h
+  ON h.user_id = s.user_id AND h.hr = s.hr
+""",
+)
+def q100_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill + forward fill: a dense
+    hourly spine per user (min..max event hour), hours with no events
+    emitted as zero-count rows, and the last observed hourly value
+    carried forward — the regularization step before any
+    sequence-model/feature-store consumption of event data.
+
+    Scale shape: the spine is generated IN-EXECUTOR
+    (sequence + explode per user — never a driver loop or a giant
+    range-table join); hourly pre-aggregation happens BEFORE the spine
+    join, so the join's right side is one row per (user, active hour),
+    not raw events. Exchanges: hourly agg, bounds agg, spine join,
+    ffill window — all keyed on user_id or (user_id, hr); AQE coalesces
+    the small ones. Per-user spine length is bounded by the retention
+    window at 100 TB (span/hour rows, not event count). The hourly
+    value is the exact-decimal sum, so the forward-filled double is
+    engine-identical."""
+    e = t(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    hourly = e.groupBy("user_id", hr.alias("hr")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("hour_value"),
+    )
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("hr_min"),
+        F.date_trunc("hour", F.max("ts")).alias("hr_max"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("hr_min", "hr_max", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    joined = spine.join(hourly, ["user_id", "hr"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("hr").alias("hour_start"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("ffill_value"),
+    )
