@@ -649,3 +649,50 @@ def q100_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
         F.last("hour_value", ignorenulls=True).over(w).alias("ffill_value"),
     )
+
+
+@register(
+    "q102_user_event_milestones",
+    tags=("events", "window", "nth-value"),
+    oracle="""
+SELECT user_id, first_event_id, third_event_id, last_event_id, n_events
+FROM (
+  SELECT user_id,
+         first_value(event_id) OVER w AS first_event_id,
+         nth_value(event_id, 3) OVER w AS third_event_id,
+         last_value(event_id) OVER w AS last_event_id,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_events,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+) WHERE rn = 1
+""",
+)
+def q102_user_event_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / nth_value / last_value analytics — per-user
+    journey milestones (first, third, last event) in one full-frame
+    window. The explicit UNBOUNDED..UNBOUNDED frame matters: the
+    default frame stops at CURRENT ROW, which would make last/nth
+    row-dependent. All four window functions plus the row_number
+    emitter share ONE user_id exchange; nth_value of a missing
+    position is NULL in both engines."""
+    e = t(spark, sf_dir, "events")
+    full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            F.first("event_id").over(full).alias("first_event_id"),
+            F.nth_value("event_id", 3).over(full).alias("third_event_id"),
+            F.last("event_id").over(full).alias("last_event_id"),
+            F.count(F.lit(1)).over(full).cast("bigint").alias("n_events"),
+            F.row_number().over(seq).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -958,3 +958,34 @@ def q59_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
     )
+
+
+@register(
+    "q101_set_ops_all_multiset",
+    tags=("relational", "setops", "multiset"),
+    oracle="""
+SELECT 'both_all' AS tag, n FROM (
+  SELECT c_nationkey AS n FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey AS n FROM supplier
+)
+UNION ALL
+SELECT 'customer_surplus' AS tag, n FROM (
+  SELECT c_nationkey AS n FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey AS n FROM supplier
+)
+""",
+)
+def q101_set_ops_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the MULTISET set operations q22's
+    distinct variants don't cover: per key, intersectAll keeps
+    min(count_left, count_right) copies and exceptAll keeps the count
+    surplus. Spark plans both as a single aggregate computing the two
+    counts then a generate (replicate) — one shuffle per operand pair,
+    no join."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n"))
+    both = c.intersectAll(s).select(F.lit("both_all").alias("tag"), "n")
+    surplus = c.exceptAll(s).select(F.lit("customer_surplus").alias("tag"), "n")
+    return both.unionByName(surplus)
