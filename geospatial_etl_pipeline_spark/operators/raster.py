@@ -308,3 +308,67 @@ def encode_geotiff(rasters: DataFrame) -> DataFrame:
             )
 
     return rasters.mapInPandas(enc, "base_name string, tiff binary")
+
+
+def downsample_block_mean(rasters: DataFrame, factor: int) -> DataFrame:
+    """Aggregate (block-mean) downsample by an integer factor (>=2):
+    each output cell is the mean of its factor×factor input block,
+    EXCLUDING nodata cells; a block that is all-nodata stays
+    nodata_value. Edge blocks are partial (input dims need not divide
+    by factor). The mean path — not decimation — is the cartographic
+    "Aggregate" operation; ``resample_nearest`` stays the cheap
+    decimation.
+
+    Pure JVM higher-order expressions (no Python): per output cell, an
+    ``aggregate`` fold over the block's valid cells accumulating
+    (sum, count). At 100 TB this composes with ``tile``: tiles whose
+    width/height are multiples of ``factor`` downsample independently
+    with no cross-tile blocks, so the operator stays embarrassingly
+    parallel after tiling."""
+    if factor < 2:
+        raise ValueError("factor must be >= 2")
+    f_ = F.lit(factor)
+    pre = rasters.select(
+        "*",
+        ((F.col("width") + f_ - 1) / f_).cast("int").alias("_nw"),
+        ((F.col("height") + f_ - 1) / f_).cast("int").alias("_nh"),
+    )
+    rows = F.sequence(F.lit(0), F.col("_nh") - 1)
+    cols = F.sequence(F.lit(0), F.col("_nw") - 1)
+
+    def block_mean(r, c):
+        bh = F.least(f_, F.col("height") - r * f_)
+        bw = F.least(f_, F.col("width") - c * f_)
+        idxs = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), bh - 1),
+                lambda dr: F.transform(
+                    F.sequence(F.lit(0), bw - 1),
+                    lambda dc: (
+                        (r * f_ + dr) * F.col("width") + c * f_ + dc + 1
+                    ).cast("int"),
+                ),
+            )
+        )
+        vals = F.filter(
+            F.transform(idxs, lambda i: F.element_at(F.col("cells"), i)),
+            lambda v: v != F.col("nodata_value"),
+        )
+        n = F.size(vals)
+        s = F.aggregate(
+            vals, F.lit(0.0), lambda acc, v: acc + v.cast("double")
+        )
+        return F.when(n > 0, s / n).otherwise(F.col("nodata_value"))
+
+    new_cells = F.flatten(
+        F.transform(rows, lambda r: F.transform(cols, lambda c: block_mean(r, c)))
+    )
+    staged = pre.select("*", new_cells.alias("_cells"))
+    return staged.select(
+        "path", "base_name",
+        F.col("_nw").alias("width"), F.col("_nh").alias("height"),
+        "xllcorner", "yllcorner",
+        (F.col("cellsize") * f_).alias("cellsize"),
+        "nodata_value", "crs",
+        F.col("_cells").alias("cells"),
+    )

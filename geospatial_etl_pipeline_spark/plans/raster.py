@@ -199,3 +199,48 @@ def q92_tiled_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster_stats(tile(rasters, _TILE_PX)).select(
         "base_name", "n_cells", "min_val", "max_val", "mean_val"
     )
+
+
+_DS_F = 8  # downsample factor for the declarative twin
+
+
+@register(
+    "q103_raster_block_downsample",
+    tags=("raster", "resample", "agg"),
+    oracle=f"""
+WITH grid AS (
+  SELECT CAST(id % {_W} AS INT) AS i,
+         CAST(id // {_W} AS INT) AS j,
+         CAST(((id % {_W}) * 31 + (id // {_W}) * 17) % 101 AS INT) AS val
+  FROM range({_W * _H}) t(id)
+)
+SELECT CAST(i // {_DS_F} AS INT) AS bi,
+       CAST(j // {_DS_F} AS INT) AS bj,
+       COUNT(*) AS n_cells,
+       CAST(SUM(val) AS BIGINT) AS sum_val,
+       CAST(SUM(val) AS DOUBLE) / COUNT(*) AS mean_val
+FROM grid
+GROUP BY bi, bj
+""",
+)
+def q103_raster_block_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-aggregate downsample (the cartographic "Aggregate" op,
+    mean per {_DS_F}×{_DS_F} block) in oracle-expressible form: integer
+    cell sums per block, mean as exact-int-sum / count — engine-exact.
+    The raster-struct production path is
+    operators.raster.downsample_block_mean (JVM higher-order fold,
+    nodata-aware), pixel-tested against numpy in tests/test_raster.py;
+    this declarative twin hash-checks the same block arithmetic
+    relationally. One partial-agg exchange on (bi, bj)."""
+    g = _grid(spark)
+    return (
+        g.groupBy(
+            (F.col("i") / _DS_F).cast("int").alias("bi"),
+            (F.col("j") / _DS_F).cast("int").alias("bj"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+            (F.sum("val").cast("double") / F.count(F.lit(1))).alias("mean_val"),
+        )
+    )

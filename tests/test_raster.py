@@ -221,3 +221,39 @@ def test_encode_geotiff_bytes_geographic_crs():
     assert got["cells"] == [1.0, 2.0, 3.0, 4.0]
     # tiepoint maps top-left: ytop = yll + h*cs = 21.0
     assert got["yllcorner"] == pytest.approx(20.0)
+
+
+def test_downsample_block_mean_matches_numpy(rasters):
+    import numpy as np
+
+    from geospatial_etl_pipeline_spark.operators.raster import (
+        downsample_block_mean,
+    )
+
+    big = rasters.filter("base_name = 'grid_02_a_b_mean_monthly7'")
+    out = downsample_block_mean(big, 3).collect()[0]
+    # 10x10 at factor 3 -> 4x4 output (edge blocks partial)
+    assert (out["width"], out["height"]) == (4, 4)
+    assert out["cellsize"] == 3.0
+    ref = np.arange(100, dtype=np.float64).reshape(10, 10)
+    for bj in range(4):
+        for bi in range(4):
+            block = ref[bj * 3 : bj * 3 + 3, bi * 3 : bi * 3 + 3]
+            assert out["cells"][bj * 4 + bi] == pytest.approx(block.mean())
+
+
+def test_downsample_block_mean_nodata_aware(rasters):
+    from geospatial_etl_pipeline_spark.operators.raster import (
+        downsample_block_mean,
+    )
+
+    small = rasters.filter("base_name = 'small'")
+    out = downsample_block_mean(small, 2).collect()[0]
+    assert (out["width"], out["height"]) == (2, 2)
+    # top-left block {1, NODATA, 5, 6} -> mean of valid = 4.0
+    assert out["cells"][0] == pytest.approx((1.0 + 5.0 + 6.0) / 3)
+    # top-right block {3, 4, NODATA, 8} -> 5.0
+    assert out["cells"][1] == pytest.approx((3.0 + 4.0 + 8.0) / 3)
+    # bottom blocks are full
+    assert out["cells"][2] == pytest.approx((9 + 10 + 13 + 14) / 4)
+    assert out["cells"][3] == pytest.approx((11 + 12 + 15 + 16) / 4)
