@@ -478,3 +478,55 @@ def q99_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.withColumn("rn", F.row_number().over(w_cap).cast("int"))
         .filter(F.col("rn") <= _BUILD_CAP)
     )
+
+
+_WS_DEN = 256  # weight denominator (power of two => exact division)
+
+
+@register(
+    "q104_weighted_downsample",
+    tags=("llm-data", "sampling", "weighted"),
+    oracle=rf"""
+WITH staged AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+           AS n_tokens,
+         ('0x' || substr(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, n_tokens, u
+FROM staged
+WHERE u < LEAST(CAST(n_tokens AS DOUBLE) / {_WS_DEN}, 1.0)
+""",
+)
+def q104_weighted_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling: keep each document with
+    probability w = min(n_tokens/{_WS_DEN}, 1) — longer (higher-signal)
+    docs survive proportionally more often — but DETERMINISTICALLY:
+    the uniform draw u is the first 32 md5 bits of a seeded key mapped
+    to [0,1). Both u (dyadic: int/2^32) and w (denominator a power of
+    two) are exact doubles, so the u < w cut cannot flip between
+    engines and the sample is reproducible across runs and reshuffles
+    — rand() gives neither. Pure scan projection + filter: ZERO
+    exchanges (asserted), which is the only acceptable shape for a
+    100 TB downsampling pass."""
+    from ..functions.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w:"), F.col("doc_id").cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    w = F.least(F.col("n_tokens").cast("double") / _WS_DEN, F.lit(1.0))
+    return staged.filter(F.col("u") < w)

@@ -445,3 +445,64 @@ def q76_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").cast("bigint").alias("max_tokens"),
         )
     )
+
+
+_VOCAB_K = 100  # derived-vocabulary size
+
+
+@register(
+    "q105_oov_rate",
+    tags=("text", "llm-data", "vocabulary"),
+    oracle=f"""
+WITH tf AS (
+  SELECT t AS token, COUNT(*) AS n
+  FROM (SELECT unnest({_SQL_TOKENS}) AS t FROM documents)
+  GROUP BY t
+),
+vocab AS (
+  SELECT token FROM tf ORDER BY n DESC, token ASC LIMIT {_VOCAB_K}
+),
+vlist AS (SELECT list(token) AS v FROM vocab)
+SELECT doc_id,
+       CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter({_SQL_TOKENS},
+                t -> NOT list_contains(vlist.v, t))) AS BIGINT) AS n_oov,
+       CAST(len(list_filter({_SQL_TOKENS},
+                t -> NOT list_contains(vlist.v, t))) AS DOUBLE)
+         / len({_SQL_TOKENS}) AS oov_rate
+FROM documents, vlist
+""",
+)
+def q105_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against a vocabulary DERIVED
+    in the same job (top-{_VOCAB_K} corpus tokens by frequency,
+    deterministic (count desc, token asc) order) — the tokenizer-fit
+    health check run before committing to a vocab.
+
+    Scale shape: the token count is a partial-agg exchange; the top-K
+    is TakeOrderedAndProject (never a global sort); the K-row vocab
+    folds to ONE array row and broadcast-joins back, so the per-doc
+    membership test is an in-row array_contains fold over the staged
+    token array — the 100 TB corpus side never shuffles. n_oov/n_tokens
+    is an exact-integer ratio, engine-identical."""
+    staged = _staged(spark, sf_dir)
+    tf = (
+        staged.select(F.explode_outer("_tok").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = tf.orderBy(F.col("n").desc(), F.col("token").asc()).limit(_VOCAB_K)
+    vrow = vocab.agg(F.collect_list("token").alias("v"))
+    tok = F.col("_tok")
+    oov = F.size(
+        F.filter(tok, lambda x: ~F.array_contains(F.col("v"), x))
+    ).cast("bigint")
+    return (
+        staged.crossJoin(F.broadcast(vrow))
+        .select(
+            "doc_id",
+            F.size(tok).cast("bigint").alias("n_tokens"),
+            oov.alias("n_oov"),
+            (oov.cast("double") / F.size(tok)).alias("oov_rate"),
+        )
+    )

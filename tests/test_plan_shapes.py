@@ -257,3 +257,25 @@ def test_q76_histogram_single_aggregate(spark):
     p = plan_text(cat.QUERIES["q76_token_length_histogram"].fn(spark, SF))
     assert n_shuffles(p) == 1, p
     assert "partial" in p.lower() or "HashAggregate" in p, p
+
+
+def test_q104_downsample_is_exchange_free(spark):
+    """Weighted downsampling is a pure scan projection + filter — a
+    shuffle anywhere in this plan means it stopped being a map-side
+    pass."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q104_weighted_downsample"].fn(spark, SF))
+    assert n_shuffles(p) == 0, p
+
+
+def test_q105_vocab_is_broadcast_topk(spark):
+    """OOV: vocab derives via TakeOrderedAndProject (no global sort) and
+    joins back as a broadcast single-row array; the corpus side must not
+    shuffle (only the token-frequency agg exchanges)."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q105_oov_rate"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastExchange" in p
+    assert n_shuffles(p) <= 1, p
