@@ -209,3 +209,79 @@ def test_stream_static_enrichment(spark, sf_dir, stream):
     w = {r["event_id"]: r["weight"] for r in batch.collect()}
     assert g == w
     assert len(g) == batch.count()  # no rows lost or duplicated
+
+
+def test_late_data_dropped_beyond_watermark(spark, tmp_path):
+    """Append-mode watermark semantics on a controlled two-batch replay:
+    a window finalizes once the event-time frontier passes window_end +
+    watermark; a record arriving AFTER that (too late) must be dropped,
+    while the on-time records counted before finalization stay. This is
+    the state-eviction contract that bounds memory at 100 TB — without
+    it the window state grows forever."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geospatial_etl_pipeline_spark.sources.tables import normalize_event_ts
+
+    d = str(tmp_path / "late_events")
+    os.makedirs(d)
+
+    def write_batch(fname, rows, mtime):
+        # rows: list of (event_id, ts_us, user_id, event_type, value)
+        t_ = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        })
+        path = os.path.join(d, fname)
+        pq.write_table(t_, path)
+        os.utime(path, (mtime, mtime))
+
+    h = 3_600_000_000  # one hour in micros
+    t0 = 48 * h  # 1970-01-03 00:00:00, arbitrary but deterministic
+    m = 60_000_000
+    now = time.time()
+    # batch A: three on-time events in window W1 = [t0, t0+5m), then a
+    # frontier-advancing event at t0+70m -> watermark = t0+60m, so W1
+    # (ends t0+5m) is finalized after batch A.
+    write_batch("a.parquet", [
+        (1, t0 + 1 * m, 1, "click", 1.0),
+        (2, t0 + 2 * m, 1, "click", 1.0),
+        (3, t0 + 3 * m, 2, "click", 1.0),
+        (4, t0 + 70 * m, 3, "view", 1.0),
+    ], now - 60)
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    raw = spark.readStream.format("parquet").schema(schema).load(d)
+    stream = normalize_event_ts(raw)
+    # drive the two batches EXPLICITLY (write A -> process -> write B ->
+    # process) so the watermark computed from batch A is in force when
+    # the late record of batch B arrives — a single micro-batch would
+    # see everything at watermark 0 and prove nothing.
+    q = (
+        windowed_counts(stream, window="5 minutes", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch A
+        write_batch("b.parquet", [
+            (5, t0 + 4 * m, 9, "click", 1.0),   # must be dropped
+            (6, t0 + 80 * m, 3, "view", 1.0),
+        ], now - 30)
+        q.processAllAvailable()  # batch B (watermark now t0+10m)
+        q.processAllAvailable()  # emit any windows the new frontier freed
+    finally:
+        q.stop()
+    rows = {(r["window_start"].isoformat(), r["event_type"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM t_late").collect()}
+    w1_key = ("1970-01-03T00:00:00", "click")
+    assert rows.get(w1_key) == 3, rows  # late event_id=5 NOT counted
