@@ -285,3 +285,62 @@ def test_late_data_dropped_beyond_watermark(spark, tmp_path):
             for r in spark.sql("SELECT * FROM t_late").collect()}
     w1_key = ("1970-01-03T00:00:00", "click")
     assert rows.get(w1_key) == 3, rows  # late event_id=5 NOT counted
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, sf_dir, stream):
+    """LEFT OUTER stream-stream interval join ≡ the batch left join:
+    matched (purchase, click) pairs identical AND every click-less
+    purchase present exactly once with a null click — the null-padded
+    rows only exist because the watermark horizon passed, so this also
+    proves outer-side state finalization."""
+    from geospatial_etl_pipeline_spark.streaming.events import (
+        purchases_with_optional_click,
+    )
+
+    got = run_to_memory_sink(
+        purchases_with_optional_click(stream), "t_louter", mode="append"
+    )
+    s_rows = sorted(
+        (r["event_id"], r["c_event_id"]) for r in got.collect()
+    )
+
+    from geospatial_etl_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    c = e.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_event_id"),
+    )
+    b = p.join(
+        c,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("ts")),
+        "left",
+    )
+    b_rows = sorted((r["event_id"], r["c_event_id"]) for r in b.collect())
+    # Matched pairs must agree exactly. Null-padded rows are emitted only
+    # once the watermark PROVES no click can still arrive — purchases
+    # inside the final watermark horizon stay undecided when the input
+    # ends (that is correct streaming semantics, not data loss), so the
+    # stream result is the batch result minus exactly those rows.
+    s_matched = [x for x in s_rows if x[1] is not None]
+    b_matched = [x for x in b_rows if x[1] is not None]
+    assert s_matched == b_matched and len(s_matched) > 0
+    # the join's outer-emission frontier is the COMBINED watermark: the
+    # MIN of the two sides' event-time maxima, each less the 1h
+    # watermark, less the 30 min join bound
+    import datetime
+    max_p = p.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    max_c = c.agg(F.max("c_ts").alias("m")).collect()[0]["m"]
+    cutoff = min(max_p, max_c) - datetime.timedelta(hours=1, minutes=30)
+    p_ts = {r["event_id"]: r["ts"] for r in p.collect()}
+    s_nulls = {x[0] for x in s_rows if x[1] is None}
+    b_nulls = {x[0] for x in b_rows if x[1] is None}
+    assert s_nulls <= b_nulls
+    undecided = b_nulls - s_nulls
+    assert all(p_ts[eid] > cutoff for eid in undecided), undecided
+    assert len(s_nulls) > 0  # the outer side actually emitted
