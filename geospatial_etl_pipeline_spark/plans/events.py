@@ -696,3 +696,65 @@ def q102_user_event_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "q106_iqr_outliers",
+    tags=("events", "quality", "percentile", "outliers"),
+    oracle="""
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+                       OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       b.q1 - 1.5 * (b.q3 - b.q1) AS lower_fence,
+       b.q3 + 1.5 * (b.q3 - b.q1) AS upper_fence
+FROM events e JOIN bounds b ON b.event_type = e.event_type
+GROUP BY e.event_type, lower_fence, upper_fence
+""",
+)
+def q106_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier screening per event type — the numeric
+    data-quality gate (flag readings outside [q1−1.5·IQR, q3+1.5·IQR])
+    run before a metrics column is trusted for training.
+
+    Determinism: both engines implement the same linear-interpolated
+    exact percentile (q28's contract) and the fence arithmetic is
+    per-row IEEE double — identical everywhere, so the boundary
+    comparisons cannot flip. Shape: the per-type bounds are a tiny
+    holistic aggregate (5 rows) that BROADCASTS back onto the event
+    scan; the final count is one partial-agg exchange. At 100 TB swap
+    the exact percentile for approx_percentile (q29's sketch contract)
+    without touching the fence logic."""
+    e = t(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    b = bounds.select(
+        "event_type",
+        (F.col("q1") - 1.5 * iqr).alias("lower_fence"),
+        (F.col("q3") + 1.5 * iqr).alias("upper_fence"),
+    )
+    out_flag = (
+        (F.col("value") < F.col("lower_fence"))
+        | (F.col("value") > F.col("upper_fence"))
+    ).cast("int")
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "lower_fence", "upper_fence")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(out_flag).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "event_type", "n_total", "n_outliers", "lower_fence", "upper_fence"
+        )
+    )
