@@ -1,0 +1,30 @@
+# Developer entry points (mirrors the reference repo's Makefile role).
+
+.PHONY: test test-fast parity parity-all parity-sf01 bench smoke
+
+test:            ## full suite, no -x (the pre-commit gate)
+	python -m pytest tests/ -q
+
+test-fast:       ## quick signal: catalog + loaders + plan shapes
+	python -m pytest tests/test_catalog.py tests/test_loader_schema.py \
+	  tests/test_plan_shapes.py -q
+
+parity:          ## driver-style oracle gate at sf0.01 (what the driver runs)
+	GEOETL_TEST_SF_DIR=/root/testdata/sf0.01 \
+	  python -m pytest tests/test_oracle_parity.py -q
+
+parity-all:      ## every catalog query vs DuckDB -> PARITY_ALL.json
+	python tools/parity_all.py /root/testdata/sf0.01 PARITY_ALL.json
+
+parity-sf01:     ## 10x scale-drift sweep -> PARITY_SF01.json
+	python tools/parity_sf01.py PARITY_SF01.json
+
+bench:           ## headline queries at sf0.1, one JSON line
+	python bench.py
+
+smoke:           ## driver-contract smoke (entry + registry shape)
+	python -c "import importlib.util; \
+	spec = importlib.util.spec_from_file_location('e', '__spark_entry__.py'); \
+	m = importlib.util.module_from_spec(spec); spec.loader.exec_module(m); \
+	q, o = m.queries(), m.oracle_sql(); \
+	print(len(q), 'queries,', len(o), 'oracles, subset:', set(o) <= set(q))"
