@@ -506,3 +506,145 @@ def q105_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (oov.cast("double") / F.size(tok)).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "q107_repetition_signals",
+    tags=("text", "llm-data", "quality", "repetition"),
+    oracle=f"""
+WITH staged AS (
+  SELECT doc_id, {_SQL_TOKENS} AS tok,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(tok), 2)),
+                        i -> concat_ws(' ', tok[i::INT], tok[i::INT + 1])) AS bgs
+  FROM staged
+),
+top_bg AS (
+  SELECT doc_id,
+         CAST(len(bgs) AS BIGINT) AS n_bigrams,
+         CAST((SELECT MAX(cnt) FROM (
+            SELECT COUNT(*) AS cnt FROM unnest(bgs) AS t(g) GROUP BY g))
+           AS BIGINT) AS top_bigram_n
+  FROM bg
+)
+SELECT s.doc_id,
+       CAST(len(s.lines) AS BIGINT) AS n_lines,
+       CAST(len(s.lines) - len(list_distinct(s.lines)) AS BIGINT) AS n_dup_lines,
+       CAST(len(s.lines) - len(list_distinct(s.lines)) AS DOUBLE)
+         / len(s.lines) AS dup_line_frac,
+       t.top_bigram_n,
+       CAST(t.top_bigram_n AS DOUBLE) / t.n_bigrams AS top_bigram_frac
+FROM staged s JOIN top_bg t ON t.doc_id = s.doc_id
+""",
+)
+def q107_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher/MassiveText filter family,
+    Rae et al. 2021 §A1.1): duplicate-line fraction and the fraction of
+    bigrams taken by the single most frequent bigram — high values mark
+    boilerplate/spam that length or stopword heuristics miss.
+
+    All counts are integers (fractions are exact-int ratios in double),
+    computed IN-ROW with higher-order functions: lines via split on
+    newline, dup count = len − len(distinct), top-bigram count via an
+    aggregate fold over the sorted bigram array — zero shuffles
+    (plan-asserted), scan-proportional at any corpus size."""
+    tok = F.col("_tok")
+    lines = F.split(F.col("text"), "\n")
+    bgs = word_ngrams_t(tok, 2)
+    # top bigram count in-row: sort the bigram array, then fold counting
+    # the longest run of equal neighbors (sort_array is JVM-side).
+    top_run = F.expr(
+        "aggregate(sort_array(_bgs), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1L), "
+        "  'best', GREATEST(acc.best, "
+        "    IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1L))), "
+        "acc -> acc.best)"
+    )
+    staged = _staged(spark, sf_dir, "text").select(
+        "doc_id", lines.alias("_lines"), tok.alias("_tok2"), bgs.alias("_bgs")
+    )
+    n_lines = F.size("_lines").cast("bigint")
+    n_dup = (F.size("_lines") - F.size(F.array_distinct("_lines"))).cast("bigint")
+    return staged.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_dup.alias("n_dup_lines"),
+        (n_dup.cast("double") / n_lines).alias("dup_line_frac"),
+        top_run.alias("top_bigram_n"),
+        (top_run.cast("double") / F.size("_bgs")).alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "q108_c4_cleaning_flags",
+    tags=("text", "llm-data", "quality", "c4"),
+    oracle=r"""
+WITH staged AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines,
+         contains(text, '{') OR contains(text, '}') AS has_brace,
+         contains(lower(text), 'lorem ipsum') AS has_lorem
+  FROM documents
+)
+SELECT doc_id,
+       has_brace, has_lorem,
+       CAST(len(list_filter(lines, l -> l SIMILAR TO '.*[.!?"]\s*'))
+            AS BIGINT) AS n_terminal_lines,
+       CAST(len(list_filter(lines,
+                l -> len(regexp_split_to_array(trim(l), '\s+')) < 3))
+            AS BIGINT) AS n_short_lines,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       (NOT has_brace) AND (NOT has_lorem)
+         AND len(list_filter(lines,
+               l -> len(regexp_split_to_array(trim(l), '\s+')) < 3)) * 2
+             <= len(lines) AS keep
+FROM staged
+""",
+)
+def q108_c4_cleaning_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic cleaning flags (Raffel et al. 2020 §2.2): code
+    markers (curly braces), placeholder text ("lorem ipsum"), lines
+    ending with terminal punctuation, too-short lines (<3 words), and
+    the resulting keep/drop decision (no code markers, no placeholder,
+    short lines at most half the doc).
+
+    Every signal is a string predicate or exact-integer count folded
+    IN-ROW over the line array — zero shuffles, scan-proportional; the
+    regexes are RE2/Java-compatible (no lookarounds), so both engines
+    match identically."""
+    d = t(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    staged = d.select(
+        "doc_id",
+        lines.alias("_lines"),
+        (F.col("text").contains("{") | F.col("text").contains("}")).alias(
+            "has_brace"
+        ),
+        F.lower(F.col("text")).contains("lorem ipsum").alias("has_lorem"),
+    )
+    terminal = F.size(
+        F.filter("_lines", lambda l: l.rlike(r'^.*[.!?"]\s*$'))
+    ).cast("bigint")
+    short = F.size(
+        F.filter("_lines", lambda l: F.size(F.split(F.trim(l), r"\s+")) < 3)
+    ).cast("bigint")
+    n_lines = F.size("_lines").cast("bigint")
+    return staged.select(
+        "doc_id",
+        "has_brace",
+        "has_lorem",
+        terminal.alias("n_terminal_lines"),
+        short.alias("n_short_lines"),
+        n_lines.alias("n_lines"),
+        (
+            ~F.col("has_brace")
+            & ~F.col("has_lorem")
+            & (short * 2 <= n_lines)
+        ).alias("keep"),
+    )

@@ -279,3 +279,14 @@ def test_q105_vocab_is_broadcast_topk(spark):
     assert "TakeOrderedAndProject" in p, p
     assert "BroadcastExchange" in p
     assert n_shuffles(p) <= 1, p
+
+
+def test_quality_signal_queries_are_exchange_free(spark):
+    """Repetition (q107) and C4 cleaning flags (q108) are in-row
+    quality signals — any exchange means they stopped being
+    scan-proportional passes."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    for name in ("q107_repetition_signals", "q108_c4_cleaning_flags"):
+        p = plan_text(cat.QUERIES[name].fn(spark, SF))
+        assert n_shuffles(p) == 0, (name, p)
