@@ -487,3 +487,109 @@ def q36_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("double").alias("quantity"),
         "o_orderpriority",
     )
+
+
+@register(
+    "q109_table_profile",
+    tags=("relational", "profiling", "quality"),
+    oracle="""
+SELECT 'l_quantity' AS col,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max_v
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', COUNT(*),
+       CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+       CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+       CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_tax', COUNT(*),
+       CAST(COUNT(*) - COUNT(l_tax) AS BIGINT),
+       CAST(COUNT(DISTINCT l_tax) AS BIGINT),
+       CAST(MIN(l_tax) AS DOUBLE), CAST(MAX(l_tax) AS DOUBLE)
+FROM lineitem
+""",
+)
+def q109_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling census (the ingest health check every pipeline
+    runs before trusting a table): rows, nulls, exact distincts,
+    min/max per profiled column, one row per column.
+
+    Shape: ONE scan feeds all three column profiles (Catalyst shares
+    the relation; count-distinct expands per column). min/max/count are
+    order-free so no decimal summation is needed. At 100 TB swap exact
+    count-distinct for approx_count_distinct per the q29 sketch
+    contract — the plan shape is unchanged."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def profile(col: str) -> DataFrame:
+        return li.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).cast("bigint").alias("n_null"),
+            F.count_distinct(F.col(col)).cast("bigint").alias("n_distinct"),
+            F.min(col).cast("double").alias("min_v"),
+            F.max(col).cast("double").alias("max_v"),
+        )
+
+    out = profile("l_quantity")
+    for c in ("l_discount", "l_tax"):
+        out = out.unionByName(profile(c))
+    return out
+
+
+@register(
+    "q110_referential_integrity",
+    tags=("relational", "quality", "anti-join", "fk-audit"),
+    oracle="""
+SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT)
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+""",
+)
+def q110_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    for each foreign-key edge (lineitem→orders, orders→customer,
+    customer→nation) via anti joins — the constraint check a lakehouse
+    must run itself because parquet enforces nothing.
+
+    Scale shape: each edge is a LEFT ANTI equi-join on the key with the
+    parent side projected to its key column only; the dimension-sized
+    parents (customer, nation) broadcast, the fact-fact edge shuffles
+    on the join key with AQE. Zero-orphan results are the expected
+    steady state — the query is the proof, not the alarm."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def audit(child: DataFrame, parent: DataFrame, on, name: str) -> DataFrame:
+        return (
+            child.join(parent, on, "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            .select(F.lit(name).alias("fk"), "n_orphans")
+        )
+
+    return (
+        audit(li, o.select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "lineitem->orders")
+        .unionByName(
+            audit(o.select("o_custkey"), F.broadcast(c.select("c_custkey")),
+                  F.col("o_custkey") == F.col("c_custkey"), "orders->customer"))
+        .unionByName(
+            audit(c.select("c_nationkey"), F.broadcast(n),
+                  F.col("c_nationkey") == F.col("n_nationkey"),
+                  "customer->nation"))
+    )
