@@ -452,3 +452,57 @@ def q79_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         # unique and a distinct-agg would add a (doc_id, gram) exchange
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
     )
+
+
+@register(
+    "q111_dup_graph_degrees",
+    tags=("dedup", "llm-data", "graph", "degree"),
+    oracle=f"""
+WITH {_SQL_LSH_CTES},
+sym AS (
+  SELECT id_a AS doc_id, id_b AS nbr FROM lsh_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM lsh_pairs
+),
+deg AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(s.cnt, 0) AS BIGINT) AS degree
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, COUNT(*) AS cnt FROM sym GROUP BY doc_id) s
+    ON s.doc_id = d.doc_id
+)
+SELECT degree, COUNT(*) AS n_docs
+FROM deg GROUP BY degree
+""",
+)
+def q111_dup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-duplicate graph — the health
+    metric that decides dedup policy: a fat tail (hub documents
+    near-duplicating hundreds of others) means boilerplate that should
+    be stop-listed before clustering, while mostly degree-0/1 means
+    pairwise keep-one suffices.
+
+    Built ON the same LSH pair operator q42 hash-checks (no second
+    pair-finding implementation to drift): symmetrize edges, count per
+    endpoint, left-join back so isolated docs report degree 0, then
+    histogram. Exchanges: the pair pipeline's reused one + endpoint
+    count + final histogram agg — all key-partitioned, no all-pairs
+    anywhere."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs,
+        num_hashes=_NUM_HASHES,
+        shingle_k=_SHINGLE_K,
+        bands=_BANDS,
+        jaccard_threshold=_JACCARD,
+    )
+    sym = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    cnt = sym.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    deg = (
+        docs.select("doc_id")
+        .join(cnt, "doc_id", "left")
+        .select(F.coalesce("cnt", F.lit(0)).cast("bigint").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
