@@ -55,6 +55,12 @@ TARGETS = [
     "q105_oov_rate",
     # multiset set ops on 10x rows
     "q101_set_ops_all_multiset",
+    # quality / profiling family on 10x rows
+    "q106_iqr_outliers",
+    "q107_repetition_signals",
+    "q108_c4_cleaning_flags",
+    "q109_table_profile",
+    "q110_referential_integrity",
 ]
 
 
