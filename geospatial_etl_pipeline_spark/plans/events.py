@@ -758,3 +758,92 @@ def q106_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_total", "n_outliers", "lower_fence", "upper_fence"
         )
     )
+
+
+@register(
+    "q112_merge_upsert",
+    tags=("events", "merge", "upsert", "cdc"),
+    oracle="""
+WITH target AS (
+  SELECT user_id, value, ts AS updated_at FROM (
+    SELECT user_id, value, ts, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 2 = 0
+  ) WHERE rn = 1
+),
+source AS (
+  SELECT user_id, value, ts AS updated_at FROM (
+    SELECT user_id, value, ts, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 2 = 1
+  ) WHERE rn = 1
+)
+SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+       CASE WHEN s.user_id IS NULL THEN t.value
+            WHEN t.user_id IS NULL THEN s.value
+            WHEN s.updated_at >= t.updated_at THEN s.value
+            ELSE t.value END AS value,
+       CASE WHEN s.user_id IS NULL THEN t.updated_at
+            WHEN t.user_id IS NULL THEN s.updated_at
+            WHEN s.updated_at >= t.updated_at THEN s.updated_at
+            ELSE t.updated_at END AS updated_at,
+       CASE WHEN t.user_id IS NULL THEN 'insert'
+            WHEN s.user_id IS NULL THEN 'keep'
+            ELSE 'update' END AS action
+FROM target t FULL OUTER JOIN source s ON s.user_id = t.user_id
+""",
+)
+def q112_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics without a table format: a CDC updates
+    batch (odd event_ids) merged into a per-user snapshot (even
+    event_ids) — newer timestamp wins, unmatched source rows insert,
+    unmatched target rows persist, and every output row is labeled
+    insert/update/keep. This is the WHEN MATCHED / WHEN NOT MATCHED
+    dataflow a lakehouse MERGE INTO compiles to: per-side latest-wins
+    pre-aggregation, then ONE full-outer join on the key.
+
+    Scale shape: both pre-aggregations are partial-agg hash aggs; the
+    full-outer join shuffles once on user_id (both sides already
+    user_id-partitioned from their aggs, so AQE reuses the
+    partitioning). Deterministic: latest-wins ties break on
+    (ts, event_id) via max_by's struct ordering — same tuple order as
+    DuckDB's arg_max."""
+    e = t(spark, sf_dir, "events")
+
+    def snapshot(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.expr("max_by(value, struct(ts, event_id))").alias("value"),
+            F.max("ts").alias("updated_at"),
+        )
+
+    tgt = snapshot(e.filter(F.col("event_id") % 2 == 0)).select(
+        F.col("user_id").alias("t_user_id"),
+        F.col("value").alias("t_value"),
+        F.col("updated_at").alias("t_updated_at"),
+    )
+    src = snapshot(e.filter(F.col("event_id") % 2 == 1)).select(
+        F.col("user_id").alias("s_user_id"),
+        F.col("value").alias("s_value"),
+        F.col("updated_at").alias("s_updated_at"),
+    )
+    j = tgt.join(src, F.col("t_user_id") == F.col("s_user_id"), "full_outer")
+    s_missing = F.col("s_user_id").isNull()
+    t_missing = F.col("t_user_id").isNull()
+    s_wins = F.col("s_updated_at") >= F.col("t_updated_at")
+    return j.select(
+        F.coalesce("t_user_id", "s_user_id").alias("user_id"),
+        F.when(s_missing, F.col("t_value"))
+        .when(t_missing, F.col("s_value"))
+        .when(s_wins, F.col("s_value"))
+        .otherwise(F.col("t_value"))
+        .alias("value"),
+        F.when(s_missing, F.col("t_updated_at"))
+        .when(t_missing, F.col("s_updated_at"))
+        .when(s_wins, F.col("s_updated_at"))
+        .otherwise(F.col("t_updated_at"))
+        .alias("updated_at"),
+        F.when(t_missing, F.lit("insert"))
+        .when(s_missing, F.lit("keep"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )
