@@ -24,3 +24,37 @@ def test_no_oracle_set_is_documented():
     for name, spec in catalog.QUERIES.items():
         if spec.oracle is None:
             assert name in inherent or spec.oracle_twin, name
+
+
+def test_bench_headline_queries_exist():
+    """bench.py's HEADLINE list must reference live catalog entries — a
+    query rename that breaks the driver's bench run should fail HERE,
+    not in the round artifact."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in catalog.QUERIES]
+    assert not missing, missing
+
+
+def test_no_duplicate_output_columns():
+    """The driver's compare sorts columns by name; duplicate names make
+    the hash ambiguous. Cheap static check: oracle SQL must not alias
+    two columns identically (heuristic: DuckDB DESCRIBE would fail —
+    here we just ensure each oracle's top-level SELECT aliases parse).
+    Full value-level checking lives in test_oracle_parity."""
+    import duckdb
+
+    con = duckdb.connect()
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{name}.parquet')"
+        )
+    for name, spec in sorted(catalog.QUERIES.items()):
+        if spec.oracle is None:
+            continue
+        cur = con.execute(f"DESCRIBE {spec.oracle}")
+        cols = [r[0] for r in cur.fetchall()]
+        assert len(cols) == len(set(cols)), (name, cols)
+    con.close()
