@@ -679,3 +679,33 @@ def q84_lsh_ann_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= _LSH_TOPK)
     )
+
+
+@register(
+    "q114_kmeans_clusters",
+    tags=("similarity", "llm-data", "kmeans", "iterative"),
+    oracle=None,  # iterative float algorithm: the trajectory is
+    # deterministic (md5 init, exact argmin, decimal means — asserted in
+    # tests/test_operators.py with the inertia-monotone invariant), but
+    # a 3-iteration argmin-over-k SQL unrolling is not practical;
+    # registered rows-only per the iterative-algorithm contract.
+)
+def q114_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd's k-means over the embeddings table (k=8, 3
+    iterations) — the iterative-algorithm family beyond connected
+    components, and the trained version of q56's one-shot IVF
+    quantizer. Per iteration: broadcast-centroid in-row argmin
+    assignment (no explode, no |corpus|x k shuffle) + one
+    (cluster, dim) partial-agg exchange for the means; centroids pass
+    between iterations as k*d plain floats, so no lineage growth.
+    Returns per-cluster sizes and quantized inertia contribution."""
+    from ..operators.clustering import kmeans
+
+    e = t(spark, sf_dir, "embeddings")
+    assigned, _cents, _inertias = kmeans(e, k=8, iters=3)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("dist2").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("inertia"),
+    )

@@ -304,3 +304,42 @@ def test_spatial_bin_join_equals_quadratic(spark):
         if x0 <= x < x1 and y0 <= y < y1
     }
     assert got == want and len(want) > 0
+
+
+def test_kmeans_inertia_monotone_and_deterministic(spark, sf_dir):
+    """Lloyd's defining invariant: inertia never increases across
+    iterations; and the whole trajectory is reproducible run-to-run
+    (md5 init, exact argmin, decimal means)."""
+    from geospatial_etl_pipeline_spark.operators.clustering import kmeans
+    from geospatial_etl_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a1, c1, i1 = kmeans(e, k=4, iters=3)
+    assert all(i1[j + 1] <= i1[j] + 1e-9 for j in range(len(i1) - 1)), i1
+    a2, c2, i2 = kmeans(e, k=4, iters=3)
+    assert i1 == i2
+    assert c1 == c2
+    s1 = sorted((r["vec_id"], r["cluster"]) for r in a1.collect())
+    s2 = sorted((r["vec_id"], r["cluster"]) for r in a2.collect())
+    assert s1 == s2
+
+
+def test_kmeans_assignment_is_true_argmin(spark, sf_dir):
+    """Spot-check the in-row argmin against numpy on a sample."""
+    import numpy as np
+
+    from geospatial_etl_pipeline_spark.operators.clustering import (
+        assign_clusters,
+        init_centroids,
+    )
+    from geospatial_etl_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = init_centroids(e, 4)
+    got = assign_clusters(e, cents).limit(50).collect()
+    C = np.array(cents)
+    for r in got:
+        v = np.array(r["_v"])
+        d2 = ((C - v) ** 2).sum(axis=1)
+        assert r["cluster"] == int(d2.argmin())
+        assert abs(r["dist2"] - d2.min()) < 1e-9 * max(1.0, d2.min())
