@@ -1002,7 +1002,7 @@ _FUZZ_MAX_DIST = 1  # edit-distance threshold (the synthetic
     oracle=f"""
 WITH names AS (
   SELECT c_custkey AS id, c_name AS name,
-         substr(c_name, 1, 10) AS blk, length(c_name) AS ln
+         substr(c_name, 1, 16) AS blk, length(c_name) AS ln
   FROM customer
 )
 SELECT a.id AS id_a, b.id AS id_b,
@@ -1017,22 +1017,27 @@ def q113_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate string-match join: customer-name pairs within edit
     distance {_FUZZ_MAX_DIST} — the entity-resolution primitive (same
     customer, typo'd name). NOT a cross join: candidate pairs come from
-    an equi-join on a 10-char prefix BLOCK plus a length band (a true
+    an equi-join on a 16-char prefix BLOCK plus a length band (a true
     edit-distance-{_FUZZ_MAX_DIST} pair can differ in length by at most
     {_FUZZ_MAX_DIST}; prefix blocking is the standard recall/cost dial
     in record linkage), and the O(len^2) levenshtein runs only on
     bucket-mates. Both engines implement the same unit-cost Levenshtein
     — an exact integer, so the threshold cut is engine-identical.
 
-    At 100 TB the block key's cardinality scales with the data (name
-    prefixes), so the shuffle partitions evenly; a hot block (common
-    surname prefix) is the documented residual skew — mitigate by
-    widening the prefix or adding the length to the block key."""
+    At 100 TB the block key's cardinality must scale with the data —
+    this default (16 chars) was WIDENED from 10 after the sf0.1 sweep
+    exposed the pathology: the synthetic Customer#NNNNNNNNN names all
+    share their first 10 chars, so a 10-char block collapsed 15k names
+    into ONE bucket (112M pairs on a single shuffle partition). Wider
+    prefix = more blocks = bounded per-block work, at the standard
+    recall cost of missing pairs whose edits fall inside the block key
+    — the recorded record-linkage tradeoff, identical in the oracle so
+    parity is exact either way."""
     c = t(spark, sf_dir, "customer")
     names = c.select(
         F.col("c_custkey").alias("id"),
         F.col("c_name").alias("name"),
-        F.substring("c_name", 1, 10).alias("blk"),
+        F.substring("c_name", 1, 16).alias("blk"),
         F.length("c_name").alias("ln"),
     )
     a = names.alias("a")
