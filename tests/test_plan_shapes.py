@@ -290,3 +290,13 @@ def test_quality_signal_queries_are_exchange_free(spark):
     for name in ("q107_repetition_signals", "q108_c4_cleaning_flags"):
         p = plan_text(cat.QUERIES[name].fn(spark, SF))
         assert n_shuffles(p) == 0, (name, p)
+
+
+def test_q112_merge_reuses_agg_partitioning(spark):
+    """MERGE: the full-outer join must consume both latest-wins
+    snapshots' user_id partitioning directly — two exchanges total (one
+    per side's aggregate), none for the join itself."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q112_merge_upsert"].fn(spark, SF))
+    assert n_shuffles(p) == 2, p
