@@ -530,3 +530,95 @@ def q104_weighted_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = F.least(F.col("n_tokens").cast("double") / _WS_DEN, F.lit(1.0))
     return staged.filter(F.col("u") < w)
+
+
+@register(
+    "q115_corpus_accounting",
+    tags=("llm-data", "pipeline", "accounting", "lineage"),
+    oracle=rf"""
+WITH staged AS (
+  SELECT doc_id, lang, source,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+           AS n_tokens,
+         md5(lower(trim(text))) AS fp
+  FROM documents
+),
+keepers AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS dup_rank
+  FROM staged
+),
+deduped AS (SELECT * FROM keepers WHERE dup_rank = 1),
+quality AS (SELECT * FROM deduped WHERE n_tokens >= {_BUILD_MIN_TOKENS}),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY lang, source
+      ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM quality
+  ) WHERE rn <= {_BUILD_CAP}
+)
+SELECT * FROM (
+  SELECT 0 AS stage_no, 'input' AS stage, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM staged
+  UNION ALL
+  SELECT 1, 'after_exact_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT)
+  FROM deduped
+  UNION ALL
+  SELECT 2, 'after_quality_gate', COUNT(*), CAST(SUM(n_tokens) AS BIGINT)
+  FROM quality
+  UNION ALL
+  SELECT 3, 'after_source_caps', COUNT(*), CAST(SUM(n_tokens) AS BIGINT)
+  FROM capped
+)
+""",
+)
+def q115_corpus_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-build accounting: document and token counts after each stage
+    of q99's pipeline (input → exact dedup → quality gate → mixing
+    caps) — the loss/retention audit table every corpus release
+    publishes, and the lineage evidence reviewers ask for ("where did
+    40% of the tokens go?").
+
+    One DAG: the staged projection computes once; each stage is a
+    filter refinement of the previous, and Catalyst shares the
+    upstream windows across the four aggregates. Integer counts only —
+    engine-exact."""
+    from ..functions.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    staged = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        F.md5(norm).alias("fp"),
+    )
+    w_dup = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        staged.withColumn("dup_rank", F.row_number().over(w_dup))
+        .filter(F.col("dup_rank") == 1)
+        .drop("dup_rank")
+    )
+    quality = deduped.filter(F.col("n_tokens") >= _BUILD_MIN_TOKENS)
+    h = F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    w_cap = Window.partitionBy("lang", "source").orderBy(h, F.col("doc_id"))
+    capped = (
+        quality.withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= _BUILD_CAP)
+    )
+
+    def stage(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+
+    return (
+        stage(staged, 0, "input")
+        .unionByName(stage(deduped, 1, "after_exact_dedup"))
+        .unionByName(stage(quality, 2, "after_quality_gate"))
+        .unionByName(stage(capped, 3, "after_source_caps"))
+    )
