@@ -847,3 +847,52 @@ def q112_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("update"))
         .alias("action"),
     )
+
+
+@register(
+    "q116_event_transitions",
+    tags=("events", "window", "markov", "transitions"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       COUNT(*) AS n_transitions,
+       CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY prev_type)
+         AS p_next
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+)
+def q116_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream:
+    counts and conditional probabilities of event-type bigrams per user
+    journey — the behavior-model fit (and the input to next-event
+    prediction baselines).
+
+    Shape: ONE user_id window for the lag, then a (prev, next) hash agg
+    and a row-normalizing count window over prev_type — the probability
+    denominator is a SUM of already-aggregated counts (5x5 rows), so
+    the second window is trivial. p_next is exact-integer division in
+    double: engine-identical."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    denom = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(denom)
+        ).alias("p_next"),
+    )
