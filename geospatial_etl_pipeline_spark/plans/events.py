@@ -896,3 +896,51 @@ def q116_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(denom)
         ).alias("p_next"),
     )
+
+
+_AS_OF_TS = "2024-01-20 00:00:00"  # mid-stream instant, fixed for determinism
+
+
+@register(
+    "q117_scd2_as_of",
+    tags=("events", "scd2", "time-travel", "as-of"),
+    oracle=f"""
+WITH hist AS (
+  SELECT user_id, event_id, value,
+         ts AS valid_from,
+         lead(ts) OVER w AS valid_to
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id AS version_event_id, value,
+       valid_from
+FROM hist
+WHERE valid_from <= TIMESTAMP '{_AS_OF_TS}'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_AS_OF_TS}')
+""",
+)
+def q117_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read over the SCD2 history q88 builds: the exact
+    per-user version valid AS OF a fixed instant ([valid_from,
+    valid_to) interval containment) — the query side of slowly-changing
+    dimensions, and the semantics a lakehouse "VERSION AS OF" resolves
+    to for dimension tables.
+
+    Shape: the same single user_id window as the build, then a
+    map-side interval filter — no join, no second exchange. At scale
+    the history table is materialized once (q88) and this read prunes
+    on valid_from/valid_to min/max parquet statistics."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    as_of = F.lit(_AS_OF_TS).cast("timestamp")
+    hist = e.select(
+        "user_id",
+        F.col("event_id").alias("version_event_id"),
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return hist.filter(
+        (F.col("valid_from") <= as_of)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > as_of))
+    ).select("user_id", "version_event_id", "value", "valid_from")
