@@ -239,39 +239,42 @@ def q55_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ≈ 0.51, so τ={_ND_TAU} keeps the result non-trivial).
 
     Cosine is computed from per-element floor-quantized integer dots
-    (order-free integer sums), so Spark and DuckDB agree bit-for-bit."""
+    (order-free integer sums), so Spark and DuckDB agree bit-for-bit.
+
+    The quantized self-norm ``qn`` is projected at the scan and carried
+    through BOTH sides of the blocked self-join, so the pair relation
+    never has to be re-shuffled against a norms table — the plan is one
+    blocked equi-join plus in-row arithmetic (two fewer exchanges of
+    the pair relation than a post-join norm lookup)."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
         _sign_block(F.col("embedding"), _ND_BITS).alias("blk"),
     )
-    norms = e.select("vec_id", _qdot(F.col("v"), F.col("v")).alias("qn"))
+    e = e.withColumn("qn", _qdot(F.col("v"), F.col("v")))
     a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "blk"
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        "blk",
+        F.col("qn").alias("qna"),
     )
     b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "blk"
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        "blk",
+        F.col("qn").alias("qnb"),
     )
     pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
-    dots = pairs.select(
-        "id_a", "id_b", _qdot(F.col("va"), F.col("vb")).alias("qd")
-    )
-    na = norms.select(F.col("vec_id").alias("id_a"), F.col("qn").alias("qna"))
-    nb = norms.select(F.col("vec_id").alias("id_b"), F.col("qn").alias("qnb"))
-    out = (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                (F.col("qd").cast("double") / F.lit(_S))
-                / (
-                    F.sqrt(F.col("qna").cast("double") / F.lit(_S))
-                    * F.sqrt(F.col("qnb").cast("double") / F.lit(_S))
-                )
-            ).alias("cosine_sim"),
-        )
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        (
+            (_qdot(F.col("va"), F.col("vb")).cast("double") / F.lit(_S))
+            / (
+                F.sqrt(F.col("qna").cast("double") / F.lit(_S))
+                * F.sqrt(F.col("qnb").cast("double") / F.lit(_S))
+            )
+        ).alias("cosine_sim"),
     )
     return (
         out.filter(F.col("cosine_sim") >= _ND_TAU)

@@ -300,3 +300,16 @@ def test_q112_merge_reuses_agg_partitioning(spark):
 
     p = plan_text(cat.QUERIES["q112_merge_upsert"].fn(spark, SF))
     assert n_shuffles(p) == 2, p
+
+
+def test_q55_norms_carried_through_blocked_join(spark):
+    """Near-dup cosine: the quantized self-norm is projected at the scan
+    and rides the blocked self-join — the pair relation must never be
+    re-joined against a norms table. One join total; zero hash-partition
+    exchanges of the pair relation (block join broadcasts a side at test
+    scale; at 100 TB it degrades to ONE shuffle on blk, never three)."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q55_embedding_near_dup"].fn(spark, SF))
+    assert p.count("Join") <= 1 or "BroadcastHashJoin" in p, p
+    assert n_shuffles(p) == 0, p
