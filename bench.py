@@ -4,17 +4,31 @@
 JSON line:
 
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+     "queries": {"q01_pricing_summary": sec, ...},
+     "sentinel": {"median_sec": s, "runs": [...]},
+     "normalized": {"q01_pricing_summary": ratio, ...},
+     "normalized_total": R, "sf": 0.1}
 
 Each query executes end-to-end via the no-op sink (full plan execution,
 no collect/driver materialization). A warmup query amortizes JVM/codegen
 startup out of the first measurement.
+
+Noise immunity: this box swings 1.5-2x in multi-minute host-level
+phases (verified in BENCH_LOCAL_r03.json: unchanged trivial plans
+inflate uniformly; CPU microbenchmarks inside a phase are stable).  A
+fixed CPU-bound sentinel (pure whole-stage-codegen range-sum, zero IO,
+zero shuffle, data-independent) runs BEFORE EVERY headline query; each
+query's ``normalized`` value is raw_sec / median(sentinel_sec).  Raw
+seconds ride the host phase; the normalized ratio cancels it.  Gate
+comparisons across rounds should prefer ``normalized_total``
+(sum of raw seconds / median sentinel) once two rounds both record it.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -26,6 +40,7 @@ from geospatial_etl_pipeline_spark.session import get_spark  # noqa: E402
 # Headline set: one per operator family (scan-agg, join-topk, snowflake,
 # multi-join profit, pushdown, window, dedup/LSH/simhash/fingerprint,
 # similarity, events/asof, ref-parity metadata, raster clip).
+# FROZEN at the r1 list of 25 so "value" stays comparable to BASELINE.md.
 HEADLINE = [
     "q01_pricing_summary",
     "q02_top_revenue_orders",
@@ -53,6 +68,29 @@ HEADLINE = [
     "q95_media_content_stats",
     "q96_media_feature_moments",
 ]
+
+# Heaviest plans never picked by the driver's correctness sample — timed
+# and reported, but EXCLUDED from "value" so the 25-query headline total
+# stays an apples-to-apples series against BASELINE.md.
+EXTRA = [
+    "q49_dedup_clusters",
+    "q100_hourly_gap_fill",
+    "q111_dup_graph_degrees",
+]
+
+_SENTINEL_N = 200_000_000
+
+
+def run_sentinel(spark) -> float:
+    """Fixed CPU-bound probe: one whole-stage-codegen range fold, no IO,
+    no shuffle, no Python workers — pure JVM arithmetic across all
+    cores.  Its only variable is host CPU availability, which is
+    exactly the noise term we want to divide out."""
+    t0 = time.perf_counter()
+    spark.range(_SENTINEL_N).selectExpr(
+        "sum(id % 7) AS s"
+    ).write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
 
 
 def run_once(spark, fn, sf_dir: str) -> float:
@@ -87,6 +125,7 @@ def main() -> None:
     # Python worker pool (first Arrow UDF of a session pays worker
     # startup; that's session setup, not query cost).
     try:
+        run_sentinel(spark)
         run_once(spark, catalog.QUERIES["q01_pricing_summary"].fn, sf_dir)
         ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
         spark.range(1000, numPartitions=ncpu).mapInPandas(
@@ -97,26 +136,58 @@ def main() -> None:
 
     # Per-query failure isolation: one broken query must never abort the
     # run (round-2 lesson — a single AnalysisException cost the entire
-    # perf record). Failures are reported in "errors" and excluded from
-    # the total; the JSON line is emitted regardless.
+    # perf record). Failures are reported in "errors"; when any headline
+    # query fails, "value" is null and "incomplete" is true so a partial
+    # total can never spuriously beat the gate.
     times: dict[str, float] = {}
+    extra_times: dict[str, float] = {}
+    sentinels: list[float] = []
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        spec = catalog.QUERIES[name]
+    for name in HEADLINE + EXTRA:
+        bucket = times if name in HEADLINE else extra_times
         try:
-            times[name] = round(run_query(spark, spec.fn, sf_dir), 3)
-            print(f"# {name}: {times[name]}s", file=sys.stderr, flush=True)
+            sentinels.append(round(run_sentinel(spark), 3))
+        except Exception as exc:  # noqa: BLE001
+            print(f"# sentinel failed: {exc}", file=sys.stderr, flush=True)
+        try:
+            spec = catalog.QUERIES[name]
+            bucket[name] = round(run_query(spark, spec.fn, sf_dir), 3)
+            print(f"# {name}: {bucket[name]}s", file=sys.stderr, flush=True)
         except Exception as exc:  # noqa: BLE001 — record and keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr, flush=True)
 
-    out = {
+    headline_errors = [n for n in errors if n in HEADLINE]
+    total = round(sum(times.values()), 3)
+    med_sent = round(statistics.median(sentinels), 3) if sentinels else None
+    out: dict = {
         "metric": "total_query_sec",
-        "value": round(sum(times.values()), 3),
+        # A partial sum must never masquerade as a full run: null value +
+        # incomplete flag when any headline query errored.
+        "value": None if headline_errors else total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "sentinel": {
+            "plan": f"range({_SENTINEL_N}).sum(id % 7), noop sink",
+            "runs": sentinels,
+            "median_sec": med_sent,
+        },
     }
+    if med_sent:
+        out["normalized"] = {
+            n: round(t / med_sent, 2) for n, t in times.items()
+        }
+        out["normalized_total"] = round(total / med_sent, 2)
+    if extra_times:
+        out["extra_queries"] = extra_times
+        if med_sent:
+            out["extra_normalized"] = {
+                n: round(t / med_sent, 2) for n, t in extra_times.items()
+            }
+    if headline_errors:
+        out["incomplete"] = True
+        out["partial_total_sec"] = total
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

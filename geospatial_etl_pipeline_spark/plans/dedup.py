@@ -219,6 +219,13 @@ _SQL_BIGRAMS = (
     f"i -> concat_ws(' ', ({_SQL_TOKENS})[i::INT], ({_SQL_TOKENS})[i::INT + 1])))"
 )
 _NGRAM_JACCARD = 0.2
+# Stop-bigram df-cap: a bigram present in > _DF_CAP_FRAC of the corpus
+# is background phrasing, not dedup signal — drop it BEFORE the posting
+# self-join. This bounds the inverted index's skew ceiling at
+# (frac·n)² per bucket instead of max-posting², the same move as a
+# search engine's stop list. Relative (not absolute) so the contract is
+# scale-independent.
+_DF_CAP_FRAC = 0.02
 
 
 @register(
@@ -227,11 +234,27 @@ _NGRAM_JACCARD = 0.2
     oracle=f"""
 WITH bg AS (
   SELECT doc_id, lang, {_SQL_BIGRAMS} AS bgs FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+p AS (SELECT lang, unnest(bgs) AS bigram FROM bg),
+dfc AS (SELECT lang, bigram, count(*) AS df FROM p GROUP BY 1, 2),
+stop AS (
+  SELECT d.lang, list(d.bigram) AS stop_bgs
+  FROM dfc d, n
+  WHERE d.df > ceil(n.n_docs * {_DF_CAP_FRAC!r})
+  GROUP BY d.lang
+),
+bgc AS (
+  SELECT b.doc_id, b.lang,
+         CASE WHEN s.stop_bgs IS NULL THEN b.bgs
+              ELSE list_filter(b.bgs, g -> NOT list_contains(s.stop_bgs, g))
+         END AS bgs
+  FROM bg b LEFT JOIN stop s USING (lang)
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(len(list_intersect(a.bgs, b.bgs)) AS DOUBLE)
          / CAST(len(list_distinct(list_concat(a.bgs, b.bgs))) AS DOUBLE) AS jaccard
-FROM bg a JOIN bg b
+FROM bgc a JOIN bgc b
   ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.bgs, b.bgs)) AS DOUBLE)
         / CAST(len(list_distinct(list_concat(a.bgs, b.bgs))) AS DOUBLE)
@@ -252,19 +275,53 @@ def q48_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A∪B| = |A| + |B| − |A∩B|. Pairs sharing zero bigrams never
     materialize, per-pair work is a counter bump (no per-pair array
     hashing), and the shuffle key (lang, bigram) is fine-grained —
-    measured 134 s → ~4 s at sf0.1. Skew ceiling = max posting-list
-    length² (152² here); at 100 TB add a df-cap that drops
-    stop-bigrams, exactly like a search engine's stop list."""
+    measured 134 s → ~4 s at sf0.1.
+
+    DF-CAP (the skew bound): bigrams with document frequency above
+    {_DF_CAP_FRAC:.0%} of the corpus are stop-bigrams — removed from
+    every document's set (both engines, in lockstep) before any join,
+    so Jaccard is over INFORMATIVE bigrams and the posting self-join's
+    per-bucket ceiling is (frac·n)², not max-posting². The stop list
+    derives from one partial-agg pass (shuffle moves distinct
+    (lang, bigram) pairs after map-side combine, never postings) and
+    broadcasts back as a per-lang array for an in-row array_except —
+    the main posting path still has exactly one exchange before the
+    self-join. At 100 TB the stop list is a corpus statistic you'd
+    precompute once per snapshot and cache."""
     from ..functions.text import tokens, word_ngrams_t
 
     d = t(spark, sf_dir, "documents")
     # stage the token array so the regex split runs once per row, not
     # once per element_at reference (see plans/text.py module docstring)
     staged = d.select("doc_id", "lang", tokens("text").alias("_tok"))
-    bg = staged.select(
+    bg_raw = staged.select(
         "doc_id",
         "lang",
         F.array_distinct(word_ngrams_t(F.col("_tok"), 2)).alias("bgs"),
+    )
+    # stop-bigram list: df per (lang, bigram) → keep only the > frac·n
+    # head (small by construction: ≤ total_postings/(frac·n) entries)
+    total = d.select(F.count(F.lit(1)).alias("n_docs"))
+    dfc = (
+        bg_raw.select("lang", F.explode_outer("bgs").alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    stop = (
+        dfc.crossJoin(F.broadcast(total))
+        .filter(F.col("df") > F.ceil(F.col("n_docs") * F.lit(_DF_CAP_FRAC)))
+        .groupBy("lang")
+        .agg(F.collect_set("bigram").alias("stop_bgs"))
+    )
+    bg = bg_raw.join(F.broadcast(stop), "lang", "left").select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("stop_bgs").isNotNull(),
+            F.array_except(F.col("bgs"), F.col("stop_bgs")),
+        )
+        .otherwise(F.col("bgs"))
+        .alias("bgs"),
     )
     # n_bg rides WITH each posting so |A| and |B| fall out of the
     # self-join for free — joining sizes back onto the ~|pairs|-sized

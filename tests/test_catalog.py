@@ -37,7 +37,9 @@ def test_bench_headline_queries_exist():
     not in the round artifact."""
     import bench
 
-    missing = [n for n in bench.HEADLINE if n not in catalog.QUERIES]
+    missing = [
+        n for n in bench.HEADLINE + bench.EXTRA if n not in catalog.QUERIES
+    ]
     assert not missing, missing
 
 

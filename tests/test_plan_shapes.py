@@ -313,3 +313,69 @@ def test_q55_norms_carried_through_blocked_join(spark):
     p = plan_text(cat.QUERIES["q55_embedding_near_dup"].fn(spark, SF))
     assert p.count("Join") <= 1 or "BroadcastHashJoin" in p, p
     assert n_shuffles(p) == 0, p
+
+
+def test_q48_df_cap_bounds_posting_lists(spark):
+    """The stop-bigram df-cap is q48's skew bound: after the cap, no
+    bigram that reaches the posting self-join may appear in more than
+    ceil(frac·n) documents — the per-bucket join ceiling is (frac·n)²
+    by construction, not max-posting². Also asserts the cap actually
+    bites at test scale (non-empty stop list), so the bound can never
+    be vacuously green."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from geospatial_etl_pipeline_spark.functions.text import (
+        tokens,
+        word_ngrams_t,
+    )
+    from geospatial_etl_pipeline_spark.plans.dedup import _DF_CAP_FRAC
+    from geospatial_etl_pipeline_spark.plans._util import t as tbl
+
+    d = tbl(spark, SF, "documents")
+    n_docs = d.count()
+    cap = math.ceil(n_docs * _DF_CAP_FRAC)
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(word_ngrams_t(tokens("text"), 2)).alias("bgs"),
+    )
+    df_counts = (
+        bg.select("lang", F.explode("bgs").alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_stop = df_counts.filter(F.col("df") > cap).count()
+    assert n_stop > 0, f"df-cap never bites at {SF} (cap={cap})"
+
+    # Re-derive the capped postings exactly as q48 does and check the
+    # bound holds on what actually reaches the join.
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    # q48's own output must be computable (sanity) ...
+    assert cat.QUERIES["q48_ngram_jaccard_pairs"].fn(spark, SF).count() >= 0
+    # ... and the capped df distribution respects the ceiling.
+    stop = (
+        df_counts.filter(F.col("df") > cap)
+        .groupBy("lang")
+        .agg(F.collect_set("bigram").alias("stop_bgs"))
+    )
+    capped = (
+        bg.join(F.broadcast(stop), "lang", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(
+                F.col("stop_bgs").isNotNull(),
+                F.array_except(F.col("bgs"), F.col("stop_bgs")),
+            )
+            .otherwise(F.col("bgs"))
+            .alias("bgs"),
+        )
+        .select("lang", F.explode("bgs").alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    max_df = capped.agg(F.max("df")).first()[0]
+    assert max_df <= cap, f"capped posting df {max_df} exceeds cap {cap}"
