@@ -109,13 +109,51 @@ def q28_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q29_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — HyperLogLog++ distinct counts and quantile
     sketches. Mergeable, fixed-size state: the ONLY percentile/distinct
-    shapes that hold at 100 TB. No oracle: sketch results are
-    engine-specific by construction (rows-only driver check)."""
+    shapes that hold at 100 TB.
+
+    No SQL oracle (sketch bits are engine-specific by construction),
+    but NOT unfalsifiable: the same plan computes the exact answers
+    next to the sketches and emits ``*_within_bound`` booleans checking
+    each sketch against its published error — HLL++ rsd 0.05 (3σ band),
+    percentile_approx rank error 1/accuracy (checked against the exact
+    value window at q ± 5/accuracy). tests/test_catalog.py asserts every
+    bound column is TRUE at two scales, so a broken sketch fails CI
+    even though the driver's check is rows-only. The exact twins exist
+    for verification; production callers use the sketch columns."""
+    _RSD = 0.05
+    _ACC = 1000
+    _EPS = 5.0 / _ACC  # 5x the documented rank error: a real bound,
+    #                    not a tautology, and immune to tie plateaus
     o = t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_p50"),
-        F.percentile_approx("o_totalprice", 0.99, 1000).alias("approx_p99"),
+    agg = o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", _RSD).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.percentile_approx("o_totalprice", 0.5, _ACC).alias("approx_p50"),
+        F.percentile_approx("o_totalprice", 0.99, _ACC).alias("approx_p99"),
+        F.expr(
+            f"percentile(o_totalprice, array({0.5 - _EPS}, {0.5 + _EPS},"
+            f" {0.99 - _EPS}, 1.0))"
+        ).alias("_pw"),
+    )
+    hll_err = (
+        F.abs(F.col("approx_customers") - F.col("exact_customers"))
+        / F.col("exact_customers")
+    )
+    return agg.select(
+        "o_orderstatus",
+        "approx_customers",
+        "exact_customers",
+        (hll_err <= 3 * _RSD).alias("hll_within_bound"),
+        "approx_p50",
+        (
+            (F.col("approx_p50") >= F.element_at("_pw", 1))
+            & (F.col("approx_p50") <= F.element_at("_pw", 2))
+        ).alias("p50_within_bound"),
+        "approx_p99",
+        (
+            (F.col("approx_p99") >= F.element_at("_pw", 3))
+            & (F.col("approx_p99") <= F.element_at("_pw", 4))
+        ).alias("p99_within_bound"),
     )
 
 

@@ -21,7 +21,9 @@ def test_no_oracle_set_is_documented():
     sketches, q74 side-effecting e2e) or twinned to a hash-checked
     companion. New no-oracle entries must join one of those lists."""
     inherent = {
-        "q29_sketch_aggregates",   # engine-specific sketches
+        "q29_sketch_aggregates",   # engine-specific sketches — but bounded:
+                                   # in-plan *_within_bound columns vs exact
+                                   # twins, asserted two scales below
         "q74_ref_pipeline_e2e",    # side-effecting sink
         "q114_kmeans_clusters",    # iterative float algorithm (invariants
                                    # + determinism asserted in test_operators)
@@ -65,3 +67,17 @@ def test_no_duplicate_output_columns():
         cols = [r[0] for r in cur.fetchall()]
         assert len(cols) == len(set(cols)), (name, cols)
     con.close()
+
+
+def test_q29_sketches_within_published_error(spark):
+    """q29 has no SQL oracle (sketch bits are engine-specific), but it
+    is falsifiable: the plan carries exact twins and bound booleans.
+    Every *_within_bound column must be TRUE — at two scales, so a
+    sketch regression can't hide behind one lucky dataset."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = catalog.QUERIES["q29_sketch_aggregates"].fn(spark, sf).collect()
+        assert rows, sf
+        for r in rows:
+            assert r["hll_within_bound"], (sf, r)
+            assert r["p50_within_bound"], (sf, r)
+            assert r["p99_within_bound"], (sf, r)
