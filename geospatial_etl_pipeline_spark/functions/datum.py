@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import struct
+from typing import Literal
 
 import numpy as np
 
@@ -83,7 +84,11 @@ def default_nz_grid() -> "NTv2Grid | None":
             with open(_DEFAULT_GRID_PATH, "rb") as f:
                 _default_grid_cache.append(parse_ntv2(f.read()))
         except OSError:
-            _default_grid_cache.append(None)
+            # Do NOT cache the miss: the fixture can be generated later
+            # in the same process (tools/make_nz_grid.py), and a
+            # process-lifetime None would silently pin the 3-parameter
+            # fallback forever after one early call.
+            return None
     return _default_grid_cache[0]
 
 
@@ -93,7 +98,9 @@ def _three_param_shift(lon, lat):
     return _xyz_to_geodetic(x + tx, y + ty, z + tz, _GRS80_A, _GRS80_F)
 
 
-def nzgd1949_to_nzgd2000(lon, lat, grid: "NTv2Grid | None | bool" = None):
+def nzgd1949_to_nzgd2000(
+    lon, lat, grid: "NTv2Grid | None | Literal[False]" = None
+):
     """Datum shift NZGD1949 → NZGD2000 on (lon, lat) degree arrays.
 
     Grid resolution order (the reference's exact request is the NTv2
@@ -107,6 +114,12 @@ def nzgd1949_to_nzgd2000(lon, lat, grid: "NTv2Grid | None | bool" = None):
       International 1924 geodetic → XYZ, +(tx,ty,tz), → GRS80 geodetic —
       within :data:`FALLBACK_TOLERANCE_M` of the grid path nationally.
     """
+    if grid is True:
+        raise TypeError(
+            "grid=True is not a mode: pass an NTv2Grid instance, None "
+            "(use the shipped default grid), or False (force the "
+            "3-parameter fallback)"
+        )
     if grid is None:
         grid = default_nz_grid()
     if grid is None or grid is False:

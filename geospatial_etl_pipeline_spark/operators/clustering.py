@@ -108,6 +108,16 @@ def recompute_centroids(assigned: DataFrame, centroids: list[list[float]]
     )
     out = [list(c) for c in centroids]
     for r in dim_rows:
+        # cluster == -1 means the assign fold never beat its inf seed
+        # (NaN components poison every distance). Writing out[-1] would
+        # silently corrupt the LAST centroid — refuse instead: feeding
+        # NaN vectors to k-means is a caller bug, not a state to absorb.
+        if r["cluster"] < 0:
+            raise ValueError(
+                "k-means: rows with non-finite vectors reached "
+                "recompute_centroids (cluster=-1); filter NaN/Inf "
+                "embeddings before clustering"
+            )
         out[r["cluster"]][r["dim"]] = r["m"]
     return out
 

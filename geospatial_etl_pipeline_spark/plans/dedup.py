@@ -461,11 +461,15 @@ _SQL_DECON_GRAMS = (
     oracle=f"""
 WITH bench AS (
   SELECT DISTINCT unnest({_SQL_DECON_GRAMS}) AS gram
-  FROM documents WHERE doc_id < {_DECON_BENCH_IDS}
+  FROM documents
+  WHERE doc_id < {_DECON_BENCH_IDS}
+    AND len({_SQL_TOKENS}) >= {_DECON_N}
 ),
 corpus AS (
   SELECT doc_id, unnest({_SQL_DECON_GRAMS}) AS gram
-  FROM documents WHERE doc_id >= {_DECON_BENCH_IDS}
+  FROM documents
+  WHERE doc_id >= {_DECON_BENCH_IDS}
+    AND len({_SQL_TOKENS}) >= {_DECON_N}
 )
 SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
 FROM corpus c JOIN bench b ON b.gram = c.gram
@@ -493,13 +497,25 @@ def q79_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id",
         F.array_distinct(word_ngrams_t(F.col("_tok"), _DECON_N)).alias("gs"),
     )
+    # A doc with < _DECON_N tokens yields one truncated padded "gram"
+    # (its whole text) — not a real n-gram; matching on it would flag
+    # sub-n-gram overlap. Filter AFTER the explode on the gram's own
+    # token count (exactly _DECON_N for every genuine gram): cheap
+    # single-space split per exploded row, and — unlike a doc-level
+    # size(_tok) predicate — it cannot be pushed below the generator to
+    # re-inline the regex tokenization under the scan. The oracle states
+    # the equivalent doc-level filter (len(tokens) >= n).
+    full_gram = F.size(F.split(F.col("gram"), " ")) == _DECON_N
     bench = (
         grams.filter(F.col("doc_id") < _DECON_BENCH_IDS)
         .select(F.explode_outer("gs").alias("gram"))
+        .filter(full_gram)
         .dropDuplicates(["gram"])
     )
-    corpus = grams.filter(F.col("doc_id") >= _DECON_BENCH_IDS).select(
-        "doc_id", F.explode_outer("gs").alias("gram")
+    corpus = (
+        grams.filter(F.col("doc_id") >= _DECON_BENCH_IDS)
+        .select("doc_id", F.explode_outer("gs").alias("gram"))
+        .filter(full_gram)
     )
     return (
         corpus.join(F.broadcast(bench), "gram")

@@ -712,3 +712,56 @@ def q114_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("inertia"),
     )
+
+
+_KM_K = 8
+
+
+@register(
+    "q118_kmeans_assign_iter1",
+    tags=("similarity", "llm-data", "kmeans", "argmin"),
+    oracle=f"""
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY md5('kmeans:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cl
+  FROM embeddings
+),
+cents AS (SELECT cl, embedding AS cv FROM ranked WHERE cl < {_KM_K}),
+d AS (
+  SELECT e.vec_id, c.cl,
+         list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+           i -> (e.embedding[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE)
+                * (e.embedding[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE)),
+           'sum') AS d2
+  FROM embeddings e, cents c
+)
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cl AS cluster,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, cl ASC) AS rn
+  FROM d
+)
+WHERE rn = 1
+""",
+)
+def q118_kmeans_assign_iter1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means' NON-iterative core under the hash gate: the exact
+    iteration-1 assignment (md5-ranked init → broadcast-centroid in-row
+    argmin) that q114's loop repeats. The oracle unrolls the same
+    argmin in SQL (k-way cross join + rank), so the operator's
+    deterministic-init and argmin semantics are value-checked
+    cross-engine; the LOOP stays property-tested (inertia-monotone,
+    determinism) per the iterative-algorithm contract.
+
+    Distances are left-fold double sums in array order on BOTH engines
+    (Spark F.aggregate, DuckDB list_aggregate), so argmin inputs are
+    bit-identical; ties break on centroid index identically."""
+    from ..operators.clustering import assign_clusters, init_centroids
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = init_centroids(e, _KM_K)
+    return assign_clusters(e, cents).select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    )

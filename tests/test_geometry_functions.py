@@ -243,3 +243,32 @@ def test_lonlat_to_nztm_datum_hook():
     e1, n1 = lonlat_to_nztm(lon, lat, datum_shift=nzgd1949_to_nzgd2000)
     d = float(np.hypot(e1 - e0, n1 - n0))
     assert 50.0 < d < 400.0
+
+
+def test_datum_grid_true_rejected_and_miss_not_cached(tmp_path, monkeypatch):
+    """grid=True is a type error, not a silent AttributeError; and a
+    missing default-grid file must not be cached as a process-lifetime
+    None (the fixture can be generated after first call)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from geospatial_etl_pipeline_spark.functions import datum
+
+    with _pytest.raises(TypeError, match="grid=True"):
+        datum.nzgd1949_to_nzgd2000(
+            np.array([174.0]), np.array([-41.0]), grid=True
+        )
+
+    # point the default path at a not-yet-existing file: first call
+    # falls back (no crash), then the file appears and is picked up
+    missing = tmp_path / "later.gsb"
+    monkeypatch.setattr(datum, "_DEFAULT_GRID_PATH", str(missing))
+    monkeypatch.setattr(datum, "_default_grid_cache", [])
+    assert datum.default_nz_grid() is None
+    import shutil
+
+    shutil.copy(
+        "geospatial_etl_pipeline_spark/data/nz_nzgd49_nzgd2000_synth.gsb",
+        missing,
+    )
+    assert datum.default_nz_grid() is not None

@@ -343,3 +343,24 @@ def test_kmeans_assignment_is_true_argmin(spark, sf_dir):
         d2 = ((C - v) ** 2).sum(axis=1)
         assert r["cluster"] == int(d2.argmin())
         assert abs(r["dist2"] - d2.min()) < 1e-9 * max(1.0, d2.min())
+
+
+def test_kmeans_rejects_nan_vectors(spark):
+    """A NaN component poisons every distance, the assign fold keeps its
+    -1 seed, and (pre-guard) out[-1] silently corrupted the LAST
+    centroid. recompute_centroids must refuse instead."""
+    import pytest as _pytest
+
+    from geospatial_etl_pipeline_spark.operators.clustering import (
+        assign_clusters,
+        recompute_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [float("nan"), 1.0]), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[0.0, 0.0], [1.0, 1.0]]
+    assigned = assign_clusters(df, cents)
+    with _pytest.raises(ValueError, match="non-finite"):
+        recompute_centroids(assigned, cents)
