@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""CLI end-to-end benchmark: the REF-parity pipeline (recursive .asc
+scan → decode → region fan-out → clip → stats → naming → GeoTIFF +
+zip + metadata sinks) on a BENCH-SCALE synthetic grid tree — proof the
+whole pipeline, not just the catalog queries, runs beyond the tiny
+test_cli fixture.
+
+Tree: 48 grids (12 parameter codes × 4 period codes) of 200×200 cells
+(1.92M cells total) × 10 clip regions → 480 products, every one of
+which gets a real GeoTIFF, a stats sidecar, a zip, and a metadata JSON
+document. Records row counts + wall time to CLI_E2E_r04.json.
+
+Usage: python tools/cli_e2e_bench.py [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from geospatial_etl_pipeline_spark import cli  # noqa: E402
+from geospatial_etl_pipeline_spark.session import get_spark  # noqa: E402
+from geospatial_etl_pipeline_spark.sources.asc import write_asc  # noqa: E402
+
+_PARAMS = ["00", "01", "02", "03", "04", "09", "11", "17", "23", "33", "34", "37"]
+_PERIODS = ["monthly1", "monthly7", "seasonal2", "annual"]
+_W = _H = 200
+
+
+def build_tree(src: str) -> tuple[int, int]:
+    n_cells = 0
+    for pi, param in enumerate(_PARAMS):
+        sub = os.path.join(src, f"p{param}")  # exercise the RECURSIVE scan
+        os.makedirs(sub, exist_ok=True)
+        for qi, period in enumerate(_PERIODS):
+            cells = [
+                float((r * 7 + c * 3 + pi * 11 + qi) % 97)
+                if (r + c + pi) % 23 != 0
+                else -9999.0  # sprinkle nodata
+                for r in range(_H)
+                for c in range(_W)
+            ]
+            write_asc(
+                os.path.join(sub, f"vcsn_{param}_x_y_mean_{period}.asc"),
+                _W, _H, cells,
+            )
+            n_cells += _W * _H
+    return len(_PARAMS) * len(_PERIODS), n_cells
+
+
+def build_regions(path: str) -> int:
+    # 10 rectangles tiling/overlapping the 200×200 grid + excluded "99"
+    rows = ["regc_code,region_name_ascii,wkt"]
+    for i in range(10):
+        x0, y0 = (i % 5) * 40, (i // 5) * 90
+        x1, y1 = x0 + 55, y0 + 110
+        code = f"{i + 1:02d}"
+        rows.append(
+            f'{code},Region-{code} Region,"POLYGON(({x0} {y0}, {x1} {y0},'
+            f' {x1} {y1}, {x0} {y1}, {x0} {y0}))"'
+        )
+    rows.append("99,Area Outside Region,")
+    with open(path, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    return 10
+
+
+def main() -> None:
+    out_json = sys.argv[1] if len(sys.argv) > 1 else "CLI_E2E_r04.json"
+    spark = get_spark("cli-e2e-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="cli_e2e_")
+    src = os.path.join(work, "grids")
+    out = os.path.join(work, "products")
+    zips = os.path.join(work, "zips")
+    regions_csv = os.path.join(work, "regions.csv")
+    try:
+        os.makedirs(src)
+        n_grids, n_cells = build_tree(src)
+        n_regions = build_regions(regions_csv)
+
+        t0 = time.perf_counter()
+        result = cli.run(
+            spark,
+            src,
+            out,
+            output_folder_zipped=zips,
+            regions_csv=regions_csv,
+            bucket_name="example-products-bucket",
+            s3prefix="climate/products",
+            strict=True,
+        )
+        elapsed = time.perf_counter() - t0
+
+        n_zip_files = len(
+            [f for f in os.listdir(zips) if f.endswith(".zip")]
+        )
+        n_meta = len([f for f in os.listdir(out) if f.endswith(".json")])
+        rec = {
+            "metric": "cli_e2e_sec",
+            "value": round(elapsed, 3),
+            "unit": "sec",
+            "grids": n_grids,
+            "grid_cells_total": n_cells,
+            "regions": n_regions,
+            "products": result["products"],
+            "zips_reported": result["zips"],
+            "zip_files_on_disk": n_zip_files,
+            "metadata_docs": n_meta,
+            "upload_targets": result.get("n_upload_targets", 0),
+            "products_per_sec": round(result["products"] / elapsed, 2),
+            "pipeline": "recursive .asc scan -> decode -> x regions "
+            "fan-out -> clip -> stats -> naming dims -> GeoTIFF+zip+"
+            "metadata sinks (strict mode)",
+        }
+        line = json.dumps(rec)
+        print(line)
+        with open(out_json, "w") as f:
+            f.write(line + "\n")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
