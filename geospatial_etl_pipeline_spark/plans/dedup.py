@@ -579,3 +579,78 @@ def q111_dup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.coalesce("cnt", F.lit(0)).cast("bigint").alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_SPAN_L = 40  # char-span width for exact-substring matching
+_SPAN_S = 10  # stride between sampled span starts
+
+
+@register(
+    "q119_shared_span_pairs",
+    tags=("dedup", "llm-data", "exact-substring"),
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lower(trim(text)) AS nt FROM documents
+),
+spans AS (
+  SELECT DISTINCT doc_id, substr(nt, p::INT, {_SPAN_L}) AS span
+  FROM d, unnest(range(1, len(nt) - {_SPAN_L} + 2, {_SPAN_S})) t(p)
+  WHERE len(nt) >= {_SPAN_L}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_spans
+FROM spans a JOIN spans b
+  ON a.span = b.span AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+)
+def q119_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-substring duplication (the Lee et al. 2022 "Deduplicating
+    Training Data" family, strided): documents sharing any identical
+    {_SPAN_L}-char span, detected via span fingerprints sampled every
+    {_SPAN_S} chars — catches copied passages that word-level
+    shingles/MinHash dilute (a 300-char verbatim quote inside two
+    otherwise-different docs).
+
+    Scale shape: postings are ~n_chars/{_SPAN_S} per doc (10× smaller
+    than a sliding window) and near-unique outside true duplication, so
+    the span equi-join touches only colliding spans; the exchange is
+    keyed on the span itself (fine-grained) and reused by both
+    self-join sides. Boilerplate spans (site headers, licenses) are the
+    skew risk at 100 TB — the q48 stop-list df-cap applies verbatim to
+    this posting relation (same (key, doc) shape). Character, not
+    byte, offsets on both engines, so CJK text fingerprints
+    identically."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("nt")
+    )
+    long_enough = d.filter(F.length("nt") >= _SPAN_L)
+    positions = F.sequence(
+        F.lit(1), F.length("nt") - _SPAN_L + 1, F.lit(_SPAN_S)
+    )
+    spans = (
+        long_enough.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        positions,
+                        lambda p: F.col("nt").substr(p, F.lit(_SPAN_L)),
+                    )
+                )
+            ).alias("span"),
+        )
+        .repartition("span")
+    )
+    return (
+        spans.alias("a")
+        .join(
+            spans.alias("b"),
+            (F.col("a.span") == F.col("b.span"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_spans"))
+    )

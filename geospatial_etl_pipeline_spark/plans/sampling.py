@@ -622,3 +622,72 @@ def q115_corpus_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(quality, 2, "after_quality_gate"))
         .unionByName(stage(capped, 3, "after_source_caps"))
     )
+
+
+_TEMP_SEED = "temp:"
+
+
+@register(
+    "q120_temperature_mixing",
+    tags=("llm-data", "sampling", "mixing", "temperature"),
+    oracle=f"""
+WITH g AS (SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang),
+m AS (SELECT MIN(n_g) AS n_min FROM g),
+w AS (
+  SELECT lang, n_g,
+         sqrt(CAST(n_min AS DOUBLE) / CAST(n_g AS DOUBLE)) AS keep_w
+  FROM g, m
+)
+SELECT d.doc_id, d.lang, w.keep_w
+FROM documents d JOIN w USING (lang)
+WHERE ('0x' || substr(md5('{_TEMP_SEED}' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        / 4294967296.0
+      < w.keep_w
+""",
+)
+def q120_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixing (α = 0.5): keep each doc
+    with probability ∝ p_lang^(α−1) = 1/√p_lang, normalized so the
+    rarest language keeps everything — the standard move (mT5/XLM-R
+    style) to stop a head language from dominating a multilingual
+    training mix while still over-representing it.
+
+    α is FIXED at 1/2 deliberately: the weight is then
+    sqrt(n_min/n_lang), and sqrt and division are correctly-rounded
+    IEEE-754 ops — bit-identical in Spark and DuckDB — where a general
+    pow() is libm-dependent and could flip a draw at the boundary. The
+    draw u is the dyadic md5 uniform (int32/2^32) of q39/q104, so the
+    u < w cut is exact cross-engine and the sample is reproducible
+    under reshuffles and re-ingests.
+
+    Scale shape: per-lang counts are a TINY aggregate (partial agg →
+    |langs| rows) broadcast back onto the scan; the corpus pass itself
+    is projection + filter, no corpus-wide exchange. At 100 TB the
+    group table is a corpus statistic you'd snapshot with the rest of
+    the mix config."""
+    d = t(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_g"))
+    m = g.agg(F.min("n_g").alias("n_min"))
+    w = g.crossJoin(F.broadcast(m)).select(
+        "lang",
+        F.sqrt(
+            F.col("n_min").cast("double") / F.col("n_g").cast("double")
+        ).alias("keep_w"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(_TEMP_SEED), F.col("doc_id").cast("string"))
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.join(F.broadcast(w), "lang")
+        .filter(u < F.col("keep_w"))
+        .select("doc_id", "lang", "keep_w")
+    )
