@@ -44,7 +44,16 @@ def connected_components(
     long-diameter graphs; near-dup graphs never get close).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Materialize the (symmetrized) edge list ONCE before the loop:
+    # ``edges`` may sit on an arbitrarily expensive upstream DAG (for
+    # dedup clustering it is the whole shingle→minhash→band→jaccard
+    # pipeline), and without this cut every round's join would recompute
+    # that DAG from the scan — measured 3-4x the entire LSH pipeline at
+    # sf0.1. The edge relation itself is small relative to the corpus
+    # (near-dup pairs), so the checkpoint is cheap at any scale.
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     labels = nodes.select(F.col(node_col).alias("node")).distinct().select(
         "node", F.col("node").alias("component")
     )
