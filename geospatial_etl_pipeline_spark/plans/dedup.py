@@ -654,3 +654,81 @@ def q119_shared_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_spans"))
     )
+
+
+_SQL_TRIGRAMS = (
+    f"list_distinct(list_transform(range(1, greatest(len({_SQL_TOKENS}) - 1, 2)), "
+    f"i -> concat_ws(' ', ({_SQL_TOKENS})[i::INT], ({_SQL_TOKENS})[i::INT + 1], "
+    f"({_SQL_TOKENS})[i::INT + 2])))"
+)
+_CONTAINMENT = 0.25
+
+
+@register(
+    "q127_ngram_containment_pairs",
+    tags=("dedup", "llm-data", "containment"),
+    oracle=f"""
+WITH tg AS (
+  SELECT doc_id, lang, {_SQL_TRIGRAMS} AS gs FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_common,
+       CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+         / least(len(a.gs), len(b.gs)) AS containment
+FROM tg a JOIN tg b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        / least(len(a.gs), len(b.gs)) >= {_CONTAINMENT!r}
+""",
+)
+def q127_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection by word-trigram CONTAINMENT —
+    |A∩B| / min(|A|, |B|) — the metric that catches subset duplication
+    (a short doc embedded whole inside a long one), which Jaccard (q48)
+    structurally misses: the union term dilutes any small-in-big
+    overlap below threshold.
+
+    Same inverted-index scale shape as q48 — postings equi-join on
+    (lang, trigram), co-occurrence counting, sizes carried WITH the
+    postings so no post-join size lookups, one ReusedExchange feeding
+    both self-join sides. Containment = n_common / min(na, nb): two
+    exact integers, one final scalar divide. The q48 stop-gram df-cap
+    composes verbatim when corpus-scale skew demands it; kept out here
+    so the two queries pin both the capped and uncapped index shapes."""
+    from ..functions.text import tokens, word_ngrams_t
+
+    d = t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", "lang", tokens("text").alias("_tok"))
+    tg = staged.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(word_ngrams_t(F.col("_tok"), 3)).alias("gs"),
+    )
+    postings = tg.select(
+        "doc_id",
+        "lang",
+        F.size("gs").alias("n_g"),
+        F.explode_outer("gs").alias("gram"),
+    ).repartition("lang", "gram")
+    co = (
+        postings.alias("a")
+        .join(
+            postings.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.col("a.n_g")).alias("na"),
+            F.first(F.col("b.n_g")).alias("nb"),
+        )
+    )
+    containment = F.col("n_common").cast("double") / F.least(
+        F.col("na"), F.col("nb")
+    ).cast("double")
+    return co.select(
+        "id_a", "id_b", "n_common", containment.alias("containment")
+    ).filter(F.col("containment") >= _CONTAINMENT)

@@ -944,3 +944,76 @@ def q117_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= as_of)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > as_of))
     ).select("user_id", "version_event_id", "value", "valid_from")
+
+
+@register(
+    "q123_hourly_anomaly_zscore",
+    tags=("events", "llm-data", "anomaly", "zscore"),
+    oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(cnt) AS BIGINT) AS sum_c,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sum_c2
+  FROM hourly GROUP BY 1
+)
+SELECT h.event_type, h.hour, h.cnt,
+       CASE WHEN s.n_hours * s.sum_c2 - s.sum_c * s.sum_c > 0
+            THEN CAST(h.cnt * s.n_hours - s.sum_c AS DOUBLE)
+                 / sqrt(CAST(s.n_hours * s.sum_c2 - s.sum_c * s.sum_c
+                             AS DOUBLE))
+            ELSE 0.0 END AS z_score,
+       CASE WHEN s.n_hours * s.sum_c2 - s.sum_c * s.sum_c > 0
+             AND abs(CAST(h.cnt * s.n_hours - s.sum_c AS DOUBLE)
+                     / sqrt(CAST(s.n_hours * s.sum_c2 - s.sum_c * s.sum_c
+                                 AS DOUBLE))) >= 2.0
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM hourly h JOIN stats s USING (event_type)
+""",
+)
+def q123_hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-anomaly screen: per-hour event counts z-scored against
+    that event type's own hourly distribution — the monitoring query a
+    training-data ingest pipeline runs to catch crawler outages and
+    spam floods before they skew the corpus mix.
+
+    Determinism: the z-score is a SCALAR over exact integers — the
+    population moments stay as BIGINT sums (n·Σc² − (Σc)² never
+    touches a float), and the single divide + sqrt at the end is the
+    same IEEE op in both engines, so no dsum/qsum laundering is
+    needed anywhere.
+
+    Scale shape: the hourly rollup is the only data-sized exchange
+    (map-side combine on low-cardinality (event_type, hour) keys —
+    even a century of hours x 1e3 types is <1e9 groups); the per-type
+    moments reduce THAT tiny relation and broadcast back, so the join
+    adds no shuffle. Hours with zero events are absent by design —
+    rate stats over observed hours; compose with q100's spine
+    generator when silent-hour detection is the goal."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("cnt").alias("sum_c"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sum_c2"),
+    )
+    num = F.col("n_hours") * F.col("sum_c2") - F.col("sum_c") * F.col("sum_c")
+    dev = (F.col("cnt") * F.col("n_hours") - F.col("sum_c")).cast("double")
+    z = F.when(num > 0, dev / F.sqrt(num.cast("double"))).otherwise(F.lit(0.0))
+    return hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "hour",
+        "cnt",
+        z.alias("z_score"),
+        F.when((num > 0) & (F.abs(z) >= 2.0), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_anomaly"),
+    )

@@ -648,3 +648,161 @@ def q108_c4_cleaning_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (short * 2 <= n_lines)
         ).alias("keep"),
     )
+
+
+_BPE_TOPK = 20
+
+
+@register(
+    "q122_bpe_merge_candidates",
+    tags=("text", "llm-data", "bpe", "tokenizer"),
+    oracle=f"""
+WITH words AS (
+  SELECT unnest({_SQL_TOKENS}) AS w FROM documents
+),
+wf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
+  FROM words WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT substring(w, CAST(i AS INT), 2) AS pair, wf
+  FROM wf, unnest(range(1, length(w))) t(i)
+)
+SELECT pair, CAST(SUM(wf) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT {_BPE_TOPK}
+""",
+)
+def q122_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge step of tokenizer training: corpus-weighted
+    adjacent symbol-pair counts, top-{_BPE_TOPK} merge candidates.
+    This is the inner statistic the full BPE loop recomputes per merge;
+    one exact step under the hash gate pins the induction semantics
+    (the loop itself is driver-side control flow over the same plan,
+    like k-means q114/q118).
+
+    Scale shape: pair counting runs on the WORD-FREQUENCY table, not
+    the token stream — `the` appearing 1e9 times costs one row with
+    wf=1e9, so the pair fan-out (in-row substr transform, no join)
+    touches |vocab| rows, orders of magnitude below corpus size. Two
+    map-side-combined exchanges (vocab count, pair sum) + TakeOrdered;
+    nothing at corpus scale ever shuffles except the vocab count's
+    distinct words."""
+    staged = _staged(spark, sf_dir)
+    words = staged.select(F.explode(F.col("_tok")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("wf"))
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.col("w").substr(i, F.lit(2)),
+    )
+    pairs = wf.select(F.explode(pair_arr).alias("pair"), "wf")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(_BPE_TOPK)
+    )
+
+
+@register(
+    "q126_char_diversity_quality",
+    tags=("text", "llm-data", "quality"),
+    oracle=f"""
+WITH c AS (
+  SELECT doc_id, lang,
+         list_transform(range(1, length({_SQL_NORM}) + 1),
+                        i -> substring({_SQL_NORM}, CAST(i AS INT), 1))
+           AS chars
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(chars) AS BIGINT) AS n_chars_norm,
+         CAST(len(list_distinct(chars)) AS BIGINT) AS n_distinct_chars,
+         CAST(COALESCE(list_max(list_transform(list_distinct(chars),
+                d -> len(list_filter(chars, c2 -> c2 = d)))), 0) AS BIGINT)
+           AS top_char_count
+  FROM c
+)
+SELECT doc_id, lang, n_chars_norm, n_distinct_chars, top_char_count,
+       CASE WHEN n_chars_norm > 0
+            THEN CAST(top_char_count AS DOUBLE) / n_chars_norm
+            ELSE 0.0 END AS top_char_frac,
+       CASE WHEN n_chars_norm > 0
+            THEN CAST(n_distinct_chars AS DOUBLE) / n_chars_norm
+            ELSE 0.0 END AS char_diversity
+FROM m
+""",
+)
+def q126_char_diversity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution quality signals: alphabet size, modal
+    character share, and diversity ratio per document — the cheap
+    gibberish/keyboard-mash/banner-art screen that complements the
+    token-level Gopher signals (q107): ASCII-art and mashed text pass
+    word-ratio gates but collapse here (tiny alphabets, one dominant
+    character).
+
+    Entropy was considered and REJECTED for the compare surface: it
+    needs log(), which is not IEEE-exact-rounded and can differ by an
+    ulp between Java and C libm — these count/max/ratio signals are
+    exact integers plus one final scalar divide, so the hash gate
+    holds bit-for-bit.
+
+    Scale shape: entirely in-row (char fan-out + distinct + modal count
+    as nested array transforms inside codegen), ZERO exchanges — the
+    per-row cost is O(alphabet x len), and alphabet is bounded (~1e2)
+    so it stays linear in corpus size, all map-side."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    # Guard the fan-out: Spark's sequence(1, 0) yields a DESCENDING
+    # [1, 0] (two rows of ''), where DuckDB's range(1, 1) is empty —
+    # whitespace-only documents would diverge without the branch.
+    chars = F.when(
+        F.length(norm) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm)),
+            lambda i: norm.substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = d.select("doc_id", "lang", chars.alias("chars"))
+    distinct = F.array_distinct(F.col("chars"))
+    top = F.coalesce(
+        F.array_max(
+            F.transform(
+                distinct,
+                lambda dch: F.size(
+                    F.filter(F.col("chars"), lambda c2: c2 == dch)
+                ),
+            )
+        ),
+        F.lit(0),
+    )
+    m = staged.select(
+        "doc_id",
+        "lang",
+        F.size("chars").cast("bigint").alias("n_chars_norm"),
+        F.size(distinct).cast("bigint").alias("n_distinct_chars"),
+        top.cast("bigint").alias("top_char_count"),
+    )
+    nz = F.col("n_chars_norm") > 0
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_chars_norm",
+        "n_distinct_chars",
+        "top_char_count",
+        F.when(
+            nz, F.col("top_char_count").cast("double") / F.col("n_chars_norm")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_char_frac"),
+        F.when(
+            nz,
+            F.col("n_distinct_chars").cast("double") / F.col("n_chars_norm"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("char_diversity"),
+    )
