@@ -732,3 +732,99 @@ def q127_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return co.select(
         "id_a", "id_b", "n_common", containment.alias("containment")
     ).filter(F.col("containment") >= _CONTAINMENT)
+
+
+_PR_DAMP = 0.85
+_PR_S = 10**12  # integer quantization denominator for contributions
+
+
+@register(
+    "q125_pagerank_dup_graph",
+    tags=("dedup", "llm-data", "graph", "pagerank"),
+    oracle=f"""
+WITH {_SQL_LSH_CTES},
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM lsh_pairs
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+contrib AS (
+  SELECT s.dst,
+         CAST({_PR_S} AS BIGINT) // (n.n * d.deg) AS qc
+  FROM sym s JOIN deg d ON d.src = s.src, n
+),
+acc AS (SELECT dst, CAST(SUM(qc) AS BIGINT) AS q FROM contrib GROUP BY dst)
+SELECT doc.doc_id,
+       {1.0 - _PR_DAMP!r} / n.n
+         + {_PR_DAMP!r} * (CAST(COALESCE(a.q, 0) AS DOUBLE) / {float(_PR_S)!r})
+         AS pagerank
+FROM documents doc
+LEFT JOIN acc a ON a.dst = doc.doc_id, n
+""",
+)
+def q125_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact PageRank iteration (damping {_PR_DAMP}, uniform start,
+    simplified dangling handling: isolated docs keep the teleport term
+    only) over the SAME near-duplicate graph q42 hash-checks — the
+    centrality signal that ranks boilerplate hubs: a doc near-duplicating
+    hundreds of others collects mass from every neighbor, so the head of
+    this ranking IS the stop-list candidate set q111's degree histogram
+    motivates.
+
+    Determinism: each in-neighbor's contribution 1/(n*deg) is quantized
+    as the exact integer {_PR_S} // (n*deg) — integer division on
+    positive BIGINTs is identical in both engines — summed exactly, and
+    only the final teleport+rescale touches doubles (same IEEE ops both
+    sides). The full damped loop is driver-side control over this plan,
+    like k-means over q118's assign; one exact step pins the semantics.
+
+    Scale shape: edges from the banded LSH pipeline (never all-pairs),
+    degree = one map-side-combined count keyed like the contribution
+    join that follows (ReusedExchange), mass accumulation = one hash
+    agg on dst, then a doc_id-keyed left join to surface isolated docs.
+    Per-iteration cost is |edges| through two key-partitioned
+    exchanges — the connected-components loop (operators/graph.py)
+    already proves this shape iterates safely with localCheckpoint
+    lineage cuts."""
+    from ..operators.dedup import lsh_candidate_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs,
+        num_hashes=_NUM_HASHES,
+        shingle_k=_SHINGLE_K,
+        bands=_BANDS,
+        jaccard_threshold=_JACCARD,
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    n = docs.select(F.count(F.lit(1)).alias("n"))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    contrib = (
+        sym.join(deg, "src")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "dst",
+            F.expr(f"{_PR_S}L div (n * deg)").alias("qc"),
+        )
+    )
+    acc = contrib.groupBy("dst").agg(F.sum("qc").alias("q"))
+    return (
+        docs.select("doc_id")
+        .join(acc, F.col("doc_id") == F.col("dst"), "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            (
+                F.lit(1.0 - _PR_DAMP) / F.col("n")
+                + F.lit(_PR_DAMP)
+                * (
+                    F.coalesce(F.col("q"), F.lit(0)).cast("double")
+                    / F.lit(float(_PR_S))
+                )
+            ).alias("pagerank"),
+        )
+    )

@@ -765,3 +765,204 @@ def q118_kmeans_assign_iter1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_clusters(e, cents).select(
         "vec_id", F.col("cluster").cast("long").alias("cluster")
     )
+
+
+_FILT_TOPK = 5
+_FILT_NQ = 3  # vec_id < 3 are the query vectors
+
+
+@register(
+    "q124_filtered_cosine_topk",
+    tags=("similarity", "llm-data", "topk", "filtered-ann"),
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label, embedding AS qv
+  FROM embeddings WHERE vec_id < {_FILT_NQ}
+),
+c AS (
+  SELECT vec_id, label, embedding
+  FROM embeddings WHERE vec_id >= {_FILT_NQ}
+),
+prod AS (
+  SELECT q.query_id, c.vec_id,
+         c.embedding[i::INT]::DOUBLE AS x,
+         q.qv[i::INT]::DOUBLE AS y
+  FROM q JOIN c ON c.label = q.label,
+       unnest(range(1, len(c.embedding) + 1)) t(i)
+),
+agg AS (
+  SELECT query_id, vec_id,
+         CAST({sql_qsum('x * y')} AS DOUBLE) / {_S!r} AS dot,
+         CAST({sql_qsum('x * x')} AS DOUBLE) / {_S!r} AS nc,
+         CAST({sql_qsum('y * y')} AS DOUBLE) / {_S!r} AS nq
+  FROM prod GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, cosine_sim, CAST(rn AS INT) AS rn FROM (
+  SELECT query_id, vec_id,
+         dot / (sqrt(nc) * sqrt(nq)) AS cosine_sim,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY dot / (sqrt(nc) * sqrt(nq)) DESC, vec_id ASC) AS rn
+  FROM agg
+) WHERE rn <= {_FILT_TOPK}
+""",
+)
+def q124_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered retrieval — the RAG serving shape: each query
+    vector retrieves its top-{_FILT_TOPK} neighbors ONLY among corpus
+    vectors satisfying its metadata predicate (here label equality).
+    Filter-THEN-search: the label predicate joins before any similarity
+    math, so the dot-product work is |matching candidates|, not
+    |corpus| — the pre-filter answer to post-filtering's recall loss.
+
+    Scale shape: the query side broadcasts (queries are the small
+    relation in serving), the label equi-join prunes map-side against
+    the corpus scan (label also being a parquet partition/cluster key
+    at scale makes it partition pruning), cosines are in-row quantized
+    folds, and the per-query top-k window partitions on query_id. The
+    only exchange is the window's — sized |candidates|, already
+    threshold-pruned."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < _FILT_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        "label",
+        F.col("v").alias("qv"),
+    )
+    c = e.filter(F.col("vec_id") >= _FILT_NQ)
+    scored = c.join(F.broadcast(q), "label").select(
+        "query_id",
+        "vec_id",
+        (
+            (_qdot(F.col("qv"), F.col("v")).cast("double") / F.lit(_S))
+            / (
+                F.sqrt(_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(_S))
+                * F.sqrt(
+                    _qdot(F.col("qv"), F.col("qv")).cast("double") / F.lit(_S)
+                )
+            )
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(w).cast("int")).filter(
+        F.col("rn") <= _FILT_TOPK
+    )
+
+
+_SD_TAU = 0.35  # within-cluster cosine above this = semantic duplicate
+
+
+@register(
+    "q121_semantic_dedup",
+    tags=("similarity", "llm-data", "semdedup", "kmeans"),
+    oracle=f"""
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY md5('kmeans:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cl
+  FROM embeddings
+),
+cents AS (SELECT cl, embedding AS cv FROM ranked WHERE cl < {_KM_K}),
+d AS (
+  SELECT e.vec_id, c.cl,
+         list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+           i -> (e.embedding[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE)
+                * (e.embedding[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE)),
+           'sum') AS d2
+  FROM embeddings e, cents c
+),
+asg AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cl AS cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cl ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+prod AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         va.embedding[i::INT]::DOUBLE AS xa,
+         vb.embedding[i::INT]::DOUBLE AS xb
+  FROM asg x
+  JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  JOIN embeddings va ON va.vec_id = x.vec_id
+  JOIN embeddings vb ON vb.vec_id = y.vec_id,
+       unnest(range(1, len(va.embedding) + 1)) t(i)
+),
+agg AS (
+  SELECT id_a, id_b,
+         CAST({sql_qsum('xa * xb')} AS DOUBLE) / {_S!r} AS dot,
+         CAST({sql_qsum('xa * xa')} AS DOUBLE) / {_S!r} AS na,
+         CAST({sql_qsum('xb * xb')} AS DOUBLE) / {_S!r} AS nb
+  FROM prod GROUP BY id_a, id_b
+),
+dropped AS (
+  SELECT DISTINCT id_b FROM agg
+  WHERE dot / (sqrt(na) * sqrt(nb)) >= {_SD_TAU!r}
+)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       CASE WHEN dr.id_b IS NULL THEN 1 ELSE 0 END AS keep
+FROM asg a LEFT JOIN dropped dr ON dr.id_b = a.vec_id
+""",
+)
+def q121_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then mark as
+    duplicates any vector whose cosine to a LOWER-id cluster-mate
+    exceeds tau={_SD_TAU} — pairwise comparison never crosses cluster
+    boundaries, which is the whole trick: quadratic work shrinks from
+    |corpus|^2 to sum over clusters of |cluster|^2.
+
+    Clustering reuses the exact k-means iteration-1 machinery q118
+    hash-checks (md5-ranked init, broadcast-centroid in-row argmin), so
+    the assignment is deterministic and the full pipeline sits under
+    the value-hash gate end to end.
+
+    Scale shape: one cluster-keyed self-join (the pair relation both
+    sides read from the SAME exchange), in-row quantized cosines, a
+    distinct on dropped ids, and a vec_id-keyed flag join. The 100 TB
+    dial is k: SemDeDup runs k ~ 50k on web-scale corpora precisely so
+    |cluster| ~ corpus/k keeps the per-cluster quadratic bounded; k is
+    a parameter here for the same reason (fixed at {_KM_K} only to stay
+    in lockstep with the q118/q114 oracle family)."""
+    from ..operators.clustering import assign_clusters, init_centroids
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = init_centroids(e, _KM_K)
+    a = assign_clusters(e, cents).select("vec_id", "cluster", "_v")
+    x = a.alias("x")
+    y = a.alias("y")
+    cos = (
+        (_qdot(F.col("x._v"), F.col("y._v")).cast("double") / F.lit(_S))
+        / (
+            F.sqrt(_qdot(F.col("x._v"), F.col("x._v")).cast("double") / F.lit(_S))
+            * F.sqrt(
+                _qdot(F.col("y._v"), F.col("y._v")).cast("double") / F.lit(_S)
+            )
+        )
+    )
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .filter(cos >= _SD_TAU)
+        .select(F.col("y.vec_id").alias("dropped_id"))
+        .distinct()
+    )
+    return (
+        a.join(
+            dropped, a["vec_id"] == dropped["dropped_id"], "left"
+        )
+        .select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.when(F.col("dropped_id").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("keep"),
+        )
+    )
