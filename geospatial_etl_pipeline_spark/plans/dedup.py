@@ -569,8 +569,12 @@ def q111_dup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
         jaccard_threshold=_JACCARD,
     )
-    sym = pairs.select(F.col("id_a").alias("doc_id")).unionAll(
-        pairs.select(F.col("id_b").alias("doc_id"))
+    # endpoint fan-out via in-row explode, NOT unionAll of two selects:
+    # a union duplicates the un-materialized LSH pair pipeline (the
+    # whole shingle->minhash->band->jaccard DAG runs twice), while the
+    # explode doubles rows map-side in ONE pass over one pipeline.
+    sym = pairs.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id")
     )
     cnt = sym.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt"))
     deg = (
@@ -798,9 +802,16 @@ def q125_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
         jaccard_threshold=_JACCARD,
     )
+    # both edge directions from ONE pass (in-row explode) — unionAll of
+    # two selects would replay the entire LSH pair pipeline twice
     sym = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     n = docs.select(F.count(F.lit(1)).alias("n"))
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     contrib = (

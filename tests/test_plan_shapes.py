@@ -379,3 +379,71 @@ def test_q48_df_cap_bounds_posting_lists(spark):
     )
     max_df = capped.agg(F.max("df")).first()[0]
     assert max_df <= cap, f"capped posting df {max_df} exceeds cap {cap}"
+
+
+def test_q126_char_quality_is_exchange_free(spark):
+    """All char-diversity signals are in-row array folds — any Exchange
+    means a fan-out leaked out of the row."""
+    p = plan_text(catalog.QUERIES["q126_char_diversity_quality"].fn(spark, SF))
+    assert n_shuffles(p) == 0
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q122_bpe_counts_vocab_not_tokens(spark):
+    """Two map-side-combined aggregates (vocab count, pair sum) and the
+    TakeOrdered top-k — pair fan-out must run on the word-frequency
+    relation, so no third data-sized exchange may appear."""
+    p = plan_text(catalog.QUERIES["q122_bpe_merge_candidates"].fn(spark, SF))
+    assert n_shuffles(p) == 2
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q123_stats_broadcast_back(spark):
+    """Per-type moments must come back onto the hourly relation as a
+    broadcast, not a shuffled join — the stats side is k rows."""
+    p = plan_text(catalog.QUERIES["q123_hourly_anomaly_zscore"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert n_shuffles(p) <= 3
+
+
+def test_q124_filtered_topk_broadcasts_queries(spark):
+    """Serving shape: query side broadcasts onto the corpus scan; the
+    only exchange is the per-query top-k window."""
+    p = plan_text(catalog.QUERIES["q124_filtered_cosine_topk"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert n_shuffles(p) == 1
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q121_semdedup_pairs_stay_within_clusters(spark):
+    """The pair join must be keyed on cluster (equi SMJ/BHJ), never a
+    nested-loop over the corpus, and all similarity math in-row."""
+    p = plan_text(catalog.QUERIES["q121_semantic_dedup"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert n_shuffles(p) <= 2
+
+
+def test_q127_containment_single_posting_exchange(spark):
+    """Same inverted-index contract as q48: postings shuffle once on
+    (lang, gram); co-occurrence agg + final — no quadratic join."""
+    p = plan_text(catalog.QUERIES["q127_ngram_containment_pairs"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert n_shuffles(p) <= 3
+
+
+def test_q125_pagerank_single_pipeline_symmetrization(spark):
+    """Edge symmetrization is an in-row explode over ONE LSH pipeline —
+    the unionAll formulation duplicated the whole pair DAG (20
+    exchanges measured); the explode shape holds at 12. BNLJ hits are
+    the two broadcast-scalar n crossJoins only."""
+    p = plan_text(catalog.QUERIES["q125_pagerank_dup_graph"].fn(spark, SF))
+    assert n_shuffles(p) <= 12
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q111_degree_single_pipeline_symmetrization(spark):
+    """Same single-pass endpoint explode contract for the degree query
+    (was 11 exchanges with unionAll, 7 with explode)."""
+    p = plan_text(catalog.QUERIES["q111_dup_graph_degrees"].fn(spark, SF))
+    assert n_shuffles(p) <= 7
