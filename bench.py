@@ -76,6 +76,9 @@ EXTRA = [
     "q49_dedup_clusters",
     "q100_hourly_gap_fill",
     "q111_dup_graph_degrees",
+    "q121_semantic_dedup",
+    "q125_pagerank_dup_graph",
+    "q127_ngram_containment_pairs",
 ]
 
 _SENTINEL_N = 200_000_000

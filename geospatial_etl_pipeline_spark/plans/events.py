@@ -1017,3 +1017,144 @@ def q123_hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("is_anomaly"),
     )
+
+
+@register(
+    "q130_next_event_training_pairs",
+    tags=("events", "llm-data", "sequence", "window"),
+    oracle="""
+WITH lagged AS (
+  SELECT user_id, event_id, event_type,
+         lag(event_type, 3) OVER w AS c1,
+         lag(event_type, 2) OVER w AS c2,
+         lag(event_type, 1) OVER w AS c3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       c1 || '>' || c2 || '>' || c3 AS context,
+       event_type AS next_event
+FROM lagged
+WHERE c1 IS NOT NULL AND c2 IS NOT NULL AND c3 IS NOT NULL
+""",
+)
+def q130_next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(context, next) training-pair extraction for sequence models:
+    each event paired with its user's three preceding event types —
+    the order-3 generalization of q116's Markov bigrams, and the
+    dataset-construction step a behavioral-sequence model trains on.
+
+    Scale shape: three lag windows share ONE user_id exchange (same
+    partitioning, same sort — Catalyst plans a single Window node), and
+    the context concat + completeness filter run map-side on the
+    windowed output. No joins, no second shuffle, regardless of
+    corpus size."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type", 3).over(w).alias("c1"),
+        F.lag("event_type", 2).over(w).alias("c2"),
+        F.lag("event_type", 1).over(w).alias("c3"),
+    )
+    return lagged.filter(
+        F.col("c1").isNotNull()
+        & F.col("c2").isNotNull()
+        & F.col("c3").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        F.concat_ws(">", "c1", "c2", "c3").alias("context"),
+        F.col("event_type").alias("next_event"),
+    )
+
+
+_DRIFT_Q = 10**6  # chi-square term quantization
+
+
+@register(
+    "q131_distribution_drift",
+    tags=("events", "llm-data", "drift", "chi-square"),
+    oracle=f"""
+WITH a AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt_a
+  FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+),
+b AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt_b
+  FROM events WHERE event_id % 2 = 1 GROUP BY event_type
+),
+tot AS (
+  SELECT (SELECT CAST(SUM(cnt_a) AS BIGINT) FROM a) AS tot_a,
+         (SELECT CAST(SUM(cnt_b) AS BIGINT) FROM b) AS tot_b
+)
+SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+       COALESCE(a.cnt_a, 0) AS cnt_a,
+       COALESCE(b.cnt_b, 0) AS cnt_b,
+       CASE WHEN COALESCE(a.cnt_a, 0) > 0 THEN
+         CAST(floor({float(_DRIFT_Q)!r}
+           * (CAST(COALESCE(b.cnt_b, 0) AS DOUBLE)
+              - CAST(a.cnt_a * t.tot_b AS DOUBLE) / t.tot_a)
+           * (CAST(COALESCE(b.cnt_b, 0) AS DOUBLE)
+              - CAST(a.cnt_a * t.tot_b AS DOUBLE) / t.tot_a)
+           / (CAST(a.cnt_a * t.tot_b AS DOUBLE) / t.tot_a)) AS BIGINT)
+       ELSE NULL END AS chi2_q
+FROM a FULL OUTER JOIN b ON a.event_type = b.event_type, tot t
+""",
+)
+def q131_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift screen between two corpus snapshots (split
+    here by event_id parity as the deterministic stand-in for
+    week-over-week partitions): per-category chi-square contribution of
+    the new snapshot against the old snapshot's proportions — the gate
+    that catches a source suddenly flooding one event type before it
+    skews a training mix.
+
+    Determinism: counts and totals stay BIGINT; the expected count,
+    deviation and chi-square term are ONE scalar IEEE chain evaluated
+    identically in both engines, then floor-quantized to BIGINT for
+    the compare surface. Categories absent from the baseline emit NULL
+    (new category = infinite-drift sentinel, flagged not divided).
+
+    Scale shape: two map-side-combined count aggs over low-cardinality
+    keys, a full-outer join of two |categories|-sized relations, and a
+    1-row totals broadcast — nothing data-sized past the first aggs."""
+    e = t(spark, sf_dir, "events")
+    a = (
+        e.filter(F.col("event_id") % 2 == 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt_a"))
+    )
+    b = (
+        e.filter(F.col("event_id") % 2 == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt_b"))
+    )
+    tot = a.agg(F.sum("cnt_a").alias("tot_a")).crossJoin(
+        b.agg(F.sum("cnt_b").alias("tot_b"))
+    )
+    j = (
+        a.withColumnRenamed("event_type", "et_a")
+        .join(
+            b.withColumnRenamed("event_type", "et_b"),
+            F.col("et_a") == F.col("et_b"),
+            "full_outer",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    cnt_a = F.coalesce(F.col("cnt_a"), F.lit(0))
+    cnt_b = F.coalesce(F.col("cnt_b"), F.lit(0))
+    exp = (F.col("cnt_a") * F.col("tot_b")).cast("double") / F.col("tot_a")
+    dev = cnt_b.cast("double") - exp
+    chi2 = F.when(
+        cnt_a > 0,
+        F.floor(F.lit(float(_DRIFT_Q)) * dev * dev / exp).cast("bigint"),
+    )
+    return j.select(
+        F.coalesce(F.col("et_a"), F.col("et_b")).alias("event_type"),
+        cnt_a.alias("cnt_a"),
+        cnt_b.alias("cnt_b"),
+        chi2.alias("chi2_q"),
+    )

@@ -932,16 +932,23 @@ def q121_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings")
     cents = init_centroids(e, _KM_K)
-    a = assign_clusters(e, cents).select("vec_id", "cluster", "_v")
+    # Quantized self-norm computed ONCE per vector at the scan and
+    # carried through the pair join — computing it per pair re-folds
+    # |pairs| x dim instead of |corpus| x dim (the q55 lesson; measured
+    # 16.6 s -> norm-carried at sf0.1).
+    a = assign_clusters(e, cents).select(
+        "vec_id",
+        "cluster",
+        "_v",
+        _qdot(F.col("_v"), F.col("_v")).alias("_qn"),
+    )
     x = a.alias("x")
     y = a.alias("y")
     cos = (
         (_qdot(F.col("x._v"), F.col("y._v")).cast("double") / F.lit(_S))
         / (
-            F.sqrt(_qdot(F.col("x._v"), F.col("x._v")).cast("double") / F.lit(_S))
-            * F.sqrt(
-                _qdot(F.col("y._v"), F.col("y._v")).cast("double") / F.lit(_S)
-            )
+            F.sqrt(F.col("x._qn").cast("double") / F.lit(_S))
+            * F.sqrt(F.col("y._qn").cast("double") / F.lit(_S))
         )
     )
     dropped = (
@@ -965,4 +972,141 @@ def q121_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
             .alias("keep"),
         )
+    )
+
+
+@register(
+    "q128_embedding_int8_export",
+    tags=("similarity", "llm-data", "quantization", "export"),
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         {sql_qsum('x * x', 12).replace('x * x', 'embedding[i::INT]::DOUBLE * embedding[i::INT]::DOUBLE')}
+           AS qn
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+  GROUP BY vec_id, label, embedding
+)
+SELECT vec_id, label,
+       CASE WHEN qn > 0
+            THEN array_to_string(list_transform(embedding,
+                   x -> CAST(floor(x::DOUBLE
+                        / sqrt(CAST(qn AS DOUBLE) / {_S!r}) * 127.0)
+                        AS BIGINT)), ',')
+            ELSE NULL END AS q8,
+       CASE WHEN qn > 0
+            THEN sqrt(CAST(qn AS DOUBLE) / {_S!r}) / 127.0
+            ELSE 0.0 END AS scale
+FROM n
+""",
+)
+def q128_embedding_int8_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-format export: L2-normalize each embedding and quantize
+    to int8 range (floor(x/||x|| * 127) per element), emitting the
+    per-vector dequantization scale — the standard memory-4x reduction
+    step before shipping vectors to an ANN serving index.
+
+    Determinism: the norm is the quantized integer self-dot (order-free
+    sum), and each output element is a per-element SCALAR chain
+    (divide, multiply, floor) of IEEE ops identical in both engines —
+    no aggregation of computed doubles anywhere. Zero-norm vectors
+    export NULL with scale 0 rather than dividing by zero.
+
+    Scale shape: pure scan projection, ZERO exchanges — this is the
+    map-side write path in front of a partitioned sink
+    (operators/sinks.py) at 100 TB."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qn = _qdot(F.col("v"), F.col("v"))
+    norm = F.sqrt(qn.cast("double") / F.lit(_S))
+    staged = e.select("vec_id", "label", "v", qn.alias("qn"), norm.alias("nrm"))
+    return staged.select(
+        "vec_id",
+        "label",
+        # serialized as a canonical CSV string: the driver's value hash
+        # digests scalars only, and the string is the wire format a
+        # serving-index loader would parse anyway
+        F.when(
+            F.col("qn") > 0,
+            F.array_join(
+                F.transform(
+                    F.col("v"),
+                    lambda x: F.floor(x / F.col("nrm") * F.lit(127.0)).cast(
+                        "bigint"
+                    ),
+                ),
+                ",",
+            ),
+        ).alias("q8"),
+        F.when(F.col("qn") > 0, F.col("nrm") / F.lit(127.0))
+        .otherwise(F.lit(0.0))
+        .alias("scale"),
+    )
+
+
+_NEG_ANCHORS = 4  # vec_id < this are the anchor vectors
+_NEG_K = 4
+
+
+@register(
+    "q129_negative_sampling",
+    tags=("similarity", "llm-data", "contrastive", "sampling"),
+    oracle=f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label
+  FROM embeddings WHERE vec_id < {_NEG_ANCHORS}
+),
+ranked AS (
+  SELECT a.anchor_id, c.vec_id AS neg_id, c.label AS neg_label,
+         row_number() OVER (
+           PARTITION BY a.anchor_id
+           ORDER BY md5('neg:' || CAST(a.anchor_id AS VARCHAR) || ':'
+                        || CAST(c.vec_id AS VARCHAR)),
+                    c.vec_id) AS rn
+  FROM anchors a
+  JOIN embeddings c
+    ON c.label <> a.anchor_label AND c.vec_id >= {_NEG_ANCHORS}
+)
+SELECT anchor_id, neg_id, neg_label, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {_NEG_K}
+""",
+)
+def q129_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor draws {_NEG_K} pseudo-random negatives from the corpus rows
+    whose label differs — ranked by md5(anchor, candidate), so the
+    draw is content-addressed (reshuffle-stable, seedable by changing
+    the tag) exactly like the q39 split and q98 caps.
+
+    Scale shape: anchors are the SMALL side (a training micro-batch),
+    so the label-mismatch join broadcasts them — a nested-loop only
+    over |corpus| x |anchors| with the anchor side in memory, which is
+    the sanctioned broadcast-small-dim shape; the md5 rank then needs
+    one anchor_id-partitioned window exchange whose input is already
+    |corpus| x {_NEG_ANCHORS} rows at most. For large anchor batches
+    you shard anchors and union — the per-shard plan is this one."""
+    e = t(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < _NEG_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+    )
+    cand = e.filter(F.col("vec_id") >= _NEG_ANCHORS).select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    joined = cand.join(
+        F.broadcast(anchors), F.col("neg_label") != F.col("anchor_label")
+    )
+    rank_key = F.md5(
+        F.concat(
+            F.lit("neg:"),
+            F.col("anchor_id").cast("string"),
+            F.lit(":"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(rank_key, F.col("neg_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= _NEG_K)
+        .select("anchor_id", "neg_id", "neg_label", "rn")
     )

@@ -447,3 +447,28 @@ def test_q111_degree_single_pipeline_symmetrization(spark):
     (was 11 exchanges with unionAll, 7 with explode)."""
     p = plan_text(catalog.QUERIES["q111_dup_graph_degrees"].fn(spark, SF))
     assert n_shuffles(p) <= 7
+
+
+def test_q128_int8_export_is_scan_projection(spark):
+    """Quantized export is the map-side write path: zero exchanges."""
+    p = plan_text(catalog.QUERIES["q128_embedding_int8_export"].fn(spark, SF))
+    assert n_shuffles(p) == 0
+
+
+def test_q130_three_lags_share_one_exchange(spark):
+    """All three lag windows must collapse into ONE user_id Window
+    node on one exchange — a second Window means the sort orders
+    diverged."""
+    p = plan_text(
+        catalog.QUERIES["q130_next_event_training_pairs"].fn(spark, SF)
+    )
+    assert n_shuffles(p) == 1
+    assert p.count(" Window ") == 1
+
+
+def test_q129_anchors_broadcast_nested_loop_is_small_side(spark):
+    """The label-mismatch join may nested-loop ONLY because the anchor
+    side broadcasts; the rank window is the sole exchange."""
+    p = plan_text(catalog.QUERIES["q129_negative_sampling"].fn(spark, SF))
+    assert "BroadcastExchange" in p
+    assert n_shuffles(p) == 1
