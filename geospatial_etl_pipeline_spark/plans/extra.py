@@ -631,3 +631,205 @@ def q110_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("c_nationkey") == F.col("n_nationkey"),
                   "customer->nation"))
     )
+
+
+_CM_D = 3  # count-min depth (independent hash rows)
+_CM_W = 64  # count-min width (buckets per row)
+_CM_TOPK = 10
+
+
+@register(
+    "q132_count_min_heavy_hitters",
+    tags=("sketch", "llm-data", "heavy-hitters"),
+    oracle=f"""
+WITH cm AS (
+  SELECT i,
+         ('0x' || substr(md5('cm:' || CAST(i AS VARCHAR) || ':'
+            || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % {_CM_W} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events, unnest([0, 1, 2]) t(i)
+  GROUP BY 1, 2
+),
+true_top AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM events GROUP BY user_id
+  ORDER BY true_cnt DESC, user_id ASC LIMIT {_CM_TOPK}
+),
+probe AS (
+  SELECT tt.user_id, tt.true_cnt, u.i,
+         ('0x' || substr(md5('cm:' || CAST(u.i AS VARCHAR) || ':'
+            || CAST(tt.user_id AS VARCHAR)), 1, 8))::BIGINT % {_CM_W}
+           AS bucket
+  FROM true_top tt, unnest([0, 1, 2]) u(i)
+)
+SELECT p.user_id, p.true_cnt,
+       CAST(MIN(c.cnt) AS BIGINT) AS cm_estimate
+FROM probe p JOIN cm c ON c.i = p.i AND c.bucket = p.bucket
+GROUP BY p.user_id, p.true_cnt
+""",
+)
+def q132_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch made falsifiable: build a ({_CM_D} x {_CM_W})
+    CM table over event user_ids with md5-derived hash rows, then
+    estimate the true top-{_CM_TOPK} users' counts from the sketch —
+    est = min over rows of the hashed bucket's counter. The structural
+    guarantee est >= true_cnt is pinned in tests; the whole build+probe
+    is exact integers, so unlike q29's engine-native sketches this one
+    value-hashes cross-engine.
+
+    Scale shape: the build is ONE map-side-combined aggregate whose
+    output is {_CM_D}*{_CM_W} rows no matter the corpus (the in-row
+    explode adds {_CM_D} rows per event BEFORE partial agg collapses
+    them); the probe joins the top-k (TakeOrdered) against the
+    broadcast-sized sketch. This is the streaming-accumulator shape a
+    100 TB pipeline uses when exact per-key counts can't fit."""
+    e = t(spark, sf_dir, "events")
+
+    def bucket(i_col, uid_col):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cm:"),
+                        i_col.cast("string"),
+                        F.lit(":"),
+                        uid_col.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint") % _CM_W
+
+    rows = e.select(
+        "user_id", F.explode(F.array(*[F.lit(i) for i in range(_CM_D)])).alias("i")
+    )
+    cm = (
+        rows.select("i", bucket(F.col("i"), F.col("user_id")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    true_top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("user_id").asc())
+        .limit(_CM_TOPK)
+    )
+    probe = true_top.select(
+        "user_id",
+        "true_cnt",
+        F.explode(F.array(*[F.lit(i) for i in range(_CM_D)])).alias("i"),
+    ).select(
+        "user_id",
+        "true_cnt",
+        "i",
+        bucket(F.col("i"), F.col("user_id")).alias("bucket"),
+    )
+    return (
+        probe.join(F.broadcast(cm), ["i", "bucket"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+
+
+_BLOOM_M = 1024  # bloom bit-array size
+_BLOOM_K = 4  # hash functions
+
+
+@register(
+    "q133_bloom_prefilter_audit",
+    tags=("sketch", "llm-data", "bloom", "dedup"),
+    oracle=f"""
+WITH hist AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS fp
+  FROM documents WHERE doc_id % 2 = 0
+),
+bits AS (
+  SELECT list(DISTINCT
+           ('0x' || substr(md5('bloom:' || CAST(j AS VARCHAR) || ':' || fp),
+                           1, 8))::BIGINT % {_BLOOM_M}) AS bs
+  FROM hist, unnest([0, 1, 2, 3]) t(j)
+),
+inc AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fp
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT i.doc_id,
+       CASE WHEN list_has_all(b.bs,
+              list_transform([0, 1, 2, 3],
+                j -> ('0x' || substr(md5('bloom:' || CAST(j AS VARCHAR)
+                      || ':' || i.fp), 1, 8))::BIGINT % {_BLOOM_M}))
+            THEN 1 ELSE 0 END AS bloom_hit,
+       CASE WHEN h.fp IS NULL THEN 0 ELSE 1 END AS exact_dup
+FROM inc i
+LEFT JOIN hist h ON h.fp = i.fp, bits b
+""",
+)
+def q133_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filter audit for incremental dedup (q77's companion):
+    build a {_BLOOM_M}-bit / {_BLOOM_K}-hash bloom over the historical
+    corpus' content fingerprints, probe every incoming doc, and emit
+    the bloom verdict NEXT TO exact membership — so the false-positive
+    rate (bloom_hit=1, exact_dup=0) is measured, not assumed, and the
+    no-false-negative guarantee is a pinned test invariant.
+
+    Scale shape: the bit set is a distinct-agg whose output is <=
+    {_BLOOM_M} integers regardless of corpus size -> one broadcast
+    array; probing is {_BLOOM_K} in-row md5s + array_contains, entirely
+    map-side. The exact side stays a fingerprint-keyed join — at 100 TB
+    you'd let the bloom PRUNE that join's probe side first (the bloom
+    column is computed before the shuffle), which is precisely what
+    AQE's runtime filter automates for q77."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+
+    def bbucket(j: int, fp_col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bloom:{j}:"), fp_col)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint") % _BLOOM_M
+
+    hist = d.filter(F.col("doc_id") % 2 == 0).select(fp.alias("fp")).distinct()
+    bits = hist.select(
+        F.explode(
+            F.array(*[bbucket(j, F.col("fp")) for j in range(_BLOOM_K)])
+        ).alias("b")
+    ).agg(F.collect_set("b").alias("bs"))
+    inc = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", fp.alias("fp"))
+    probed = inc.crossJoin(F.broadcast(bits)).select(
+        "doc_id",
+        "fp",
+        F.when(
+            (
+                sum(
+                    F.array_contains(F.col("bs"), bbucket(j, F.col("fp"))).cast(
+                        "int"
+                    )
+                    for j in range(_BLOOM_K)
+                )
+                == _BLOOM_K
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("bloom_hit"),
+    )
+    return (
+        probed.join(
+            hist.withColumnRenamed("fp", "hfp"),
+            F.col("fp") == F.col("hfp"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.when(F.col("hfp").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("exact_dup"),
+        )
+    )

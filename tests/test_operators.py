@@ -364,3 +364,31 @@ def test_kmeans_rejects_nan_vectors(spark):
     assigned = assign_clusters(df, cents)
     with _pytest.raises(ValueError, match="non-finite"):
         recompute_centroids(assigned, cents)
+
+
+def test_count_min_never_underestimates(spark):
+    """CM guarantee: est >= true count for EVERY probed key (collisions
+    only inflate counters). A single underestimate means the sketch
+    build and probe disagree on a hash — the failure mode the oracle
+    can't see if both sides made the same mistake."""
+    from geospatial_etl_pipeline_spark.plans import catalog
+
+    catalog.load_all_plans()
+    df = catalog.QUERIES["q132_count_min_heavy_hitters"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    bad = df.filter(F.col("cm_estimate") < F.col("true_cnt")).count()
+    assert bad == 0
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every exact duplicate MUST be a bloom hit — a false negative
+    means the pre-filter would drop real duplicate work at 100 TB."""
+    from geospatial_etl_pipeline_spark.plans import catalog
+
+    catalog.load_all_plans()
+    df = catalog.QUERIES["q133_bloom_prefilter_audit"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    fn = df.filter((F.col("exact_dup") == 1) & (F.col("bloom_hit") == 0)).count()
+    assert fn == 0
