@@ -638,6 +638,29 @@ _CM_W = 64  # count-min width (buckets per row)
 _CM_TOPK = 10
 
 
+def cm_bucket(i_col, uid_col, width: int = _CM_W):
+    """Count-min hash row: first 32 md5 bits of ('cm:' i ':' key) mod
+    width — shared by the batch build (q132), its probe, and the
+    streaming accumulator (streaming/events.streaming_count_min), so
+    the three can never drift onto different sketches."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("cm:"),
+                    i_col.cast("string"),
+                    F.lit(":"),
+                    uid_col.cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint") % width
+
+
 @register(
     "q132_count_min_heavy_hitters",
     tags=("sketch", "llm-data", "heavy-hitters"),
@@ -684,24 +707,7 @@ def q132_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-sized sketch. This is the streaming-accumulator shape a
     100 TB pipeline uses when exact per-key counts can't fit."""
     e = t(spark, sf_dir, "events")
-
-    def bucket(i_col, uid_col):
-        return F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("cm:"),
-                        i_col.cast("string"),
-                        F.lit(":"),
-                        uid_col.cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint") % _CM_W
+    bucket = cm_bucket
 
     rows = e.select(
         "user_id", F.explode(F.array(*[F.lit(i) for i in range(_CM_D)])).alias("i")

@@ -290,3 +290,46 @@ def purchases_with_optional_click(
         ),
         "leftOuter",
     )
+
+
+def streaming_count_min(
+    stream: DataFrame, depth: int = 3, watermark: str = "2 hours"
+) -> DataFrame:
+    """Count-min sketch as a STREAMING accumulator — the stateful form
+    of q132's batch build (plans/extra.py), sharing its exact
+    ``cm_bucket`` hash rows so stream and batch produce the same
+    sketch on the same input (asserted in test_streaming).
+
+    Shape: the depth-way cell fan-out and md5 bucketing run stateless
+    map-side; state is ONE bigint counter per (row, bucket) key —
+    bounded at depth x width cells regardless of stream volume, which
+    is the whole point of sketching a 100 TB/day key stream. Emits the
+    updated cell counts each micro-batch (update mode); a heavy-hitter
+    probe is a broadcast lookup against this tiny table, exactly as in
+    q132."""
+    import pandas as pd  # local: Arrow path only
+    from pyspark.sql.streaming.state import GroupState
+
+    from ..plans.extra import cm_bucket
+
+    cells = stream.withWatermark("ts", watermark).select(
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i"),
+        "user_id",
+    ).select("i", cm_bucket(F.col("i"), F.col("user_id")).alias("bucket"))
+
+    def update(key, pdf_iter, state: GroupState):
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame(
+            {"i": [key[0]], "bucket": [key[1]], "cnt": [cnt]}
+        )
+
+    return cells.groupBy("i", "bucket").applyInPandasWithState(
+        update,
+        outputStructType="i int, bucket bigint, cnt bigint",
+        stateStructType="cnt bigint",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

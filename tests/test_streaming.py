@@ -344,3 +344,33 @@ def test_stream_stream_left_outer_join_matches_batch(spark, sf_dir, stream):
     undecided = b_nulls - s_nulls
     assert all(p_ts[eid] > cutoff for eid in undecided), undecided
     assert len(s_nulls) > 0  # the outer side actually emitted
+
+
+def test_streaming_count_min_matches_batch_sketch(spark, sf_dir, stream):
+    """The stateful streaming CM accumulator lands on the SAME sketch
+    as the batch build on the same events — cell-for-cell."""
+    from pyspark.sql import functions as F
+
+    from geospatial_etl_pipeline_spark.plans.extra import _CM_D, cm_bucket
+    from geospatial_etl_pipeline_spark.sources.tables import load_table
+    from geospatial_etl_pipeline_spark.streaming.events import (
+        streaming_count_min,
+    )
+
+    got = run_to_memory_sink(streaming_count_min(stream), "t_cm", mode="update")
+    # update mode may emit a row per micro-batch; keep the final count
+    g = {}
+    for r in got.collect():
+        g[(r["i"], r["bucket"])] = max(g.get((r["i"], r["bucket"]), 0), r["cnt"])
+    e = load_table(spark, sf_dir, "events")
+    batch = (
+        e.select(
+            F.explode(F.array(*[F.lit(i) for i in range(_CM_D)])).alias("i"),
+            "user_id",
+        )
+        .select("i", cm_bucket(F.col("i"), F.col("user_id")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    b = {(r["i"], r["bucket"]): r["cnt"] for r in batch.collect()}
+    assert g == b and len(g) > 0
