@@ -839,3 +839,119 @@ def q133_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exact_dup"),
         )
     )
+
+
+_MB_MIN_CO = 2
+_MB_TOPK = 50
+_MB_Q = 10**6  # lift quantization
+
+
+@register(
+    "q134_part_pair_lift",
+    tags=("relational", "mining", "co-occurrence"),
+    oracle=f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li),
+pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS pcnt FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS co
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_MB_MIN_CO}
+),
+scored AS (
+  SELECT p.part_a, p.part_b, p.co,
+         CAST(floor({float(_MB_Q)!r}
+              * (CAST(p.co * n.n_orders AS DOUBLE)
+                 / CAST(ca.pcnt * cb.pcnt AS DOUBLE))) AS BIGINT) AS lift_q
+  FROM pairs p
+  JOIN pc ca ON ca.l_partkey = p.part_a
+  JOIN pc cb ON cb.l_partkey = p.part_b, n
+)
+SELECT part_a, part_b, co, lift_q, CAST(rn AS INT) AS rn FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY lift_q DESC, part_a ASC, part_b ASC) AS rn
+  FROM scored
+) WHERE rn <= {_MB_TOPK}
+""",
+)
+def q134_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining over order lines: the
+    top-{_MB_TOPK} part pairs by LIFT (P(a,b) / P(a)P(b)), support
+    >= {_MB_MIN_CO} orders — the association-rule primitive behind
+    recommendation candidates and (on a corpus) phrase collocation.
+
+    Determinism: support counts, part frequencies and the order total
+    are BIGINTs; lift is one scalar double ratio floor-quantized to
+    lift_q, so ranking ties are integer-exact and the top-k tie-break
+    is (lift_q, part_a, part_b).
+
+    Scale shape: the per-order distinct projection bounds the pair
+    fan-out at C(lines_per_order, 2) per order — a per-group quadratic
+    like q121's clusters, bounded by the basket size, never corpus².
+    The self-join keys on l_orderkey (both sides the SAME exchange);
+    part frequencies broadcast back onto the pair relation (the part
+    dim is the small side), so the pair relation shuffles once for its
+    own aggregation and once for the global top-k."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.select(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("pcnt"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= _MB_MIN_CO)
+    )
+    ca = pc.select(
+        F.col("l_partkey").alias("part_a"), F.col("pcnt").alias("ca")
+    )
+    cb = pc.select(
+        F.col("l_partkey").alias("part_b"), F.col("pcnt").alias("cb")
+    )
+    scored = (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "co",
+            F.floor(
+                F.lit(float(_MB_Q))
+                * (
+                    (F.col("co") * F.col("n_orders")).cast("double")
+                    / (F.col("ca") * F.col("cb")).cast("double")
+                )
+            )
+            .cast("bigint")
+            .alias("lift_q"),
+        )
+    )
+    # TakeOrdered FIRST (partial top-k, no single-partition shuffle of
+    # the full pair relation), then rank the k survivors — the global
+    # row_number window only ever sees _MB_TOPK rows.
+    order = [
+        F.col("lift_q").desc(),
+        F.col("part_a").asc(),
+        F.col("part_b").asc(),
+    ]
+    top = scored.orderBy(*order).limit(_MB_TOPK)
+    w = Window.orderBy(*order)
+    return top.withColumn("rn", F.row_number().over(w).cast("int"))
