@@ -1110,3 +1110,106 @@ def q129_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _NEG_K)
         .select("anchor_id", "neg_id", "neg_label", "rn")
     )
+
+
+@register(
+    "q135_embedding_covariance",
+    tags=("similarity", "llm-data", "linalg", "covariance"),
+    oracle=f"""
+WITH d AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+m AS (
+  SELECT i::INT AS dim_i,
+         {sql_qsum('embedding[i::INT]::DOUBLE')} AS qs
+  FROM embeddings, d, unnest(range(1, d.dim + 1)) t(i)
+  GROUP BY i
+),
+xy AS (
+  SELECT i::INT AS dim_i, j::INT AS dim_j,
+         {sql_qsum('embedding[i::INT]::DOUBLE * embedding[j::INT]::DOUBLE')}
+           AS qsxy
+  FROM embeddings, d,
+       unnest(range(1, d.dim + 1)) t(i),
+       unnest(range(1, d.dim + 1)) u(j)
+  WHERE j >= i
+  GROUP BY i, j
+)
+SELECT xy.dim_i, xy.dim_j,
+       (CAST(xy.qsxy AS DOUBLE) / {_S!r}) / n.n
+         - ((CAST(ma.qs AS DOUBLE) / {_S!r}) / n.n)
+           * ((CAST(mb.qs AS DOUBLE) / {_S!r}) / n.n) AS cov
+FROM xy
+JOIN m ma ON ma.dim_i = xy.dim_i
+JOIN m mb ON mb.dim_i = xy.dim_j, n
+""",
+)
+def q135_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix of the embedding space (upper
+    triangle, population covariance) — the linear-algebra primitive
+    under PCA whitening, spectral diagnostics, and anisotropy checks a
+    vector corpus gets before indexing.
+
+    Determinism: Σx and Σxy are floor-quantized integer sums; the
+    E[xy] − E[x]E[y] combination is a scalar IEEE chain from those
+    exact integers, so every cell hash-matches cross-engine.
+
+    Scale shape: the d(d+1)/2 cell fan-out happens IN-ROW (one struct
+    array per row, one explode), and partial aggregation collapses
+    each partition to ≤ d² cells before the single exchange — the
+    shuffle moves O(partitions × d²) rows, independent of corpus
+    size. The per-dim means are a second tiny agg broadcast onto the
+    cells. d is bounded (embedding width), so this is the map-reduce
+    covariance every distributed PCA uses; the power-iteration loop on
+    top is driver-side control like k-means (q114/q118)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = e.select(F.count(F.lit(1)).alias("n"))
+    dims = F.sequence(F.lit(1), F.size("v"))
+    # per-dim quantized sums (for the mean term)
+    m = (
+        e.select(F.posexplode("v").alias("i0", "x"))
+        .select((F.col("i0") + 1).cast("int").alias("dim_i"), "x")
+        .groupBy("dim_i")
+        .agg(qsum(F.col("x")).alias("qs"))
+    )
+    # in-row upper-triangle outer product -> one explode -> one agg
+    cells = F.flatten(
+        F.transform(
+            dims,
+            lambda i: F.transform(
+                F.slice(F.col("v"), i, F.size("v") - i + 1),
+                lambda xj, k: F.struct(
+                    i.cast("int").alias("dim_i"),
+                    (i + k).cast("int").alias("dim_j"),
+                    F.floor(
+                        F.element_at(F.col("v"), i) * xj * F.lit(_S)
+                    )
+                    .cast("bigint")
+                    .alias("q"),
+                ),
+            ),
+        )
+    )
+    xy = (
+        e.select(F.explode(cells).alias("c"))
+        .select("c.dim_i", "c.dim_j", "c.q")
+        .groupBy("dim_i", "dim_j")
+        .agg(F.sum("q").alias("qsxy"))
+    )
+    ma = m.select(F.col("dim_i").alias("_mi"), F.col("qs").alias("qsa"))
+    mb = m.select(F.col("dim_i").alias("_mj"), F.col("qs").alias("qsb"))
+    return (
+        xy.join(F.broadcast(ma), F.col("dim_i") == F.col("_mi"))
+        .join(F.broadcast(mb), F.col("dim_j") == F.col("_mj"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "dim_i",
+            "dim_j",
+            (
+                (F.col("qsxy").cast("double") / F.lit(_S)) / F.col("n")
+                - ((F.col("qsa").cast("double") / F.lit(_S)) / F.col("n"))
+                * ((F.col("qsb").cast("double") / F.lit(_S)) / F.col("n"))
+            ).alias("cov"),
+        )
+    )
