@@ -1158,3 +1158,88 @@ def q131_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt_b.alias("cnt_b"),
         chi2.alias("chi2_q"),
     )
+
+
+@register(
+    "q136_event_value_trend",
+    tags=("events", "llm-data", "regression", "trend"),
+    oracle="""
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - MIN(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY event_type)
+           AS x,
+         value AS y
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+         SUM(CAST(FLOOR(y * 1000000.0) AS BIGINT)) AS qsy,
+         SUM(x * CAST(FLOOR(y * 1000000.0) AS BIGINT)) AS qsxy
+  FROM base GROUP BY event_type
+)
+SELECT event_type, n,
+       CASE WHEN n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx > 0
+            THEN (n * (CAST(qsxy AS DOUBLE) / 1000000.0)
+                  - CAST(sx AS DOUBLE) * (CAST(qsy AS DOUBLE) / 1000000.0))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+            ELSE 0.0 END AS slope,
+       (CAST(qsy AS DOUBLE) / 1000000.0) / n AS mean_value
+FROM m
+""",
+)
+def q136_event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed OLS trend per event type: least-squares slope of
+    event value over time — the drift/trend primitive behind "is this
+    metric degrading" monitoring, computed entirely from sufficient
+    statistics so one aggregation pass serves any number of groups.
+
+    Determinism: x re-bases to seconds-from-group-min (keeps x² sums
+    small and slope scale-free; the oracle floors epoch() BEFORE the
+    BIGINT cast because DuckDB's double→BIGINT cast ROUNDS sub-second
+    timestamps where Spark's unix_timestamp floors — the half-second
+    x shift moved the slope's 7th digit), Σx stays BIGINT, Σx² goes through
+    DECIMAL(38,0) (exact integer arithmetic with 1e38 headroom — a
+    BIGINT Σx² overflows once group time-spans pass ~2^63), y-moments
+    floor-quantize at 1e6, and the closed-form slope is one scalar
+    IEEE chain from those exact values. Degenerate groups (single
+    instant) emit slope 0 instead of 0/0.
+
+    Scale shape: one event_type window for the re-base min shares its
+    exchange with the moments aggregate (same key), so the whole query
+    is ONE data-sized shuffle with map-side partial aggregation; output
+    is |event types| rows."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    x = (
+        F.unix_timestamp("ts").cast("bigint")
+        - F.min(F.unix_timestamp("ts").cast("bigint")).over(w)
+    )
+    qy = F.floor(F.col("value") * F.lit(1e6)).cast("bigint")
+    base = e.select("event_type", x.alias("x"), qy.alias("qy"))
+    m = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum("qy").alias("qsy"),
+        F.sum(F.col("x") * F.col("qy")).alias("qsxy"),
+    )
+    det = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    slope = (
+        F.col("n") * (F.col("qsxy").cast("double") / F.lit(1e6))
+        - F.col("sx").cast("double") * (F.col("qsy").cast("double") / F.lit(1e6))
+    ) / det
+    return m.select(
+        "event_type",
+        "n",
+        F.when(det > 0, slope).otherwise(F.lit(0.0)).alias("slope"),
+        ((F.col("qsy").cast("double") / F.lit(1e6)) / F.col("n")).alias(
+            "mean_value"
+        ),
+    )

@@ -472,3 +472,10 @@ def test_q129_anchors_broadcast_nested_loop_is_small_side(spark):
     p = plan_text(catalog.QUERIES["q129_negative_sampling"].fn(spark, SF))
     assert "BroadcastExchange" in p
     assert n_shuffles(p) == 1
+
+
+def test_q136_trend_single_exchange(spark):
+    """Re-base window and moments aggregate share ONE event_type
+    exchange — sufficient-statistics OLS must not shuffle twice."""
+    p = plan_text(catalog.QUERIES["q136_event_value_trend"].fn(spark, SF))
+    assert n_shuffles(p) == 1
