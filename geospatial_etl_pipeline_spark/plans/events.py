@@ -1243,3 +1243,70 @@ def q136_event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_value"
         ),
     )
+
+
+_EWMA_LOOKBACK = 10  # events; weight 2^-j halves per step back
+
+
+@register(
+    "q137_ewma_event_value",
+    tags=("events", "llm-data", "ewma", "window"),
+    oracle=f"""
+WITH q AS (
+  SELECT user_id, event_id, ts,
+         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS qy
+  FROM events
+),
+l AS (
+  SELECT user_id, event_id,
+         {", ".join(f"lag(qy, {j}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y{j}" for j in range(10))}
+  FROM q
+)
+SELECT user_id, event_id,
+       CAST(({" + ".join(f"COALESCE(y{j}, 0) * {1 << (9 - j)}" for j in range(10))}) AS DOUBLE)
+       / ({" + ".join(f"(CASE WHEN y{j} IS NULL THEN 0 ELSE {1 << (9 - j)} END)" for j in range(10))})
+       / 1000000.0 AS ewma
+FROM l
+""",
+)
+def q137_ewma_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of event value over each
+    user's last {_EWMA_LOOKBACK} events (decay 1/2 per step) — the
+    smoothed-signal feature behind engagement scores and rate alarms.
+
+    Determinism trick: the weights are DYADIC (2^-j), so scaling by
+    2^9 turns the whole weighted sum into BIGINT arithmetic — numerator
+    and denominator are exact integers built from an EXPLICIT addition
+    chain over the lags (no SUM over computed doubles anywhere), and
+    the single final divide is IEEE-identical cross-engine. A general
+    alpha would need libm pow — rejected for the same ulp reasons as
+    q126's entropy.
+
+    Scale shape: all {_EWMA_LOOKBACK} lags share ONE user_id window
+    exchange (same partitioning + ordering); everything after is a
+    map-side scalar chain."""
+    e = t(spark, sf_dir, "events")
+    qy = F.floor(F.col("value") * F.lit(1e6)).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    q = e.select("user_id", "event_id", "ts", qy.alias("qy"))
+    lags = q.select(
+        "user_id",
+        "event_id",
+        *[
+            F.lag("qy", j).over(w).alias(f"y{j}")
+            for j in range(_EWMA_LOOKBACK)
+        ],
+    )
+    num = None
+    den = None
+    for j in range(_EWMA_LOOKBACK):
+        wgt = 1 << (9 - j)
+        tn = F.coalesce(F.col(f"y{j}"), F.lit(0)) * F.lit(wgt)
+        td = F.when(F.col(f"y{j}").isNull(), F.lit(0)).otherwise(F.lit(wgt))
+        num = tn if num is None else num + tn
+        den = td if den is None else den + td
+    return lags.select(
+        "user_id",
+        "event_id",
+        (num.cast("double") / den / F.lit(1e6)).alias("ewma"),
+    )
