@@ -955,3 +955,87 @@ def q134_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(*order).limit(_MB_TOPK)
     w = Window.orderBy(*order)
     return top.withColumn("rn", F.row_number().over(w).cast("int"))
+
+
+_SKEW_TOPK = 5
+_SKEW_Q = 10**6
+
+
+@register(
+    "q138_join_key_skew_report",
+    tags=("profiling", "skew", "llm-data"),
+    oracle=f"""
+WITH per AS (
+  SELECT 'lineitem' AS relation, 'l_orderkey' AS keycol,
+         CAST(l_orderkey AS VARCHAR) AS key, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 3
+  UNION ALL
+  SELECT 'lineitem', 'l_partkey', CAST(l_partkey AS VARCHAR), COUNT(*)
+  FROM lineitem GROUP BY 3
+  UNION ALL
+  SELECT 'events', 'user_id', CAST(user_id AS VARCHAR), COUNT(*)
+  FROM events GROUP BY 3
+),
+tot AS (
+  SELECT relation, keycol, CAST(SUM(cnt) AS BIGINT) AS total
+  FROM per GROUP BY 1, 2
+)
+SELECT relation, keycol, key, cnt, share_q, CAST(rn AS INT) AS rn FROM (
+  SELECT p.relation, p.keycol, p.key, CAST(p.cnt AS BIGINT) AS cnt,
+         CAST(floor({float(_SKEW_Q)!r} * CAST(p.cnt AS DOUBLE) / t.total)
+              AS BIGINT) AS share_q,
+         row_number() OVER (PARTITION BY p.relation, p.keycol
+                            ORDER BY p.cnt DESC, p.key ASC) AS rn
+  FROM per p JOIN tot t
+    ON t.relation = p.relation AND t.keycol = p.keycol
+) WHERE rn <= {_SKEW_TOPK}
+""",
+)
+def q138_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew census: the top-{_SKEW_TOPK} heaviest keys and
+    their corpus share for each join column the engine shuffles on —
+    the diagnostic you run BEFORE picking salting factors
+    (operators/skew.py) or AQE skew thresholds at 100 TB, kin to the
+    q109 column census.
+
+    Scale shape: one map-side-combined count agg per audited column
+    (the only data-sized exchanges), per-column totals from those tiny
+    aggregates, broadcast back; the per-column top-k is a window over
+    |distinct keys| already reduced rows. Adding a column to the audit
+    adds one scan+agg, nothing quadratic."""
+
+    def top_keys(df: DataFrame, relation: str, keycol: str) -> DataFrame:
+        per = (
+            df.select(F.col(keycol).cast("string").alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        tot = per.agg(F.sum("cnt").alias("total"))
+        w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+        return (
+            per.orderBy(F.col("cnt").desc(), F.col("key").asc())
+            .limit(_SKEW_TOPK)
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(relation).alias("relation"),
+                F.lit(keycol).alias("keycol"),
+                "key",
+                F.col("cnt").cast("bigint").alias("cnt"),
+                F.floor(
+                    F.lit(float(_SKEW_Q))
+                    * F.col("cnt").cast("double")
+                    / F.col("total")
+                )
+                .cast("bigint")
+                .alias("share_q"),
+                F.row_number().over(w).cast("int").alias("rn"),
+            )
+        )
+
+    li = t(spark, sf_dir, "lineitem")
+    ev = t(spark, sf_dir, "events")
+    return (
+        top_keys(li, "lineitem", "l_orderkey")
+        .unionByName(top_keys(li, "lineitem", "l_partkey"))
+        .unionByName(top_keys(ev, "events", "user_id"))
+    )
