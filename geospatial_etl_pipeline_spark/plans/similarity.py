@@ -1250,3 +1250,69 @@ def q135_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+@register(
+    "q139_rag_retrieve_with_metadata",
+    tags=("similarity", "llm-data", "rag", "join"),
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label, embedding AS qv
+  FROM embeddings WHERE vec_id < {_FILT_NQ}
+),
+c AS (
+  SELECT vec_id, label, embedding
+  FROM embeddings WHERE vec_id >= {_FILT_NQ}
+),
+prod AS (
+  SELECT q.query_id, c.vec_id,
+         c.embedding[i::INT]::DOUBLE AS x,
+         q.qv[i::INT]::DOUBLE AS y
+  FROM q JOIN c ON c.label = q.label,
+       unnest(range(1, len(c.embedding) + 1)) t(i)
+),
+agg AS (
+  SELECT query_id, vec_id,
+         CAST({sql_qsum('x * y')} AS DOUBLE) / {_S!r} AS dot,
+         CAST({sql_qsum('x * x')} AS DOUBLE) / {_S!r} AS nc,
+         CAST({sql_qsum('y * y')} AS DOUBLE) / {_S!r} AS nq
+  FROM prod GROUP BY query_id, vec_id
+),
+hits AS (
+  SELECT query_id, vec_id, cosine_sim, CAST(rn AS INT) AS rn FROM (
+    SELECT query_id, vec_id,
+           dot / (sqrt(nc) * sqrt(nq)) AS cosine_sim,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY dot / (sqrt(nc) * sqrt(nq)) DESC, vec_id ASC) AS rn
+    FROM agg
+  ) WHERE rn <= {_FILT_TOPK}
+)
+SELECT h.query_id, h.vec_id, h.cosine_sim, h.rn,
+       d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM hits h JOIN documents d ON d.doc_id = h.vec_id
+""",
+)
+def q139_rag_retrieve_with_metadata(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full RAG read path: metadata-filtered retrieval (q124's
+    filter-then-search) JOINED back to the document store for the
+    context fields a prompt builder needs — the retrieval result is
+    useless until it re-attaches text metadata, and that join is where
+    naive RAG serving loses its latency budget.
+
+    Scale shape: the hit set is |queries| x k rows (tiny by
+    construction), so the metadata join broadcasts the HITS onto the
+    document store scan — the corpus side streams map-side and prunes
+    on doc_id min/max parquet statistics; the document store is never
+    shuffled. Same id-space convention as the fixtures (vec_id is the
+    embedded doc's id)."""
+    hits = q124_filtered_cosine_topk(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    return d.join(
+        F.broadcast(hits), d["doc_id"] == hits["vec_id"]
+    ).select(
+        "query_id", "vec_id", "cosine_sim", "rn", "lang", "source", "n_chars"
+    )
