@@ -1310,3 +1310,107 @@ def q137_ewma_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (num.cast("double") / den / F.lit(1e6)).alias("ewma"),
     )
+
+
+@register(
+    "q140_ab_test_conversion",
+    tags=("events", "llm-data", "experimentation", "ab-test"),
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % 2 AS arm
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM u
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CASE WHEN n_a > 0 AND n_b > 0
+             AND (conv_a + conv_b) > 0
+             AND (conv_a + conv_b) < (n_a + n_b)
+            THEN (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b))
+            ELSE 0.0 END AS z_stat
+FROM agg
+""",
+)
+def q140_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: users split into
+    arms by md5 (content-addressed, the same reshuffle-stable
+    assignment discipline as q39's split), conversion = at least one
+    purchase, pooled-variance z on the conversion-rate difference —
+    the readout primitive for any data-pipeline experiment (new dedup
+    threshold, new quality gate) shipped behind a user split.
+
+    Determinism: arm assignment and all four cells are exact integers
+    from ONE user-level aggregate; the z statistic is a single scalar
+    IEEE chain over them. Degenerate designs (empty arm, all-or-none
+    conversion) emit z = 0 instead of dividing by zero.
+
+    Scale shape: one user_id map-side-combined aggregate (conv flag +
+    arm are in-row), then a 4-cell global aggregate — the classic
+    two-level rollup, nothing data-sized past the first exchange."""
+    e = t(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).select("user_id", "conv", arm.alias("arm"))
+    agg = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    tot_conv = F.col("conv_a") + F.col("conv_b")
+    tot_n = F.col("n_a") + F.col("n_b")
+    p = tot_conv.cast("double") / tot_n
+    z = (
+        F.col("conv_a").cast("double") / F.col("n_a")
+        - F.col("conv_b").cast("double") / F.col("n_b")
+    ) / F.sqrt(
+        p
+        * (F.lit(1.0) - p)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    ok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (tot_conv > 0)
+        & (tot_conv < tot_n)
+    )
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.when(ok, z).otherwise(F.lit(0.0)).alias("z_stat"),
+    )
