@@ -839,3 +839,61 @@ def q125_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pagerank"),
         )
     )
+
+
+@register(
+    "q141_triangle_count",
+    tags=("dedup", "llm-data", "graph", "triangles"),
+    oracle=f"""
+WITH {_SQL_LSH_CTES},
+e AS (SELECT id_a AS a, id_b AS b FROM lsh_pairs),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges
+FROM tri
+""",
+)
+def q141_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-duplicate graph — the transitivity
+    signal that separates boilerplate CLIQUES (template families where
+    every doc matches every other: many triangles) from chain-shaped
+    false-positive strings (A~B~C without A~C: zero triangles), which
+    tells you whether q49's transitive-closure clustering will
+    over-merge.
+
+    Shape: edges are id_a < id_b once each, so each triangle
+    (x < y < z) is counted exactly once by the wedge-close join —
+    e1=(x,y), e2=(y,z) joined on the shared middle vertex, closed by
+    probing e3=(x,z). Two equi-joins on the edge relation, both
+    key-partitioned; the classic skew control at 100 TB (order wedges
+    by degree so high-degree hubs don't fan out) composes with q111's
+    degree operator, and the LSH pair pipeline is planned ONCE with
+    its exchange reused across the three edge references."""
+    from ..operators.dedup import lsh_candidate_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs,
+        num_hashes=_NUM_HASHES,
+        shingle_k=_SHINGLE_K,
+        bands=_BANDS,
+        jaccard_threshold=_JACCARD,
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    # Materialize the edge list once: three self-references of an
+    # un-materialized LSH DAG would plan the whole pair pipeline three
+    # times (the q111/q125 lesson, one join deeper).
+    e = pairs.localCheckpoint(eager=False)
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y")
+    tri = wedges.join(e3, ["x", "z"])
+    n_edges = e.select(F.count(F.lit(1)).alias("n_edges"))
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
+        F.broadcast(n_edges)
+    )

@@ -392,3 +392,82 @@ def test_bloom_has_no_false_negatives(spark):
     )
     fn = df.filter((F.col("exact_dup") == 1) & (F.col("bloom_hit") == 0)).count()
     assert fn == 0
+
+
+def test_pagerank_mass_is_conserved_within_bounds(spark):
+    """One damped iteration from uniform start: total mass must lie in
+    [teleport-only 0.15, full 1.0] — above 1.0 means double-counted
+    contributions, below 0.15 means the teleport term is broken.
+    (Dangling/isolated docs leak their damped share by documented
+    design, so the sum is < 1.0 whenever any doc is isolated.)"""
+    from geospatial_etl_pipeline_spark.plans import catalog
+
+    catalog.load_all_plans()
+    df = catalog.QUERIES["q125_pagerank_dup_graph"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    total = df.agg(F.sum("pagerank")).first()[0]
+    assert 0.15 - 1e-9 <= total <= 1.0 + 1e-9, total
+
+
+def test_covariance_diagonal_is_nonnegative(spark):
+    """Var(x_i) >= 0 up to quantization slack — a negative diagonal
+    cell means the E[x²]−E[x]² combination mixed up its moments."""
+    from geospatial_etl_pipeline_spark.plans import catalog
+
+    catalog.load_all_plans()
+    df = catalog.QUERIES["q135_embedding_covariance"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    bad = df.filter(
+        (F.col("dim_i") == F.col("dim_j")) & (F.col("cov") < -1e-9)
+    ).count()
+    assert bad == 0
+
+
+def test_bloom_fp_rate_matches_occupancy(spark):
+    """The measured false-positive rate must be consistent with the
+    bit-array occupancy: fp ≈ occupancy^k. Assert it stays below
+    3x the occupancy-predicted rate (+1 absolute hit of slack for
+    small incoming batches) — a blowout means the probe hashes
+    disagree with the build hashes."""
+    from geospatial_etl_pipeline_spark.plans import catalog
+    from geospatial_etl_pipeline_spark.plans.extra import _BLOOM_K, _BLOOM_M
+
+    catalog.load_all_plans()
+    df = catalog.QUERIES["q133_bloom_prefilter_audit"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).cache()
+    n_inc = df.count()
+    fp = df.filter((F.col("bloom_hit") == 1) & (F.col("exact_dup") == 0)).count()
+    # occupancy from the same build the query ran
+    from pyspark.sql import functions as FF
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fpcol = FF.md5(FF.lower(FF.trim(FF.col("text"))))
+    hist = d.filter(FF.col("doc_id") % 2 == 0).select(fpcol.alias("fp")).distinct()
+    bits = hist.select(
+        FF.explode(
+            FF.array(
+                *[
+                    (
+                        FF.conv(
+                            FF.substring(
+                                FF.md5(FF.concat(FF.lit(f"bloom:{j}:"), FF.col("fp"))),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint")
+                        % _BLOOM_M
+                    )
+                    for j in range(_BLOOM_K)
+                ]
+            )
+        ).alias("b")
+    ).distinct().count()
+    occupancy = bits / _BLOOM_M
+    expected_fp = occupancy ** _BLOOM_K
+    df.unpersist()
+    assert fp <= 3 * expected_fp * n_inc + 1, (fp, n_inc, occupancy)
