@@ -897,3 +897,114 @@ def q141_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
         F.broadcast(n_edges)
     )
+
+
+_PRW_WQ = 10**6  # edge-weight quantization (jaccard -> integer)
+
+
+@register(
+    "q142_weighted_pagerank",
+    tags=("dedup", "llm-data", "graph", "pagerank", "weighted"),
+    oracle=f"""
+WITH {_SQL_LSH_CTES},
+wedges AS (
+  SELECT id_a AS src, id_b AS dst,
+         CAST(floor(jaccard * {float(_PRW_WQ)!r}) AS BIGINT) AS qw
+  FROM lsh_pairs
+  UNION ALL
+  SELECT id_b, id_a, CAST(floor(jaccard * {float(_PRW_WQ)!r}) AS BIGINT)
+  FROM lsh_pairs
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+wsum AS (SELECT src, CAST(SUM(qw) AS BIGINT) AS w_out FROM wedges GROUP BY src),
+contrib AS (
+  SELECT e.dst,
+         (CAST({_PR_S} AS BIGINT) * e.qw) // (n.n * w.w_out) AS qc
+  FROM wedges e JOIN wsum w ON w.src = e.src, n
+  WHERE w.w_out > 0
+),
+acc AS (SELECT dst, CAST(SUM(qc) AS BIGINT) AS q FROM contrib GROUP BY dst)
+SELECT doc.doc_id,
+       {1.0 - _PR_DAMP!r} / n.n
+         + {_PR_DAMP!r} * (CAST(COALESCE(a.q, 0) AS DOUBLE) / {float(_PR_S)!r})
+         AS pagerank
+FROM documents doc
+LEFT JOIN acc a ON a.dst = doc.doc_id, n
+""",
+)
+def q142_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-WEIGHTED PageRank iteration over the near-dup graph:
+    each node splits its mass across neighbors proportionally to edge
+    Jaccard instead of uniformly — a 0.9-similarity template clone pulls
+    far more hub mass than a borderline 0.25 match, so the boilerplate
+    ranking (q125's unweighted form) stops being diluted by threshold-
+    grazing edges.
+
+    Exactness without summing doubles: edge weights floor-quantize to
+    integers FIRST (qw = floor(jaccard * 1e6)), the out-weight is an
+    exact integer sum, and each contribution is the integer division
+    (S * qw) // (n * w_out) — identical BIGINT arithmetic in both
+    engines, so the damped combine at the end is the only float op.
+    Zero-out-weight nodes (possible only if every incident jaccard
+    quantizes to 0) contribute nothing rather than dividing by zero.
+
+    Same scale shape as q125: single-pipeline edge fan-out (the
+    symmetrize explode rides the SAME union-free pattern via two
+    branches of one pair relation in the oracle and the in-row explode
+    in the engine), degree→contribution joins key-partitioned on src,
+    one dst accumulation, isolated docs surfaced by the left join."""
+    from ..operators.dedup import lsh_candidate_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs,
+        num_hashes=_NUM_HASHES,
+        shingle_k=_SHINGLE_K,
+        bands=_BANDS,
+        jaccard_threshold=_JACCARD,
+    )
+    qw = F.floor(F.col("jaccard") * F.lit(float(_PRW_WQ))).cast("bigint")
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"),
+                    F.col("id_b").alias("dst"),
+                    qw.alias("qw"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"),
+                    F.col("id_a").alias("dst"),
+                    qw.alias("qw"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.qw")
+    n = docs.select(F.count(F.lit(1)).alias("n"))
+    wsum = sym.groupBy("src").agg(F.sum("qw").alias("w_out"))
+    contrib = (
+        sym.join(wsum, "src")
+        .filter(F.col("w_out") > 0)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "dst",
+            F.expr(f"({_PR_S}L * qw) div (n * w_out)").alias("qc"),
+        )
+    )
+    acc = contrib.groupBy("dst").agg(F.sum("qc").alias("q"))
+    return (
+        docs.select("doc_id")
+        .join(acc, F.col("doc_id") == F.col("dst"), "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            (
+                F.lit(1.0 - _PR_DAMP) / F.col("n")
+                + F.lit(_PR_DAMP)
+                * (
+                    F.coalesce(F.col("q"), F.lit(0)).cast("double")
+                    / F.lit(float(_PR_S))
+                )
+            ).alias("pagerank"),
+        )
+    )

@@ -333,3 +333,100 @@ def streaming_count_min(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def stream_merge_upsert(
+    stream: DataFrame,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+) -> None:
+    """Streaming MERGE-upsert sink: maintain a latest-wins per-key
+    snapshot table under ``snapshot_dir`` as micro-batches arrive — the
+    streaming form of q112's batch CDC merge, for pipelines that keep a
+    "current state" table (user profiles, doc latest-crawl) next to the
+    append-only event log.
+
+    EXACTLY-ONCE without a transactional table format, two layers:
+
+    1. **Idempotent merge**: each batch reduces to one latest row per
+       key (max (ts, event_id)), then merges latest-wins against the
+       current snapshot. Replaying an already-applied batch recomputes
+       the same winners — the merge is idempotent by construction, so a
+       replay after a crash between file-commit and checkpoint-advance
+       cannot double-apply.
+    2. **Atomic publish**: the merged snapshot writes to a NEW
+       versioned directory (``v<batch_id>``) and a ``_CURRENT`` pointer
+       file flips afterwards — readers never see a half-written
+       snapshot (same new-dir contract as sinks.compact_parquet).
+
+    Scale shape: the per-batch reduce is a partial-agg'd groupBy on the
+    key; the merge is one key-partitioned full-outer join between the
+    batch's winners (small) and the snapshot scan — with the snapshot
+    bucketed by key it goes exchange-free on the big side."""
+    import os
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        sp = batch_df.sparkSession
+        w = Window.partitionBy(key).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        winners = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(key, "value", F.col("ts").alias("updated_at"))
+        )
+        cur_ptr = os.path.join(snapshot_dir, "_CURRENT")
+        if os.path.exists(cur_ptr):
+            with open(cur_ptr) as fh:
+                cur = sp.read.parquet(
+                    os.path.join(snapshot_dir, fh.read().strip())
+                )
+            s = winners.alias("s")
+            t_ = cur.alias("t")
+            joined = t_.join(s, on=key, how="full_outer")
+            merged = joined.select(
+                F.col(key),
+                F.when(
+                    F.col("s.updated_at").isNotNull()
+                    & (
+                        F.col("t.updated_at").isNull()
+                        | (F.col("s.updated_at") >= F.col("t.updated_at"))
+                    ),
+                    F.col("s.value"),
+                )
+                .otherwise(F.col("t.value"))
+                .alias("value"),
+                F.greatest(
+                    F.coalesce(F.col("s.updated_at"), F.col("t.updated_at")),
+                    F.coalesce(F.col("t.updated_at"), F.col("s.updated_at")),
+                ).alias("updated_at"),
+            )
+        else:
+            merged = winners
+        vdir = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_dir, vdir)
+        )
+        tmp = cur_ptr + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(vdir)
+        os.replace(tmp, cur_ptr)  # atomic pointer flip
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_merge_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+    """Read the current published snapshot (follows ``_CURRENT``)."""
+    import os
+
+    with open(os.path.join(snapshot_dir, "_CURRENT")) as fh:
+        return spark.read.parquet(os.path.join(snapshot_dir, fh.read().strip()))

@@ -374,3 +374,53 @@ def test_streaming_count_min_matches_batch_sketch(spark, sf_dir, stream):
     )
     b = {(r["i"], r["bucket"]): r["cnt"] for r in batch.collect()}
     assert g == b and len(g) > 0
+
+
+def test_stream_merge_upsert_matches_batch_and_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """The streaming MERGE sink must land the SAME latest-wins snapshot
+    as a batch reduction of the whole event log, and re-running the
+    stream (fresh checkpoint, same input) must republish an identical
+    snapshot — replay cannot double-apply."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from geospatial_etl_pipeline_spark.sources.tables import load_table
+    from geospatial_etl_pipeline_spark.streaming.events import (
+        read_merge_snapshot,
+        stream_events,
+        stream_merge_upsert,
+    )
+
+    snap = str(tmp_path / "snapshot")
+    stream_merge_upsert(
+        stream_events(spark, sf_dir), snap, str(tmp_path / "ckpt1")
+    )
+    got = {
+        (r["user_id"], r["value"], r["updated_at"])
+        for r in read_merge_snapshot(spark, snap).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    batch = (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "value", F.col("ts").alias("updated_at"))
+    )
+    want = {
+        (r["user_id"], r["value"], r["updated_at"]) for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+    # replay with a fresh checkpoint: merge idempotence must hold
+    stream_merge_upsert(
+        stream_events(spark, sf_dir), snap, str(tmp_path / "ckpt2")
+    )
+    again = {
+        (r["user_id"], r["value"], r["updated_at"])
+        for r in read_merge_snapshot(spark, snap).collect()
+    }
+    assert again == want
