@@ -1414,3 +1414,87 @@ def q140_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_b",
         F.when(ok, z).otherwise(F.lit(0.0)).alias("z_stat"),
     )
+
+
+_DIFF_T1 = "2024-01-10 00:00:00"
+_DIFF_T2 = "2024-01-20 00:00:00"
+
+
+@register(
+    "q143_snapshot_diff",
+    tags=("events", "scd2", "time-travel", "diff"),
+    oracle=f"""
+WITH hist AS (
+  SELECT user_id, event_id AS version_event_id, value,
+         ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM events
+),
+s1 AS (
+  SELECT user_id, version_event_id, value FROM hist
+  WHERE valid_from <= TIMESTAMP '{_DIFF_T1}'
+    AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_DIFF_T1}')
+),
+s2 AS (
+  SELECT user_id, version_event_id, value FROM hist
+  WHERE valid_from <= TIMESTAMP '{_DIFF_T2}'
+    AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_DIFF_T2}')
+)
+SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+       s1.version_event_id AS version_t1,
+       s2.version_event_id AS version_t2,
+       CASE WHEN s1.user_id IS NULL THEN 'added'
+            WHEN s2.user_id IS NULL THEN 'removed'
+            WHEN s1.version_event_id <> s2.version_event_id THEN 'changed'
+            ELSE 'same' END AS change_type
+FROM s1 FULL OUTER JOIN s2 ON s2.user_id = s1.user_id
+""",
+)
+def q143_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel DIFF between two SCD2 as-of snapshots — "what
+    changed between T1 and T2" is the audit query every versioned
+    current-state table (q88 build / q117 read / the streaming MERGE
+    sink) owes its consumers: keys added, removed, or re-versioned in
+    the interval.
+
+    Shape: BOTH as-of reads come from the SAME versioned history (one
+    user_id window exchange computes valid_from/valid_to once; the two
+    interval filters are map-side projections of that shared subtree),
+    then one key-partitioned full-outer join classifies each key. At
+    100 TB the history is materialized once (q88) and both reads prune
+    on valid_from/valid_to parquet min/max."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = e.select(
+        "user_id",
+        F.col("event_id").alias("version_event_id"),
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).localCheckpoint(eager=False)
+
+    def as_of(ts_lit: str) -> DataFrame:
+        ts = F.lit(ts_lit).cast("timestamp")
+        return hist.filter(
+            (F.col("valid_from") <= ts)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > ts))
+        ).select("user_id", "version_event_id")
+
+    s1 = as_of(_DIFF_T1).select(
+        F.col("user_id").alias("u1"), F.col("version_event_id").alias("version_t1")
+    )
+    s2 = as_of(_DIFF_T2).select(
+        F.col("user_id").alias("u2"), F.col("version_event_id").alias("version_t2")
+    )
+    j = s1.join(s2, F.col("u1") == F.col("u2"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("u1"), F.col("u2")).alias("user_id"),
+        "version_t1",
+        "version_t2",
+        F.when(F.col("u1").isNull(), F.lit("added"))
+        .when(F.col("u2").isNull(), F.lit("removed"))
+        .when(F.col("version_t1") != F.col("version_t2"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+        .alias("change_type"),
+    )

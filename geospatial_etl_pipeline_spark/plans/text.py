@@ -806,3 +806,83 @@ def q126_char_diversity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("char_diversity"),
     )
+
+
+_WILSON_Z = 1.96
+_GATE_MIN_CHARS = 200
+
+
+@register(
+    "q144_quality_pass_wilson",
+    tags=("text", "llm-data", "quality", "statistics"),
+    oracle=f"""
+WITH agg AS (
+  SELECT lang, source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN n_chars >= {_GATE_MIN_CHARS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pass
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_pass,
+       CAST(n_pass AS DOUBLE) / n_docs AS pass_rate,
+       (CAST(n_pass AS DOUBLE) / n_docs
+          + {_WILSON_Z!r}e0 * {_WILSON_Z!r}e0 / (2.0e0 * n_docs)
+        - {_WILSON_Z!r}e0 * sqrt(
+            (CAST(n_pass AS DOUBLE) / n_docs)
+            * (1.0e0 - CAST(n_pass AS DOUBLE) / n_docs) / n_docs
+            + {_WILSON_Z!r}e0 * {_WILSON_Z!r}e0
+              / (4.0e0 * n_docs * CAST(n_docs AS DOUBLE))))
+       / (1.0e0 + {_WILSON_Z!r}e0 * {_WILSON_Z!r}e0 / n_docs) AS wilson_low,
+       (CAST(n_pass AS DOUBLE) / n_docs
+          + {_WILSON_Z!r}e0 * {_WILSON_Z!r}e0 / (2.0e0 * n_docs)
+        + {_WILSON_Z!r}e0 * sqrt(
+            (CAST(n_pass AS DOUBLE) / n_docs)
+            * (1.0e0 - CAST(n_pass AS DOUBLE) / n_docs) / n_docs
+            + {_WILSON_Z!r}e0 * {_WILSON_Z!r}e0
+              / (4.0e0 * n_docs * CAST(n_docs AS DOUBLE))))
+       / (1.0e0 + {_WILSON_Z!r}e0 * {_WILSON_Z!r}e0 / n_docs) AS wilson_high
+FROM agg
+""",
+)
+def q144_quality_pass_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate pass rates per (lang, source) with Wilson-score
+    95% confidence intervals — the statistically honest form of the
+    per-source dashboards that decide which crawl sources get dropped:
+    a 3-doc source at 100% pass is NOT better than a 10k-doc source at
+    97%, and Wilson (unlike the normal approximation) says so at small
+    n without ever leaving [0, 1].
+
+    Determinism: the two cells are exact integers from one
+    map-side-combined aggregate; rate and both interval bounds are a
+    scalar IEEE chain (divides, one sqrt) evaluated with the identical
+    expression tree in both engines. Float CONSTANTS in the oracle use
+    e-notation (1.96e0): DuckDB parses bare `1.96` as exact DECIMAL, so
+    z² would be 3.8416 exactly against Spark's double
+    3.8415999999999997 — a one-ulp hash mismatch found the hard way. Scale shape: ONE low-cardinality
+    grouped count — nothing else touches the corpus."""
+    d = t(spark, sf_dir, "documents")
+    agg = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_chars") >= _GATE_MIN_CHARS, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_pass"),
+    )
+    n = F.col("n_docs")
+    p = F.col("n_pass").cast("double") / n
+    z2 = F.lit(_WILSON_Z * _WILSON_Z)
+    center = p + z2 / (F.lit(2.0) * n)
+    margin = F.lit(_WILSON_Z) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n.cast("double"))
+    )
+    denom = F.lit(1.0) + z2 / n
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_pass",
+        p.alias("pass_rate"),
+        ((center - margin) / denom).alias("wilson_low"),
+        ((center + margin) / denom).alias("wilson_high"),
+    )
