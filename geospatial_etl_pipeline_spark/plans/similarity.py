@@ -1316,3 +1316,126 @@ def q139_rag_retrieve_with_metadata(
     ).select(
         "query_id", "vec_id", "cosine_sim", "rn", "lang", "source", "n_chars"
     )
+
+
+_CT_TOPK = 5
+_CT_Q = 1000  # integer score factor (q93's odds-ratio idf scheme)
+
+
+@register(
+    "q145_cluster_topic_terms",
+    tags=("similarity", "llm-data", "topics", "c-tf-idf"),
+    oracle=f"""
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY md5('kmeans:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cl
+  FROM embeddings
+),
+cents AS (SELECT cl, embedding AS cv FROM ranked WHERE cl < {_KM_K}),
+d AS (
+  SELECT e.vec_id, c.cl,
+         list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+           i -> (e.embedding[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE)
+                * (e.embedding[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE)),
+           'sum') AS d2
+  FROM embeddings e, cents c
+),
+asg AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cl AS cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cl ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+tf AS (
+  SELECT a.cluster, tk AS token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM asg a
+  JOIN documents doc ON doc.doc_id = a.vec_id,
+       unnest(regexp_split_to_array(lower(trim(doc.text)), '\\s+')) t(tk)
+  GROUP BY a.cluster, tk
+),
+scored AS (
+  SELECT cluster, token, tf,
+         CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT) AS df,
+         ({_CT_Q} * tf * (2 * {_KM_K} - 2 * COUNT(*) OVER (PARTITION BY token) + 1))
+           // (2 * COUNT(*) OVER (PARTITION BY token) + 1) AS score_q
+  FROM tf
+)
+SELECT CAST(cluster AS BIGINT) AS cluster, token, tf, df,
+       CAST(score_q AS BIGINT) AS score_q, CAST(rn AS INT) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY cluster
+              ORDER BY score_q DESC, token ASC) AS rn
+  FROM scored
+) WHERE rn <= {_CT_TOPK}
+""",
+)
+def q145_cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling via c-TF-IDF (the BERTopic recipe): after
+    embedding-space clustering (q118's hash-checked assignment, using
+    the vec_id == doc_id convention from q139), each cluster's top
+    terms are the tokens frequent INSIDE it but present in FEW
+    clusters — turning anonymous centroids into human-readable topics,
+    the corpus-exploration step between clustering and curation.
+
+    Scoring reuses q93's integer odds-ratio idf (BIGINT-only ranks,
+    no log ulps): score = Q·tf·(2K−2df+1)//(2df+1) where df counts
+    clusters containing the token — all exact integers.
+
+    Scale shape: assignment is the broadcast-argmin scan; the doc join
+    keys on the id; token counting is one (cluster, token) hash agg
+    with map-side combine; df is a count window over the ALREADY
+    AGGREGATED relation (rows = distinct (cluster, token), bounded by
+    K x vocab, corpus-independent); per-cluster top-k windows over the
+    same tiny relation."""
+    from ..operators.clustering import assign_clusters, init_centroids
+
+    e = t(spark, sf_dir, "embeddings")
+    cents = init_centroids(e, _KM_K)
+    asg = assign_clusters(e, cents).select("vec_id", "cluster")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..functions.text import tokens as tok_fn
+
+    joined = asg.join(docs, asg["vec_id"] == docs["doc_id"]).select(
+        "cluster", tok_fn("text").alias("_tok")
+    )
+    tf = (
+        joined.select("cluster", F.explode_outer("_tok").alias("token"))
+        .groupBy("cluster", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wdf = Window.partitionBy("token")
+    scored = tf.select(
+        "cluster",
+        "token",
+        "tf",
+        F.count(F.lit(1)).over(wdf).cast("bigint").alias("df"),
+    ).select(
+        "cluster",
+        "token",
+        "tf",
+        "df",
+        F.expr(
+            f"({_CT_Q} * tf * (2 * {_KM_K} - 2 * df + 1)) div (2 * df + 1)"
+        )
+        .cast("bigint")
+        .alias("score_q"),
+    )
+    wtop = Window.partitionBy("cluster").orderBy(
+        F.col("score_q").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wtop).cast("int"))
+        .filter(F.col("rn") <= _CT_TOPK)
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "token",
+            "tf",
+            "df",
+            "score_q",
+            "rn",
+        )
+    )
