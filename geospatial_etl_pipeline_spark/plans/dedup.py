@@ -1008,3 +1008,88 @@ def q142_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pagerank"),
         )
     )
+
+
+@register(
+    "q146_benchmark_leak_report",
+    tags=("dedup", "llm-data", "decontamination", "report"),
+    oracle=f"""
+WITH bench AS (
+  SELECT doc_id AS bench_doc_id, unnest({_SQL_DECON_GRAMS}) AS gram
+  FROM documents
+  WHERE doc_id < {_DECON_BENCH_IDS}
+    AND len({_SQL_TOKENS}) >= {_DECON_N}
+),
+corpus AS (
+  SELECT doc_id, unnest({_SQL_DECON_GRAMS}) AS gram
+  FROM documents
+  WHERE doc_id >= {_DECON_BENCH_IDS}
+    AND len({_SQL_TOKENS}) >= {_DECON_N}
+),
+hits AS (
+  SELECT DISTINCT b.bench_doc_id, c.doc_id
+  FROM bench b JOIN corpus c ON c.gram = b.gram
+)
+SELECT d.doc_id AS bench_doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_leaking_docs
+FROM documents d
+LEFT JOIN (
+  SELECT bench_doc_id, COUNT(*) AS n FROM hits GROUP BY bench_doc_id
+) h ON h.bench_doc_id = d.doc_id
+WHERE d.doc_id < {_DECON_BENCH_IDS}
+""",
+)
+def q146_benchmark_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER direction of q79's decontamination: per BENCHMARK item,
+    how many training documents share a word {_DECON_N}-gram with it —
+    the eval-integrity report that decides which benchmark rows must be
+    discarded from reported scores (a benchmark doc leaked into
+    thousands of training docs is burned; zero-leak rows stay
+    trustworthy).
+
+    Scale shape: same broadcast-gram probe as q79 — the benchmark side
+    (with its doc ids) broadcasts, the corpus explodes grams map-side,
+    the join emits only leaking (bench, corpus) pairs, dedup + count
+    aggregate relations bounded by |bench| x |leaks|. Zero-leak
+    benchmark rows surface via the left join (absence of evidence must
+    be REPORTED, not silently dropped)."""
+    from ..functions.text import tokens, word_ngrams_t
+
+    d = t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens("text").alias("_tok"))
+    grams = staged.select(
+        "doc_id",
+        F.array_distinct(word_ngrams_t(F.col("_tok"), _DECON_N)).alias("gs"),
+    )
+    full_gram = F.size(F.split(F.col("gram"), " ")) == _DECON_N
+    bench = (
+        grams.filter(F.col("doc_id") < _DECON_BENCH_IDS)
+        .select(
+            F.col("doc_id").alias("bench_doc_id"),
+            F.explode_outer("gs").alias("gram"),
+        )
+        .filter(full_gram)
+    )
+    corpus = (
+        grams.filter(F.col("doc_id") >= _DECON_BENCH_IDS)
+        .select("doc_id", F.explode_outer("gs").alias("gram"))
+        .filter(full_gram)
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "gram")
+        .select("bench_doc_id", "doc_id")
+        .dropDuplicates(["bench_doc_id", "doc_id"])
+        .groupBy("bench_doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        d.filter(F.col("doc_id") < _DECON_BENCH_IDS)
+        .select(F.col("doc_id").alias("bench_doc_id"))
+        .join(hits, "bench_doc_id", "left")
+        .select(
+            "bench_doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias(
+                "n_leaking_docs"
+            ),
+        )
+    )

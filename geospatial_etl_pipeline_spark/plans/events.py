@@ -1498,3 +1498,68 @@ def q143_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("same"))
         .alias("change_type"),
     )
+
+
+@register(
+    "q148_activity_gini",
+    tags=("events", "llm-data", "concentration", "gini"),
+    oracle="""
+WITH uc AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x ASC, user_id ASC) AS i
+  FROM uc
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS total_events,
+         CAST(SUM(i * x) AS BIGINT) AS weighted
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n_users, total_events,
+       2.0e0 * CAST(weighted AS DOUBLE)
+         / (CAST(n_users AS DOUBLE) * total_events)
+         - (CAST(n_users + 1 AS DOUBLE) / n_users) AS gini
+FROM agg
+""",
+)
+def q148_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity within each event type —
+    the concentration screen that tells a pipeline whether a signal is
+    organic (activity spread across users, Gini near 0) or dominated by
+    a handful of power users / bots (Gini near 1), which changes
+    whether you trust it for training labels.
+
+    Determinism: the rank-weighted sum Σi·x_i is invariant to tie order
+    (equal x values swap equal weights across a contiguous rank block),
+    and the tie-break on user_id makes both engines' rankings literally
+    identical anyway; the final Gini = 2Σix/(nΣx) − (n+1)/n is one
+    scalar chain over exact BIGINTs, with 2.0e0 spelled as a double
+    literal (the q144 DECIMAL trap).
+
+    Scale shape: the per-(type, user) rollup is the only corpus-sized
+    exchange (map-side combined); the rank window and the final
+    aggregate both run on the ALREADY AGGREGATED user-count relation
+    and share its event_type partitioning."""
+    e = t(spark, sf_dir, "events")
+    uc = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("x").asc(), F.col("user_id").asc()
+    )
+    ranked = uc.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("total_events"),
+        F.sum(F.col("i") * F.col("x")).alias("weighted"),
+    )
+    gini = F.lit(2.0) * F.col("weighted").cast("double") / (
+        F.col("n_users").cast("double") * F.col("total_events")
+    ) - (F.col("n_users") + 1).cast("double") / F.col("n_users")
+    return agg.select(
+        "event_type", "n_users", "total_events", gini.alias("gini")
+    )

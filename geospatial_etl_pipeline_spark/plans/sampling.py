@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ._util import t
+from ._util import literal_df, t
 from .catalog import register
 
 _TRAIN, _VAL = 0.8, 0.1  # remaining 0.1 = test
@@ -691,3 +691,94 @@ def q120_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(u < F.col("keep_w"))
         .select("doc_id", "lang", "keep_w")
     )
+
+
+_MIX_TARGETS = [("en", 0.4), ("de", 0.15), ("es", 0.15), ("fr", 0.15), ("zh", 0.15)]
+_SQL_MIX_TARGETS = ", ".join(f"('{l}', {w!r}e0)" for l, w in _MIX_TARGETS)
+
+
+@register(
+    "q147_target_mix_rebalance",
+    tags=("llm-data", "sampling", "mixing", "rebalance"),
+    oracle=f"""
+WITH tgt(lang, share) AS (VALUES {_SQL_MIX_TARGETS}),
+cnt AS (
+  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_l
+  FROM documents d JOIN tgt ON tgt.lang = d.lang
+  GROUP BY d.lang
+),
+nstar AS (
+  SELECT CAST(MIN(CAST(floor(c.n_l / t.share) AS BIGINT)) AS BIGINT) AS n_star
+  FROM cnt c JOIN tgt t ON t.lang = c.lang
+),
+take AS (
+  SELECT t.lang,
+         CAST(floor(t.share * ns.n_star) AS BIGINT) AS k_l
+  FROM tgt t, nstar ns
+),
+ranked AS (
+  SELECT d.doc_id, d.lang,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5('mix:' || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+           AS rk
+  FROM documents d JOIN tgt ON tgt.lang = d.lang
+)
+SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk
+FROM ranked r JOIN take k ON k.lang = r.lang
+WHERE r.rk <= k.k_l
+""",
+)
+def q147_target_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to a TARGET language distribution — the
+    data-mix operator proper: given target shares, find the largest
+    corpus N* every language can support (min over floor(n_l/share_l)),
+    then keep exactly floor(share_l * N*) docs per language by
+    content-addressed md5 rank. Unlike q98's per-cell CAPS (an upper
+    bound) this hits the mix itself, which is what a training run's
+    data card specifies.
+
+    Determinism: per-language counts and N* are exact integers; shares
+    appear as e-notation double literals in the oracle (non-dyadic
+    0.15 parses as exact DECIMAL otherwise — the q144 ulp trap); the
+    draw is the same md5 ranking as q39/q69/q98, reshuffle-stable and
+    seedable via the tag.
+
+    Scale shape: one grouped count (map-side combined) -> a 5-row
+    broadcast of per-language quotas; the selection itself is one
+    md5-rank window per language partition — a single corpus exchange
+    keyed on lang, with the skew note that a dominant language makes
+    one partition hot (salt the rank into md5-prefix sub-partitions and
+    re-rank hierarchically when one lang is >50% of 100 TB)."""
+    d = t(spark, sf_dir, "documents")
+    tgt = literal_df(
+        spark, [(l, float(w)) for l, w in _MIX_TARGETS], ["lang", "share"]
+    )
+    cnt = (
+        d.join(F.broadcast(tgt), "lang")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+    )
+    nstar = (
+        cnt.join(F.broadcast(tgt), "lang")
+        .select(
+            F.floor(F.col("n_l") / F.col("share")).cast("bigint").alias("cap")
+        )
+        .agg(F.min("cap").alias("n_star"))
+    )
+    take = tgt.crossJoin(F.broadcast(nstar)).select(
+        "lang",
+        F.floor(F.col("share") * F.col("n_star")).cast("bigint").alias("k_l"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    ranked = (
+        d.join(F.broadcast(tgt.select("lang")), "lang")
+        .select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+    )
+    return ranked.join(F.broadcast(take), "lang").filter(
+        F.col("rk") <= F.col("k_l")
+    ).select("doc_id", "lang", "rk")
