@@ -1093,3 +1093,109 @@ def q146_benchmark_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q150_dedup_savings_report",
+    tags=("dedup", "llm-data", "accounting", "graph"),
+    oracle=f"""
+WITH RECURSIVE {_SQL_LSH_CTES},
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM lsh_pairs
+  UNION
+  SELECT id_b, id_a FROM lsh_pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+),
+comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+tok AS (
+  SELECT doc_id,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok,
+         md5(list_aggregate({_SQL_TOKENS}, 'string_agg', ' ')) AS fp
+  FROM documents
+),
+exact_keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM tok
+  ) WHERE rn = 1
+)
+SELECT CAST(SUM(t.n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN ek.doc_id IS NOT NULL THEN t.n_tok ELSE 0 END)
+            AS BIGINT) AS exact_kept_tokens,
+       CAST(SUM(CASE WHEN l.doc_id = l.cluster_id THEN t.n_tok ELSE 0 END)
+            AS BIGINT) AS cluster_kept_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN ek.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_kept,
+       CAST(SUM(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cluster_kept
+FROM tok t
+LEFT JOIN exact_keep ek ON ek.doc_id = t.doc_id
+JOIN labeled l ON l.doc_id = t.doc_id
+""",
+)
+def q150_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-corpus-size accounting: total tokens vs tokens
+    surviving EXACT dedup (one keeper per fingerprint) vs tokens
+    surviving NEAR-DUP CLUSTER dedup (q49's transitive-closure keepers)
+    — the number that tells you what a 100 TB crawl is actually worth
+    in unique training tokens, and how much the two dedup tiers each
+    buy. Both keeper sets ride the operators the catalog already
+    hash-checks (q40's fingerprint, q49's min-label clusters).
+
+    Scale shape: token counts and fingerprints are one staged scan;
+    the exact-keeper window shares the fp exchange; cluster labels come
+    from the iterative CC operator (localCheckpoint rounds); the final
+    report is three flag-sums over one joined relation — output is ONE
+    row however big the corpus."""
+    from ..functions.text import fingerprint_t, token_count_t, tokens
+    from ..operators.graph import dedup_clusters
+
+    d = t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens("text").alias("_tok"))
+    tok = staged.select(
+        "doc_id",
+        token_count_t(F.col("_tok")).alias("n_tok"),
+        fingerprint_t(F.col("_tok")).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    keep_flagged = tok.withColumn(
+        "exact_keep", F.row_number().over(w) == 1
+    )
+    pairs = lsh_candidate_pairs(
+        d,
+        num_hashes=_NUM_HASHES,
+        shingle_k=_SHINGLE_K,
+        bands=_BANDS,
+        jaccard_threshold=_JACCARD,
+    )
+    clusters = dedup_clusters(pairs, d).select(
+        "doc_id", (F.col("doc_id") == F.col("cluster_id")).alias("cluster_keep")
+    )
+    j = keep_flagged.join(clusters, "doc_id")
+    return j.agg(
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("exact_keep"), F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("exact_kept_tokens"),
+        F.sum(F.when(F.col("cluster_keep"), F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("cluster_kept_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("exact_keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_kept"),
+        F.sum(F.when(F.col("cluster_keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cluster_kept"),
+    )

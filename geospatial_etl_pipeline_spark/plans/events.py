@@ -1563,3 +1563,136 @@ def q148_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type", "n_users", "total_events", gini.alias("gini")
     )
+
+
+@register(
+    "q149_funnel_by_arm",
+    tags=("events", "llm-data", "experimentation", "funnel"),
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % 2 AS arm,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+  FROM events GROUP BY user_id
+)
+SELECT arm,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clickers,
+       CAST(SUM(CASE WHEN first_click IS NOT NULL
+                      AND last_purchase IS NOT NULL
+                      AND last_purchase > first_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       CAST(SUM(CASE WHEN first_click IS NOT NULL
+                      AND last_purchase IS NOT NULL
+                      AND last_purchase > first_click
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / greatest(SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END), 1)
+         AS conv_rate
+FROM u GROUP BY arm
+""",
+)
+def q149_funnel_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion BY EXPERIMENT ARM — q140's z-test gives the
+    verdict, this gives the diagnosis: per md5-split arm, how many
+    users clicked, and how many purchased strictly AFTER their first
+    click (ordered conversion, not mere co-occurrence — the q86 funnel
+    discipline applied to the experiment readout).
+
+    Determinism: per-user min/max timestamps and flags reduce exactly;
+    arm assignment is the q140 md5 split; the rate is one scalar
+    divide guarded by greatest(n,1). Scale shape: ONE user_id rollup
+    with map-side combine, then a 2-row arm aggregate."""
+    e = t(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    u = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    ).select("user_id", "first_click", "last_purchase", arm.alias("arm"))
+    clicked = F.col("first_click").isNotNull()
+    converted = (
+        clicked
+        & F.col("last_purchase").isNotNull()
+        & (F.col("last_purchase") > F.col("first_click"))
+    )
+    agg = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(clicked, 1).otherwise(0)).cast("bigint").alias("n_clickers"),
+        F.sum(F.when(converted, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_converted"),
+    )
+    return agg.select(
+        "arm",
+        "n_users",
+        "n_clickers",
+        "n_converted",
+        (
+            F.col("n_converted").cast("double")
+            / F.greatest(F.col("n_clickers"), F.lit(1))
+        ).alias("conv_rate"),
+    )
+
+
+@register(
+    "q151_rolling_weekly_actives",
+    tags=("events", "llm-data", "rolling-distinct", "range-join"),
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM days d
+JOIN du u
+  ON u.day <= d.day AND u.day > d.day - INTERVAL '7 days'
+GROUP BY d.day
+""",
+)
+def q151_rolling_weekly_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the engagement series every
+    dashboard wants, and the canonical example of a metric a window
+    frame CANNOT give you: distinct counts don't decompose over
+    sliding sums, so the exact form is a (day x trailing-week) range
+    join over the DEDUPLICATED (day, user) relation.
+
+    Scale shape: the corpus reduces to distinct (day, user) FIRST (one
+    map-side-combined exchange, output bounded by days x users); the
+    range join then fans each row out to <= 7 day anchors before the
+    per-day distinct count. At 100 TB the fan-out relation is 7x
+    (days x active users) — still corpus-independent — and the
+    sketched alternative (per-day HLL merged over 7 days) is the q29
+    family's job when exactness can yield."""
+    e = t(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct().select(F.col("day").alias("anchor"))
+    joined = du.join(
+        days,
+        (F.col("day") <= F.col("anchor"))
+        & (F.col("day") > F.date_sub(F.col("anchor"), 7)),
+    )
+    return joined.groupBy(F.col("anchor").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )

@@ -36,6 +36,7 @@ HEAVY_ORACLES = {
     "q42_lsh_near_dup_pairs",
     "q48_ngram_jaccard_pairs",
     "q49_dedup_clusters",
+    "q150_dedup_savings_report",  # rides the same recursive-CTE closure
     "q55_embedding_near_dup",
     "q84_lsh_ann_oracle",
     "q111_dup_graph_degrees",
