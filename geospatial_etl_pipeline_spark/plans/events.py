@@ -1696,3 +1696,135 @@ def q151_rolling_weekly_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("anchor").alias("day")).agg(
         F.countDistinct("user_id").cast("bigint").alias("wau")
     )
+
+
+@register(
+    "q152_event_gap_histogram",
+    tags=("events", "llm-data", "histogram", "cadence"),
+    oracle="""
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(LENGTH(bin(CAST(gap_us // 1000000 AS BIGINT))) - 1 AS INT)
+         AS log2_gap_s,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps
+WHERE gap_us IS NOT NULL AND gap_us >= 1000000
+GROUP BY event_type, log2_gap_s
+""",
+)
+def q152_event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event cadence histogram: per event type, the distribution
+    of same-user gaps in floor(log2(seconds)) buckets — the sessioniz-
+    ation-threshold tuning chart (q62's 30-minute gap is a guess until
+    this histogram shows where the bimodal split actually sits).
+
+    Exactness: gaps are integer microseconds (q47's discipline),
+    bucket = binary-digit-count of whole seconds (q76's libm-free
+    floor(log2)); sub-second gaps are excluded so the log bucket is
+    always well-defined on a positive integer. The oracle floors via
+    integer division (//): DuckDB's double->BIGINT cast ROUNDS, which
+    flipped a 127.6 s gap into the 128-255 s bucket (the same rounding
+    trap as q136's epoch cast).
+
+    Scale shape: one user_id window exchange for the lag, then one
+    (type, bucket) hash agg with map-side combine."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull() & (F.col("gap_us") >= 1_000_000))
+    bucket = (
+        F.length(F.bin((F.col("gap_us") / 1_000_000).cast("bigint"))) - 1
+    ).cast("int")
+    return gaps.groupBy("event_type", bucket.alias("log2_gap_s")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
+
+
+@register(
+    "q153_audience_overlap",
+    tags=("events", "llm-data", "audience", "jaccard"),
+    oracle="""
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM tu GROUP BY event_type
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, i.n_common,
+       sa.n_users AS n_a, sb.n_users AS n_b,
+       CAST(i.n_common AS DOUBLE)
+         / (sa.n_users + sb.n_users - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+""",
+)
+def q153_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity of the USER SETS
+    behind each pair of event types — the segmentation readout that
+    says whether two behaviors share a population (error-viewers ==
+    purchasers?) before anyone builds a joint model on them.
+
+    Shape: the corpus reduces to distinct (type, user) FIRST; the pair
+    join keys on user_id (both sides the SAME small exchange —
+    per-user fan-out is bounded by |event types|), sizes broadcast
+    back, and Jaccard is exact integers with one scalar divide. The
+    same inverted-index discipline as q48, with users playing the
+    postings."""
+    e = t(spark, sf_dir, "events")
+    tu = e.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a = tu.alias("a")
+    b = tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
