@@ -886,3 +886,190 @@ def q144_quality_pass_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - margin) / denom).alias("wilson_low"),
         ((center + margin) / denom).alias("wilson_high"),
     )
+
+
+@register(
+    "q154_langid_confusion",
+    tags=("text", "llm-data", "eval"),
+    oracle=f"""
+WITH pred AS (
+  SELECT lang, {_langid_case_sql()} AS pred_lang FROM documents
+),
+cm AS (
+  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY lang, pred_lang
+)
+SELECT lang, pred_lang, n_docs,
+       CAST(n_docs AS DOUBLE)
+         / SUM(n_docs) OVER (PARTITION BY lang) AS row_share,
+       CAST(lang = pred_lang AS BOOLEAN) AS is_correct
+FROM cm
+""",
+)
+def q154_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: q32's stopword-argmax classifier
+    scored against the stored ``lang`` column — the eval readout a
+    pipeline needs BEFORE trusting a heuristic filter to route
+    terabytes per language (a 5% es->fr confusion silently starves the
+    fr corpus).
+
+    row_share is an integer ratio (count / per-lang total), so the
+    double divide is engine-exact. Scale shape: classification is
+    in-row (zero shuffle), then ONE hash agg on a |langs|^2-bounded
+    key space; the share window runs on that tiny aggregate, not the
+    corpus."""
+    tok = F.col("_tok")
+    en = stopword_hits_t(tok, "en")
+    es = stopword_hits_t(tok, "es")
+    fr = stopword_hits_t(tok, "fr")
+    pred = (
+        F.when((en >= es) & (en >= fr), "en").when(es >= fr, "es").otherwise("fr")
+    )
+    cm = (
+        _staged(spark, sf_dir, "lang")
+        .select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return cm.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias(
+            "row_share"
+        ),
+        (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
+    )
+
+
+_VOCAB_BUCKET_DOCS = 50  # docs per growth-curve bucket
+
+# Bigram "terms": the unigram vocabulary of the synthetic corpus
+# saturates within the first bucket (~50 words), which would collapse
+# the curve to one row; the bigram vocabulary keeps growing corpus-long
+# — the same reason production Heaps curves are run on n-grams.
+_SQL_GROWTH_TERMS = (
+    f"list_transform(range(1, greatest(len({_SQL_TOKENS}), 2)), "
+    f"i -> concat_ws(' ', ({_SQL_TOKENS})[i::INT], ({_SQL_TOKENS})[i::INT + 1]))"
+)
+
+
+@register(
+    "q155_vocab_growth",
+    tags=("text", "llm-data", "corpus-stats"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_GROWTH_TERMS}) AS term FROM documents
+),
+first_seen AS (
+  SELECT term, MIN(doc_id) AS first_doc FROM tok GROUP BY term
+),
+bucketed AS (
+  SELECT first_doc // {_VOCAB_BUCKET_DOCS} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS new_terms
+  FROM first_seen GROUP BY 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, new_terms,
+       CAST(SUM(new_terms) OVER (ORDER BY bucket) AS BIGINT) AS vocab_size
+FROM bucketed
+""",
+)
+def q155_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct-vocabulary size
+    after each block of {_VOCAB_BUCKET_DOCS} documents (in doc_id
+    order). A corpus whose curve flattens early is recycling content —
+    the cheap pre-dedup smell test run before any MinHash pass.
+
+    The curve is computed WITHOUT any running distinct-count: each
+    term contributes exactly once, at its first-seen doc, so
+    vocab(bucket) = cumulative sum of first-seen counts — turning an
+    O(n * vocab) sliding distinct into one explode + two hash aggs.
+
+    Scale shape: explode -> partial-agg min(doc_id) per term (map-side
+    combine collapses within-partition repeats) -> tiny per-bucket agg
+    -> cumulative window over |corpus|/{_VOCAB_BUCKET_DOCS} rows on
+    the driver-sized aggregate. No sorts over the corpus; the single
+    big exchange is the term-keyed agg, same ceiling as q67's df/cf."""
+    d = t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens("text").alias("_tok"))
+    term = F.explode(word_ngrams_t(F.col("_tok"), 2)).alias("term")
+    first_seen = (
+        staged.select("doc_id", term)
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    bucketed = (
+        first_seen.groupBy(
+            F.floor(F.col("first_doc") / _VOCAB_BUCKET_DOCS).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return bucketed.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "new_terms",
+        F.sum("new_terms").over(w).cast("bigint").alias("vocab_size"),
+    )
+
+
+@register(
+    "q156_zipf_curve",
+    tags=("text", "llm-data", "corpus-stats"),
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, unnest({_SQL_TOKENS}) AS term FROM documents
+),
+tf AS (
+  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM tok GROUP BY lang, term
+),
+ranked AS (
+  SELECT lang, freq,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY freq DESC, term ASC) AS rnk
+  FROM tf
+)
+SELECT lang,
+       CAST(LENGTH(bin(rnk)) - 1 AS INT) AS log2_rank,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(freq) AS BIGINT) AS total_freq,
+       CAST(MAX(freq) AS BIGINT) AS max_freq,
+       CAST(MIN(freq) AS BIGINT) AS min_freq
+FROM ranked
+GROUP BY lang, log2_rank
+""",
+)
+def q156_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency curve in log2-rank buckets, per language:
+    the corpus-health fingerprint (a healthy natural corpus decays
+    ~1/rank; template spam shows up as a fat head or a cliff).
+
+    All-integer: frequency ranks use row_number with a (freq DESC,
+    term ASC) total order — deterministic in both engines — and the
+    bucket is the binary-digit-count floor(log2) trick (q76/q152), so
+    no doubles exist anywhere in the result.
+
+    Scale shape: explode -> (lang, term) partial agg (q67's ceiling),
+    then the rank window partitions by LANG ONLY — the documented
+    bottleneck. Vocabulary is sublinear in corpus size (Heaps: ~1e8
+    terms at 100 TB), so the per-lang sort is a single fat partition
+    of ~1e8 narrow rows — heavy but bounded, and it sorts the VOCAB,
+    never the corpus. The rank-free alternative (freq-histogram +
+    cumulative counts) is documented in SCALING.md for engines where
+    even that sort is too hot."""
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(tokens("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("term"))
+    ranked = tf.select("lang", "freq", F.row_number().over(w).alias("rnk"))
+    bucket = (F.length(F.bin(F.col("rnk"))) - 1).cast("int")
+    return ranked.groupBy("lang", bucket.alias("log2_rank")).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("freq").cast("bigint").alias("total_freq"),
+        F.max("freq").cast("bigint").alias("max_freq"),
+        F.min("freq").cast("bigint").alias("min_freq"),
+    )
