@@ -1828,3 +1828,157 @@ def q153_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "q157_session_trigrams",
+    tags=("events", "llm-data", "sequence-mining"),
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM s
+),
+tri AS (
+  SELECT lag(event_type, 2) OVER w2 AS e1,
+         lag(event_type, 1) OVER w2 AS e2,
+         event_type AS e3
+  FROM sess
+  WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+FROM tri
+WHERE e1 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC
+LIMIT 20
+""",
+)
+def q157_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 within-session event-type trigrams: the sequential-
+    pattern-mining readout one level up from q116's Markov pairs —
+    'view->click->purchase vs view->click->error' is the difference
+    between a working funnel and a broken one, and these counts are
+    the training corpus for next-event models (q130) with session
+    boundaries respected (no trigram spans a 30-minute gap).
+
+    Shape: the sessionize window and the trigram window BOTH cluster
+    by user_id — hashpartitioning(user_id) satisfies the (user_id,
+    session_id) clustering requirement, so Catalyst inserts ONE
+    exchange and a re-sort, never a second shuffle (asserted in
+    tests/test_plan_shapes.py). The trigram count is a hash agg on a
+    |event_types|^3-bounded key space, then global top-20 via
+    TakeOrdered with full lexical tie-break."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    w2 = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    tri = sess.select(
+        F.lag("event_type", 2).over(w2).alias("e1"),
+        F.lag("event_type", 1).over(w2).alias("e2"),
+        F.col("event_type").alias("e3"),
+    ).filter(F.col("e1").isNotNull())
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+        .limit(20)
+    )
+
+
+@register(
+    "q159_value_mad_outliers",
+    tags=("events", "quality", "percentile", "outliers"),
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 5e-1) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med,
+         ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m ON m.event_type = e.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 5e-1) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       MIN(d.med) AS median_value,
+       MIN(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.adev > (3.5e0 * m.mad) / 6.745e-1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY d.event_type
+""",
+)
+def q159_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-z outlier screening via median absolute deviation — the
+    heavy-tail-safe sibling of q106's Tukey fences and q123's mean/std
+    z-scores (mean and std are themselves corrupted by the outliers
+    they're hunting; the median/MAD pair is 50%-breakdown robust).
+    Flags |value - median| > 3.5·MAD/0.6745 (the standard 3.5-sigma
+    consistency-scaled cut).
+
+    Determinism: medians are exact interpolated percentiles (q28's
+    contract), per-row fence arithmetic is IEEE-identical with pinned
+    parenthesization, and literals are e-notation so DuckDB parses
+    them as DOUBLE not DECIMAL (q144's lesson). Shape: two holistic
+    per-type medians (5-row aggregates) each BROADCAST back onto the
+    scan — two passes over events, zero corpus-sized shuffles; at
+    100 TB swap exact medians for approx_percentile sketches
+    unchanged."""
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    joined = dev.join(F.broadcast(mad), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.min("med").alias("median_value"),
+        F.min("mad").alias("mad"),
+        F.sum(
+            F.when(
+                F.col("adev") > (F.lit(3.5) * F.col("mad")) / F.lit(0.6745), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )

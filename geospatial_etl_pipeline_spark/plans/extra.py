@@ -1039,3 +1039,69 @@ def q138_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(top_keys(li, "lineitem", "l_partkey"))
         .unionByName(top_keys(ev, "events", "user_id"))
     )
+
+
+_EQUIDEPTH_BUCKETS = 16
+
+
+@register(
+    "q158_equidepth_histogram",
+    tags=("relational", "agg", "percentile", "histogram"),
+    oracle=f"""
+WITH bounds AS (
+  SELECT quantile_cont(o_totalprice,
+           [x / {float(_EQUIDEPTH_BUCKETS)!r} FOR x IN range(1, {_EQUIDEPTH_BUCKETS})]
+         ) AS bs
+  FROM orders
+),
+bucketed AS (
+  SELECT o.o_totalprice,
+         CAST(len(list_filter(b.bs, x -> x < o.o_totalprice)) AS INT) AS bucket
+  FROM orders o, bounds b
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi,
+       {sql_qsum('o_totalprice', 6)} AS sum_price_q6
+FROM bucketed
+GROUP BY bucket
+""",
+)
+def q158_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of order totals — the
+    optimizer-statistics primitive (selectivity estimation, skew
+    detection) and the binning step before quantile-bucketed feature
+    encoding. {_EQUIDEPTH_BUCKETS} buckets bounded by exact interior
+    percentiles.
+
+    Deliberately NOT ntile(): a global ntile is a single-partition
+    total sort of the corpus — dead at 100 TB. Instead the boundary
+    vector is one holistic percentile aggregate ({_EQUIDEPTH_BUCKETS - 1}
+    doubles), BROADCAST onto the scan, and each row's bucket is the
+    count of boundaries strictly below its value (in-row array_filter
+    over 15 elements — no join, no sort). Rows equal to a boundary
+    land deterministically in the lower bucket in both engines (same
+    strict-< on identical doubles), so bucket populations can deviate
+    from n/{_EQUIDEPTH_BUCKETS} exactly at ties — the documented,
+    deterministic semantics. At 100 TB swap the exact percentile for
+    approx_percentile and the plan shape is unchanged."""
+    o = t(spark, sf_dir, "orders")
+    fracs = [x / float(_EQUIDEPTH_BUCKETS) for x in range(1, _EQUIDEPTH_BUCKETS)]
+    bounds = o.agg(
+        F.expr(
+            f"percentile(o_totalprice, array({', '.join(map(repr, fracs))}))"
+        ).alias("bs")
+    )
+    bucketed = o.crossJoin(F.broadcast(bounds)).select(
+        "o_totalprice",
+        F.size(
+            F.filter(F.col("bs"), lambda x: x < F.col("o_totalprice"))
+        ).cast("int").alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        qsum(F.col("o_totalprice"), 6).alias("sum_price_q6"),
+    )

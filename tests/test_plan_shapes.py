@@ -481,3 +481,28 @@ def test_q136_trend_single_exchange(spark):
     exchange — sufficient-statistics OLS must not shuffle twice."""
     p = plan_text(catalog.QUERIES["q136_event_value_trend"].fn(spark, SF))
     assert n_shuffles(p) == 1
+
+
+def test_q157_trigrams_one_exchange_plus_agg(spark):
+    """sessionize window + trigram window share ONE user_id exchange
+    (HashPartitioning(user_id) satisfies the (user_id, session_id)
+    clustering); the only other shuffle is the tiny trigram-count agg.
+    Top-20 must be TakeOrdered, never a global sort."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q157_session_trigrams"].fn(spark, SF))
+    assert n_shuffles(p) == 2, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_q158_equidepth_no_global_sort(spark):
+    """equi-depth histogram must NOT be an ntile (single-partition
+    global sort): boundaries are one holistic aggregate broadcast onto
+    the scan, bucket assignment is in-row, and the only hash exchange
+    is the 16-key bucket aggregate."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q158_equidepth_histogram"].fn(spark, SF))
+    assert n_shuffles(p) == 1, p
+    assert "BroadcastExchange" in p, p
+    assert "Window" not in p, p  # ntile would appear as a Window node
