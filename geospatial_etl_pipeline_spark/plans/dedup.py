@@ -1199,3 +1199,75 @@ def q150_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_cluster_kept"),
     )
+
+
+@register(
+    "q162_lsh_band_skew",
+    tags=("dedup", "llm-data", "minhash", "skew-audit"),
+    oracle=f"""
+WITH sh_t AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents
+),
+sig AS (
+  SELECT doc_id, {_SQL_SIG_COLS} FROM sh_t
+),
+banded AS (
+  SELECT doc_id, unnest([{_SQL_BAND_LIST}]) AS band_hash FROM sig
+),
+buckets AS (
+  SELECT band_hash, CAST(COUNT(*) AS BIGINT) AS k
+  FROM banded GROUP BY band_hash
+)
+SELECT CAST(LENGTH(bin(k)) - 1 AS INT) AS log2_bucket_size,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(k) AS BIGINT) AS n_postings,
+       CAST(SUM((k * (k - 1)) // 2) AS BIGINT) AS pair_work
+FROM buckets
+GROUP BY log2_bucket_size
+""",
+)
+def q162_lsh_band_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket skew audit: the pre-flight cost model for q42's
+    banded self-join. Buckets are (band, band_hash) groups; per
+    log2(bucket size) stratum the audit reports how many buckets,
+    how many postings, and the exact candidate-pair work Σ k·(k−1)/2
+    each stratum will feed the join — the number a 100 TB operator
+    reads BEFORE launching: one hot bucket of 1e6 postings means 5e11
+    comparisons, and this census finds it with one cheap aggregate
+    instead of a dead executor an hour into the join.
+
+    Shape: the same scan-side signature/band expressions as q41/q42
+    (any drift would break parity), one (band_hash) partial agg —
+    bucket counts collapse map-side — then a ~30-key histogram agg.
+    All integers, log2 via binary-digit-count (q76's trick)."""
+    sigs = minhash_signatures(
+        t(spark, sf_dir, "documents"),
+        num_hashes=_NUM_HASHES,
+        shingle_k=_SHINGLE_K,
+    )
+    rows_per_band = _NUM_HASHES // _BANDS
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[
+                    F.col(f"mh{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+        )
+        for b in range(_BANDS)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band_hash")
+    )
+    buckets = banded.groupBy("band_hash").agg(F.count(F.lit(1)).alias("k"))
+    k = F.col("k")
+    return buckets.groupBy(
+        (F.length(F.bin(k)) - 1).cast("int").alias("log2_bucket_size")
+    ).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(k).cast("bigint").alias("n_postings"),
+        F.sum((k * (k - 1)) / 2).cast("bigint").alias("pair_work"),
+    )

@@ -233,3 +233,87 @@ def q85_spatial_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("bigint").alias("sum_x"),
         F.sum("y").cast("bigint").alias("sum_y"),
     )
+
+
+def _morton_sql(xcol: str, ycol: str, bits: int = 7) -> str:
+    """Bit-interleaved Morton/Z-order code as pure integer arithmetic —
+    the same expression string drives Spark (via F.expr) and DuckDB, so
+    the encoding cannot drift between engines."""
+    terms = []
+    for i in range(bits):
+        # bit i of v == (v % 2^(i+1)) >= 2^i  — pure integer modulo and
+        # CASE, the dialect intersection (Spark has no `//`, DuckDB's
+        # `/` is float division)
+        terms.append(
+            f"(CASE WHEN ({xcol} % {1 << (i + 1)}) >= {1 << i}"
+            f" THEN {1 << (2 * i)} ELSE 0 END)"
+        )
+        terms.append(
+            f"(CASE WHEN ({ycol} % {1 << (i + 1)}) >= {1 << i}"
+            f" THEN {1 << (2 * i + 1)} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_COARSE_SHIFT = 64  # 2^6: drop 3 bits per axis -> 8x8-unit cells
+
+
+@register(
+    "q161_zorder_cells",
+    tags=("geometry", "spatial", "partitioning", "zorder"),
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey, {_X} AS x, {_Y} AS y FROM customer
+),
+coded AS (
+  SELECT c_custkey, x, y,
+         {_morton_sql('x', 'y')} AS z
+  FROM pts
+)
+SELECT CAST(z // {_Z_COARSE_SHIFT} AS BIGINT) AS zcell,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(z) AS BIGINT) AS z_min,
+       CAST(MAX(z) AS BIGINT) AS z_max,
+       CAST(MIN(x) AS INT) AS x_min,
+       CAST(MAX(x) AS INT) AS x_max,
+       CAST(MIN(y) AS INT) AS y_min,
+       CAST(MAX(y) AS INT) AS y_max
+FROM coded
+GROUP BY zcell
+""",
+)
+def q161_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve cell census: every point gets a
+    bit-interleaved 14-bit code; the census reports, per coarse cell
+    (top 8 code bits), the population and the x/y extents of its
+    points.
+
+    WHY this is a first-class 100 TB operator: Z-order is the
+    clustering key that makes 2-D predicates prunable by 1-D file
+    statistics — write the corpus `repartitionByRange(z)` and a
+    rectangle query touches only files whose [z_min, z_max] ranges
+    intersect the rect's Z intervals (the Delta/Iceberg Z-ORDER BY
+    layout). The tight per-cell x/y extents this census emits ARE the
+    pruning evidence: bounded extents per contiguous code range is
+    exactly the locality the curve promises (tests pin cell extents ≤
+    8×8 units). The encode is the same integer expression string in
+    both engines — in-row, zero shuffle — and the census is one hash
+    agg with map-side combine."""
+    pts = _points(spark, sf_dir)
+    coded = pts.select(
+        "c_custkey",
+        "x",
+        "y",
+        F.expr(_morton_sql("x", "y")).alias("z"),
+    )
+    return coded.groupBy(
+        F.floor(F.col("z") / _Z_COARSE_SHIFT).cast("bigint").alias("zcell")
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("z").cast("bigint").alias("z_min"),
+        F.max("z").cast("bigint").alias("z_max"),
+        F.min("x").cast("int").alias("x_min"),
+        F.max("x").cast("int").alias("x_max"),
+        F.min("y").cast("int").alias("y_min"),
+        F.max("y").cast("int").alias("y_max"),
+    )

@@ -1439,3 +1439,80 @@ def q145_cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+@register(
+    "q160_standardized_centroids",
+    tags=("similarity", "llm-data", "agg", "feature-prep"),
+    oracle=f"""
+WITH ex AS (
+  SELECT label, i::INT AS dim, embedding[i::INT]::DOUBLE AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+),
+gstats AS (
+  SELECT dim,
+         CAST({sql_qsum('x')} AS DOUBLE) / {_S!r} / COUNT(*) AS mu,
+         sqrt(CAST({sql_qsum('x * x')} AS DOUBLE) / {_S!r} / COUNT(*)
+              - (CAST({sql_qsum('x')} AS DOUBLE) / {_S!r} / COUNT(*))
+                * (CAST({sql_qsum('x')} AS DOUBLE) / {_S!r} / COUNT(*))
+         ) AS sigma
+  FROM ex GROUP BY dim
+),
+cent AS (
+  SELECT label, dim,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST({sql_qsum('x')} AS DOUBLE) / {_S!r} / COUNT(*) AS centroid
+  FROM ex GROUP BY label, dim
+)
+SELECT c.label, c.dim, c.n_vecs, c.centroid, g.mu, g.sigma,
+       (c.centroid - g.mu) / g.sigma AS centroid_std
+FROM cent c JOIN gstats g ON g.dim = c.dim
+""",
+)
+def q160_standardized_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-standardized label centroids: each label's mean
+    vector expressed in units of the GLOBAL per-dim standard deviation
+    — the feature-relevance readout (a dim where centroids sit ±2σ
+    apart separates the labels; a dim where they all sit at 0σ is
+    noise) and the exact statistics a standardization/whitening export
+    reuses.
+
+    Determinism: both moments go through the floor-quantized BIGINT
+    sum (qsum — computed doubles never touch a decimal or double
+    reduction), and the variance is E[x²]−E[x]² of two exact-sum
+    ratios with pinned per-row IEEE arithmetic. Population (not
+    sample) sigma.
+
+    Scale shape: ONE explode feeds two partial aggs — (label, dim)
+    and (dim) — each shuffling |keys| rows only; the global stats
+    (dim rows) BROADCAST back onto the label-centroid aggregate. No
+    corpus-sized join, no second scan of the vectors."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select(
+        "label", F.posexplode("v").alias("i", "x")
+    ).select("label", (F.col("i") + 1).cast("int").alias("dim"), "x")
+    n = F.count(F.lit(1))
+    mean = qsum(F.col("x")).cast("double") / F.lit(_S) / n
+    glob = ex.groupBy("dim").agg(
+        mean.alias("mu"),
+        F.sqrt(
+            qsum(F.col("x") * F.col("x")).cast("double") / F.lit(_S) / n
+            - mean * mean
+        ).alias("sigma"),
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        n.cast("bigint").alias("n_vecs"), mean.alias("centroid")
+    )
+    return cent.join(F.broadcast(glob), "dim").select(
+        "label",
+        "dim",
+        "n_vecs",
+        "centroid",
+        "mu",
+        "sigma",
+        ((F.col("centroid") - F.col("mu")) / F.col("sigma")).alias(
+            "centroid_std"
+        ),
+    )

@@ -81,3 +81,36 @@ def test_q29_sketches_within_published_error(spark):
             assert r["hll_within_bound"], (sf, r)
             assert r["p50_within_bound"], (sf, r)
             assert r["p99_within_bound"], (sf, r)
+
+
+def test_q161_zorder_cells_are_local(spark):
+    """The whole point of the Z-order census: every coarse cell (top 8
+    code bits = 3 bits dropped per axis) must contain points from at
+    most an 8x8-unit square. If the bit interleave drifts, extents
+    blow past 7 and this fails before parity ever could (parity would
+    happily confirm a WRONG-but-consistent encoding)."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = catalog.QUERIES["q161_zorder_cells"].fn(spark, sf).collect()
+        assert rows, sf
+        for r in rows:
+            assert r["x_max"] - r["x_min"] <= 7, (sf, r)
+            assert r["y_max"] - r["y_min"] <= 7, (sf, r)
+            assert r["z_max"] - r["z_min"] <= 63, (sf, r)
+
+
+def test_q162_pair_work_matches_q42_candidates(spark):
+    """Cross-operator consistency: the band-skew audit's total
+    pair_work is the number of (possibly duplicate-across-bands)
+    candidate comparisons the LSH join performs — it must be >= the
+    number of DISTINCT candidate pairs the actual q42 pipeline
+    produces before the Jaccard gate."""
+    from geospatial_etl_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    from geospatial_etl_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    audit = catalog.QUERIES["q162_lsh_band_skew"].fn(spark, sf).collect()
+    total_work = sum(r["pair_work"] for r in audit)
+    n_cand = lsh_candidate_pairs(load_table(spark, sf, "documents")).count()
+    assert total_work >= n_cand > 0, (total_work, n_cand)
