@@ -16,8 +16,9 @@ from ..operators.dedup import (
     exact_dedup_groups,
     lsh_candidate_pairs,
     minhash_signatures,
+    shingle_sets,
 )
-from ._util import t
+from ._util import qsum, sql_qsum, t
 from .catalog import register
 
 _NUM_HASHES = 8
@@ -1270,4 +1271,126 @@ def q162_lsh_band_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum(k).cast("bigint").alias("n_postings"),
         F.sum((k * (k - 1)) / 2).cast("bigint").alias("pair_work"),
+    )
+
+
+_SQL_N_MATCH = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+    for i in range(_NUM_HASHES)
+)
+
+
+@register(
+    "q163_minhash_calibration",
+    tags=("dedup", "llm-data", "minhash", "eval"),
+    oracle=f"""
+WITH {_SQL_LSH_CTES},
+scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST({_SQL_N_MATCH} AS INT) AS n_match,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+           AS jaccard
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+  JOIN sh_t sa ON sa.doc_id = c.id_a
+  JOIN sh_t sb ON sb.doc_id = c.id_b
+)
+SELECT n_match,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST({sql_qsum('jaccard')} AS DOUBLE) / 1e12 / COUNT(*) AS mean_jaccard,
+       CAST({sql_qsum('ABS(CAST(n_match AS DOUBLE) / 8.0e0 - jaccard)')}
+            AS DOUBLE) / 1e12 / COUNT(*) AS mean_abs_err
+FROM scored
+GROUP BY n_match
+""",
+)
+def q163_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair,
+    compare the signature estimate (matching hashes / 8) against the
+    EXACT shingle Jaccard, stratified by match count. The sketch-trust
+    report: if mean_abs_err at n_match=8 is 0.4, your '8/8 duplicate'
+    bucket is full of false twins and the band/row dial needs turning
+    BEFORE a 100 TB dedup run deletes the wrong half of the corpus.
+    (Pr[minhash match] = true Jaccard is the textbook identity this
+    measures empirically, per stratum.)
+
+    Shape: identical scan-side signature expressions as q41/q42 (drift
+    breaks parity), the same banded candidate join, then sig+shingle
+    joins keyed on doc_id — candidates are LSH-pruned so the scored
+    relation is bucket-mates only, never corpus². Final agg is 9 keys.
+    Estimates are int/8 exact; the exact Jaccard is an integer ratio;
+    both reduce through floor-quantized BIGINT sums (qsum)."""
+    docs = t(spark, sf_dir, "documents")
+    shingles = shingle_sets(
+        docs, text_col="text", id_col="doc_id", mode="word", k=_SHINGLE_K
+    ).repartition("doc_id")
+    sigs = minhash_signatures(
+        docs, num_hashes=_NUM_HASHES, shingle_k=_SHINGLE_K
+    ).repartition("doc_id")
+    rows_per_band = _NUM_HASHES // _BANDS
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[
+                    F.col(f"mh{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+        )
+        for b in range(_BANDS)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    siga = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(_NUM_HASHES)],
+    )
+    sigb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(_NUM_HASHES)],
+    )
+    sha = shingles.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    shb = shingles.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_match = sum(
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+        for i in range(_NUM_HASHES)
+    ).cast("int")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    scored = (
+        cand.join(siga, "id_a")
+        .join(sigb, "id_b")
+        .join(sha, "id_a")
+        .join(shb, "id_b")
+        .select(n_match.alias("n_match"), jac.alias("jaccard"))
+    )
+    n = F.count(F.lit(1))
+    est = F.col("n_match").cast("double") / F.lit(8.0)
+    return scored.groupBy("n_match").agg(
+        n.alias("n_pairs"),
+        (qsum(F.col("jaccard")).cast("double") / F.lit(1e12) / n).alias(
+            "mean_jaccard"
+        ),
+        (
+            qsum(F.abs(est - F.col("jaccard"))).cast("double") / F.lit(1e12) / n
+        ).alias("mean_abs_err"),
     )

@@ -1982,3 +1982,104 @@ def q159_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_outliers"),
     )
+
+
+def _sql_corr(x: str, y: str, flt: str) -> str:
+    """Pearson r from exact BIGINT sufficient statistics (k, Σx, Σy,
+    Σxy, Σx², Σy²) over FILTERed pairs — integer aggregation is
+    order-free, the final expression is pinned per-row IEEE."""
+    k = f"COUNT(*) FILTER ({flt})"
+    sx = f"SUM({x}) FILTER ({flt})"
+    sy = f"SUM({y}) FILTER ({flt})"
+    sxy = f"SUM({x} * {y}) FILTER ({flt})"
+    sxx = f"SUM({x} * {x}) FILTER ({flt})"
+    syy = f"SUM({y} * {y}) FILTER ({flt})"
+    num = f"(CAST({k} * {sxy} - {sx} * {sy} AS DOUBLE))"
+    dx = f"(CAST({k} * {sxx} - {sx} * {sx} AS DOUBLE))"
+    dy = f"(CAST({k} * {syy} - {sy} * {sy} AS DOUBLE))"
+    return (
+        f"CASE WHEN {dx} > 0e0 AND {dy} > 0e0 "
+        f"THEN {num} / (sqrt({dx}) * sqrt({dy})) ELSE NULL END"
+    )
+
+
+@register(
+    "q164_daily_autocorrelation",
+    tags=("events", "timeseries", "agg"),
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, day
+),
+lagged AS (
+  SELECT event_type, n,
+         lag(n, 1) OVER w AS n1,
+         lag(n, 7) OVER w AS n7
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(COUNT(*) FILTER (n1 IS NOT NULL) AS BIGINT) AS n_lag1_pairs,
+       CAST(COUNT(*) FILTER (n7 IS NOT NULL) AS BIGINT) AS n_lag7_pairs,
+       {_sql_corr('n', 'n1', 'n1 IS NOT NULL')} AS lag1_r,
+       {_sql_corr('n', 'n7', 'n7 IS NOT NULL')} AS lag7_r
+FROM lagged
+GROUP BY event_type
+""",
+)
+def q164_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of the daily event-count series
+    per type — the seasonality screen (lag7_r >> lag1_r says weekly
+    cadence; both ≈ 0 says the counts are noise) run before anyone
+    fits a forecast or alerts on a 'drop' that is just Sunday.
+    Series = observed days only (no gap-fill; q100 is the gap-fill
+    twin if a dense spine is wanted).
+
+    Determinism: daily counts are integers, so ALL sufficient
+    statistics (k, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINT sums —
+    order-free — and Pearson r is one pinned double expression over
+    them; zero-variance series yield NULL identically in both engines
+    (guarded CASE, never a divide-by-zero Inf/NaN).
+
+    Shape: the corpus collapses to |types|×|days| rows in ONE
+    partial-agg exchange; the lag windows and the final per-type agg
+    run on that tiny relation (window partitions by event_type —
+    satisfied by the agg's own exchange, no second shuffle)."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "n",
+        F.lag("n", 1).over(w).alias("n1"),
+        F.lag("n", 7).over(w).alias("n7"),
+    )
+
+    def spark_corr(ycol: str):
+        flt = F.col(ycol).isNotNull()
+        x = F.when(flt, F.col("n"))
+        y = F.when(flt, F.col(ycol))
+        k = F.count(y)
+        sx = F.sum(x)
+        sy = F.sum(y)
+        sxy = F.sum(x * F.col(ycol))
+        sxx = F.sum(x * F.col("n"))
+        syy = F.sum(y * F.col(ycol))
+        num = (k * sxy - sx * sy).cast("double")
+        dx = (k * sxx - sx * sx).cast("double")
+        dy = (k * syy - sy * sy).cast("double")
+        return F.when(
+            (dx > 0.0) & (dy > 0.0), num / (F.sqrt(dx) * F.sqrt(dy))
+        ).otherwise(F.lit(None).cast("double"))
+
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.count("n1").cast("bigint").alias("n_lag1_pairs"),
+        F.count("n7").cast("bigint").alias("n_lag7_pairs"),
+        spark_corr("n1").alias("lag1_r"),
+        spark_corr("n7").alias("lag7_r"),
+    )
