@@ -782,3 +782,48 @@ def q147_target_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(take), "lang").filter(
         F.col("rk") <= F.col("k_l")
     ).select("doc_id", "lang", "rk")
+
+
+@register(
+    "q165_source_diversity",
+    tags=("documents", "llm-data", "mixing", "diversity"),
+    oracle="""
+WITH per_src AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY lang, source
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_source_share,
+       1e0 - CAST(SUM(c * c) AS DOUBLE) / (SUM(c) * SUM(c)) AS gini_simpson,
+       CAST(SUM(c) * SUM(c) AS DOUBLE) / SUM(c * c) AS effective_sources
+FROM per_src
+GROUP BY lang
+""",
+)
+def q165_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixing diversity per language: Gini–Simpson index
+    (1 − Σp²) and the inverse-Simpson EFFECTIVE source count (n²/Σc²)
+    — 'we ingest from 40 sources' means nothing if effective_sources
+    is 2.3; this is the number a mixing policy (q120/q147) is steering
+    and the one to alert on when a crawler silently dies.
+
+    Deliberately Simpson, NOT Shannon: entropy needs log(), whose
+    last-ulp differs between the JVM's fdlibm and DuckDB's libm — the
+    Simpson family is pure integer sums with ONE final double divide,
+    so it is engine-exact by construction (and the 'effective count'
+    reading is the same). Shape: two nested hash aggs — corpus →
+    (lang, source) counts map-side-combined, then |langs| rows."""
+    d = t(spark, sf_dir, "documents")
+    per_src = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    c = F.col("c")
+    sc = F.sum(c)
+    scc = F.sum(c * c)
+    return per_src.groupBy("lang").agg(
+        sc.cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+        (F.max(c).cast("double") / sc).alias("top_source_share"),
+        (F.lit(1.0) - scc.cast("double") / (sc * sc)).alias("gini_simpson"),
+        ((sc * sc).cast("double") / scc).alias("effective_sources"),
+    )

@@ -24,7 +24,7 @@ from ..functions.text import (
     tokens,
     word_ngrams_t,
 )
-from ._util import t
+from ._util import qsum, sql_qsum, t
 from .catalog import register
 
 # SQL fragments mirroring functions.text builders exactly.
@@ -1072,4 +1072,94 @@ def q156_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("freq").cast("bigint").alias("total_freq"),
         F.max("freq").cast("bigint").alias("max_freq"),
         F.min("freq").cast("bigint").alias("min_freq"),
+    )
+
+
+_SQL_QUALITY = f"""(LEAST(CAST(len({_SQL_TOKENS}) AS DOUBLE) / 100.0, 1.0) * 0.4
+         + (CAST({_sql_stopword_hits('en')} AS DOUBLE)
+            / GREATEST(CAST(len({_SQL_TOKENS}) AS DOUBLE), 1.0)) * 0.4
+         + CASE WHEN CAST(LENGTH(text) AS DOUBLE) > 0
+                THEN 0.2 - LEAST(CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)
+                                 / CAST(LENGTH(text) AS DOUBLE), 0.2)
+                ELSE 0.0 END)"""
+
+_QDEC_FRACS = [x / 10.0 for x in range(1, 10)]
+
+
+@register(
+    "q166_quality_decile_profile",
+    tags=("text", "llm-data", "quality", "percentile"),
+    oracle=f"""
+WITH q AS (
+  SELECT lang, {_SQL_QUALITY} AS quality FROM documents
+),
+bounds AS (
+  SELECT lang,
+         quantile_cont(quality,
+           [{', '.join(repr(x) for x in _QDEC_FRACS)}]) AS bs
+  FROM q GROUP BY lang
+),
+bucketed AS (
+  SELECT q.lang, q.quality,
+         CAST(len(list_filter(b.bs, x -> x < q.quality)) AS INT) AS decile
+  FROM q JOIN bounds b ON b.lang = q.lang
+)
+SELECT lang, decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(quality) AS q_min,
+       MAX(quality) AS q_max,
+       {sql_qsum('quality')} AS q_sum_q12
+FROM bucketed
+GROUP BY lang, decile
+""",
+)
+def q166_quality_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quantile normalization of the q31 quality score:
+    each document lands in its lang-relative decile (cross-lingual
+    quality thresholds are meaningless raw — a 0.6 in en and a 0.6 in
+    fr sit at different percentiles; training-mix gates cut at
+    deciles, not absolute scores). The profile reports each decile's
+    population and quality range — the gate-calibration table.
+
+    Shape is q158's broadcast-boundaries pattern PER GROUP: one
+    holistic per-lang percentile aggregate (|langs|×9 doubles)
+    broadcast-joined back onto the scan, bucket assignment in-row
+    (strict-< count over 9 elements), then a |langs|×10-key agg.
+    Deliberately no percent_rank window — that would globally sort
+    the corpus within each lang partition; boundaries + in-row lookup
+    is the shape that survives 100 TB (swap exact percentile for
+    approx_percentile unchanged). The quality double is the identical
+    pinned expression in both engines, reduced via qsum only."""
+    tok = F.col("_tok")
+    n_tok = token_count_t(tok).cast("double")
+    n_chars = F.length("text").cast("double")
+    sw = stopword_hits_t(tok, "en").cast("double")
+    punct = punct_count("text").cast("double")
+    quality = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + (sw / F.greatest(n_tok, F.lit(1.0))) * F.lit(0.4)
+        + F.when(
+            n_chars > 0, F.lit(0.2) - F.least(punct / n_chars, F.lit(0.2))
+        ).otherwise(F.lit(0.0))
+    )
+    q = _staged(spark, sf_dir, "lang", "text").select(
+        "lang", quality.alias("quality")
+    )
+    bounds = q.groupBy("lang").agg(
+        F.expr(
+            f"percentile(quality, array({', '.join(repr(x) for x in _QDEC_FRACS)}))"
+        ).alias("bs")
+    )
+    bucketed = q.join(F.broadcast(bounds), "lang").select(
+        "lang",
+        "quality",
+        F.size(F.filter(F.col("bs"), lambda x: x < F.col("quality")))
+        .cast("int")
+        .alias("decile"),
+    )
+    return bucketed.groupBy("lang", "decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("quality").alias("q_min"),
+        F.max("quality").alias("q_max"),
+        qsum(F.col("quality")).alias("q_sum_q12"),
     )
