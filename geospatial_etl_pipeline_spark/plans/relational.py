@@ -1054,3 +1054,74 @@ def q113_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.id").alias("id_b"),
         dist.cast("int").alias("dist"),
     ).filter(F.col("dist") <= _FUZZ_MAX_DIST)
+
+
+_LTV_FRACS = [x / 10.0 for x in range(1, 10)]
+
+
+@register(
+    "q168_customer_ltv_deciles",
+    tags=("relational", "agg", "percentile", "two-level"),
+    oracle=f"""
+WITH ltv AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+bounds AS (
+  SELECT quantile_cont(total,
+           [{', '.join(repr(x) for x in _LTV_FRACS)}]) AS bs
+  FROM ltv
+),
+bucketed AS (
+  SELECT l.o_custkey, l.total, l.n_orders,
+         CAST(len(list_filter(b.bs, x -> x < l.total)) AS INT) AS decile
+  FROM ltv l, bounds b
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       MIN(total) AS ltv_min,
+       MAX(total) AS ltv_max,
+       CAST(SUM(CAST(total AS DECIMAL(38,6))) AS DOUBLE) AS ltv_sum
+FROM bucketed
+GROUP BY decile
+""",
+)
+def q168_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value decile table: who the top 10% are and
+    how much of total revenue they carry — the reduce-THEN-analyze
+    two-level shape. Level 1 collapses the 100 TB order stream to one
+    row per customer (partial-agg exchange, money through exact
+    DECIMAL). Level 2 treats that customer-sized relation (orders/
+    customer ≈ constant, so ~1000× smaller) as the analysis input:
+    holistic decile boundaries on the AGGREGATE, broadcast back,
+    in-row bucket lookup, 10-key agg. The holistic percentile only
+    ever sees level-1 output — that ordering discipline is the whole
+    100 TB story, and the reason this is not q158 on a raw column.
+
+    LTV doubles come from the SAME decimal-sum expression in both
+    engines (clean money values — dsum's contract), so the boundary
+    compares and the decile sums are engine-exact."""
+    o = t(spark, sf_dir, "orders")
+    ltv = o.groupBy("o_custkey").agg(
+        dsum("o_totalprice").alias("total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    fr = ", ".join(repr(x) for x in _LTV_FRACS)
+    bounds = ltv.agg(F.expr(f"percentile(total, array({fr}))").alias("bs"))
+    bucketed = ltv.crossJoin(F.broadcast(bounds)).select(
+        "total",
+        "n_orders",
+        F.size(F.filter(F.col("bs"), lambda x: x < F.col("total")))
+        .cast("int")
+        .alias("decile"),
+    )
+    return bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        F.min("total").alias("ltv_min"),
+        F.max("total").alias("ltv_max"),
+        dsum("total").alias("ltv_sum"),
+    )

@@ -1163,3 +1163,63 @@ def q166_quality_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("quality").alias("q_max"),
         qsum(F.col("quality")).alias("q_sum_q12"),
     )
+
+
+@register(
+    "q167_source_boilerplate",
+    tags=("text", "llm-data", "quality", "dedup"),
+    oracle=f"""
+WITH bg AS (
+  SELECT source,
+         unnest(list_transform(range(1, greatest(len({_SQL_TOKENS}), 2)),
+                i -> concat_ws(' ', ({_SQL_TOKENS})[i::INT],
+                               ({_SQL_TOKENS})[i::INT + 1]))) AS bigram
+  FROM documents
+),
+per_bg AS (
+  SELECT source, bigram, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bg GROUP BY source, bigram
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS total_bigrams,
+       CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+       CAST(COUNT(*) AS DOUBLE) / SUM(c) AS type_token_ratio,
+       CAST(MAX(c) AS BIGINT) AS max_bigram_count,
+       CAST(SUM(c * c) AS DOUBLE) / (SUM(c) * SUM(c)) AS repeat_mass
+FROM per_bg
+GROUP BY source
+""",
+)
+def q167_source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document boilerplate detection per source: the bigram
+    type-token ratio over a source's whole output (q107 measures
+    repetition INSIDE one doc; a template farm repeats across docs and
+    looks clean per-doc). A source whose million docs share 5k
+    distinct bigrams (TTR → 0) is a mirror/template site — the
+    RefinedWeb-style source-level kill decision this table feeds.
+    repeat_mass is the Simpson collision probability of the source's
+    bigram distribution (two random bigrams identical) — the same
+    log-free diversity discipline as q165.
+
+    Shape: explode → (source, bigram) partial agg (map-side combine
+    collapses within-partition repeats — boilerplate by definition
+    collapses hard), then |sources| rows. All integer sums, three
+    final divides."""
+    d = t(spark, sf_dir, "documents")
+    staged = d.select("source", tokens("text").alias("_tok"))
+    per_bg = (
+        staged.select(
+            "source", F.explode_outer(word_ngrams_t(F.col("_tok"), 2)).alias("bigram")
+        )
+        .groupBy("source", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c = F.col("c")
+    sc = F.sum(c)
+    return per_bg.groupBy("source").agg(
+        sc.cast("bigint").alias("total_bigrams"),
+        F.count(F.lit(1)).alias("distinct_bigrams"),
+        (F.count(F.lit(1)).cast("double") / sc).alias("type_token_ratio"),
+        F.max(c).cast("bigint").alias("max_bigram_count"),
+        (F.sum(c * c).cast("double") / (sc * sc)).alias("repeat_mass"),
+    )
