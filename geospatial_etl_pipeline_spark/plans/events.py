@@ -2083,3 +2083,144 @@ def q164_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark_corr("n1").alias("lag1_r"),
         spark_corr("n7").alias("lag7_r"),
     )
+
+
+# Integer week index with Monday boundaries, timezone-free: day 0
+# (1970-01-01) was a Thursday, so (day + 3) // 7 rolls over on Mondays.
+# Shared arithmetic in both engines — immune to the date_trunc('week')
+# / dayofweek convention mismatches between dialects.
+_SQL_WEEK_IDX = "CAST((epoch_us(ts) // 86400000000 + 3) // 7 AS BIGINT)"
+
+
+@register(
+    "q169_growth_accounting",
+    tags=("events", "product-analytics", "retention"),
+    oracle=f"""
+WITH weekly AS (
+  SELECT DISTINCT user_id, {_SQL_WEEK_IDX} AS wk FROM events
+),
+seq AS (
+  SELECT user_id, wk,
+         lag(wk) OVER w AS prev_wk,
+         lead(wk) OVER w AS next_wk,
+         MIN(wk) OVER (PARTITION BY user_id) AS first_wk
+  FROM weekly
+  WINDOW w AS (PARTITION BY user_id ORDER BY wk)
+)
+SELECT wk,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN wk = first_wk THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       CAST(SUM(CASE WHEN prev_wk IS NOT NULL AND prev_wk < wk - 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+       CAST(SUM(CASE WHEN next_wk IS NULL OR next_wk > wk + 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_churning
+FROM seq
+GROUP BY wk
+""",
+)
+def q169_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active user classified as new
+    (first-ever week), retained (also active last week) or resurrected
+    (returning after a gap), plus the churning count (active now,
+    absent next week) — the NEW + RETAINED + RESURRECTED = ACTIVE
+    identity that separates 'growing' from 'churning fast while
+    acquiring faster'. Final-week caveat: users in the last observed
+    week always count as churning (no next week exists) — the standard
+    right-censoring artifact, left in deliberately.
+
+    Week boundaries are INTEGER arithmetic on epoch-days ((d+3)//7,
+    Monday rollover) — identical in both engines, immune to
+    date_trunc('week')/locale drift. Shape: corpus → distinct
+    (user, week) partial agg, lag/lead/min windows all on ONE user_id
+    exchange, final per-week agg on the tiny weekly relation."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000)
+    wk = F.floor((day + 3) / 7).cast("bigint")
+    weekly = e.select("user_id", wk.alias("wk")).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    wall = Window.partitionBy("user_id")
+    seq = weekly.select(
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+        F.min("wk").over(wall).alias("first_wk"),
+    )
+    return seq.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.when(F.col("wk") == F.col("first_wk"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("prev_wk") == F.col("wk") - 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_wk").isNotNull()
+                & (F.col("prev_wk") < F.col("wk") - 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+        F.sum(
+            F.when(
+                F.col("next_wk").isNull() | (F.col("next_wk") > F.col("wk") + 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_churning"),
+    )
+
+
+@register(
+    "q170_dow_uniformity_chi2",
+    tags=("events", "timeseries", "stats"),
+    oracle="""
+WITH dow AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS INT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  GROUP BY event_type, dow
+)
+SELECT event_type,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS INT) AS n_dows_seen,
+       CAST(MAX(c) AS BIGINT) AS max_dow_count,
+       7e0 * CAST(SUM(c * c) AS DOUBLE) / SUM(c) - CAST(SUM(c) AS DOUBLE)
+         AS chi2_uniform
+FROM dow
+GROUP BY event_type
+""",
+)
+def q170_dow_uniformity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality test: Pearson chi-square statistic of
+    each event type's weekday histogram against the uniform null —
+    the algebraic identity Σ(O−n/7)²/(n/7) = 7·ΣO²/n − n means the
+    statistic comes out of exact integer sums with one double divide
+    (no expected-count doubles ever aggregated). Read with q164: a
+    big chi2 here plus lag7_r ≈ 1 there = real weekly cadence;
+    chi2 ≈ 6 (the df) = flat traffic. dow 0 = Monday, integer
+    epoch-day arithmetic (no dayofweek() convention drift).
+
+    Shape: ONE (type, dow) partial agg over the corpus — 7·|types|
+    rows out — then a |types|-row reduction."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000)
+    dow = ((day + 3) % 7).cast("int")
+    per = e.groupBy("event_type", dow.alias("dow")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    c = F.col("c")
+    sc = F.sum(c)
+    return per.groupBy("event_type").agg(
+        sc.cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("int").alias("n_dows_seen"),
+        F.max(c).cast("bigint").alias("max_dow_count"),
+        (
+            F.lit(7.0) * F.sum(c * c).cast("double") / sc - sc.cast("double")
+        ).alias("chi2_uniform"),
+    )

@@ -1125,3 +1125,85 @@ def q168_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total").alias("ltv_max"),
         dsum("total").alias("ltv_sum"),
     )
+
+
+_RFM_FRACS = [0.2, 0.4, 0.6, 0.8]
+
+
+@register(
+    "q171_rfm_segments",
+    tags=("relational", "agg", "percentile", "segmentation"),
+    oracle=f"""
+WITH rfm AS (
+  SELECT o_custkey,
+         CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS r_day,
+         CAST(COUNT(*) AS BIGINT) AS f,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS m
+  FROM orders GROUP BY o_custkey
+),
+bounds AS (
+  SELECT quantile_cont(CAST(r_day AS DOUBLE), [{', '.join(map(repr, _RFM_FRACS))}]) AS rb,
+         quantile_cont(CAST(f AS DOUBLE), [{', '.join(map(repr, _RFM_FRACS))}]) AS fb,
+         quantile_cont(m, [{', '.join(map(repr, _RFM_FRACS))}]) AS mb
+  FROM rfm
+),
+scored AS (
+  SELECT c.o_custkey, c.m,
+         CAST(len(list_filter(b.rb, x -> x < CAST(c.r_day AS DOUBLE))) AS INT) AS r_score,
+         CAST(len(list_filter(b.fb, x -> x < CAST(c.f AS DOUBLE))) AS INT) AS f_score,
+         CAST(len(list_filter(b.mb, x -> x < c.m)) AS INT) AS m_score
+  FROM rfm c, bounds b
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(m AS DECIMAL(38,6))) AS DOUBLE) AS monetary_sum
+FROM scored
+GROUP BY r_score, f_score, m_score
+""",
+)
+def q171_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 0–4 on Recency (last
+    order day), Frequency (order count) and Monetary (decimal-exact
+    spend) against GLOBAL quintile boundaries, then the 125-cell
+    census with revenue per cell — the classic churn/VIP targeting
+    grid ('445 lapsing whales' is r_score=0, f/m=4).
+
+    Same two-level discipline as q168: the corpus collapses to one
+    row per customer FIRST (one partial-agg exchange; recency as
+    integer epoch-days, money through DECIMAL), then three holistic
+    quintile vectors on the customer-sized aggregate broadcast back
+    for in-row strict-< scoring. Boundary compares run on doubles
+    that are bit-identical by construction (integer-derived or
+    decimal-sum-derived)."""
+    o = t(spark, sf_dir, "orders")
+    # o_orderdate loads as TIMESTAMP_NTZ: unix_micros rejects it, but
+    # the date cast is wall-clock-faithful and unix_date gives exact
+    # integer epoch-days — mirroring the oracle's epoch_us // 86400e6
+    # (order dates are midnight-aligned).
+    rfm = o.groupBy("o_custkey").agg(
+        F.max(F.unix_date(F.col("o_orderdate").cast("date")))
+        .cast("bigint")
+        .alias("r_day"),
+        F.count(F.lit(1)).alias("f"),
+        dsum("o_totalprice").alias("m"),
+    )
+    fr = ", ".join(map(repr, _RFM_FRACS))
+    bounds = rfm.agg(
+        F.expr(f"percentile(CAST(r_day AS DOUBLE), array({fr}))").alias("rb"),
+        F.expr(f"percentile(CAST(f AS DOUBLE), array({fr}))").alias("fb"),
+        F.expr(f"percentile(m, array({fr}))").alias("mb"),
+    )
+    def score(bs: str, val) -> F.Column:
+        return (
+            F.size(F.filter(F.col(bs), lambda x: x < val)).cast("int")
+        )
+    scored = rfm.crossJoin(F.broadcast(bounds)).select(
+        "m",
+        score("rb", F.col("r_day").cast("double")).alias("r_score"),
+        score("fb", F.col("f").cast("double")).alias("f_score"),
+        score("mb", F.col("m")).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("m").alias("monetary_sum"),
+    )
