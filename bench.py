@@ -79,6 +79,11 @@ EXTRA = [
     "q121_semantic_dedup",
     "q125_pagerank_dup_graph",
     "q127_ngram_containment_pairs",
+    "q155_vocab_growth",
+    "q156_zipf_curve",
+    "q162_lsh_band_skew",
+    "q163_minhash_calibration",
+    "q167_source_boilerplate",
 ]
 
 _SENTINEL_N = 200_000_000

@@ -506,3 +506,38 @@ def test_q158_equidepth_no_global_sort(spark):
     assert n_shuffles(p) == 1, p
     assert "BroadcastExchange" in p, p
     assert "Window" not in p, p  # ntile would appear as a Window node
+
+
+def test_new_census_queries_exchange_budgets(spark):
+    """Exchange budgets for the r4 census/profile family: each plan's
+    shuffle count is pinned so a regression (lost map-side combine, a
+    window that stopped sharing its agg's exchange, a broadcast that
+    became a shuffle join) fails loudly. All must stay Python-free."""
+    budgets = {
+        "q154_langid_confusion": 2,   # (lang,pred) agg + share window
+        "q155_vocab_growth": 2,       # term min-agg + bucket agg
+        "q156_zipf_curve": 2,         # (lang,term) agg + rank window
+        "q160_standardized_centroids": 2,  # (label,dim) + (dim) aggs
+        "q162_lsh_band_skew": 2,      # bucket agg + histogram agg
+        "q165_source_diversity": 2,   # (lang,source) + lang aggs
+        "q166_quality_decile_profile": 2,  # lang bounds agg + cell agg
+        "q167_source_boilerplate": 2,  # (source,bigram) + source aggs
+        "q168_customer_ltv_deciles": 3,  # custkey agg + bounds + cells
+        "q169_growth_accounting": 3,  # distinct + user windows + wk agg
+        "q170_dow_uniformity_chi2": 2,  # (type,dow) + type aggs
+        "q171_rfm_segments": 3,       # custkey agg + bounds + cells
+    }
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    for name, budget in budgets.items():
+        p = plan_text(cat.QUERIES[name].fn(spark, SF))
+        assert n_shuffles(p) <= budget, (name, n_shuffles(p), p[:2000])
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+    # the decile/RFM families must broadcast their boundary vectors
+    for name in (
+        "q166_quality_decile_profile",
+        "q168_customer_ltv_deciles",
+        "q171_rfm_segments",
+    ):
+        p = plan_text(cat.QUERIES[name].fn(spark, SF))
+        assert "BroadcastExchange" in p, name
