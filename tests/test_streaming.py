@@ -424,3 +424,77 @@ def test_stream_merge_upsert_matches_batch_and_is_idempotent(
         for r in read_merge_snapshot(spark, snap).collect()
     }
     assert again == want
+
+
+def test_incremental_dedup_stream_against_empty_corpus(spark, sf_dir):
+    """With no existing corpus, the streaming ingest admits exactly one
+    document per distinct fingerprint (in-stream first-occurrence
+    dedup)."""
+    from geospatial_etl_pipeline_spark.streaming.ingest import (
+        corpus_fingerprints,
+        fingerprinted,
+        incremental_dedup_stream,
+        stream_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    empty = corpus_fingerprints(docs).limit(0)
+    got = run_to_memory_sink(
+        incremental_dedup_stream(stream_documents(spark, sf_dir), empty),
+        "t_ingest_empty",
+    )
+    n_distinct_fp = (
+        fingerprinted(docs).select("fp").distinct().count()
+    )
+    assert got.count() == n_distinct_fp > 0
+    # survivors are unique by fingerprint
+    assert got.select("fp").distinct().count() == got.count()
+
+
+def test_incremental_dedup_stream_against_full_corpus(spark, sf_dir):
+    """Replaying the corpus against its own fingerprint set admits
+    nothing — the exactly-the-duplicates guarantee."""
+    from geospatial_etl_pipeline_spark.streaming.ingest import (
+        corpus_fingerprints,
+        incremental_dedup_stream,
+        stream_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = corpus_fingerprints(docs)
+    got = run_to_memory_sink(
+        incremental_dedup_stream(stream_documents(spark, sf_dir), fps),
+        "t_ingest_full",
+    )
+    assert got.count() == 0
+
+
+def test_incremental_dedup_stream_matches_batch_anti_join(spark, sf_dir):
+    """Streaming survivors ≡ the batch incremental-dedup semantics
+    (q77's fingerprint anti-join composed with first-occurrence
+    in-batch dedup): identical surviving fingerprint SETS (which
+    doc_id represents a duplicate group is tie-arbitrary in both)."""
+    from geospatial_etl_pipeline_spark.streaming.ingest import (
+        corpus_fingerprints,
+        fingerprinted,
+        incremental_dedup_stream,
+        stream_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("doc_id % 2 = 0")
+    fps = corpus_fingerprints(corpus)
+    got = run_to_memory_sink(
+        incremental_dedup_stream(stream_documents(spark, sf_dir), fps),
+        "t_ingest_half",
+    )
+    batch_survivors = (
+        fingerprinted(docs)
+        .select("fp")
+        .distinct()
+        .join(fps, "fp", "left_anti")
+    )
+    assert {r["fp"] for r in got.select("fp").collect()} == {
+        r["fp"] for r in batch_survivors.collect()
+    }
+    assert got.count() > 0
