@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ._util import literal_df, t
+from ._util import DEC, literal_df, t
 from .catalog import register
 
 _TRAIN, _VAL = 0.8, 0.1  # remaining 0.1 = test
@@ -826,4 +826,122 @@ def q165_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max(c).cast("double") / sc).alias("top_source_share"),
         (F.lit(1.0) - scc.cast("double") / (sc * sc)).alias("gini_simpson"),
         ((sc * sc).cast("double") / scc).alias("effective_sources"),
+    )
+
+
+# Poisson(1) inverse-CDF thresholds on the 32-bit md5 bucket: integer
+# compares only — the weight ladder is bit-identical in both engines.
+# P[k > 8] ≈ 1.1e-7 collapses into the top rung.
+_BOOT_B = 32
+_BOOT_CUTS = []
+
+
+def _poisson_cuts() -> list[int]:
+    import math
+
+    cum = 0.0
+    cuts = []
+    for k in range(9):
+        cum += math.exp(-1.0) / math.factorial(k)
+        cuts.append(min(int(cum * 2**32), 2**32))
+    return cuts
+
+
+_BOOT_CUTS = _poisson_cuts()
+
+
+def _sql_boot_weight(bucket: str) -> str:
+    clauses = " ".join(
+        f"WHEN {bucket} < {c} THEN {k}" for k, c in enumerate(_BOOT_CUTS)
+    )
+    return f"(CASE {clauses} ELSE 9 END)"
+
+
+@register(
+    "q172_bootstrap_ci",
+    tags=("relational", "sampling", "stats", "bootstrap"),
+    oracle=f"""
+WITH expanded AS (
+  SELECT b.b, o.o_totalprice,
+         ('0x' || substr(md5('boot' || CAST(b.b AS VARCHAR) || ':'
+                             || CAST(o.o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           AS bucket
+  FROM orders o, (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+),
+reps AS (
+  SELECT b,
+         CAST(SUM(CAST({_sql_boot_weight('bucket')} * o_totalprice
+                       AS DECIMAL(38,6))) AS DOUBLE)
+           / SUM({_sql_boot_weight('bucket')}) AS rep_mean
+  FROM expanded
+  GROUP BY b
+)
+SELECT CAST({_BOOT_B} AS INT) AS n_replicates,
+       MIN(rep_mean) AS boot_min,
+       MAX(rep_mean) AS boot_max,
+       quantile_cont(rep_mean, 2.5e-2) AS boot_p025,
+       quantile_cont(rep_mean, 5e-1) AS boot_p50,
+       quantile_cont(rep_mean, 9.75e-1) AS boot_p975
+FROM reps
+""",
+)
+def q172_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order value —
+    THE distributed bootstrap (Chamandy et al.'s Poisson trick): a
+    with-replacement resample of n rows is approximated by giving each
+    row an independent Poisson(1) weight per replicate, which needs no
+    global count, no sampling pass, and no state — each of the 32
+    replicates is just a weighted aggregate in the SAME single scan.
+
+    Determinism: the Poisson draw is inverse-CDF on the 32-bit
+    md5('boot{{b}}:' || orderkey) bucket against PRECOMPUTED integer
+    thresholds (q39's discipline — no doubles, no rand()); replicate
+    means are decimal-sum ratios; the final CI is an exact percentile
+    (q28's contract) over 32 identical doubles.
+
+    Shape: one scan exploded ×32 — partial aggregation collapses each
+    partition's fan-out to 32 (b, sums) rows before the exchange, so
+    the shuffle is 32·partitions rows regardless of corpus size; the
+    CI aggregate sees exactly 32 rows. At 100 TB the same plan holds;
+    raise B, not the shuffle."""
+    o = t(spark, sf_dir, "orders")
+    b_df = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
+    expanded = o.crossJoin(F.broadcast(b_df)).select(
+        "b",
+        "o_totalprice",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    w = F.lit(9)
+    for k in range(len(_BOOT_CUTS) - 1, -1, -1):
+        w = F.when(F.col("bucket") < _BOOT_CUTS[k], k).otherwise(w)
+    reps = expanded.groupBy("b").agg(
+        (
+            F.sum((w * F.col("o_totalprice")).cast(DEC)).cast("double")
+            / F.sum(w)
+        ).alias("rep_mean")
+    )
+    return reps.agg(
+        F.lit(_BOOT_B).cast("int").alias("n_replicates"),
+        F.min("rep_mean").alias("boot_min"),
+        F.max("rep_mean").alias("boot_max"),
+        F.percentile("rep_mean", 0.025).alias("boot_p025"),
+        F.percentile("rep_mean", 0.5).alias("boot_p50"),
+        F.percentile("rep_mean", 0.975).alias("boot_p975"),
     )

@@ -114,3 +114,22 @@ def test_q162_pair_work_matches_q42_candidates(spark):
     total_work = sum(r["pair_work"] for r in audit)
     n_cand = lsh_candidate_pairs(load_table(spark, sf, "documents")).count()
     assert total_work >= n_cand > 0, (total_work, n_cand)
+
+
+def test_q172_bootstrap_ci_brackets_the_mean(spark):
+    """The Poisson-bootstrap CI must be ordered and bracket the true
+    full-sample mean at both scales (a broken weight ladder or bucket
+    parse shifts the replicate means off the data and this catches it
+    independently of oracle parity)."""
+    from pyspark.sql import functions as F
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        row = catalog.QUERIES["q172_bootstrap_ci"].fn(spark, sf).collect()[0]
+        assert row["boot_min"] <= row["boot_p025"] <= row["boot_p50"], (sf, row)
+        assert row["boot_p50"] <= row["boot_p975"] <= row["boot_max"], (sf, row)
+        full_mean = (
+            spark.read.parquet(f"{sf}/orders.parquet")
+            .agg(F.avg("o_totalprice"))
+            .collect()[0][0]
+        )
+        assert row["boot_p025"] <= full_mean <= row["boot_p975"], (sf, row, full_mean)
