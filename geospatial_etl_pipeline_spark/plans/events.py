@@ -2224,3 +2224,70 @@ def q170_dow_uniformity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(7.0) * F.sum(c * c).cast("double") / sc - sc.cast("double")
         ).alias("chi2_uniform"),
     )
+
+
+@register(
+    "q173_dow_seasonal_index",
+    tags=("events", "timeseries", "seasonality"),
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS INT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day, dow
+),
+per_dow AS (
+  SELECT event_type, dow,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type, dow
+),
+totals AS (
+  SELECT event_type,
+         CAST(SUM(n_events) AS BIGINT) AS tot_events,
+         CAST(SUM(n_days) AS BIGINT) AS tot_days
+  FROM per_dow GROUP BY event_type
+)
+SELECT p.event_type, p.dow, p.n_events, p.n_days,
+       (CAST(p.n_events AS DOUBLE) / p.n_days)
+         / (CAST(t.tot_events AS DOUBLE) / t.tot_days) AS seasonal_index
+FROM per_dow p JOIN totals t ON t.event_type = p.event_type
+""",
+)
+def q173_dow_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type: (mean daily count on
+    that weekday) / (overall mean daily count) — the multiplicative
+    seasonal factor a forecast divides out and an anomaly alert
+    multiplies in (q123's z-scores fire every Sunday without it; q170
+    says WHETHER seasonality exists, this says HOW MUCH per day).
+    Normalizing by days-observed, not event totals, keeps a
+    short-history weekday from biasing its index.
+
+    All counts integer; the index is a ratio of two integer ratios —
+    one pinned double expression. Shape: corpus → (type, day) partial
+    agg (the only corpus-sized exchange), then two tiny rollups and a
+    broadcast-back join."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
+    daily = e.groupBy(
+        "event_type", day.alias("day"), ((day + 3) % 7).cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per_dow = daily.groupBy("event_type", "dow").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    totals = per_dow.groupBy("event_type").agg(
+        F.sum("n_events").cast("bigint").alias("tot_events"),
+        F.sum("n_days").cast("bigint").alias("tot_days"),
+    )
+    return per_dow.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "dow",
+        "n_events",
+        "n_days",
+        (
+            (F.col("n_events").cast("double") / F.col("n_days"))
+            / (F.col("tot_events").cast("double") / F.col("tot_days"))
+        ).alias("seasonal_index"),
+    )

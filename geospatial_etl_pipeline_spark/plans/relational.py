@@ -1207,3 +1207,58 @@ def q171_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         dsum("m").alias("monetary_sum"),
     )
+
+
+@register(
+    "q174_supplier_concentration",
+    tags=("relational", "join", "agg", "diversity"),
+    oracle="""
+WITH vol AS (
+  SELECT p.p_type, l.l_suppkey,
+         CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_type, l.l_suppkey
+)
+SELECT p_type,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(qty AS DECIMAL(38,6))) AS DOUBLE) AS total_qty,
+       CAST(SUM(CAST(FLOOR(qty * qty) AS BIGINT)) AS DOUBLE)
+         / (CAST(SUM(CAST(qty AS DECIMAL(38,6))) AS DOUBLE)
+            * CAST(SUM(CAST(qty AS DECIMAL(38,6))) AS DOUBLE)) AS hhi,
+       CAST(MAX(qty) AS DOUBLE)
+         / CAST(SUM(CAST(qty AS DECIMAL(38,6))) AS DOUBLE) AS top_share
+FROM vol
+GROUP BY p_type
+""",
+)
+def q174_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration (Herfindahl) index per part type: Σ of
+    squared supplier volume shares — the supply-chain-risk sibling of
+    q165's corpus diversity (HHI → 1 means one supplier owns the
+    category; antitrust-style 0.25 is the classic alarm line).
+
+    Exactness: l_quantity is integer-valued, so the per-supplier
+    decimal rollup is exact and its square is an exact double
+    (< 2^53); Σqty² goes through FLOOR→BIGINT (exact — no fractional
+    part to lose) and the HHI denominator is a DECIMAL product, so no
+    double is ever reduced. Shape: lineitem ⋈ broadcast(part) — the
+    fact table never shuffles for the join — then a (type, supplier)
+    partial agg and a |types| rollup."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(dsum("l_quantity").alias("qty"))
+    )
+    qty = F.col("qty")
+    sdec = F.sum(qty.cast(DEC))
+    return vol.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        sdec.cast("double").alias("total_qty"),
+        (
+            F.sum(F.floor(qty * qty).cast("bigint")).cast("double")
+            / (sdec.cast("double") * sdec.cast("double"))
+        ).alias("hhi"),
+        (F.max(qty).cast("double") / sdec.cast("double")).alias("top_share"),
+    )
