@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ._util import qsum, sql_qsum, t
-from .catalog import register
+from .catalog import QUERIES, register
 
 _QUERY_VEC_ID = 0
 _S = float(10**12)  # quantization rescale factor
@@ -322,6 +322,64 @@ _IVF_NPROBE = 4
 _IVF_TOPK = 10
 
 
+def _ivf_parts(spark: SparkSession, sf_dir: str):
+    """Shared IVF quantizer build: (e, corpus, assign) where assign(df,
+    idc, vc, keep_n) maps each vector to its keep_n nearest seed cells
+    via the broadcast in-row argmax fold. Extracted verbatim from q56 so
+    the cell-occupancy audit (q175) measures EXACTLY the index q56
+    probes — any drift would break both parities at once."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = e.filter(F.col("vec_id") >= 3)
+    h = F.md5(F.concat(F.lit("42:"), F.col("vec_id").cast("string")))
+    w_cent = Window.orderBy("_h", "vec_id")
+    cents = (
+        corpus.withColumn("_h", h)
+        .orderBy("_h", "vec_id")
+        .limit(_IVF_K)
+        .select(
+            (F.row_number().over(w_cent) - 1).alias("cent_id"),
+            F.col("v").alias("cv"),
+        )
+    )
+    cnorm = cents.select("cent_id", _qdot(F.col("cv"), F.col("cv")).alias("qnc"))
+    # ONE row holding all (cent_id, cv, qnc) structs: assignment becomes a
+    # broadcast of a single row + an in-row argmax fold — the previous
+    # crossJoin(x ncells) + row_number() window shuffled corpus x ncells
+    # rows and sorted them, a full-corpus exchange that exists only to
+    # pick each row's best centroid. In-row, assignment is map-side only.
+    carr = cents.join(cnorm, "cent_id").agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "cv", "qnc"))).alias(
+            "_cents"
+        )
+    )
+
+    def assign(df, idc, vc, keep_n):
+        # struct(-score, cent_id): ascending struct order == the window's
+        # (score DESC, cent_id ASC) — same comparator, same tiebreak
+        scored = F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (
+                    -(
+                        (_qdot(F.col(vc), c["cv"]).cast("double") / F.lit(_S))
+                        / F.sqrt(c["qnc"].cast("double") / F.lit(_S))
+                    )
+                ).alias("negscore"),
+                c["cent_id"].alias("cent_id"),
+            ),
+        )
+        top = F.slice(F.array_sort(scored), 1, keep_n)
+        return (
+            df.crossJoin(F.broadcast(carr))
+            .select(F.col(idc), F.explode(top).alias("_t"))
+            .select(idc, F.col("_t.cent_id").alias("cent_id"))
+        )
+
+    return e, corpus, assign
+
+
 @register(
     "q56_ivf_topk",
     tags=("similarity", "llm-data", "ann", "ivf", "topk"),
@@ -427,55 +485,7 @@ def q56_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates via equi-join on cent_id, re-rank touches ~nprobe/ncells
     of the corpus. All similarity math is floor-quantized integer sums
     (bit-identical across engines)."""
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    corpus = e.filter(F.col("vec_id") >= 3)
-    h = F.md5(F.concat(F.lit("42:"), F.col("vec_id").cast("string")))
-    w_cent = Window.orderBy("_h", "vec_id")
-    cents = (
-        corpus.withColumn("_h", h)
-        .orderBy("_h", "vec_id")
-        .limit(_IVF_K)
-        .select(
-            (F.row_number().over(w_cent) - 1).alias("cent_id"),
-            F.col("v").alias("cv"),
-        )
-    )
-    cnorm = cents.select("cent_id", _qdot(F.col("cv"), F.col("cv")).alias("qnc"))
-    # ONE row holding all (cent_id, cv, qnc) structs: assignment becomes a
-    # broadcast of a single row + an in-row argmax fold — the previous
-    # crossJoin(x ncells) + row_number() window shuffled corpus x ncells
-    # rows and sorted them, a full-corpus exchange that exists only to
-    # pick each row's best centroid. In-row, assignment is map-side only.
-    carr = cents.join(cnorm, "cent_id").agg(
-        F.array_sort(F.collect_list(F.struct("cent_id", "cv", "qnc"))).alias(
-            "_cents"
-        )
-    )
-
-    def _assign(df, idc, vc, keep_n):
-        # struct(-score, cent_id): ascending struct order == the window's
-        # (score DESC, cent_id ASC) — same comparator, same tiebreak
-        scored = F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                (
-                    -(
-                        (_qdot(F.col(vc), c["cv"]).cast("double") / F.lit(_S))
-                        / F.sqrt(c["qnc"].cast("double") / F.lit(_S))
-                    )
-                ).alias("negscore"),
-                c["cent_id"].alias("cent_id"),
-            ),
-        )
-        top = F.slice(F.array_sort(scored), 1, keep_n)
-        return (
-            df.crossJoin(F.broadcast(carr))
-            .select(F.col(idc), F.explode(top).alias("_t"))
-            .select(idc, F.col("_t.cent_id").alias("cent_id"))
-        )
-
+    e, corpus, _assign = _ivf_parts(spark, sf_dir)
     cells = _assign(corpus, "vec_id", "v", 1)
     qv = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
@@ -1515,4 +1525,69 @@ def q160_standardized_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("centroid") - F.col("mu")) / F.col("sigma")).alias(
             "centroid_std"
         ),
+    )
+
+
+# q175's oracle reuses q56's registered CTE text verbatim up through the
+# per-vector cell assignment — sliced at runtime, so the audit cannot
+# drift from the index it audits.
+_SQL_IVF_CELL_CTES = (
+    QUERIES["q56_ivf_topk"].oracle.split("),\nqv AS")[0] + ")"
+)
+
+
+@register(
+    "q175_ivf_cell_census",
+    tags=("similarity", "llm-data", "ann", "ivf", "skew-audit"),
+    oracle=f"""
+{_SQL_IVF_CELL_CTES},
+occ AS (
+  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM cells GROUP BY cent_id
+),
+tot AS (
+  SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(MAX(n_vectors) AS BIGINT) AS max_cell
+  FROM occ
+)
+SELECT o.cent_id, o.n_vectors,
+       CAST(o.n_vectors AS DOUBLE) / t.n_total AS share,
+       CAST(o.n_vectors AS DOUBLE) * t.n_cells / t.n_total AS balance_ratio,
+       CAST(t.max_cell AS BIGINT) AS max_cell
+FROM occ o, tot t
+""",
+)
+def q175_ivf_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-occupancy census: how many corpus vectors each Voronoi
+    cell of q56's index holds, each cell's share, and its balance
+    ratio (occupancy / ideal-uniform occupancy) — the q162 discipline
+    applied to the ANN index: a cell at balance_ratio 40 means probe
+    latency is 40× the uniform estimate whenever a query lands there,
+    and re-seeding (or splitting hot cells) beats discovering that in
+    the p99 latency chart. Audits the EXACT assignment q56 serves
+    (shared builder `_ivf_parts` + runtime-sliced oracle CTEs — the
+    index and its audit cannot drift apart).
+
+    Shape: assignment is the broadcast in-row argmax fold (map-side,
+    no shuffle), then one ncells-key partial agg and a 1-row total
+    broadcast back."""
+    _e, corpus, assign = _ivf_parts(spark, sf_dir)
+    cells = assign(corpus, "vec_id", "v", 1)
+    occ = cells.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+    tot = occ.agg(
+        F.sum("n_vectors").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n_vectors").cast("bigint").alias("max_cell"),
+    )
+    return occ.crossJoin(F.broadcast(tot)).select(
+        "cent_id",
+        "n_vectors",
+        (F.col("n_vectors").cast("double") / F.col("n_total")).alias("share"),
+        (
+            F.col("n_vectors").cast("double")
+            * F.col("n_cells")
+            / F.col("n_total")
+        ).alias("balance_ratio"),
+        F.col("max_cell").cast("bigint").alias("max_cell"),
     )
