@@ -2291,3 +2291,80 @@ def q173_dow_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("tot_events").cast("double") / F.col("tot_days"))
         ).alias("seasonal_index"),
     )
+
+
+@register(
+    "q177_srm_check",
+    tags=("events", "llm-data", "experimentation", "quality"),
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % 2 AS arm
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM u
+)
+SELECT n_a, n_b,
+       CAST(n_a + n_b AS BIGINT) AS n_total,
+       CAST(n_a AS DOUBLE) / (n_a + n_b) AS share_a,
+       CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) AS chi2_srm,
+       CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) > 3.841e0
+         AS srm_flag
+FROM agg
+""",
+)
+def q177_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for q140's experiment: chi-square of
+    the arm sizes against the designed 50/50 split — for a two-cell
+    uniform null the statistic reduces to (n_a−n_b)²/(n_a+n_b), pure
+    integers until one divide. SRM is the first thing to check before
+    believing ANY A/B readout (a logging bug that drops one arm's
+    events biases every downstream metric); flag fires at the 3.84
+    critical value (df=1, α=0.05). Same md5 arm assignment expression
+    as q140 — the check audits the experiment it ships with.
+
+    Shape: one user rollup exchange (map-side combined), then a 1-row
+    reduction."""
+    e = t(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    u = e.groupBy("user_id").agg(F.first(F.lit(1))).select(
+        arm.alias("arm")
+    )
+    agg = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    d2 = (
+        ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b")))
+        .cast("double")
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        (F.col("n_a") + F.col("n_b")).cast("bigint").alias("n_total"),
+        (F.col("n_a").cast("double") / (F.col("n_a") + F.col("n_b"))).alias(
+            "share_a"
+        ),
+        d2.alias("chi2_srm"),
+        (d2 > F.lit(3.841)).alias("srm_flag"),
+    )

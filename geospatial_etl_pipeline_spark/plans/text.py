@@ -1223,3 +1223,116 @@ def q167_source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(c).cast("bigint").alias("max_bigram_count"),
         (F.sum(c * c).cast("double") / (sc * sc)).alias("repeat_mass"),
     )
+
+
+@register(
+    "q176_tokenizer_fertility",
+    tags=("text", "llm-data", "tokenize", "eval"),
+    oracle=f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) AS n_pieces,
+         CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS DOUBLE)
+           / len({_SQL_TOKENS}) AS fertility
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+       CAST(SUM(n_pieces) AS DOUBLE) / SUM(n_words) AS corpus_fertility,
+       quantile_cont(fertility, 5e-1) AS p50_fertility,
+       MAX(fertility) AS max_fertility
+FROM per_doc
+GROUP BY lang
+""",
+)
+def q176_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish pieces per whitespace
+    word (q37's two counters, evaluated as a corpus metric). Fertility
+    is THE cross-lingual tokenizer-fairness number — a lang at 3×
+    pieces/word pays 3× the context budget and 3× the compute per
+    sentence; mixing policy (q120/q147) should see this table before
+    weighting languages by raw document counts.
+
+    Per-doc fertility is an integer-ratio double (engine-exact); the
+    corpus ratio is a ratio of exact integer sums; p50 is the exact
+    interpolated percentile (q28's contract). Shape: in-row counts,
+    one |langs| hash agg (the percentile is holistic per lang —
+    |langs| groups, never corpus-wide state)."""
+    d = t(spark, sf_dir, "documents")
+    staged = d.select("lang", "text", tokens("text").alias("_tok"))
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    per_doc = staged.select(
+        "lang",
+        F.size(F.col("_tok")).cast("bigint").alias("n_words"),
+        F.size(bpe).cast("bigint").alias("n_pieces"),
+        (F.size(bpe).cast("double") / F.size(F.col("_tok"))).alias("fertility"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_pieces").cast("bigint").alias("total_pieces"),
+        (F.sum("n_pieces").cast("double") / F.sum("n_words")).alias(
+            "corpus_fertility"
+        ),
+        F.percentile("fertility", 0.5).alias("p50_fertility"),
+        F.max("fertility").alias("max_fertility"),
+    )
+
+
+@register(
+    "q178_bow_duplicate_groups",
+    tags=("text", "llm-data", "dedup", "contamination"),
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, lang,
+         md5(list_aggregate(list_sort(list_distinct({_SQL_TOKENS})),
+                            'string_agg', ' ')) AS bow_fp
+  FROM documents
+),
+groups AS (
+  SELECT bow_fp,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         MIN(doc_id) AS exemplar_doc
+  FROM fp GROUP BY bow_fp
+)
+SELECT bow_fp, n_docs, n_langs, exemplar_doc
+FROM groups
+WHERE n_docs > 1
+""",
+)
+def q178_bow_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words duplicate groups: documents whose DISTINCT token
+    sets are identical (md5 of the sorted vocabulary) — the
+    order-invariant duplicate class that exact fingerprints (q40/q33)
+    miss by construction: token-shuffled templates, re-ordered
+    boilerplate, column-permuted exports. The lang spread per group is
+    the mislabel signal (one byte-identical vocabulary can't be two
+    languages). Sits between q40 (exact) and q42 (MinHash ~Jaccard) in
+    the dedup cascade: exact on the SET, free of MinHash's banding
+    false negatives, one deterministic pass.
+
+    Shape: in-row sort of the per-doc distinct vocabulary (bounded by
+    doc length, not corpus), ONE fp-keyed partial agg, dup filter on
+    the aggregate — q40's plan with a canonicalized key."""
+    d = t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", "lang", tokens("text").alias("_tok"))
+    fp = staged.select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("_tok"))))
+        ).alias("bow_fp"),
+    )
+    return (
+        fp.groupBy("bow_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.min("doc_id").alias("exemplar_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
