@@ -133,3 +133,56 @@ def test_q172_bootstrap_ci_brackets_the_mean(spark):
             .collect()[0][0]
         )
         assert row["boot_p025"] <= full_mean <= row["boot_p975"], (sf, row, full_mean)
+
+
+def test_morton_encode_matches_python_reference():
+    """The shared SQL Morton expression (q161) must equal a bit-twiddling
+    Python reference for every cell of the full coordinate domain —
+    evaluated through DuckDB so the test exercises the exact SQL string
+    the oracle runs (Spark parses the same string; parity ties the two)."""
+    import duckdb
+
+    from geospatial_etl_pipeline_spark.plans.geometry import _morton_sql
+
+    def ref(x: int, y: int) -> int:
+        z = 0
+        for i in range(7):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT x, y, {_morton_sql('x', 'y')} AS z "
+        "FROM range(0, 128) t1(x), range(0, 128) t2(y)"
+    ).fetchall()
+    assert len(rows) == 128 * 128
+    for x, y, z in rows:
+        assert z == ref(x, y), (x, y, z, ref(x, y))
+
+
+def test_q169_growth_identity(spark):
+    """new + retained + resurrected must equal active in EVERY week —
+    the accounting identity the query exists to enforce."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = catalog.QUERIES["q169_growth_accounting"].fn(spark, sf).collect()
+        assert rows, sf
+        for r in rows:
+            assert (
+                r["n_new"] + r["n_retained"] + r["n_resurrected"]
+                == r["n_active"]
+            ), (sf, r)
+
+
+def test_q158_equidepth_populations(spark):
+    """Bucket populations must sum to the table row count and no bucket
+    may be empty (16 buckets over 1500+ distinct-ish totals)."""
+    rows = (
+        catalog.QUERIES["q158_equidepth_histogram"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    n = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").count()
+    assert sum(r["n_orders"] for r in rows) == n
+    assert len(rows) == 16
+    assert min(r["n_orders"] for r in rows) > 0
