@@ -1394,3 +1394,96 @@ def q163_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             qsum(F.abs(est - F.col("jaccard"))).cast("double") / F.lit(1e12) / n
         ).alias("mean_abs_err"),
     )
+
+
+_SQL_BOW_FP = (
+    f"md5(list_aggregate(list_sort(list_distinct({_SQL_TOKENS})),"
+    " 'string_agg', ' '))"
+)
+
+
+@register(
+    "q179_dedup_cascade_agreement",
+    tags=("dedup", "llm-data", "minhash", "eval"),
+    oracle=f"""
+WITH {_SQL_LSH_CTES},
+bow AS (
+  SELECT doc_id, {_SQL_BOW_FP} AS bow_fp FROM documents
+),
+bow_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bow a JOIN bow b
+    ON a.bow_fp = b.bow_fp AND a.doc_id < b.doc_id
+),
+merged AS (
+  SELECT COALESCE(bp.id_a, lp.id_a) AS id_a,
+         COALESCE(bp.id_b, lp.id_b) AS id_b,
+         CASE WHEN bp.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_bow,
+         CASE WHEN lp.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_lsh
+  FROM bow_pairs bp
+  FULL OUTER JOIN lsh_pairs lp
+    ON lp.id_a = bp.id_a AND lp.id_b = bp.id_b
+)
+SELECT CAST(SUM(in_bow * in_lsh) AS BIGINT) AS n_both,
+       CAST(SUM(in_bow * (1 - in_lsh)) AS BIGINT) AS n_bow_only,
+       CAST(SUM((1 - in_bow) * in_lsh) AS BIGINT) AS n_lsh_only,
+       CAST(SUM(in_bow * in_lsh) AS DOUBLE)
+         / SUM(CASE WHEN in_bow + in_lsh > 0 THEN 1 ELSE 0 END)
+         AS pair_jaccard
+FROM merged
+""",
+)
+def q179_dedup_cascade_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement audit between two dedup tiers: BOW-set pairs (q178's
+    order-invariant exact-on-vocabulary groups, expanded to pairs) vs
+    MinHash-LSH pairs (q42, Jaccard ≥ {_JACCARD}). n_bow_only counts
+    permutation duplicates LSH's banding missed; n_lsh_only counts
+    near-dups invisible to the set signature; pair_jaccard is the
+    tiers' overlap. This is the table that justifies (or kills) a
+    cascade stage before a 100 TB run pays for both.
+
+    Shape: BOW pairs come from a bow_fp equi-join (bounded by group
+    sizes, same ceiling as q40); LSH pairs reuse the banded pipeline;
+    the audit joins the two PAIR relations (each already tiny relative
+    to the corpus) with a full outer on the pair key, then one 1-row
+    reduction."""
+    from ..functions.text import tokens as _tokens
+
+    d = t(spark, sf_dir, "documents")
+    bow = d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(_tokens("text")))
+            )
+        ).alias("bow_fp"),
+    )
+    a = bow.select(F.col("doc_id").alias("id_a"), "bow_fp")
+    b = bow.select(F.col("doc_id").alias("id_b"), "bow_fp")
+    bow_pairs = (
+        a.join(b, "bow_fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1).alias("in_bow"))
+    )
+    lsh = lsh_candidate_pairs(
+        d,
+        num_hashes=_NUM_HASHES,
+        shingle_k=_SHINGLE_K,
+        bands=_BANDS,
+        jaccard_threshold=_JACCARD,
+    ).select("id_a", "id_b", F.lit(1).alias("in_lsh"))
+    merged = bow_pairs.join(lsh, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce(F.col("in_bow"), F.lit(0)).alias("in_bow"),
+        F.coalesce(F.col("in_lsh"), F.lit(0)).alias("in_lsh"),
+    )
+    ib = F.col("in_bow")
+    il = F.col("in_lsh")
+    return merged.agg(
+        F.sum(ib * il).cast("bigint").alias("n_both"),
+        F.sum(ib * (F.lit(1) - il)).cast("bigint").alias("n_bow_only"),
+        F.sum((F.lit(1) - ib) * il).cast("bigint").alias("n_lsh_only"),
+        (
+            F.sum(ib * il).cast("double")
+            / F.sum(F.when(ib + il > 0, 1).otherwise(0))
+        ).alias("pair_jaccard"),
+    )
