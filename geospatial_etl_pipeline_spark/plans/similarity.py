@@ -1591,3 +1591,77 @@ def q175_ivf_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("balance_ratio"),
         F.col("max_cell").cast("bigint").alias("max_cell"),
     )
+
+
+@register(
+    "q180_quantization_error",
+    tags=("similarity", "llm-data", "quantization", "eval"),
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         {sql_qsum('embedding[i::INT]::DOUBLE * embedding[i::INT]::DOUBLE')} AS qn
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+  GROUP BY vec_id, label, embedding
+),
+el AS (
+  SELECT label, vec_id,
+         embedding[i::INT]::DOUBLE / sqrt(CAST(qn AS DOUBLE) / {_S!r}) AS xn,
+         CAST(floor(embedding[i::INT]::DOUBLE
+              / sqrt(CAST(qn AS DOUBLE) / {_S!r}) * 127.0) AS BIGINT) AS q8
+  FROM n, unnest(range(1, len(embedding) + 1)) t(i)
+  WHERE qn > 0
+)
+SELECT label,
+       CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+       CAST(COUNT(*) AS BIGINT) AS n_elems,
+       CAST({sql_qsum('ABS(xn - CAST(q8 AS DOUBLE) / 127.0)')} AS DOUBLE)
+         / 1e12 / COUNT(*) AS mean_abs_err,
+       MAX(ABS(xn - CAST(q8 AS DOUBLE) / 127.0)) AS max_abs_err
+FROM el
+GROUP BY label
+""",
+)
+def q180_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction-error QA for q128's int8 export: per label, the
+    mean and max absolute error between the L2-normalized original and
+    its dequantized int8 element (q/127) — the acceptance gate for a
+    serving-index export (floor quantization guarantees every element
+    error < 1/127 ≈ 0.0079; a max_abs_err above that bound means the
+    export and its QA disagree about the quantizer, pinned in
+    test_catalog).
+
+    Exactness: the quantized element, its dequantization and the error
+    are per-row IEEE chains on engine-identical inputs; the mean goes
+    through floor-quantized BIGINT sums (qsum). Shape: one explode →
+    (label) partial agg; at 100 TB this runs beside the export scan
+    and adds no exchange beyond the |labels|-row rollup."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qn = _qdot(F.col("v"), F.col("v"))
+    staged = e.select("vec_id", "label", "v", qn.alias("qn")).filter(
+        F.col("qn") > 0
+    )
+    nrm = F.sqrt(F.col("qn").cast("double") / F.lit(_S))
+    el = staged.select(
+        "label",
+        "vec_id",
+        (F.explode("v")).alias("x"),
+        nrm.alias("nrm"),
+    ).select(
+        "label",
+        "vec_id",
+        (F.col("x") / F.col("nrm")).alias("xn"),
+        F.floor(F.col("x") / F.col("nrm") * F.lit(127.0))
+        .cast("bigint")
+        .alias("q8"),
+    )
+    err = F.abs(F.col("xn") - F.col("q8").cast("double") / F.lit(127.0))
+    return el.groupBy("label").agg(
+        F.countDistinct("vec_id").cast("bigint").alias("n_vecs"),
+        F.count(F.lit(1)).alias("n_elems"),
+        (qsum(err).cast("double") / F.lit(1e12) / F.count(F.lit(1))).alias(
+            "mean_abs_err"
+        ),
+        F.max(err).alias("max_abs_err"),
+    )

@@ -186,3 +186,14 @@ def test_q158_equidepth_populations(spark):
     assert sum(r["n_orders"] for r in rows) == n
     assert len(rows) == 16
     assert min(r["n_orders"] for r in rows) > 0
+
+
+def test_q180_quantization_error_within_floor_bound(spark):
+    """Floor quantization guarantees every element error < 1/127; if
+    the QA query and the export (q128) ever disagree about the
+    quantizer, the bound breaks before parity does."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = catalog.QUERIES["q180_quantization_error"].fn(spark, sf).collect()
+        assert rows, sf
+        for r in rows:
+            assert 0.0 <= r["mean_abs_err"] <= r["max_abs_err"] < 1.0 / 127.0, (sf, r)
