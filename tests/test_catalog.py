@@ -197,3 +197,27 @@ def test_q180_quantization_error_within_floor_bound(spark):
         assert rows, sf
         for r in rows:
             assert 0.0 <= r["mean_abs_err"] <= r["max_abs_err"] < 1.0 / 127.0, (sf, r)
+
+
+def test_catalog_hygiene():
+    """Every registered query carries the metadata the catalog contract
+    promises: a qNN_ name, at least one tag, a docstring that says what
+    and why, and (for rows-only entries) either an oracle twin or a
+    documented place in the known no-oracle set."""
+    import re
+
+    known_no_oracle = {
+        "q29_sketch_aggregates",
+        "q54_ann_lsh_topk",
+        "q74_ref_pipeline_e2e",
+        "q114_kmeans_clusters",
+    }
+    for name, spec in catalog.QUERIES.items():
+        assert re.match(r"^q\d+_[a-z0-9_]+$", name), name
+        assert spec.tags, name
+        assert spec.doc and len(spec.doc.strip()) > 40, name
+        if spec.oracle is None:
+            assert name in known_no_oracle, (
+                f"{name} has no oracle and is not in the documented "
+                "no-oracle set — add SQL or document why"
+            )
