@@ -372,3 +372,64 @@ def downsample_block_mean(rasters: DataFrame, factor: int) -> DataFrame:
         "nodata_value", "crs",
         F.col("_cells").alias("cells"),
     )
+
+
+def focal_slope(rasters: DataFrame) -> DataFrame:
+    """Focal (neighborhood) operator: per-cell squared gradient
+    magnitude gx² + gy² from Horn's 3×3 kernel — the slope/hillshade
+    family of cartographic analysis, REF's raster domain extended to
+    neighborhood ops.
+
+        gx = (ne + 2·e + se) − (nw + 2·w + sw)
+        gy = (sw + 2·s + se) − (nw + 2·n + ne)
+
+    Border cells and cells with any nodata neighbor emit
+    ``nodata_value`` (a gradient across a data hole is undefined, not
+    zero). Pure JVM higher-order expressions — neighbor reads are O(1)
+    ``element_at`` on the flat row-major array, no Python, no shuffle;
+    one output raster row per input row. At 100 TB this composes with
+    ``tile`` the same way clip does, EXCEPT tiles need a 1-cell halo
+    for correctness at tile seams — the documented composition rule
+    (tile with overlap=1, then drop the halo ring after the focal op).
+    """
+    w = F.col("width")
+    h = F.col("height")
+    cells = F.col("cells")
+    nd = F.col("nodata_value")
+
+    def at(r: Column, c: Column) -> Column:
+        return F.element_at(cells, (r * w + c + 1).cast("int"))
+
+    def out_cell(k: Column) -> Column:
+        r = F.floor(k / w).cast("int")
+        c = (k % w).cast("int")
+        interior = (r > 0) & (r < h - 1) & (c > 0) & (c < w - 1)
+        nbrs = [
+            at(r + dr, c + dc)
+            for dr in (-1, 0, 1)
+            for dc in (-1, 0, 1)
+        ]
+        any_nd = nbrs[0] == nd
+        for nb in nbrs[1:]:
+            any_nd = any_nd | (nb == nd)
+        gx = (
+            at(r - 1, c + 1) + F.lit(2.0) * at(r, c + 1) + at(r + 1, c + 1)
+        ) - (at(r - 1, c - 1) + F.lit(2.0) * at(r, c - 1) + at(r + 1, c - 1))
+        gy = (
+            at(r + 1, c - 1) + F.lit(2.0) * at(r + 1, c) + at(r + 1, c + 1)
+        ) - (at(r - 1, c - 1) + F.lit(2.0) * at(r - 1, c) + at(r - 1, c + 1))
+        return F.when(interior & ~any_nd, gx * gx + gy * gy).otherwise(nd)
+
+    idxs = F.sequence(F.lit(0), (w * h - 1).cast("int"))
+    return rasters.select(
+        "path",
+        "base_name",
+        "width",
+        "height",
+        "xllcorner",
+        "yllcorner",
+        "cellsize",
+        "nodata_value",
+        "crs",
+        F.transform(idxs, out_cell).alias("cells"),
+    )

@@ -244,3 +244,78 @@ def q103_raster_block_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("val").cast("double") / F.count(F.lit(1))).alias("mean_val"),
         )
     )
+
+
+@register(
+    "q181_focal_slope_histogram",
+    tags=("raster", "focal", "histogram"),
+    oracle=f"""
+WITH grid AS (
+  SELECT CAST(id % {_W} AS INT) AS i,
+         CAST(id // {_W} AS INT) AS j
+  FROM range({_W * _H}) t(id)
+  WHERE id % {_W} > 0 AND id % {_W} < {_W - 1}
+    AND id // {_W} > 0 AND id // {_W} < {_H - 1}
+),
+sl AS (
+  SELECT i, j,
+         ( (((i+1)*31 + (j-1)*17) % 101 + 2*(((i+1)*31 + j*17) % 101)
+            + (((i+1)*31 + (j+1)*17) % 101))
+         - (((i-1)*31 + (j-1)*17) % 101 + 2*(((i-1)*31 + j*17) % 101)
+            + (((i-1)*31 + (j+1)*17) % 101)) ) AS gx,
+         ( (((i-1)*31 + (j+1)*17) % 101 + 2*((i*31 + (j+1)*17) % 101)
+            + (((i+1)*31 + (j+1)*17) % 101))
+         - (((i-1)*31 + (j-1)*17) % 101 + 2*((i*31 + (j-1)*17) % 101)
+            + (((i+1)*31 + (j-1)*17) % 101)) ) AS gy
+  FROM grid
+)
+SELECT CAST(LENGTH(bin(CAST(gx*gx + gy*gy + 1 AS BIGINT))) - 1 AS INT)
+         AS log2_slope2,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(MIN(gx*gx + gy*gy) AS BIGINT) AS min_slope2,
+       CAST(MAX(gx*gx + gy*gy) AS BIGINT) AS max_slope2
+FROM sl
+GROUP BY log2_slope2
+""",
+)
+def q181_focal_slope_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal-slope (Horn 3×3 squared-gradient) histogram over the
+    synthetic analysis grid — the DECLARATIVE twin of
+    ``operators.raster.focal_slope``: the same kernel arithmetic on
+    the cell relation, hash-checked against DuckDB, while the
+    struct-side operator (O(1) element_at neighbor reads, nodata
+    propagation, tile-halo composition) is pixel-tested against this
+    very formula in tests/test_raster.py. Interior cells only (the
+    operator emits nodata at borders; the twin simply excludes them).
+
+    All-integer: the grid formula, the kernel sums and the log2 bucket
+    (binary-digit-count of slope²+1 — +1 keeps flat cells' log2(0)
+    defined). One generated scan, one ~20-key agg, zero joins."""
+    g = _grid(spark)
+
+    def val(di: int, dj: int):
+        return ((F.col("i") + di) * 31 + (F.col("j") + dj) * 17) % 101
+
+    interior = (
+        (F.col("i") > 0)
+        & (F.col("i") < _W - 1)
+        & (F.col("j") > 0)
+        & (F.col("j") < _H - 1)
+    )
+    gx = (val(1, -1) + F.lit(2) * val(1, 0) + val(1, 1)) - (
+        val(-1, -1) + F.lit(2) * val(-1, 0) + val(-1, 1)
+    )
+    gy = (val(-1, 1) + F.lit(2) * val(0, 1) + val(1, 1)) - (
+        val(-1, -1) + F.lit(2) * val(0, -1) + val(1, -1)
+    )
+    sl = g.filter(interior).select(
+        (gx * gx + gy * gy).alias("slope2")
+    )
+    bucket = (
+        F.length(F.bin((F.col("slope2") + 1).cast("bigint"))) - 1
+    ).cast("int")
+    return sl.groupBy(bucket.alias("log2_slope2")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("slope2").cast("bigint").alias("min_slope2"),
+        F.max("slope2").cast("bigint").alias("max_slope2"),
+    )

@@ -257,3 +257,63 @@ def test_downsample_block_mean_nodata_aware(rasters):
     # bottom blocks are full
     assert out["cells"][2] == pytest.approx((9 + 10 + 13 + 14) / 4)
     assert out["cells"][3] == pytest.approx((11 + 12 + 15 + 16) / 4)
+
+
+def test_focal_slope_matches_reference(spark):
+    """focal_slope (struct-side Horn 3×3) must reproduce the exact
+    integer kernel the declarative twin (q181) hash-checks: cells from
+    the same (i*31 + j*17) % 101 formula, slope² compared per pixel
+    against a Python reference; border ring must be nodata."""
+    from geospatial_etl_pipeline_spark.operators.raster import focal_slope
+
+    w, h, nd = 40, 30, -9999.0
+    vals = [[(i * 31 + j * 17) % 101 for i in range(w)] for j in range(h)]
+    cells = [float(v) for row in vals for v in row]
+    df = spark.createDataFrame(
+        [("p", "b", w, h, 0.0, 0.0, 1.0, nd, None, cells)],
+        "path string, base_name string, width int, height int,"
+        " xllcorner double, yllcorner double, cellsize double,"
+        " nodata_value double, crs string, cells array<double>",
+    )
+    out = focal_slope(df).collect()[0]["cells"]
+
+    def ref(j, i):
+        gx = (
+            vals[j - 1][i + 1] + 2 * vals[j][i + 1] + vals[j + 1][i + 1]
+        ) - (vals[j - 1][i - 1] + 2 * vals[j][i - 1] + vals[j + 1][i - 1])
+        gy = (
+            vals[j + 1][i - 1] + 2 * vals[j + 1][i] + vals[j + 1][i + 1]
+        ) - (vals[j - 1][i - 1] + 2 * vals[j - 1][i] + vals[j - 1][i + 1])
+        return float(gx * gx + gy * gy)
+
+    for j in range(h):
+        for i in range(w):
+            got = out[j * w + i]
+            if j in (0, h - 1) or i in (0, w - 1):
+                assert got == nd, (j, i, got)
+            else:
+                assert got == ref(j, i), (j, i, got, ref(j, i))
+
+
+def test_focal_slope_nodata_propagates(spark):
+    """A single nodata hole must poison exactly its 8 neighbors (plus
+    itself) — a gradient across missing data is undefined, not zero."""
+    from geospatial_etl_pipeline_spark.operators.raster import focal_slope
+
+    w, h, nd = 10, 10, -9999.0
+    cells = [1.0] * (w * h)
+    cells[5 * w + 5] = nd  # hole at (r=5, c=5)
+    df = spark.createDataFrame(
+        [("p", "b", w, h, 0.0, 0.0, 1.0, nd, None, cells)],
+        "path string, base_name string, width int, height int,"
+        " xllcorner double, yllcorner double, cellsize double,"
+        " nodata_value double, crs string, cells array<double>",
+    )
+    out = focal_slope(df).collect()[0]["cells"]
+    for r in range(1, h - 1):
+        for c in range(1, w - 1):
+            got = out[r * w + c]
+            if abs(r - 5) <= 1 and abs(c - 5) <= 1:
+                assert got == nd, (r, c, got)
+            else:
+                assert got == 0.0, (r, c, got)  # flat field -> zero slope
