@@ -168,3 +168,48 @@ def test_compact_parquet_small_files(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 200
     assert back.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(200))
+
+
+def test_jsonl_roundtrip_and_corrupt_report(spark, tmp_path):
+    """JSONL corpus round-trip: documents -> sharded .json.gz -> read
+    with explicit schema -> identical rows; a poisoned line shows up in
+    the corrupt-line report instead of vanishing."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from geospatial_etl_pipeline_spark.sources.jsonl import (
+        corrupt_line_report,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl(docs, out, shard_rows=200)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    back = read_jsonl(spark, out, schema)
+    a = {tuple(r) for r in docs.select(*schema.names).collect()}
+    b = {tuple(r) for r in back.select(*schema.names).collect()}
+    assert a == b and len(a) == 500
+    rep = corrupt_line_report(back).collect()[0]
+    assert rep["n_lines"] == 500 and rep["n_corrupt"] == 0
+
+    # poison one line: it must be COUNTED, not silently dropped
+    bad = tmp_path / "corpus_jsonl" / "zz_bad.json"
+    bad.write_text('{"doc_id": 1, "text": "ok"}\n{broken json\n')
+    back2 = read_jsonl(spark, out, schema)
+    rep2 = corrupt_line_report(back2).collect()[0]
+    assert rep2["n_corrupt"] == 1 and rep2["n_lines"] == 502
