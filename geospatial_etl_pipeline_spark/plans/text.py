@@ -1336,3 +1336,152 @@ def q178_bow_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "q182_token_cdf",
+    tags=("text", "llm-data", "histogram", "planning"),
+    oracle=f"""
+WITH per_doc AS (
+  SELECT CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok FROM documents
+),
+hist AS (
+  SELECT CAST(LENGTH(bin(n_tok)) - 1 AS INT) AS log2_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM per_doc GROUP BY log2_tokens
+)
+SELECT log2_tokens, n_docs, n_tokens,
+       CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+       CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(SUM(n_tokens) OVER w AS DOUBLE)
+         / SUM(n_tokens) OVER () AS cum_token_share
+FROM hist
+WINDOW w AS (ORDER BY log2_tokens ROWS UNBOUNDED PRECEDING)
+""",
+)
+def q182_token_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass CDF by document length: what fraction of the corpus's
+    TOKENS (not documents) lives at or below each log2 length bucket —
+    the context-length planning table (if 60% of token mass sits in
+    docs longer than the training context, the chunker (q83) is doing
+    most of the work and packing (q66) efficiency dominates cost).
+    Extends q76's doc-count histogram with the token-mass cumulative —
+    counts and masses are different curves when length is heavy-tailed.
+
+    All-integer until the final share divide. Shape: in-row count, one
+    ~15-key partial agg, cumulative windows over the 15-row aggregate
+    (the OVER () total is a 1-row broadcast-style window on the same
+    tiny relation, not a corpus exchange)."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text")).cast("bigint")
+    hist = (
+        d.select(n_tok.alias("n_tok"))
+        .groupBy(
+            (F.length(F.bin(F.col("n_tok"))) - 1).cast("int").alias("log2_tokens")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    w = Window.orderBy("log2_tokens").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    return hist.select(
+        "log2_tokens",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_docs").over(w).cast("bigint").alias("cum_docs"),
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        (
+            F.sum("n_tokens").over(w).cast("double")
+            / F.sum("n_tokens").over(wall)
+        ).alias("cum_token_share"),
+    )
+
+
+_PAIR_MIN_SUPPORT = 5
+_PAIR_TOPK = 20
+
+
+@register(
+    "q183_token_pair_lift",
+    tags=("text", "llm-data", "association", "topk"),
+    oracle=f"""
+WITH dt AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS tok FROM documents
+),
+tok_df AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS co_df
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY tok_a, tok_b
+)
+SELECT p.tok_a, p.tok_b, p.co_df, da.df AS df_a, db.df AS df_b,
+       CAST(p.co_df * n.n_docs AS DOUBLE) / (da.df * db.df) AS lift
+FROM pairs p
+JOIN tok_df da ON da.tok = p.tok_a
+JOIN tok_df db ON db.tok = p.tok_b
+CROSS JOIN n
+WHERE p.co_df >= {_PAIR_MIN_SUPPORT}
+ORDER BY lift DESC, tok_a ASC, tok_b ASC
+LIMIT {_PAIR_TOPK}
+""",
+)
+def q183_token_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-pair association mining by lift (q134's market-basket
+    shape moved to text): P(a,b)/(P(a)·P(b)) over document
+    co-occurrence, minimum support {_PAIR_MIN_SUPPORT}, top
+    {_PAIR_TOPK} — collocation discovery (multi-word entities,
+    template phrases) without logs: lift is an exact integer ratio,
+    where PMI would drag in libm.
+
+    Shape: per-doc DISTINCT tokens explode once; the pair join keys on
+    doc_id, so fan-out is bounded by per-doc vocabulary² (docs are
+    bounded; corpus size only multiplies the number of docs, not the
+    per-doc work); token df's broadcast back onto the |vocab|²-bounded
+    pair aggregate; TakeOrdered top-k. The support filter prunes the
+    long tail before the df joins."""
+    d = t(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    tok_df = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    a = dt.alias("a")
+    b = dt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).alias("co_df"))
+        .filter(F.col("co_df") >= _PAIR_MIN_SUPPORT)
+    )
+    da = tok_df.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    db = tok_df.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "co_df",
+            "df_a",
+            "df_b",
+            (
+                (F.col("co_df") * F.col("n_docs")).cast("double")
+                / (F.col("df_a") * F.col("df_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(_PAIR_TOPK)
+    )
