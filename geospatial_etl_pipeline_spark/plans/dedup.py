@@ -1322,13 +1322,18 @@ def q163_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation is bucket-mates only, never corpus². Final agg is 9 keys.
     Estimates are int/8 exact; the exact Jaccard is an integer ratio;
     both reduce through floor-quantized BIGINT sums (qsum)."""
+    from ..operators.dedup import _signatures_from_shingles
+
     docs = t(spark, sf_dir, "documents")
+    # ONE shingle pipeline materialized into ONE doc_id exchange; the
+    # signature projection and both sh_a/sh_b join sides reuse it via
+    # ReusedExchange (the lsh_candidate_pairs discipline) — building
+    # shingles and signatures as separate pipelines ran the regex+md5
+    # subtree twice.
     shingles = shingle_sets(
         docs, text_col="text", id_col="doc_id", mode="word", k=_SHINGLE_K
     ).repartition("doc_id")
-    sigs = minhash_signatures(
-        docs, num_hashes=_NUM_HASHES, shingle_k=_SHINGLE_K
-    ).repartition("doc_id")
+    sigs = _signatures_from_shingles(shingles, "doc_id", _NUM_HASHES)
     rows_per_band = _NUM_HASHES // _BANDS
     band_cols = [
         F.md5(
