@@ -831,7 +831,7 @@ def q165_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Poisson(1) inverse-CDF thresholds on the 32-bit md5 bucket: integer
 # compares only — the weight ladder is bit-identical in both engines.
-# P[k > 8] ≈ 1.1e-7 collapses into the top rung.
+# P[k > 8] ≈ 1.1e-6 collapses into the top rung.
 _BOOT_B = 32
 _BOOT_CUTS = []
 

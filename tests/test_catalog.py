@@ -221,3 +221,19 @@ def test_catalog_hygiene():
                 f"{name} has no oracle and is not in the documented "
                 "no-oracle set — add SQL or document why"
             )
+
+
+def test_bootstrap_poisson_ladder():
+    """The precomputed Poisson(1) thresholds must be strictly
+    increasing, match exp(-1)/k! cumulative mass, and leave < 2e-7 in
+    the ELSE rung (P[k > 8] ≈ 1.1e-6) — the ladder IS the distribution."""
+    import math
+
+    from geospatial_etl_pipeline_spark.plans.sampling import _BOOT_CUTS
+
+    assert _BOOT_CUTS == sorted(set(_BOOT_CUTS))
+    cum = 0.0
+    for k, cut in enumerate(_BOOT_CUTS):
+        cum += math.exp(-1.0) / math.factorial(k)
+        assert abs(cut / 2**32 - cum) < 1e-9, (k, cut, cum)
+    assert 1.0 - _BOOT_CUTS[-1] / 2**32 < 2e-6
