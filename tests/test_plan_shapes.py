@@ -541,3 +541,32 @@ def test_new_census_queries_exchange_budgets(spark):
     ):
         p = plan_text(cat.QUERIES[name].fn(spark, SF))
         assert "BroadcastExchange" in p, name
+
+
+def test_late_r4_queries_exchange_budgets(spark):
+    """Exchange budgets for the q172+ additions. Values above 3 are on
+    aggregate-sized relations (pair sets, |types|×|days| rollups), not
+    the corpus — the budget pins them so a corpus-sized regression
+    (e.g. a lost partial agg doubling a scan-side exchange) shows up
+    as a count jump."""
+    budgets = {
+        "q172_bootstrap_ci": 1,        # ×B explode collapses to B rows
+        "q173_dow_seasonal_index": 5,  # daily agg + tiny rollups/branches
+        "q174_supplier_concentration": 2,
+        "q175_ivf_cell_census": 2,     # assignment is map-side broadcast
+        "q176_tokenizer_fertility": 1,
+        "q177_srm_check": 1,
+        "q178_bow_duplicate_groups": 2,
+        "q179_dedup_cascade_agreement": 6,  # two pair relations + audit
+        "q180_quantization_error": 2,
+        "q181_focal_slope_histogram": 1,
+        "q182_token_cdf": 1,
+        "q183_token_pair_lift": 3,
+        "q163_minhash_calibration": 7,  # one shingle exchange + joins
+    }
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    for name, budget in budgets.items():
+        p = plan_text(cat.QUERIES[name].fn(spark, SF))
+        assert n_shuffles(p) <= budget, (name, n_shuffles(p))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
