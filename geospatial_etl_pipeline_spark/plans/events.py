@@ -2277,18 +2277,22 @@ def q173_dow_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("n_events"),
         F.count(F.lit(1)).alias("n_days"),
     )
-    totals = per_dow.groupBy("event_type").agg(
-        F.sum("n_events").cast("bigint").alias("tot_events"),
-        F.sum("n_days").cast("bigint").alias("tot_days"),
-    )
-    return per_dow.join(F.broadcast(totals), "event_type").select(
+    # per-type totals as a window over the 7·|types|-row aggregate —
+    # a separate totals agg + rejoin re-planned the whole daily subtree
+    # per branch (measured 5 exchanges vs 3; all tiny, but the simpler
+    # plan is also the honest one)
+    wt = Window.partitionBy("event_type")
+    return per_dow.select(
         "event_type",
         "dow",
         "n_events",
         "n_days",
         (
             (F.col("n_events").cast("double") / F.col("n_days"))
-            / (F.col("tot_events").cast("double") / F.col("tot_days"))
+            / (
+                F.sum("n_events").over(wt).cast("double")
+                / F.sum("n_days").over(wt)
+            )
         ).alias("seasonal_index"),
     )
 

@@ -551,7 +551,7 @@ def test_late_r4_queries_exchange_budgets(spark):
     as a count jump."""
     budgets = {
         "q172_bootstrap_ci": 1,        # ×B explode collapses to B rows
-        "q173_dow_seasonal_index": 5,  # daily agg + tiny rollups/branches
+        "q173_dow_seasonal_index": 3,  # daily agg + per_dow agg + type window
         "q174_supplier_concentration": 2,
         "q175_ivf_cell_census": 2,     # assignment is map-side broadcast
         "q176_tokenizer_fertility": 1,
