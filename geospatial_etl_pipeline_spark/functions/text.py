@@ -148,3 +148,19 @@ def quality_score(text: Column | str) -> Column:
         + (sw / F.greatest(n_tok, F.lit(1.0))) * F.lit(0.4)
         + F.when(n_chars > 0, F.lit(0.2) - F.least(punct / n_chars, F.lit(0.2))).otherwise(F.lit(0.0))
     )
+
+
+def bow_fingerprint_t(tok: Column) -> Column:
+    """md5 of the SORTED DISTINCT token set — the order-invariant
+    (bag-of-words) duplicate signature. q178 groups on it and q179
+    audits those groups against the LSH tier; both build it HERE so
+    the signature cannot drift between producer and auditor."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tok))))
+
+
+def sql_bow_fp(sql_tokens: str) -> str:
+    """DuckDB mirror of bow_fingerprint_t for a given tokens fragment."""
+    return (
+        f"md5(list_aggregate(list_sort(list_distinct({sql_tokens})),"
+        " 'string_agg', ' '))"
+    )

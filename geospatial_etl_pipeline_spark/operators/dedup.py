@@ -135,6 +135,31 @@ def _signatures_from_shingles(
     return staged.select(*cols)
 
 
+def banded_signatures(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_hash): each signature exploded into its LSH band
+    hashes — md5('b|mh..mh') per band. THE band construction: the
+    join pipeline (lsh_candidate_pairs), the skew audit (q162) and the
+    calibration (q163) all call this one function, so the banding
+    scheme cannot drift between the production path and its audits."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*band_cols)).alias("band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -153,7 +178,6 @@ def lsh_candidate_pairs(
     so cost scales with bucket occupancy, not corpus².
     """
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     # repartition on the id so the tokenize+shingle pipeline materializes
     # into ONE shuffle whose output every downstream branch reuses
     # (banded self-join sides, sa/sb verify joins) via ReusedExchange —
@@ -164,20 +188,7 @@ def lsh_candidate_pairs(
         id_col
     )
     sigs = _signatures_from_shingles(shingles, id_col, num_hashes)
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-            )
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(F.array(*band_cols)).alias("band_hash"),
-    )
+    banded = banded_signatures(sigs, id_col, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.dedup import (
+    banded_signatures,
     exact_dedup_groups,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -1246,23 +1247,7 @@ def q162_lsh_band_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=_NUM_HASHES,
         shingle_k=_SHINGLE_K,
     )
-    rows_per_band = _NUM_HASHES // _BANDS
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[
-                    F.col(f"mh{b * rows_per_band + r}")
-                    for r in range(rows_per_band)
-                ],
-            )
-        )
-        for b in range(_BANDS)
-    ]
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band_hash")
-    )
+    banded = banded_signatures(sigs, "doc_id", _NUM_HASHES, _BANDS)
     buckets = banded.groupBy("band_hash").agg(F.count(F.lit(1)).alias("k"))
     k = F.col("k")
     return buckets.groupBy(
@@ -1270,7 +1255,10 @@ def q162_lsh_band_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum(k).cast("bigint").alias("n_postings"),
-        F.sum((k * (k - 1)) / 2).cast("bigint").alias("pair_work"),
+        # `div`, not `/`: long/long division in Spark yields doubles and
+        # a >2^53 total pair_work would round — the audit's whole point
+        # is exactness at 100 TB (oracle uses `//`, also exact)
+        F.sum(F.expr("(k * (k - 1)) div 2")).cast("bigint").alias("pair_work"),
     )
 
 
@@ -1300,7 +1288,7 @@ scored AS (
 SELECT n_match,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
        CAST({sql_qsum('jaccard')} AS DOUBLE) / 1e12 / COUNT(*) AS mean_jaccard,
-       CAST({sql_qsum('ABS(CAST(n_match AS DOUBLE) / 8.0e0 - jaccard)')}
+       CAST({sql_qsum(f'ABS(CAST(n_match AS DOUBLE) / {float(_NUM_HASHES)!r} - jaccard)')}
             AS DOUBLE) / 1e12 / COUNT(*) AS mean_abs_err
 FROM scored
 GROUP BY n_match
@@ -1334,23 +1322,7 @@ def q163_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, text_col="text", id_col="doc_id", mode="word", k=_SHINGLE_K
     ).repartition("doc_id")
     sigs = _signatures_from_shingles(shingles, "doc_id", _NUM_HASHES)
-    rows_per_band = _NUM_HASHES // _BANDS
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[
-                    F.col(f"mh{b * rows_per_band + r}")
-                    for r in range(rows_per_band)
-                ],
-            )
-        )
-        for b in range(_BANDS)
-    ]
-    banded = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band_hash")
-    )
+    banded = banded_signatures(sigs, "doc_id", _NUM_HASHES, _BANDS)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -1389,7 +1361,7 @@ def q163_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(n_match.alias("n_match"), jac.alias("jaccard"))
     )
     n = F.count(F.lit(1))
-    est = F.col("n_match").cast("double") / F.lit(8.0)
+    est = F.col("n_match").cast("double") / F.lit(float(_NUM_HASHES))
     return scored.groupBy("n_match").agg(
         n.alias("n_pairs"),
         (qsum(F.col("jaccard")).cast("double") / F.lit(1e12) / n).alias(
@@ -1401,10 +1373,9 @@ def q163_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_BOW_FP = (
-    f"md5(list_aggregate(list_sort(list_distinct({_SQL_TOKENS})),"
-    " 'string_agg', ' '))"
-)
+from ..functions.text import sql_bow_fp as _sql_bow_fp_fn
+
+_SQL_BOW_FP = _sql_bow_fp_fn(_SQL_TOKENS)
 
 
 @register(
@@ -1454,14 +1425,11 @@ def q179_dedup_cascade_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction."""
     from ..functions.text import tokens as _tokens
 
+    from ..functions.text import bow_fingerprint_t
+
     d = t(spark, sf_dir, "documents")
     bow = d.select(
-        "doc_id",
-        F.md5(
-            F.concat_ws(
-                " ", F.array_sort(F.array_distinct(_tokens("text")))
-            )
-        ).alias("bow_fp"),
+        "doc_id", bow_fingerprint_t(_tokens("text")).alias("bow_fp")
     )
     a = bow.select(F.col("doc_id").alias("id_a"), "bow_fp")
     b = bow.select(F.col("doc_id").alias("id_b"), "bow_fp")

@@ -14,7 +14,7 @@ from pyspark.sql.window import Window
 
 from ..operators.asof import asof_join
 from ._util import DEC, dsum, sql_dsum, t
-from .catalog import register
+from .catalog import QUERIES, register
 
 
 @register(
@@ -1312,6 +1312,31 @@ def q137_ewma_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Experiment arm assignment — ONE definition for the experiment (q140),
+# its funnel diagnosis (q149) and its SRM hygiene check (q177): the SRM
+# check is only meaningful if it audits the exact randomization the
+# experiment used, so all three Spark sides call _arm_col() and an
+# import-time guard pins every oracle to the canonical SQL fragment.
+_SQL_ARM_HASH = (
+    "('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT"
+)
+
+
+def _arm_col():
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+
+
 @register(
     "q140_ab_test_conversion",
     tags=("events", "llm-data", "experimentation", "ab-test"),
@@ -1359,18 +1384,7 @@ def q140_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm are in-row), then a 4-cell global aggregate — the classic
     two-level rollup, nothing data-sized past the first exchange."""
     e = t(spark, sf_dir, "events")
-    arm = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-    )
+    arm = _arm_col()
     u = e.groupBy("user_id").agg(
         F.max(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
@@ -1607,18 +1621,7 @@ def q149_funnel_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     divide guarded by greatest(n,1). Scale shape: ONE user_id rollup
     with map-side combine, then a 2-row arm aggregate."""
     e = t(spark, sf_dir, "events")
-    arm = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-    )
+    arm = _arm_col()
     u = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
             "first_click"
@@ -2334,21 +2337,8 @@ def q177_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one user rollup exchange (map-side combined), then a 1-row
     reduction."""
     e = t(spark, sf_dir, "events")
-    arm = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-    )
-    u = e.groupBy("user_id").agg(F.first(F.lit(1))).select(
-        arm.alias("arm")
-    )
+    arm = _arm_col()
+    u = e.select("user_id").distinct().select(arm.alias("arm"))
     agg = u.agg(
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
         .cast("bigint")
@@ -2372,3 +2362,10 @@ def q177_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2.alias("chi2_srm"),
         (d2 > F.lit(3.841)).alias("srm_flag"),
     )
+
+
+# Import-time drift guard: the three experiment-family oracles must
+# embed the canonical arm hash verbatim. A seed/slice change that
+# misses one copy fails HERE, not silently in a meaningless SRM report.
+for _q in ("q140_ab_test_conversion", "q149_funnel_by_arm", "q177_srm_check"):
+    assert _SQL_ARM_HASH in QUERIES[_q].oracle, _q

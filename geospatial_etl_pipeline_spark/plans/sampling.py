@@ -833,7 +833,6 @@ def q165_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compares only — the weight ladder is bit-identical in both engines.
 # P[k > 8] ≈ 1.1e-6 collapses into the top rung.
 _BOOT_B = 32
-_BOOT_CUTS = []
 
 
 def _poisson_cuts() -> list[int]:

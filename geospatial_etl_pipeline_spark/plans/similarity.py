@@ -1475,7 +1475,8 @@ cent AS (
   FROM ex GROUP BY label, dim
 )
 SELECT c.label, c.dim, c.n_vecs, c.centroid, g.mu, g.sigma,
-       (c.centroid - g.mu) / g.sigma AS centroid_std
+       CASE WHEN g.sigma > 0e0 THEN (c.centroid - g.mu) / g.sigma
+            ELSE NULL END AS centroid_std
 FROM cent c JOIN gstats g ON g.dim = c.dim
 """,
 )
@@ -1522,18 +1523,29 @@ def q160_standardized_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid",
         "mu",
         "sigma",
-        ((F.col("centroid") - F.col("mu")) / F.col("sigma")).alias(
-            "centroid_std"
-        ),
+        # zero-variance guard (q164's rule): a constant dimension must
+        # yield NULL identically in both engines, never a /0 Inf (DuckDB)
+        # vs NULL (Spark) parity break
+        F.when(
+            F.col("sigma") > 0.0,
+            (F.col("centroid") - F.col("mu")) / F.col("sigma"),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("centroid_std"),
     )
 
 
 # q175's oracle reuses q56's registered CTE text verbatim up through the
 # per-vector cell assignment — sliced at runtime, so the audit cannot
 # drift from the index it audits.
-_SQL_IVF_CELL_CTES = (
-    QUERIES["q56_ivf_topk"].oracle.split("),\nqv AS")[0] + ")"
-)
+_IVF_SPLIT_MARKER = "),\nqv AS"
+_ivf_parts_split = QUERIES["q56_ivf_topk"].oracle.split(_IVF_SPLIT_MARKER)
+# str.split degrades SILENTLY to the whole string when the marker is
+# missing (a reformat of q56's oracle would produce malformed SQL whose
+# failure surfaces as a confusing DuckDB parse error) — fail at import
+# with the cause instead.
+assert len(_ivf_parts_split) == 2, "q56 oracle lost the qv-AS CTE marker"
+_SQL_IVF_CELL_CTES = _ivf_parts_split[0] + ")"
 
 
 @register(

@@ -17,8 +17,10 @@ from pyspark.sql.window import Window
 
 from ..functions.text import (
     STOPWORDS,
+    bow_fingerprint_t,
     fingerprint_t,
     punct_count,
+    sql_bow_fp,
     stopword_hits_t,
     token_count_t,
     tokens,
@@ -41,6 +43,36 @@ def _staged(spark: SparkSession, sf_dir: str, *extra: str) -> DataFrame:
 def _sql_stopword_hits(lang: str) -> str:
     inlist = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return f"CAST(len(list_filter({_SQL_TOKENS}, t -> t IN ({inlist}))) AS BIGINT)"
+
+
+# The length/stopword/punctuation quality heuristic — ONE definition.
+# q31 emits it per-document, q166 builds decile profiles on it; both
+# reference these two builders so the formula cannot fork (a weights
+# tweak that missed one copy would leave both parities green while the
+# decile profile scored a different quantity than q31 reports).
+_SQL_QUALITY = f"""(LEAST(CAST(len({_SQL_TOKENS}) AS DOUBLE) / 100.0, 1.0) * 0.4
+         + (CAST({_sql_stopword_hits('en')} AS DOUBLE)
+            / GREATEST(CAST(len({_SQL_TOKENS}) AS DOUBLE), 1.0)) * 0.4
+         + CASE WHEN CAST(LENGTH(text) AS DOUBLE) > 0
+                THEN 0.2 - LEAST(CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)
+                                 / CAST(LENGTH(text) AS DOUBLE), 0.2)
+                ELSE 0.0 END)"""
+
+
+def _quality_t(tok):
+    """Spark mirror of _SQL_QUALITY over the staged token array (the
+    text column must be in scope as ``text``)."""
+    n_tok = token_count_t(tok).cast("double")
+    n_chars = F.length("text").cast("double")
+    sw = stopword_hits_t(tok, "en").cast("double")
+    punct = punct_count("text").cast("double")
+    return (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + (sw / F.greatest(n_tok, F.lit(1.0))) * F.lit(0.4)
+        + F.when(
+            n_chars > 0, F.lit(0.2) - F.least(punct / n_chars, F.lit(0.2))
+        ).otherwise(F.lit(0.0))
+    )
 
 
 @register(
@@ -81,13 +113,7 @@ SELECT doc_id,
        CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
        {_sql_stopword_hits('en')} AS stopword_hits_en,
        CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS punct_cnt,
-       LEAST(CAST(len({_SQL_TOKENS}) AS DOUBLE) / 100.0, 1.0) * 0.4
-         + (CAST({_sql_stopword_hits('en')} AS DOUBLE)
-            / GREATEST(CAST(len({_SQL_TOKENS}) AS DOUBLE), 1.0)) * 0.4
-         + CASE WHEN CAST(LENGTH(text) AS DOUBLE) > 0
-                THEN 0.2 - LEAST(CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)
-                                 / CAST(LENGTH(text) AS DOUBLE), 0.2)
-                ELSE 0.0 END AS quality
+       {_SQL_QUALITY} AS quality
 FROM documents
 """,
 )
@@ -95,17 +121,7 @@ def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length/stopword/punctuation quality heuristic (training-data
     filtering stage); one pass, no shuffle."""
     tok = F.col("_tok")
-    n_tok = token_count_t(tok).cast("double")
-    n_chars = F.length("text").cast("double")
-    sw = stopword_hits_t(tok, "en").cast("double")
-    punct = punct_count("text").cast("double")
-    quality = (
-        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
-        + (sw / F.greatest(n_tok, F.lit(1.0))) * F.lit(0.4)
-        + F.when(
-            n_chars > 0, F.lit(0.2) - F.least(punct / n_chars, F.lit(0.2))
-        ).otherwise(F.lit(0.0))
-    )
+    quality = _quality_t(tok)
     return _staged(spark, sf_dir, "text").select(
         "doc_id",
         token_count_t(tok).alias("n_tokens"),
@@ -1075,14 +1091,6 @@ def q156_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_QUALITY = f"""(LEAST(CAST(len({_SQL_TOKENS}) AS DOUBLE) / 100.0, 1.0) * 0.4
-         + (CAST({_sql_stopword_hits('en')} AS DOUBLE)
-            / GREATEST(CAST(len({_SQL_TOKENS}) AS DOUBLE), 1.0)) * 0.4
-         + CASE WHEN CAST(LENGTH(text) AS DOUBLE) > 0
-                THEN 0.2 - LEAST(CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)
-                                 / CAST(LENGTH(text) AS DOUBLE), 0.2)
-                ELSE 0.0 END)"""
-
 _QDEC_FRACS = [x / 10.0 for x in range(1, 10)]
 
 
@@ -1131,17 +1139,7 @@ def q166_quality_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile unchanged). The quality double is the identical
     pinned expression in both engines, reduced via qsum only."""
     tok = F.col("_tok")
-    n_tok = token_count_t(tok).cast("double")
-    n_chars = F.length("text").cast("double")
-    sw = stopword_hits_t(tok, "en").cast("double")
-    punct = punct_count("text").cast("double")
-    quality = (
-        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
-        + (sw / F.greatest(n_tok, F.lit(1.0))) * F.lit(0.4)
-        + F.when(
-            n_chars > 0, F.lit(0.2) - F.least(punct / n_chars, F.lit(0.2))
-        ).otherwise(F.lit(0.0))
-    )
+    quality = _quality_t(tok)
     q = _staged(spark, sf_dir, "lang", "text").select(
         "lang", quality.alias("quality")
     )
@@ -1287,9 +1285,7 @@ def q176_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "llm-data", "dedup", "contamination"),
     oracle=f"""
 WITH fp AS (
-  SELECT doc_id, lang,
-         md5(list_aggregate(list_sort(list_distinct({_SQL_TOKENS})),
-                            'string_agg', ' ')) AS bow_fp
+  SELECT doc_id, lang, {sql_bow_fp(_SQL_TOKENS)} AS bow_fp
   FROM documents
 ),
 groups AS (
@@ -1321,11 +1317,7 @@ def q178_bow_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     staged = d.select("doc_id", "lang", tokens("text").alias("_tok"))
     fp = staged.select(
-        "doc_id",
-        "lang",
-        F.md5(
-            F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("_tok"))))
-        ).alias("bow_fp"),
+        "doc_id", "lang", bow_fingerprint_t(F.col("_tok")).alias("bow_fp")
     )
     return (
         fp.groupBy("bow_fp")
@@ -1446,6 +1438,11 @@ def q183_token_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair aggregate; TakeOrdered top-k. The support filter prunes the
     long tail before the df joins."""
     d = t(spark, sf_dir, "documents")
+    # NOT repartition-staged (the lsh-operator fix does not transfer):
+    # tok_df and n reach the join as BROADCAST sides, whose wrappers
+    # block static ReusedExchange of a staged dt — measured 7 un-reused
+    # exchanges staged vs 3 inline. The regex subtree re-evaluates per
+    # branch instead, the cheaper trade at |vocab|≈50.
     dt = d.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
     )

@@ -53,10 +53,17 @@ def corrupt_line_report(df: DataFrame) -> DataFrame:
     column keeps the scan legal without caching — the cache-the-frame
     workaround Spark's error suggests is a non-starter at 100 TB."""
     c = F.col(CORRUPT_COL)
+    # n_parsed must be corrupt-IS-NULL, NOT count(first column): a valid
+    # line whose leading field is json-null parses fine but count()
+    # skips it, breaking n_parsed + n_corrupt == n_lines. The first-col
+    # count still appears (honestly named) because the scan must
+    # reference at least one data column to stay legal.
     first_data_col = next(n for n in df.columns if n != CORRUPT_COL)
     return df.agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.count(F.col(first_data_col)).cast("bigint").alias("n_parsed"),
+        F.sum(F.when(c.isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_parsed"),
         F.sum(F.when(c.isNotNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_corrupt"),
@@ -64,6 +71,9 @@ def corrupt_line_report(df: DataFrame) -> DataFrame:
             F.sum(F.when(c.isNotNull(), 1).otherwise(0)).cast("double")
             / F.count(F.lit(1))
         ).alias("corrupt_rate"),
+        F.count(F.col(first_data_col))
+        .cast("bigint")
+        .alias("n_first_field_nonnull"),
     )
 
 

@@ -206,6 +206,7 @@ def test_jsonl_roundtrip_and_corrupt_report(spark, tmp_path):
     assert a == b and len(a) == 500
     rep = corrupt_line_report(back).collect()[0]
     assert rep["n_lines"] == 500 and rep["n_corrupt"] == 0
+    assert rep["n_parsed"] == 500
 
     # poison one line: it must be COUNTED, not silently dropped
     bad = tmp_path / "corpus_jsonl" / "zz_bad.json"
@@ -213,3 +214,6 @@ def test_jsonl_roundtrip_and_corrupt_report(spark, tmp_path):
     back2 = read_jsonl(spark, out, schema)
     rep2 = corrupt_line_report(back2).collect()[0]
     assert rep2["n_corrupt"] == 1 and rep2["n_lines"] == 502
+    # the parse identity holds even though the poisoned shard's good
+    # line has a non-null leading field
+    assert rep2["n_parsed"] + rep2["n_corrupt"] == rep2["n_lines"]
