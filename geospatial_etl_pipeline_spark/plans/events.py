@@ -2269,8 +2269,9 @@ def q173_dow_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All counts integer; the index is a ratio of two integer ratios —
     one pinned double expression. Shape: corpus → (type, day) partial
-    agg (the only corpus-sized exchange), then two tiny rollups and a
-    broadcast-back join."""
+    agg (the only corpus-sized exchange), a (type, dow) rollup, then
+    per-type totals as windows over that 7·|types|-row aggregate
+    (3 exchanges total, pinned)."""
     e = t(spark, sf_dir, "events")
     day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
     daily = e.groupBy(
