@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.asof import asof_join
-from ._util import DEC, dsum, sql_dsum, t
+from ._util import DEC, dsum, qsum, sql_dsum, t
 from .catalog import QUERIES, register
 
 
@@ -2370,3 +2370,142 @@ def q177_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # misses one copy fails HERE, not silently in a meaningless SRM report.
 for _q in ("q140_ab_test_conversion", "q149_funnel_by_arm", "q177_srm_check"):
     assert _SQL_ARM_HASH in QUERIES[_q].oracle, _q
+
+
+@register(
+    "q185_burstiness_fano",
+    tags=("events", "timeseries", "stats"),
+    oracle="""
+WITH per_min AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 60000000 AS BIGINT) AS minute,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, minute
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_minutes,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(MAX(c) AS BIGINT) AS max_per_minute,
+       CASE WHEN SUM(c) > 0
+            THEN (CAST(COUNT(*) * SUM(c * c) - SUM(c) * SUM(c) AS DOUBLE)
+                  / COUNT(*)) / CAST(SUM(c) AS DOUBLE)
+            ELSE NULL END AS fano_factor
+FROM per_min
+GROUP BY event_type
+""",
+)
+def q185_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness screen: the Fano factor (variance/mean) of per-minute
+    event counts per type, over OBSERVED minutes. A Poisson-steady
+    stream sits at 1; a bot burst or thundering herd pushes it far
+    above — the number that says whether q123's rate alarms need
+    burst-robust thresholds. Fano = (k·Σc² − (Σc)²)/k / Σc from exact
+    BIGINT sufficient statistics (population variance; q164's
+    discipline), zero-event types guarded to NULL identically in both
+    engines.
+
+    Shape: one (type, minute) partial agg over the corpus, then a
+    |types|-row reduction. Observed-minute semantics documented (an
+    all-idle minute contributes no row; the factor measures burstiness
+    WITHIN active minutes)."""
+    e = t(spark, sf_dir, "events")
+    minute = F.floor(F.unix_micros("ts") / 60_000_000).cast("bigint")
+    per_min = e.groupBy("event_type", minute.alias("minute")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    c = F.col("c")
+    k = F.count(F.lit(1))
+    sc = F.sum(c)
+    scc = F.sum(c * c)
+    return per_min.groupBy("event_type").agg(
+        k.alias("n_minutes"),
+        sc.cast("bigint").alias("n_events"),
+        F.max(c).cast("bigint").alias("max_per_minute"),
+        F.when(
+            sc > 0,
+            ((k * scc - sc * sc).cast("double") / k) / sc.cast("double"),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("fano_factor"),
+    )
+
+
+@register(
+    "q186_priority_mix_drift",
+    tags=("events", "relational", "drift", "stats"),
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY month, o_orderpriority
+),
+tot AS (
+  SELECT month, CAST(SUM(c) AS BIGINT) AS n_month FROM m GROUP BY month
+),
+pool AS (
+  SELECT o_orderpriority, CAST(SUM(c) AS BIGINT) AS c_pool,
+         CAST(SUM(SUM(c)) OVER () AS BIGINT) AS n_pool
+  FROM m GROUP BY o_orderpriority
+)
+SELECT m.month, t.n_month,
+       CAST(SUM(CAST(FLOOR(
+         (CAST(m.c AS DOUBLE)
+            - CAST(t.n_month AS DOUBLE) * p.c_pool / p.n_pool)
+         * (CAST(m.c AS DOUBLE)
+            - CAST(t.n_month AS DOUBLE) * p.c_pool / p.n_pool)
+         / (CAST(t.n_month AS DOUBLE) * p.c_pool / p.n_pool)
+         * 1000000000000.0) AS BIGINT)) AS DOUBLE) / 1e12 AS chi2_vs_pooled
+FROM m
+JOIN tot t ON t.month = m.month
+JOIN pool p ON p.o_orderpriority = m.o_orderpriority
+GROUP BY m.month, t.n_month
+""",
+)
+def q186_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical mix-shift monitor: each month's order-priority mix
+    tested (chi-square) against the pooled all-time mix — q131's
+    numeric drift screen for CATEGORICAL columns, the check that
+    catches 'the upstream enum changed meaning in March' before a
+    model trained on the pooled mix meets skewed serving traffic.
+
+    Determinism: expected counts are the pinned expression n_month ·
+    c_pool/n_pool of exact integers; the per-cell chi2 terms are
+    identical IEEE doubles in both engines and reduce through the
+    floor-quantized BIGINT ladder (qsum discipline) — even a 5-term
+    double sum is order-dependent, so no raw double is ever SUMmed.
+
+    Shape: one (month, priority) partial agg over orders, two tiny
+    rollups broadcast back, |months|-row output."""
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = m.groupBy("month").agg(F.sum("c").cast("bigint").alias("n_month"))
+    wall = Window.partitionBy()
+    pool = (
+        m.groupBy("o_orderpriority")
+        .agg(F.sum("c").alias("c_pool"))
+        .select(
+            "o_orderpriority",
+            F.col("c_pool").cast("bigint").alias("c_pool"),
+            F.sum("c_pool").over(wall).cast("bigint").alias("n_pool"),
+        )
+    )
+    exp = (
+        F.col("n_month").cast("double")
+        * F.col("c_pool")
+        / F.col("n_pool")
+    )
+    dev = F.col("c").cast("double") - exp
+    return (
+        m.join(F.broadcast(tot), "month")
+        .join(F.broadcast(pool), "o_orderpriority")
+        .groupBy("month", "n_month")
+        .agg(
+            (qsum(dev * dev / exp).cast("double") / F.lit(1e12)).alias(
+                "chi2_vs_pooled"
+            )
+        )
+    )

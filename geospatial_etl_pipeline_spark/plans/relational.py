@@ -1262,3 +1262,69 @@ def q174_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hhi"),
         (F.max(qty).cast("double") / sdec.cast("double")).alias("top_share"),
     )
+
+
+_LORENZ_BUCKETS = 20
+
+
+@register(
+    "q184_revenue_lorenz",
+    tags=("relational", "agg", "concentration", "two-level"),
+    oracle=f"""
+WITH ltv AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT total,
+         ntile({_LORENZ_BUCKETS}) OVER (ORDER BY total ASC, o_custkey ASC)
+           AS vigintile
+  FROM ltv
+)
+SELECT vigintile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(total AS DECIMAL(38,6))) AS DOUBLE) AS bucket_revenue,
+       CAST(SUM(SUM(CAST(total AS DECIMAL(38,6)))) OVER
+              (ORDER BY vigintile ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / CAST(SUM(SUM(CAST(total AS DECIMAL(38,6)))) OVER () AS DOUBLE)
+         AS cum_revenue_share
+FROM ranked
+GROUP BY vigintile
+""",
+)
+def q184_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of revenue concentration: customers ranked by
+    lifetime value, cumulative revenue share per vigintile — 'the top
+    5% of customers carry X% of revenue' read straight off the last
+    rows (q148's Gini gives the scalar; this gives the CURVE the
+    scalar summarizes, which is what a risk review actually looks at).
+
+    The ntile here is legitimate where q158 banned it: it ranks the
+    CUSTOMER AGGREGATE (orders/customer ≈ constant → ~1000× smaller
+    than the corpus), not the raw table — the q168 reduce-then-analyze
+    discipline. Tie-break on o_custkey makes the split deterministic;
+    revenue stays decimal-exact through every sum; the cumulative
+    share is a window over {_LORENZ_BUCKETS} grouped rows."""
+    o = t(spark, sf_dir, "orders")
+    ltv = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("total"))
+    wr = Window.orderBy(F.asc("total"), F.asc("o_custkey"))
+    ranked = ltv.select(
+        "total", F.ntile(_LORENZ_BUCKETS).over(wr).alias("vigintile")
+    )
+    grouped = ranked.groupBy("vigintile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("total").alias("bucket_revenue"),
+        F.sum(F.col("total").cast(DEC)).alias("_dec_rev"),
+    )
+    wcum = Window.orderBy("vigintile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    return grouped.select(
+        "vigintile",
+        "n_customers",
+        "bucket_revenue",
+        (
+            F.sum("_dec_rev").over(wcum).cast("double")
+            / F.sum("_dec_rev").over(wall).cast("double")
+        ).alias("cum_revenue_share"),
+    )
