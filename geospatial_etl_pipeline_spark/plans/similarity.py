@@ -1677,3 +1677,82 @@ def q180_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max(err).alias("max_abs_err"),
     )
+
+
+# q187 reuses q55's registered CTE text (e/norms/pairs/dots) verbatim —
+# runtime-sliced like q175, so the tuning histogram measures EXACTLY
+# the blocked pair population the near-dup query ranks.
+_ND_SPLIT_MARKER = ")\nSELECT * FROM ("
+_nd_split = QUERIES["q55_embedding_near_dup"].oracle.split(_ND_SPLIT_MARKER)
+assert len(_nd_split) == 2, "q55 oracle lost its final-SELECT marker"
+_SQL_ND_CTES = _nd_split[0] + ")"
+
+
+@register(
+    "q187_blocked_pair_cosine_histogram",
+    tags=("similarity", "llm-data", "dedup", "histogram", "tuning"),
+    oracle=f"""
+{_SQL_ND_CTES},
+cos AS (
+  SELECT (CAST(d.qd AS DOUBLE) / {_S!r})
+           / (sqrt(CAST(na.qn AS DOUBLE) / {_S!r})
+              * sqrt(CAST(nb.qn AS DOUBLE) / {_S!r})) AS cosine_sim
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.id_a
+  JOIN norms nb ON nb.vec_id = d.id_b
+)
+SELECT CAST(FLOOR(cosine_sim * 20.0) AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MIN(cosine_sim) AS min_cos,
+       MAX(cosine_sim) AS max_cos
+FROM cos
+GROUP BY bucket
+""",
+)
+def q187_blocked_pair_cosine_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Threshold-tuning histogram for q55's near-dup pass: the cosine
+    distribution of ALL blocked candidate pairs in 0.05-wide buckets.
+    The near-dup threshold τ is a guess until this histogram shows
+    where the duplicate mode separates from the background bulk — at
+    100 TB you run this once on a sample, read the valley, and only
+    then spend the full pair budget. Runtime-sliced q55 CTEs: the
+    histogram measures exactly the pair population q55 ranks.
+
+    Buckets are floor(cos·20) on engine-identical doubles (the cosine
+    is quantized-integer dot ratios); the histogram agg is ≤41 keys."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        _sign_block(F.col("embedding"), _ND_BITS).alias("blk"),
+    ).withColumn("qn", _qdot(F.col("v"), F.col("v")))
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        "blk",
+        F.col("qn").alias("qna"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        "blk",
+        F.col("qn").alias("qnb"),
+    )
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    cos = pairs.select(
+        (
+            (_qdot(F.col("va"), F.col("vb")).cast("double") / F.lit(_S))
+            / (
+                F.sqrt(F.col("qna").cast("double") / F.lit(_S))
+                * F.sqrt(F.col("qnb").cast("double") / F.lit(_S))
+            )
+        ).alias("cosine_sim")
+    )
+    return cos.groupBy(
+        F.floor(F.col("cosine_sim") * 20.0).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("cosine_sim").alias("min_cos"),
+        F.max("cosine_sim").alias("max_cos"),
+    )
