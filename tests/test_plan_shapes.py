@@ -562,6 +562,10 @@ def test_late_r4_queries_exchange_budgets(spark):
         "q181_focal_slope_histogram": 1,
         "q182_token_cdf": 1,
         "q183_token_pair_lift": 3,
+        "q184_revenue_lorenz": 1,      # ntile on the customer AGGREGATE
+        "q185_burstiness_fano": 2,
+        "q186_priority_mix_drift": 6,  # month/pool rollup branches, tiny
+        "q187_blocked_pair_cosine_histogram": 1,
         "q163_minhash_calibration": 7,  # one shingle exchange + joins
     }
     from geospatial_etl_pipeline_spark.plans import catalog as cat
