@@ -1756,3 +1756,97 @@ def q187_blocked_pair_cosine_histogram(
         F.min("cosine_sim").alias("min_cos"),
         F.max("cosine_sim").alias("max_cos"),
     )
+
+
+@register(
+    "q188_ivf_recall_eval",
+    tags=("similarity", "llm-data", "ann", "ivf", "eval"),
+    oracle=f"""
+WITH ivf AS ({QUERIES["q56_ivf_topk"].oracle}),
+bfq AS (SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 3),
+bfe AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+bfprod AS (
+  SELECT q.query_id, e.vec_id,
+         e.embedding[i::INT]::DOUBLE AS x, qv[i::INT]::DOUBLE AS y
+  FROM bfe e, bfq q, unnest(range(1, len(e.embedding) + 1)) t(i)
+),
+bfagg AS (
+  SELECT query_id, vec_id,
+         CAST({sql_qsum('x * y')} AS DOUBLE) / {_S!r} AS dot,
+         CAST({sql_qsum('x * x')} AS DOUBLE) / {_S!r} AS na,
+         CAST({sql_qsum('y * y')} AS DOUBLE) / {_S!r} AS nq
+  FROM bfprod GROUP BY query_id, vec_id
+),
+bf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY dot / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC
+           ) AS rn
+    FROM bfagg
+  ) WHERE rn <= {_IVF_TOPK}
+)
+SELECT b.query_id,
+       CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(i.vec_id) AS DOUBLE) / {_IVF_TOPK} AS recall_at_{_IVF_TOPK}
+FROM bf b
+LEFT JOIN ivf i ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+GROUP BY b.query_id
+""",
+)
+def q188_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_IVF_TOPK} of the IVF index against exact brute force,
+    per query — the eval-as-a-query pattern: the approximate arm is
+    q56's REGISTERED plan invoked directly (and its registered oracle
+    nested verbatim in this one), the exact arm is the q53 broadcast
+    fold restricted to q56's own query/corpus split, so the number is
+    the recall of the index actually served, not of a reimplementation.
+    An ANN rollout gate reads this table, not a promise.
+
+    Shape: brute force is the broadcast-query in-row fold (one window
+    per query for top-k); the probe side is q56's plan; the comparison
+    joins two |queries|×k relations."""
+    ivf = QUERIES["q56_ivf_topk"].fn(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("ivf_vec")
+    )
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    corpus = e.filter(F.col("vec_id") >= 3)
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (
+            (_qdot(F.col("v"), F.col("qv")).cast("double") / F.lit(_S))
+            / (
+                F.sqrt(_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(_S))
+                * F.sqrt(
+                    _qdot(F.col("qv"), F.col("qv")).cast("double") / F.lit(_S)
+                )
+            )
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    bf = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVF_TOPK)
+        .select("query_id", "vec_id")
+    )
+    joined = bf.join(
+        ivf,
+        (bf.query_id == ivf.query_id) & (bf.vec_id == ivf.ivf_vec),
+        "left_outer",
+    ).select(bf.query_id, ivf.ivf_vec)
+    return joined.groupBy("query_id").agg(
+        F.count("ivf_vec").cast("bigint").alias("n_hits"),
+        (F.count("ivf_vec").cast("double") / F.lit(float(_IVF_TOPK))).alias(
+            f"recall_at_{_IVF_TOPK}"
+        ),
+    )
