@@ -2509,3 +2509,59 @@ def q186_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "q190_out_of_order_audit",
+    tags=("events", "streaming", "quality", "watermark"),
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         epoch_us(ts) - MAX(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS skew_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN skew_us < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_out_of_order,
+       CAST(SUM(CASE WHEN skew_us < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS ooo_rate,
+       CAST(MIN(skew_us) AS BIGINT) AS max_backward_us
+FROM seq
+GROUP BY event_type
+""",
+)
+def q190_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit: per event type, how often a user's
+    events arrive with an event-time EARLIER than that user's running
+    maximum (arrival order = event_id), and the worst backward skew in
+    microseconds. max_backward_us IS the lateness bound a streaming
+    watermark must cover — q60/q62's '10 minutes' is a guess until
+    this table says the p100 disorder; re-run per source before
+    trusting a tighter delay. (A NULL max_backward_us would mean a
+    perfectly ordered type; negative is the observed bound.)
+
+    Integer microsecond arithmetic throughout (q47's discipline); the
+    running max and the lag comparison share ONE user_id exchange
+    (arrival order approximated by event_id — the generator's append
+    order — since files carry no kafka offset); final agg is |types|
+    rows."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros("ts")
+    seq = e.select(
+        "event_type", (us - F.max(us).over(w)).alias("skew_us")
+    )
+    ooo = F.sum(F.when(F.col("skew_us") < 0, 1).otherwise(0))
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ooo.cast("bigint").alias("n_out_of_order"),
+        (ooo.cast("double") / F.count(F.lit(1))).alias("ooo_rate"),
+        F.min("skew_us").cast("bigint").alias("max_backward_us"),
+    )

@@ -317,3 +317,102 @@ def q161_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").cast("int").alias("y_min"),
         F.max("y").cast("int").alias("y_max"),
     )
+
+
+# Demo query rectangle for the pruning report (cell space: x 24..55,
+# y 40..71 — a 32×32 window off the cell grid's corner).
+_ZQ = {"xmin": 24, "xmax": 55, "ymin": 40, "ymax": 71}
+
+
+@register(
+    "q189_zorder_pruning_report",
+    tags=("geometry", "spatial", "partitioning", "zorder", "eval"),
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey, {_X} AS x, {_Y} AS y FROM customer
+),
+coded AS (
+  SELECT c_custkey, x, y, {_morton_sql('x', 'y')} AS z FROM pts
+),
+cells AS (
+  SELECT CAST(z // {_Z_COARSE_SHIFT} AS BIGINT) AS zcell,
+         CAST(COUNT(*) AS BIGINT) AS n_points,
+         MIN(x) AS x_min, MAX(x) AS x_max,
+         MIN(y) AS y_min, MAX(y) AS y_max
+  FROM coded GROUP BY zcell
+),
+flagged AS (
+  SELECT zcell, n_points,
+         CASE WHEN x_max >= {_ZQ['xmin']} AND x_min <= {_ZQ['xmax']}
+               AND y_max >= {_ZQ['ymin']} AND y_min <= {_ZQ['ymax']}
+              THEN 1 ELSE 0 END AS touched
+  FROM cells
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_matched
+  FROM pts
+  WHERE x >= {_ZQ['xmin']} AND x <= {_ZQ['xmax']}
+    AND y >= {_ZQ['ymin']} AND y <= {_ZQ['ymax']}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_total,
+       CAST(SUM(touched) AS BIGINT) AS n_cells_touched,
+       CAST(SUM(n_points) AS BIGINT) AS n_points_total,
+       CAST(SUM(touched * n_points) AS BIGINT) AS n_points_scanned,
+       CAST(MIN(e.n_matched) AS BIGINT) AS n_points_matched,
+       CAST(SUM(touched * n_points) AS DOUBLE) / MIN(e.n_matched)
+         AS scan_amplification
+FROM flagged, exact e
+""",
+)
+def q189_zorder_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff report for q161's Z-order layout: for a demo query
+    rectangle, how many coarse Z-cells a pruned scan touches, how many
+    points that reads, versus the exact match count — ending in the
+    scan-amplification factor (points read / points matched). This is
+    the number a layout review compares against amplification ~n/match
+    for an unclustered scan: file-statistics pruning in one table.
+
+    Cells prune on their OBSERVED x/y extents — exactly the min/max
+    column statistics a parquet footer would carry for materialized
+    x/y columns under a z-ordered layout. All-integer arithmetic; one
+    cell census + one exact count, both single partial aggs, joined as
+    1-row/16-row broadcasts."""
+    pts = _points(spark, sf_dir)
+    coded = pts.select(
+        "x", "y", F.expr(_morton_sql("x", "y")).alias("z")
+    )
+    cells = coded.groupBy(
+        F.floor(F.col("z") / _Z_COARSE_SHIFT).cast("bigint").alias("zcell")
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )
+    touched = (
+        (F.col("x_max") >= _ZQ["xmin"])
+        & (F.col("x_min") <= _ZQ["xmax"])
+        & (F.col("y_max") >= _ZQ["ymin"])
+        & (F.col("y_min") <= _ZQ["ymax"])
+    ).cast("int")
+    flagged = cells.select("zcell", "n_points", touched.alias("touched"))
+    exact = pts.filter(
+        (F.col("x") >= _ZQ["xmin"])
+        & (F.col("x") <= _ZQ["xmax"])
+        & (F.col("y") >= _ZQ["ymin"])
+        & (F.col("y") <= _ZQ["ymax"])
+    ).agg(F.count(F.lit(1)).alias("n_matched"))
+    return flagged.crossJoin(F.broadcast(exact)).agg(
+        F.count(F.lit(1)).alias("n_cells_total"),
+        F.sum("touched").cast("bigint").alias("n_cells_touched"),
+        F.sum("n_points").cast("bigint").alias("n_points_total"),
+        F.sum(F.col("touched") * F.col("n_points"))
+        .cast("bigint")
+        .alias("n_points_scanned"),
+        F.min("n_matched").cast("bigint").alias("n_points_matched"),
+        (
+            F.sum(F.col("touched") * F.col("n_points")).cast("double")
+            / F.min("n_matched")
+        ).alias("scan_amplification"),
+    )
