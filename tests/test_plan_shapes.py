@@ -566,6 +566,9 @@ def test_late_r4_queries_exchange_budgets(spark):
         "q185_burstiness_fano": 2,
         "q186_priority_mix_drift": 6,  # month/pool rollup branches, tiny
         "q187_blocked_pair_cosine_histogram": 1,
+        "q188_ivf_recall_eval": 5,     # q56 probe + bf window + compare
+        "q189_zorder_pruning_report": 1,
+        "q190_out_of_order_audit": 2,
         "q163_minhash_calibration": 7,  # one shingle exchange + joins
     }
     from geospatial_etl_pipeline_spark.plans import catalog as cat
