@@ -237,3 +237,26 @@ def test_bootstrap_poisson_ladder():
         cum += math.exp(-1.0) / math.factorial(k)
         assert abs(cut / 2**32 - cum) < 1e-9, (k, cut, cum)
     assert 1.0 - _BOOT_CUTS[-1] / 2**32 < 2e-6
+
+
+def test_q189_pruning_identities(spark):
+    """A pruned scan can never read fewer points than it matches, and
+    the rectangle's matches must all live in touched cells."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        r = catalog.QUERIES["q189_zorder_pruning_report"].fn(spark, sf).collect()[0]
+        assert 0 < r["n_cells_touched"] <= r["n_cells_total"], (sf, r)
+        assert r["n_points_matched"] <= r["n_points_scanned"] <= r["n_points_total"], (sf, r)
+        assert r["scan_amplification"] >= 1.0, (sf, r)
+
+
+def test_q190_out_of_order_identities(spark):
+    """Disorder counts are bounded by event counts; the backward-skew
+    bound is negative exactly when disorder exists."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = catalog.QUERIES["q190_out_of_order_audit"].fn(spark, sf).collect()
+        assert rows, sf
+        for r in rows:
+            assert 0 <= r["n_out_of_order"] <= r["n_events"], (sf, r)
+            assert 0.0 <= r["ooo_rate"] <= 1.0, (sf, r)
+            if r["n_out_of_order"] > 0:
+                assert r["max_backward_us"] < 0, (sf, r)
