@@ -2565,3 +2565,76 @@ def q190_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ooo.cast("double") / F.count(F.lit(1))).alias("ooo_rate"),
         F.min("skew_us").cast("bigint").alias("max_backward_us"),
     )
+
+
+@register(
+    "q191_asof_staleness",
+    tags=("events", "asof", "feature-store", "histogram"),
+    oracle="""
+WITH matched AS (
+  SELECT p.event_id,
+         epoch_us(p.ts) - MAX(epoch_us(c.ts)) AS staleness_us
+  FROM events p
+  LEFT JOIN events c
+    ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+  WHERE p.event_type = 'purchase'
+  GROUP BY p.event_id, p.ts
+)
+SELECT CASE WHEN staleness_us IS NULL THEN -1
+            ELSE CAST(LENGTH(bin(staleness_us // 1000000 + 1)) - 1 AS INT)
+       END AS log2_staleness_s,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(MIN(staleness_us) AS BIGINT) AS min_staleness_us,
+       CAST(MAX(staleness_us) AS BIGINT) AS max_staleness_us
+FROM matched
+GROUP BY log2_staleness_s
+""",
+)
+def q191_asof_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-staleness histogram for the as-of join: how old the
+    matched last-click feature is at each purchase (the point-in-time
+    correctness metric a feature store reports — a feature that is
+    usually 6 hours stale trains a model the online store can't
+    reproduce). Bucket −1 collects purchases with NO prior click (the
+    null-feature rate); others are floor(log2(seconds+1)) buckets of
+    purchase_ts − last_click_ts, the same dataflow q61 hash-checks.
+
+    Integer microsecond arithmetic; +1 inside the log keeps the
+    0-second co-instant match in a defined bucket. Shape: the as-of
+    resolves on ONE user_id exchange (q61's operator discipline —
+    the oracle states the quadratic spec), then a ~40-key histogram
+    agg."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts"), F.col("ts").alias("click_ts")
+    )
+    matched = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts="ts",
+        right_payload=["click_ts"],
+    )
+    staleness = F.unix_micros("ts") - F.unix_micros("asof_click_ts")
+    bucket = F.when(F.col("asof_click_ts").isNull(), F.lit(-1)).otherwise(
+        (
+            F.length(
+                F.bin((staleness / 1_000_000).cast("bigint") + 1)
+            )
+            - 1
+        ).cast("int")
+    )
+    return (
+        matched.select(
+            bucket.alias("log2_staleness_s"), staleness.alias("staleness_us")
+        )
+        .groupBy("log2_staleness_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.min("staleness_us").cast("bigint").alias("min_staleness_us"),
+            F.max("staleness_us").cast("bigint").alias("max_staleness_us"),
+        )
+    )
