@@ -569,6 +569,7 @@ def test_late_r4_queries_exchange_budgets(spark):
         "q188_ivf_recall_eval": 5,     # q56 probe + bf window + compare
         "q189_zorder_pruning_report": 1,
         "q190_out_of_order_audit": 2,
+        "q191_asof_staleness": 2,      # asof union-window + histogram
         "q163_minhash_calibration": 7,  # one shingle exchange + joins
     }
     from geospatial_etl_pipeline_spark.plans import catalog as cat
