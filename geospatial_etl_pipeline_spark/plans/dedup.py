@@ -1296,7 +1296,8 @@ GROUP BY n_match
 )
 def q163_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator calibration: for every LSH candidate pair,
-    compare the signature estimate (matching hashes / 8) against the
+    compare the signature estimate (matching hashes / num_hashes,
+    the textbook Pr[minhash match] = Jaccard identity) against the
     EXACT shingle Jaccard, stratified by match count. The sketch-trust
     report: if mean_abs_err at n_match=8 is 0.4, your '8/8 duplicate'
     bucket is full of false twins and the band/row dial needs turning
