@@ -1328,3 +1328,110 @@ def q184_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("_dec_rev").over(wall).cast("double")
         ).alias("cum_revenue_share"),
     )
+
+
+@register(
+    "q192_fulfillment_sla",
+    tags=("relational", "join", "percentile", "sla"),
+    oracle="""
+WITH lat AS (
+  SELECT o.o_orderpriority,
+         CAST(epoch_us(l.l_shipdate) // 86400000000
+              - epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       quantile_cont(CAST(days AS DOUBLE), 5e-1) AS p50_days,
+       quantile_cont(CAST(days AS DOUBLE), 9e-1) AS p90_days,
+       quantile_cont(CAST(days AS DOUBLE), 9.9e-1) AS p99_days,
+       CAST(MAX(days) AS BIGINT) AS max_days,
+       CAST(SUM(CASE WHEN days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_90d
+FROM lat
+GROUP BY o_orderpriority
+""",
+)
+def q192_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship SLA table: latency percentiles (order date →
+    line-item ship date, integer epoch-days) per order priority, plus
+    the tail count beyond a 90-day breach line — the operations
+    dashboard query that says whether '1-URGENT' actually ships
+    faster, with the p99/max tail that averages hide.
+
+    Shape: the orders side projects to (key, priority, date) before
+    the fact join (shuffle on orderkey, AQE-skew-safe); latencies are
+    exact integer days; percentiles are q28's holistic contract per
+    ≤5 groups. At 100 TB swap approx_percentile, breach count
+    unchanged."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    days = (
+        F.unix_date(F.col("l_shipdate").cast("date"))
+        - F.unix_date(F.col("o_orderdate").cast("date"))
+    ).cast("bigint")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", days.alias("days")
+    )
+    d = F.col("days").cast("double")
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.percentile(d, 0.5).alias("p50_days"),
+        F.percentile(d, 0.9).alias("p90_days"),
+        F.percentile(d, 0.99).alias("p99_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+        F.sum(F.when(F.col("days") > 90, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_over_90d"),
+    )
+
+
+@register(
+    "q193_bipartite_degrees",
+    tags=("relational", "graph", "histogram"),
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+pdeg AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS deg FROM edges
+  GROUP BY l_partkey
+),
+sdeg AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS deg FROM edges
+  GROUP BY l_suppkey
+)
+SELECT 'part' AS side, deg,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM pdeg GROUP BY deg
+UNION ALL
+SELECT 'supplier' AS side, deg,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM sdeg GROUP BY deg
+""",
+)
+def q193_bipartite_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part↔supplier bipartite graph (how
+    many suppliers serve each part, how many parts each supplier
+    carries) — the sparsity census run before any co-occurrence or
+    recommender model on interaction data: a supplier side with degree
+    p99 = 3 means the lift/embedding models (q134/q129) are starving,
+    and a single 10⁶-degree node is the skew that q138's census and
+    salting exist for.
+
+    Shape: one distinct partial agg on the edge pair, two degree
+    rollups (each shrinking), two ~degree-bounded histogram aggs,
+    unioned. All integers."""
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select("l_partkey", "l_suppkey").distinct()
+    pdeg = edges.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("deg"))
+    sdeg = edges.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("deg"))
+    ph = pdeg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes")).select(
+        F.lit("part").alias("side"), "deg", "n_nodes"
+    )
+    sh = sdeg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes")).select(
+        F.lit("supplier").alias("side"), "deg", "n_nodes"
+    )
+    return ph.unionByName(sh)

@@ -217,3 +217,33 @@ def test_jsonl_roundtrip_and_corrupt_report(spark, tmp_path):
     # the parse identity holds even though the poisoned shard's good
     # line has a non-null leading field
     assert rep2["n_parsed"] + rep2["n_corrupt"] == rep2["n_lines"]
+
+
+def test_jsonl_roundtrip_hostile_strings(spark, tmp_path):
+    """JSONL must round-trip text containing the characters that break
+    naive line-oriented formats: embedded newlines, tabs, quotes,
+    backslashes, unicode (the writer JSON-escapes them; one document
+    stays one line)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from geospatial_etl_pipeline_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    rows = [
+        (1, 'line1\nline2\r\nline3'),
+        (2, 'tab\there "quoted" back\\slash'),
+        (3, 'unicode: ünïçödé 中文 😀   '),
+        (4, ''),
+        (5, '{"fake": "json"}'),
+    ]
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "hostile")
+    write_jsonl(df, out, compress=False)
+    back = read_jsonl(spark, out, schema)
+    got = {(r["doc_id"], r["text"]) for r in back.select("doc_id", "text").collect()}
+    assert got == set(rows)
