@@ -2638,3 +2638,79 @@ def q191_asof_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("staleness_us").cast("bigint").alias("max_staleness_us"),
         )
     )
+
+
+@register(
+    "q195_linear_attribution",
+    tags=("events", "attribution", "range-join"),
+    oracle=f"""
+WITH touches AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         CAST((epoch_us(c.ts) // 3600000000) % 24 AS INT) AS click_hour
+  FROM events p
+  JOIN events c
+    ON c.user_id = p.user_id AND c.event_type = 'click'
+   AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL '7 days'
+  WHERE p.event_type = 'purchase'
+),
+per_purchase AS (
+  SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n_touches
+  FROM touches GROUP BY purchase_id
+)
+SELECT t.click_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST({{q}} AS DOUBLE) / 1e12 AS credited_conversions
+FROM touches t
+JOIN per_purchase p ON p.purchase_id = t.purchase_id
+GROUP BY t.click_hour
+""".format(q="SUM(CAST(FLOOR(1e0 / p.n_touches * 1000000000000.0) AS BIGINT))"),
+)
+def q195_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the 7 days
+    before a purchase shares the conversion equally (credit = 1/n
+    touches), aggregated by click hour-of-day — the marketing-channel
+    credit table that last-touch (q61) systematically biases toward
+    late-night closers. Credits are identical per-row doubles (1/n of
+    an exact count) reduced through the qsum ladder; each purchase's
+    credit sums to exactly 1 before quantization (pinned in
+    test_catalog).
+
+    Shape: the touch relation is the q46 range join (user-keyed
+    equi-join, time predicate as post-filter); per-purchase counts are
+    one agg on it; the credit join keys on purchase_id — all three
+    relations shrink monotonically. Hour is integer epoch arithmetic
+    (UTC)."""
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    us_c = F.unix_micros("c_ts")
+    us_p = F.unix_micros("p_ts")
+    touches = p.join(c, "user_id").filter(
+        (F.col("c_ts") <= F.col("p_ts"))
+        & (us_c > us_p - 7 * 86_400_000_000)
+    ).select(
+        "purchase_id",
+        "click_id",
+        ((F.floor(us_c / 3_600_000_000)) % 24).cast("int").alias("click_hour"),
+    )
+    per_purchase = touches.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_touches")
+    )
+    credited = touches.join(per_purchase, "purchase_id")
+    credit_q = F.floor(
+        F.lit(1.0) / F.col("n_touches") * F.lit(1e12)
+    ).cast("bigint")
+    return credited.groupBy("click_hour").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        (F.sum(credit_q).cast("double") / F.lit(1e12)).alias(
+            "credited_conversions"
+        ),
+    )

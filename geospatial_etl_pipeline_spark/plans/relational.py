@@ -1435,3 +1435,84 @@ def q193_bipartite_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supplier").alias("side"), "deg", "n_nodes"
     )
     return ph.unionByName(sh)
+
+
+@register(
+    "q194_order_cadence_cv",
+    tags=("relational", "window", "two-level", "histogram"),
+    oracle="""
+WITH gaps AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) // 86400000000
+           - lag(epoch_us(o_orderdate) // 86400000000) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS gap_days
+  FROM orders
+),
+per_cust AS (
+  SELECT o_custkey,
+         CAST(COUNT(gap_days) AS BIGINT) AS k,
+         CAST(SUM(gap_days) AS BIGINT) AS sg,
+         CAST(SUM(gap_days * gap_days) AS BIGINT) AS sgg
+  FROM gaps GROUP BY o_custkey
+),
+cv AS (
+  SELECT o_custkey,
+         CASE WHEN k >= 2 AND sg > 0
+              THEN sqrt(CAST(k * sgg - sg * sg AS DOUBLE)) / sg
+              ELSE NULL END AS cv
+  FROM per_cust
+)
+SELECT CASE WHEN cv IS NULL THEN -1
+            ELSE CAST(FLOOR(cv * 4e0) AS INT) END AS cv_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       MIN(cv) AS cv_min,
+       MAX(cv) AS cv_max
+FROM cv
+GROUP BY cv_bucket
+""",
+)
+def q194_order_cadence_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence regularity census: per customer, the
+    coefficient of variation of inter-order gaps (subscription-like
+    regulars sit near 0, erratic buyers far above 1), bucketed at
+    0.25 width — the segmentation input for 'predictable reorder'
+    campaigns and the churn model's cadence feature, distributed as a
+    histogram instead of 1.5M per-customer rows. Bucket −1 holds
+    customers with <2 gaps or zero mean gap (CV undefined).
+
+    Determinism: CV = √(k·Σg²−(Σg)²)/Σg from exact BIGINT gap
+    sufficient statistics (the population-variance identity again —
+    no mean subtraction, no double sums), floor-bucketed on identical
+    doubles. Shape: one custkey window+agg exchange (the lag and the
+    rollup cluster identically), then a ~bounded histogram agg."""
+    o = t(spark, sf_dir, "orders")
+    day = F.unix_date(F.col("o_orderdate").cast("date")).cast("bigint")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey", (day - F.lag(day).over(w)).alias("gap_days")
+    )
+    g = F.col("gap_days")
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.count(g).alias("k"),
+        F.sum(g).alias("sg"),
+        F.sum(g * g).alias("sgg"),
+    )
+    cv = F.when(
+        (F.col("k") >= 2) & (F.col("sg") > 0),
+        F.sqrt(
+            (F.col("k") * F.col("sgg") - F.col("sg") * F.col("sg")).cast(
+                "double"
+            )
+        )
+        / F.col("sg"),
+    ).otherwise(F.lit(None).cast("double"))
+    cvd = per_cust.select(cv.alias("cv"))
+    bucket = F.when(F.col("cv").isNull(), F.lit(-1)).otherwise(
+        F.floor(F.col("cv") * F.lit(4.0)).cast("int")
+    )
+    return cvd.groupBy(bucket.alias("cv_bucket")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("cv").alias("cv_min"),
+        F.max("cv").alias("cv_max"),
+    )

@@ -260,3 +260,35 @@ def test_q190_out_of_order_identities(spark):
             assert 0.0 <= r["ooo_rate"] <= 1.0, (sf, r)
             if r["n_out_of_order"] > 0:
                 assert r["max_backward_us"] < 0, (sf, r)
+
+
+def test_q195_credits_sum_to_purchases(spark):
+    """Linear attribution conserves conversions: total credited mass
+    equals the number of purchases with >=1 touch (up to the 1e-12
+    quantization per touch)."""
+    from pyspark.sql import functions as F
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = catalog.QUERIES["q195_linear_attribution"].fn(spark, sf).collect()
+        credited = sum(r["credited_conversions"] for r in rows)
+        n_touches = sum(r["n_touches"] for r in rows)
+        from geospatial_etl_pipeline_spark.sources.tables import load_table
+
+        e = load_table(spark, sf, "events")
+        # independent count of attributed purchases via the same predicate
+        p = e.filter("event_type = 'purchase'").select(
+            F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+        )
+        c = e.filter("event_type = 'click'").select("user_id", F.col("ts").alias("cts"))
+        attributed = (
+            p.join(c, "user_id")
+            .filter(
+                (F.col("cts") <= F.col("pts"))
+                & (F.unix_micros("cts") > F.unix_micros("pts") - 7 * 86_400_000_000)
+            )
+            .select("pid")
+            .distinct()
+            .count()
+        )
+        assert abs(credited - attributed) < n_touches * 1e-11, (
+            sf, credited, attributed)
