@@ -1461,3 +1461,89 @@ def q179_dedup_cascade_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.when(ib + il > 0, 1).otherwise(0))
         ).alias("pair_jaccard"),
     )
+
+
+@register(
+    "q196_dedup_threshold_sweep",
+    tags=("dedup", "llm-data", "minhash", "tuning"),
+    oracle=f"""
+WITH {_SQL_LSH_CTES},
+jac AS (
+  SELECT CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+           AS jaccard
+  FROM cand
+  JOIN sh_t sa ON sa.doc_id = cand.id_a
+  JOIN sh_t sb ON sb.doc_id = cand.id_b
+),
+hist AS (
+  SELECT CAST(FLOOR(jaccard * 1e1) AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM jac GROUP BY bucket
+)
+SELECT bucket,
+       CAST(bucket AS DOUBLE) / 1e1 AS threshold_lo,
+       n_pairs,
+       CAST(SUM(n_pairs) OVER (
+         ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS pairs_at_or_above
+FROM hist
+""",
+)
+def q196_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-policy curve: how many candidate pairs the LSH stage
+    yields AT OR ABOVE each Jaccard threshold (0.1-wide buckets with a
+    descending cumulative) — q42 answers 'pairs at τ=0.25'; this
+    answers 'what would ANY τ cost' in the same single pass, which is
+    the table a dedup-policy review actually argues over (each 0.1 of
+    τ here is N documents kept or killed at 100 TB). Reuses the exact
+    q41/q42 CTEs (shared banded_signatures on the Spark side), so the
+    curve prices the production pipeline, not a reimplementation.
+
+    Exactness: Jaccard is an integer ratio; buckets floor identical
+    doubles; the cumulative runs over ≤11 histogram rows."""
+    from ..operators.dedup import _signatures_from_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    shingles = shingle_sets(
+        docs, text_col="text", id_col="doc_id", mode="word", k=_SHINGLE_K
+    ).repartition("doc_id")
+    sigs = _signatures_from_shingles(shingles, "doc_id", _NUM_HASHES)
+    banded = banded_signatures(sigs, "doc_id", _NUM_HASHES, _BANDS)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sha = shingles.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    shb = shingles.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = (
+        cand.join(sha, "id_a")
+        .join(shb, "id_b")
+        .select(
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard")
+        )
+    )
+    hist = jac.groupBy(
+        F.floor(F.col("jaccard") * 10.0).cast("int").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hist.select(
+        "bucket",
+        (F.col("bucket").cast("double") / F.lit(10.0)).alias("threshold_lo"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("bigint").alias("pairs_at_or_above"),
+    )
