@@ -2714,3 +2714,113 @@ def q195_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "credited_conversions"
         ),
     )
+
+
+@register(
+    "q197_deseasonalized_anomalies",
+    tags=("events", "timeseries", "anomaly", "composition"),
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS INT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day, dow
+),
+dow_tot AS (
+  SELECT event_type, dow,
+         CAST(SUM(c) AS BIGINT) AS s_dow,
+         CAST(COUNT(*) AS BIGINT) AS d_dow
+  FROM daily GROUP BY event_type, dow
+),
+adj AS (
+  SELECT d.event_type, d.day, d.c,
+         CAST(d.c AS DOUBLE) * d2.d_dow / d2.s_dow AS adj_c
+  FROM daily d JOIN dow_tot d2
+    ON d2.event_type = d.event_type AND d2.dow = d.dow
+),
+mom AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(CAST(FLOOR(adj_c * 1000000.0) AS BIGINT)) AS q1,
+         SUM(CAST(FLOOR(adj_c * adj_c * 1000000.0) AS BIGINT)) AS q2
+  FROM adj GROUP BY event_type
+)
+SELECT a.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN m.k >= 2
+              AND (CAST(m.k AS DOUBLE) * (CAST(m.q2 AS DOUBLE) / 1e6)
+                   - (CAST(m.q1 AS DOUBLE) / 1e6)
+                     * (CAST(m.q1 AS DOUBLE) / 1e6)) > 0e0
+              AND ABS(a.adj_c - (CAST(m.q1 AS DOUBLE) / 1e6) / m.k)
+                  > 3e0 * sqrt(CAST(m.k AS DOUBLE)
+                                  * (CAST(m.q2 AS DOUBLE) / 1e6)
+                                - (CAST(m.q1 AS DOUBLE) / 1e6)
+                                  * (CAST(m.q1 AS DOUBLE) / 1e6)) / m.k
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous_days
+FROM adj a JOIN mom m ON m.event_type = a.event_type
+GROUP BY a.event_type
+""",
+)
+def q197_deseasonalized_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally adjusted anomaly count: daily counts are divided by
+    their weekday's seasonal index (q173's factors, inlined) BEFORE
+    the 3σ test — the composition that stops q123-style alarms firing
+    every Sunday: seasonality is explained variance, not anomaly.
+
+    Determinism: the adjusted series is per-row IEEE on integer
+    ratios; its moments pass through the floor-quantized BIGINT
+    ladder at 1e6 (adj_c ≤ ~1e8 keeps q2 under 2^63 at this corpus —
+    the scale dial documented here for bigger ones), and the 3σ
+    comparison is a pinned expression of those exact sums. Degenerate
+    series (k<2 or zero variance) contribute no anomalies identically
+    in both engines.
+
+    Shape: one (type, day) corpus exchange, then joins/aggregates on
+    day-level relations only."""
+    e = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
+    daily = e.groupBy(
+        "event_type", day.alias("day"), ((day + 3) % 7).cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dow_tot = daily.groupBy("event_type", "dow").agg(
+        F.sum("c").cast("bigint").alias("s_dow"),
+        F.count(F.lit(1)).alias("d_dow"),
+    )
+    adj = daily.join(F.broadcast(dow_tot), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        (
+            F.col("c").cast("double") * F.col("d_dow") / F.col("s_dow")
+        ).alias("adj_c"),
+    )
+    q1 = F.sum(F.floor(F.col("adj_c") * F.lit(1e6)).cast("bigint"))
+    q2 = F.sum(
+        F.floor(F.col("adj_c") * F.col("adj_c") * F.lit(1e6)).cast("bigint")
+    )
+    mom = adj.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"), q1.alias("q1"), q2.alias("q2")
+    )
+    k = F.col("k")
+    s1 = F.col("q1").cast("double") / F.lit(1e6)
+    s2 = F.col("q2").cast("double") / F.lit(1e6)
+    # SS = k·Σx² − (Σx)² = k²·var — the subtraction form with NO inner
+    # divide (an earlier draft divided s1² by k inside SS: both engines
+    # agreed, parity stayed green, and the statistic was silently not
+    # σ — the drift-with-parity trap; caught by re-deriving, kept as a
+    # warning)
+    ss = k.cast("double") * s2 - s1 * s1
+    mean = s1 / k
+    std = F.sqrt(ss) / k
+    flag = F.when(
+        (k >= 2) & (ss > 0.0) & (F.abs(F.col("adj_c") - mean) > F.lit(3.0) * std),
+        1,
+    ).otherwise(0)
+    return (
+        adj.join(F.broadcast(mom), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(flag).cast("bigint").alias("n_anomalous_days"),
+        )
+    )
