@@ -1516,3 +1516,54 @@ def q194_order_cadence_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cv").alias("cv_min"),
         F.max("cv").alias("cv_max"),
     )
+
+
+@register(
+    "q199_repeat_purchase_cohorts",
+    tags=("relational", "cohort", "two-level"),
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey,
+         MIN(epoch_us(o_orderdate)) AS first_us,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT strftime(CAST(to_timestamp(first_us / 1000000.0) AS DATE), '%Y-%m')
+         AS cohort_month,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS repeat_rate,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders_total
+FROM firsts
+GROUP BY cohort_month
+""",
+)
+def q199_repeat_purchase_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate by acquisition cohort: customers grouped
+    by first-order month, each cohort's share who ever ordered again —
+    the retention headline that q87's triangle details period by
+    period, here as the one-line-per-cohort executive readout.
+
+    Cohort key is a 'YYYY-MM' string from the first order's UTC date
+    (string-formatted identically by both engines from the same
+    integer epoch). Shape: one custkey rollup exchange over orders,
+    then a |months| agg."""
+    o = t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
+            "first_us"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    cohort = F.date_format(
+        F.timestamp_micros(F.col("first_us")).cast("date"), "yyyy-MM"
+    )
+    rpt = F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+    return firsts.groupBy(cohort.alias("cohort_month")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        rpt.cast("bigint").alias("n_repeat"),
+        (rpt.cast("double") / F.count(F.lit(1))).alias("repeat_rate"),
+        F.sum("n_orders").cast("bigint").alias("n_orders_total"),
+    )

@@ -1482,3 +1482,157 @@ def q183_token_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("tok_a"), F.asc("tok_b"))
         .limit(_PAIR_TOPK)
     )
+
+
+@register(
+    "q198_source_lang_routing",
+    tags=("text", "llm-data", "mixing", "routing"),
+    oracle="""
+WITH m AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, lang
+),
+ranked AS (
+  SELECT source, lang, c,
+         CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY c DESC, lang ASC) AS rn
+  FROM m
+)
+SELECT source, n_source,
+       lang AS majority_lang,
+       c AS majority_docs,
+       CAST(c AS DOUBLE) / n_source AS purity
+FROM ranked
+WHERE rn = 1
+""",
+)
+def q198_source_lang_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source→language routing table: each source's majority language
+    and its purity (majority share). The ingestion-router QC that
+    q154 (classifier confusion) and q165 (within-lang source mix)
+    bracket from the other two sides: a source at purity 0.55 needs
+    per-document routing, one at 0.99 can route wholesale — at 100 TB
+    that decision is a 45% lang-ID compute saving.
+
+    All integers + one integer-ratio divide; deterministic majority
+    tie-break (count DESC, lang ASC). Shape: one (source, lang)
+    partial agg; the share window and rank run on that tiny aggregate
+    (one extra exchange on source)."""
+    d = t(spark, sf_dir, "documents")
+    m = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    ws = Window.partitionBy("source")
+    wr = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    ranked = m.select(
+        "source",
+        "lang",
+        "c",
+        F.sum("c").over(ws).cast("bigint").alias("n_source"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "source",
+        "n_source",
+        F.col("lang").alias("majority_lang"),
+        F.col("c").alias("majority_docs"),
+        (F.col("c").cast("double") / F.col("n_source")).alias("purity"),
+    )
+
+
+@register(
+    "q200_corpus_scorecard",
+    tags=("text", "llm-data", "quality", "composition", "flagship"),
+    oracle=f"""
+WITH staged AS (
+  SELECT doc_id, lang, source,
+         md5(list_aggregate({_SQL_TOKENS}, 'string_agg', ' ')) AS fp,
+         {sql_bow_fp(_SQL_TOKENS)} AS bow_fp,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+         {_SQL_QUALITY} AS quality
+  FROM documents
+),
+lang_c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM staged GROUP BY lang
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM staged) AS n_docs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lang_c) AS n_langs,
+       (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM staged)
+         AS n_sources,
+       (SELECT CAST(SUM(c) * SUM(c) AS DOUBLE) / SUM(c * c) FROM lang_c)
+         AS effective_langs,
+       (SELECT CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) FROM staged)
+         AS exact_dup_docs,
+       (SELECT CAST(COUNT(*) - COUNT(DISTINCT bow_fp) AS BIGINT) FROM staged)
+         AS bow_dup_docs,
+       (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM staged) AS total_tokens,
+       (SELECT quantile_cont(CAST(n_tokens AS DOUBLE), 5e-1) FROM staged)
+         AS p50_tokens,
+       (SELECT CAST({{qs}} AS DOUBLE) / 1e12 / COUNT(*) FROM staged)
+         AS mean_quality
+""".format(qs="SUM(CAST(FLOOR(quality * 1000000000000.0) AS BIGINT))"),
+)
+def q200_corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus healthcheck scorecard — one row, nine numbers, every
+    signal family in this catalog contributing its headline: volume
+    (docs/tokens/p50 length), diversity (langs, sources, q165's
+    inverse-Simpson effective languages), duplication (exact and
+    bag-of-words dup counts — q40/q178's keys), and quality (q31's
+    mean score). This is the table a corpus snapshot publishes beside
+    its parquet: if one number moves week over week, the relevant
+    deep-dive query (q154-q196) is one hop away.
+
+    Shape: ONE staged scan computes every per-doc signal in-row
+    (fingerprints, token count, quality), then a handful of
+    driver-sized aggregates over it — two distinct-counts on 16-byte
+    keys are the only exchanges that grow with the corpus. Quality
+    reduces through the qsum ladder; the token median is the exact
+    percentile contract."""
+    d = t(spark, sf_dir, "documents")
+    # token array staged ONCE (module-docstring rule: unstaged, the
+    # regex split re-evaluates per referencing column — 4x here)
+    tok = F.col("_tok")
+    staged = d.select(
+        "doc_id", "lang", "source", "text", tokens("text").alias("_tok")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        fingerprint_t(tok).alias("fp"),
+        bow_fingerprint_t(tok).alias("bow_fp"),
+        F.size(tok).cast("bigint").alias("n_tokens"),
+        _quality_t(tok).alias("quality"),
+    )
+    lang_c = staged.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    lc = lang_c.agg(
+        F.count(F.lit(1)).alias("n_langs"),
+        (
+            (F.sum("c") * F.sum("c")).cast("double") / F.sum(F.col("c") * F.col("c"))
+        ).alias("effective_langs"),
+    )
+    qq = F.sum(F.floor(F.col("quality") * F.lit(1e12)).cast("bigint"))
+    main = staged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        (F.count(F.lit(1)) - F.countDistinct("fp"))
+        .cast("bigint")
+        .alias("exact_dup_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("bow_fp"))
+        .cast("bigint")
+        .alias("bow_dup_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.percentile(F.col("n_tokens").cast("double"), 0.5).alias("p50_tokens"),
+        (qq.cast("double") / F.lit(1e12) / F.count(F.lit(1))).alias(
+            "mean_quality"
+        ),
+    )
+    return main.crossJoin(F.broadcast(lc)).select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "effective_langs",
+        "exact_dup_docs",
+        "bow_dup_docs",
+        "total_tokens",
+        "p50_tokens",
+        "mean_quality",
+    )
