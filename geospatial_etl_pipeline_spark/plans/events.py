@@ -2783,27 +2783,31 @@ def q197_deseasonalized_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
     daily = e.groupBy(
         "event_type", day.alias("day"), ((day + 3) % 7).cast("int").alias("dow")
     ).agg(F.count(F.lit(1)).alias("c"))
-    dow_tot = daily.groupBy("event_type", "dow").agg(
-        F.sum("c").cast("bigint").alias("s_dow"),
-        F.count(F.lit(1)).alias("d_dow"),
-    )
-    adj = daily.join(F.broadcast(dow_tot), ["event_type", "dow"]).select(
+    # everything below is WINDOWS over the one daily relation — the
+    # join formulation (dow rollup + moment rollup + two re-joins)
+    # re-planned the corpus aggregate once per branch (8 static
+    # exchanges, ~4 corpus scans); chained windows keep ONE corpus
+    # exchange and shuffle only the day-level relation after it
+    wdow = Window.partitionBy("event_type", "dow")
+    adj = daily.select(
         "event_type",
         "day",
         (
-            F.col("c").cast("double") * F.col("d_dow") / F.col("s_dow")
+            F.col("c").cast("double")
+            * F.count(F.lit(1)).over(wdow)
+            / F.sum("c").over(wdow)
         ).alias("adj_c"),
     )
-    q1 = F.sum(F.floor(F.col("adj_c") * F.lit(1e6)).cast("bigint"))
-    q2 = F.sum(
-        F.floor(F.col("adj_c") * F.col("adj_c") * F.lit(1e6)).cast("bigint")
-    )
-    mom = adj.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("k"), q1.alias("q1"), q2.alias("q2")
-    )
-    k = F.col("k")
-    s1 = F.col("q1").cast("double") / F.lit(1e6)
-    s2 = F.col("q2").cast("double") / F.lit(1e6)
+    wt = Window.partitionBy("event_type")
+    k = F.count(F.lit(1)).over(wt)
+    s1 = (
+        F.sum(F.floor(F.col("adj_c") * F.lit(1e6)).cast("bigint")).over(wt)
+    ).cast("double") / F.lit(1e6)
+    s2 = (
+        F.sum(
+            F.floor(F.col("adj_c") * F.col("adj_c") * F.lit(1e6)).cast("bigint")
+        ).over(wt)
+    ).cast("double") / F.lit(1e6)
     # SS = k·Σx² − (Σx)² = k²·var — the subtraction form with NO inner
     # divide (an earlier draft divided s1² by k inside SS: both engines
     # agreed, parity stayed green, and the statistic was silently not
@@ -2817,10 +2821,10 @@ def q197_deseasonalized_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
         1,
     ).otherwise(0)
     return (
-        adj.join(F.broadcast(mom), "event_type")
+        adj.select("event_type", flag.alias("flag"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_days"),
-            F.sum(flag).cast("bigint").alias("n_anomalous_days"),
+            F.sum("flag").cast("bigint").alias("n_anomalous_days"),
         )
     )

@@ -570,6 +570,15 @@ def test_late_r4_queries_exchange_budgets(spark):
         "q189_zorder_pruning_report": 1,
         "q190_out_of_order_audit": 2,
         "q191_asof_staleness": 2,      # asof union-window + histogram
+        "q192_fulfillment_sla": 1,
+        "q193_bipartite_degrees": 6,   # distinct + 2 rollup/hist branches
+        "q194_order_cadence_cv": 2,
+        "q195_linear_attribution": 3,  # range join + counts + hour agg
+        "q196_dedup_threshold_sweep": 5,  # shared LSH pipeline + hist
+        "q197_deseasonalized_anomalies": 3,  # ONE corpus agg + windows
+        "q198_source_lang_routing": 2,
+        "q199_repeat_purchase_cohorts": 2,
+        "q200_corpus_scorecard": 2,    # two 16-byte distinct-counts
         "q163_minhash_calibration": 7,  # one shingle exchange + joins
     }
     from geospatial_etl_pipeline_spark.plans import catalog as cat
