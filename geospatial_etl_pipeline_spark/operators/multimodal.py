@@ -333,3 +333,114 @@ def synthesize_videos(
             yield pd.DataFrame(out)
 
     return docs.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("ahash", LongType(), False),
+    ]
+)
+
+
+def ahash64(media: DataFrame, allow_fake: bool = False) -> DataFrame:
+    """64-bit average-hash (aHash) per media blob: decode → 8×8
+    nearest-neighbor downscale (REAL math) → threshold at the mean →
+    bit-packed signature. The perceptual fingerprint that survives
+    re-encoding/resizing, where content_hash (exact bytes) does not —
+    the image-dedup analogue of MinHash for text.
+
+    The byte→pixel step is the pluggable fake codec (``allow_fake``,
+    same contract as decode_features); everything after it is
+    production math. Arrow-batched mapInPandas; blobs never leave the
+    executor."""
+    if not allow_fake:
+        raise NotImplementedError(
+            "media codecs (Pillow/ffmpeg) are not available in this "
+            "environment; pass allow_fake=True to run the deterministic "
+            "fake decode kernel through the real Spark plumbing"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, blob, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["blob"], pdf["meta"]
+            ):
+                px = fake_decode_image(
+                    bytes(blob), meta["width"], meta["height"]
+                )
+                small = _nn_resize(px, 8, 8).astype(np.int64)
+                bits = (small >= small.mean()).flatten()
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                # two's-complement into signed 64-bit for a Spark LONG
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                out.append((int(mid), kind, h))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "ahash"])
+
+    return media.mapInPandas(run, AHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate media pairs by banded Hamming join: the 64-bit
+    signature splits into ``bands`` exact-match bands; by pigeonhole
+    any pair within Hamming distance ``bands − 1`` shares at least one
+    band, so a (band_idx, band_value) equi-join generates ALL such
+    candidates (guaranteed recall for max_hamming ≤ bands − 1, the
+    same guarantee structure as MinHash banding) and ``bit_count(xor)``
+    verifies exactly. Never an all-pairs comparison: cost is bounded by
+    band-bucket occupancy — q162's audit shape applies verbatim."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banded join guarantees recall only for max_hamming <= "
+            f"bands - 1 ({bands - 1}); got {max_hamming}"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = hashes.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("ahash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_value"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select(
+        "media_id", "ahash", F.col("bd.band_idx"), F.col("bd.band_value")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_value") == F.col("b.band_value"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -471,3 +471,84 @@ def test_bloom_fp_rate_matches_occupancy(spark):
     expected_fp = occupancy ** _BLOOM_K
     df.unpersist()
     assert fp <= 3 * expected_fp * n_inc + 1, (fp, n_inc, occupancy)
+
+
+def test_ahash64_deterministic_and_locality(spark):
+    """aHash is stable for identical pixels and near-stable for small
+    perturbations: flipping a handful of pixels in a structured image
+    moves only a few of the 64 bits (the property that makes it a
+    perceptual signature rather than a cryptographic one)."""
+    import numpy as np
+
+    from geospatial_etl_pipeline_spark.operators.multimodal import (
+        ahash64,
+        fake_encode_image,
+    )
+
+    rng = np.random.default_rng(7)
+    base = (rng.integers(0, 2, (64, 64)) * 255).astype("uint8")
+    tweaked = base.copy()
+    tweaked[:2, :2] ^= 255  # perturb one 8x8 downscale cell's corner
+    rows = [
+        (1, "image", bytearray(fake_encode_image(base)),
+         {"mime": "x", "width": 64, "height": 64, "duration_ms": None}),
+        (2, "image", bytearray(fake_encode_image(base)),
+         {"mime": "x", "width": 64, "height": 64, "duration_ms": None}),
+        (3, "image", bytearray(fake_encode_image(tweaked)),
+         {"mime": "x", "width": 64, "height": 64, "duration_ms": None}),
+    ]
+    schema = (
+        "media_id long, kind string, blob binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>"
+    )
+    media = spark.createDataFrame(rows, schema)
+    got = {r["media_id"]: r["ahash"] for r in ahash64(media, allow_fake=True).collect()}
+    assert got[1] == got[2]
+    ham = bin((got[1] ^ got[3]) & ((1 << 64) - 1)).count("1")
+    assert 0 <= ham <= 4, ham
+
+
+def test_phash_banded_join_matches_bruteforce(spark):
+    """Pigeonhole recall: the banded Hamming join must find EXACTLY the
+    pairs brute force finds at max_hamming <= bands-1."""
+    import itertools
+
+    from geospatial_etl_pipeline_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    sigs = [
+        (1, 0b0),
+        (2, 0b1),                      # ham(1,2)=1
+        (3, (1 << 17) | (1 << 40)),    # ham(1,3)=2
+        # ham(1,4)=4; (1<<63) wrapped to signed two's complement for LONG
+        (4, ((1 << 1) | (1 << 20) | (1 << 40) | (1 << 63)) - (1 << 64)),
+        (5, -1),                       # all ones
+    ]
+    df = spark.createDataFrame(
+        [(i, "image", h) for i, h in sigs], "media_id long, kind string, ahash long"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    want = {
+        (a, b, ham(ha, hb))
+        for (a, ha), (b, hb) in itertools.combinations(sigs, 2)
+        if ham(ha, hb) <= 3
+    }
+    assert got == want and len(want) >= 2
+
+
+def test_phash_rejects_unguaranteed_threshold(spark):
+    import pytest as _pytest
+
+    from geospatial_etl_pipeline_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "image", 0)], "media_id long, kind string, ahash long")
+    with _pytest.raises(ValueError):
+        phash_near_dup_pairs(df, max_hamming=4, bands=4)
