@@ -430,3 +430,38 @@ def read_merge_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
 
     with open(os.path.join(snapshot_dir, "_CURRENT")) as fh:
         return spark.read.parquet(os.path.join(snapshot_dir, fh.read().strip()))
+
+
+def purchases_clicks_full_outer(
+    stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: purchases with their
+    prior-30-minute clicks, PLUS null-padded rows for purchases with
+    no click AND for clicks that never preceded a purchase — the
+    two-sided absence result (orphan detection on both streams at
+    once: unattributed conversions and wasted clicks in one output).
+    Null padding on each side is emitted only once the opposite
+    stream's watermark passes the join window, same eviction bound as
+    the left-outer variant; supported natively since Spark 3.1."""
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", watermark)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_event_id"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "c_user_id = user_id AND c_ts >= ts - INTERVAL 30 MINUTES "
+            "AND c_ts < ts"
+        ),
+        "fullOuter",
+    )

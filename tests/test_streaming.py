@@ -537,3 +537,62 @@ def test_incremental_dedup_stream_lands_exactly_once(spark, sf_dir, tmp_path):
     assert set(r["lang"] for r in first.select("lang").distinct().collect()) <= src_langs
     run()  # replay with same checkpoint: no new batches, no duplicates
     assert spark.read.parquet(out).count() == n1
+
+
+def test_full_outer_interval_join_matches_batch(spark, sf_dir, stream):
+    """Stream-stream FULL OUTER interval join ≡ the batch full-outer
+    spec: matched pairs identical; purchase-side nulls = purchases
+    with no prior click; click-side nulls = clicks preceding no
+    purchase. (availableNow replay drives the watermark past the
+    horizon so all null paddings flush.)"""
+    from geospatial_etl_pipeline_spark.streaming.events import (
+        purchases_clicks_full_outer,
+    )
+
+    got = run_to_memory_sink(
+        purchases_clicks_full_outer(stream), "t_fullouter"
+    ).collect()
+    matched = {(r["event_id"], r["c_event_id"]) for r in got
+               if r["event_id"] is not None and r["c_event_id"] is not None}
+    p_null = {r["event_id"] for r in got if r["c_event_id"] is None}
+    c_null = {r["c_event_id"] for r in got if r["event_id"] is None}
+
+    from geospatial_etl_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import functions as F
+
+    p = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    c = e.filter("event_type = 'click'").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cuid"),
+        F.col("ts").alias("cts"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("cuid") == F.col("user_id"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("cts") < F.col("pts")),
+    )
+    want_matched = {(r["pid"], r["cid"]) for r in pairs.collect()}
+    assert matched == want_matched and len(matched) > 0
+    # Null paddings flush only once the COMBINED watermark (min of the
+    # two sides' maxima − 1h) clears the 30-min join bound — the same
+    # frontier discipline as the left-outer test: everything the batch
+    # spec expects but the stream withheld must sit PAST the cutoff.
+    import datetime
+
+    max_p = p.agg(F.max("pts")).collect()[0][0]
+    max_c = c.agg(F.max("cts")).collect()[0][0]
+    cutoff = min(max_p, max_c) - datetime.timedelta(hours=1, minutes=30)
+    want_p_null = {r["pid"] for r in p.collect()} - {a for a, _ in want_matched}
+    want_c_null = {r["cid"] for r in c.collect()} - {b for _, b in want_matched}
+    p_ts = {r["pid"]: r["pts"] for r in p.collect()}
+    c_ts = {r["cid"]: r["cts"] for r in c.collect()}
+    assert p_null <= want_p_null and c_null <= want_c_null
+    assert all(p_ts[i] > cutoff for i in want_p_null - p_null), (
+        want_p_null - p_null)
+    assert all(c_ts[i] > cutoff for i in want_c_null - c_null), (
+        want_c_null - c_null)
+    assert len(p_null) > 0 and len(c_null) > 0  # both outer sides emitted
