@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Streaming ingest-dedup throughput: replay the sf0.1 documents table
+through the incremental-dedup pipeline (fingerprint → in-stream
+first-occurrence dedup → stream-static anti probe against a corpus
+fingerprint set → exactly-once partitioned landing) and record docs/sec.
+
+This is the training-data ingestion path's perf artifact, the sibling of
+tools/stream_bench.py (events/window path). Corpus = the even doc_ids of
+the same table (so the probe side is non-trivial and survivors exist).
+
+Usage: python tools/ingest_bench.py [sf_dir] [out_json] [chunks] [fpt]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from geospatial_etl_pipeline_spark.session import get_spark  # noqa: E402
+from geospatial_etl_pipeline_spark.streaming.events import (  # noqa: E402
+    stream_to_partitioned_parquet,
+)
+from geospatial_etl_pipeline_spark.streaming.ingest import (  # noqa: E402
+    corpus_fingerprints,
+    incremental_dedup_stream,
+)
+
+_CHUNKS = 8
+_FILES_PER_TRIGGER = 2
+
+
+def main() -> None:
+    global _CHUNKS, _FILES_PER_TRIGGER
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "INGEST_BENCH.json"
+    if len(sys.argv) > 3:
+        _CHUNKS = int(sys.argv[3])
+    if len(sys.argv) > 4:
+        _FILES_PER_TRIGGER = int(sys.argv[4])
+    spark = get_spark("ingest-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="ingest_bench_")
+    src_dir = os.path.join(work, "incoming")
+    sink_dir = os.path.join(work, "landed")
+    ckpt_dir = os.path.join(work, "ckpt")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_rows = docs.count()
+        docs.repartition(_CHUNKS).write.mode("overwrite").parquet(src_dir)
+        # corpus probe side: even doc_ids (fingerprints precomputed and
+        # cached — at 100 TB this is a maintained snapshot artifact, so
+        # its build is setup, not ingest time)
+        fps = corpus_fingerprints(docs.filter("doc_id % 2 = 0")).cache()
+        n_corpus = fps.count()
+
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", _FILES_PER_TRIGGER)
+            .load(src_dir)
+        )
+        survivors = incremental_dedup_stream(stream, fps)
+
+        t0 = time.perf_counter()
+        stream_to_partitioned_parquet(survivors, sink_dir, ["lang"], ckpt_dir)
+        elapsed = time.perf_counter() - t0
+
+        landed = spark.read.parquet(sink_dir).count()
+        n_batches = len(
+            [
+                f
+                for f in os.listdir(os.path.join(ckpt_dir, "commits"))
+                if f.isdigit()
+            ]
+        )
+        out = {
+            "metric": "ingest_docs_per_sec",
+            "value": round(n_rows / elapsed, 1),
+            "unit": "docs/sec",
+            "input_docs": n_rows,
+            "corpus_fps": n_corpus,
+            "landed_docs": landed,
+            "elapsed_sec": round(elapsed, 3),
+            "micro_batches": n_batches,
+            "chunks": _CHUNKS,
+            "files_per_trigger": _FILES_PER_TRIGGER,
+            "pipeline": "file source -> fingerprint -> dropDuplicates(fp) "
+            "-> stream-static anti probe -> exactly-once partitioned landing",
+            "sf_dir": sf_dir,
+        }
+        line = json.dumps(out)
+        print(line)
+        with open(out_json, "w") as f:
+            f.write(line + "\n")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
