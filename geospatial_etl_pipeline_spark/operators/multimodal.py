@@ -354,13 +354,20 @@ def ahash64(media: DataFrame, allow_fake: bool = False) -> DataFrame:
     The byte→pixel step is the pluggable fake codec (``allow_fake``,
     same contract as decode_features); everything after it is
     production math. Arrow-batched mapInPandas; blobs never leave the
-    executor."""
+    executor.
+
+    IMAGE rows only: non-image kinds are filtered out up front (a
+    video container tiled through the image decoder would hash to
+    silent garbage, and audio rows have no pixel dims to shape — the
+    frame-sampling path is the video analogue)."""
     if not allow_fake:
         raise NotImplementedError(
             "media codecs (Pillow/ffmpeg) are not available in this "
             "environment; pass allow_fake=True to run the deterministic "
             "fake decode kernel through the real Spark plumbing"
         )
+
+    media = media.filter(F.col("kind") == "image")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -405,6 +412,7 @@ def phash_near_dup_pairs(
     mask = (1 << width) - 1
     banded = hashes.select(
         "media_id",
+        "kind",
         "ahash",
         F.explode(
             F.array(
@@ -420,14 +428,17 @@ def phash_near_dup_pairs(
             )
         ).alias("bd"),
     ).select(
-        "media_id", "ahash", F.col("bd.band_idx"), F.col("bd.band_value")
+        "media_id", "kind", "ahash", F.col("bd.band_idx"), F.col("bd.band_value")
     )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
+            # kind equality: an image and a video with close bit
+            # patterns are NOT duplicates of each other
+            (F.col("a.kind") == F.col("b.kind"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_value") == F.col("b.band_value"))
             & (F.col("a.media_id") < F.col("b.media_id")),
         )

@@ -256,18 +256,14 @@ def run_to_memory_sink(
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
-def purchases_with_optional_click(
-    stream: DataFrame, watermark: str = "1 hour"
+def _purchase_click_interval_join(
+    stream: DataFrame, watermark: str, how: str
 ) -> DataFrame:
-    """Stream-stream LEFT OUTER interval join: every purchase emits,
-    joined to same-user clicks in the 30 minutes strictly before it —
-    or null-padded once the watermark guarantees no matching click can
-    still arrive. The outer side is the part the inner join
-    (clicks_before_purchases) cannot express: "purchases with NO prior
-    click" is an absence-of-data result, and in a stream absence is
-    only decidable after the event-time frontier passes the join
-    window + watermark. State eviction follows the same two-sided
-    bound as the inner join."""
+    """Shared prep for the purchase×click interval-join family: the
+    inner (clicks_before_purchases pre-agg), LEFT OUTER and FULL OUTER
+    variants differ ONLY in the join type — one definition of the
+    window/watermark/condition keeps the three variants (and their
+    batch-equivalence tests) from desynchronizing."""
     purchases = (
         stream.filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts")
@@ -288,8 +284,23 @@ def purchases_with_optional_click(
             "c_user_id = user_id AND c_ts >= ts - INTERVAL 30 MINUTES "
             "AND c_ts < ts"
         ),
-        "leftOuter",
+        how,
     )
+
+
+def purchases_with_optional_click(
+    stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emits,
+    joined to same-user clicks in the 30 minutes strictly before it —
+    or null-padded once the watermark guarantees no matching click can
+    still arrive. The outer side is the part the inner join
+    (clicks_before_purchases) cannot express: "purchases with NO prior
+    click" is an absence-of-data result, and in a stream absence is
+    only decidable after the event-time frontier passes the join
+    window + watermark. State eviction follows the same two-sided
+    bound as the inner join."""
+    return _purchase_click_interval_join(stream, watermark, "leftOuter")
 
 
 def streaming_count_min(
@@ -443,25 +454,4 @@ def purchases_clicks_full_outer(
     Null padding on each side is emitted only once the opposite
     stream's watermark passes the join window, same eviction bound as
     the left-outer variant; supported natively since Spark 3.1."""
-    purchases = (
-        stream.filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "ts")
-        .withWatermark("ts", watermark)
-    )
-    clicks = (
-        stream.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user_id"),
-            F.col("ts").alias("c_ts"),
-            F.col("event_id").alias("c_event_id"),
-        )
-        .withWatermark("c_ts", watermark)
-    )
-    return purchases.join(
-        clicks,
-        F.expr(
-            "c_user_id = user_id AND c_ts >= ts - INTERVAL 30 MINUTES "
-            "AND c_ts < ts"
-        ),
-        "fullOuter",
-    )
+    return _purchase_click_interval_join(stream, watermark, "fullOuter")

@@ -31,18 +31,11 @@ from geospatial_etl_pipeline_spark.streaming.ingest import (  # noqa: E402
     incremental_dedup_stream,
 )
 
-_CHUNKS = 8
-_FILES_PER_TRIGGER = 2
-
-
 def main() -> None:
-    global _CHUNKS, _FILES_PER_TRIGGER
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_json = sys.argv[2] if len(sys.argv) > 2 else "INGEST_BENCH.json"
-    if len(sys.argv) > 3:
-        _CHUNKS = int(sys.argv[3])
-    if len(sys.argv) > 4:
-        _FILES_PER_TRIGGER = int(sys.argv[4])
+    chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    files_per_trigger = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     spark = get_spark("ingest-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -53,7 +46,7 @@ def main() -> None:
     try:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         n_rows = docs.count()
-        docs.repartition(_CHUNKS).write.mode("overwrite").parquet(src_dir)
+        docs.repartition(chunks).write.mode("overwrite").parquet(src_dir)
         # corpus probe side: even doc_ids (fingerprints precomputed and
         # cached — at 100 TB this is a maintained snapshot artifact, so
         # its build is setup, not ingest time)
@@ -64,7 +57,7 @@ def main() -> None:
         stream = (
             spark.readStream.format("parquet")
             .schema(schema)
-            .option("maxFilesPerTrigger", _FILES_PER_TRIGGER)
+            .option("maxFilesPerTrigger", files_per_trigger)
             .load(src_dir)
         )
         survivors = incremental_dedup_stream(stream, fps)
@@ -90,8 +83,8 @@ def main() -> None:
             "landed_docs": landed,
             "elapsed_sec": round(elapsed, 3),
             "micro_batches": n_batches,
-            "chunks": _CHUNKS,
-            "files_per_trigger": _FILES_PER_TRIGGER,
+            "chunks": chunks,
+            "files_per_trigger": files_per_trigger,
             "pipeline": "file source -> fingerprint -> dropDuplicates(fp) "
             "-> stream-static anti probe -> exactly-once partitioned landing",
             "sf_dir": sf_dir,
