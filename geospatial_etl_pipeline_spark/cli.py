@@ -148,7 +148,7 @@ def product_files(products: DataFrame) -> DataFrame:
     """(base_name=product, path, content) rows: the clipped .asc grid and
     its stats sidecar — the zip sink's input shape."""
 
-    from .operators.geotiff import encode_geotiff as geotiff_bytes
+    from .operators.geotiff import encode_cog as geotiff_bytes
 
     def encode(rows: Iterator) -> Iterator:
         import pandas as pd
@@ -163,7 +163,8 @@ def product_files(products: DataFrame) -> DataFrame:
                     row["nodata_value"],
                 )
                 # the reference's core conversion (:259–261): a REAL
-                # GeoTIFF (operators/geotiff.py), openable downstream
+                # Cloud-Optimized GeoTIFF — tiled + deflate + overview
+                # pyramid (operators/geotiff.py), openable downstream
                 tif = geotiff_bytes(
                     int(row["width"]), int(row["height"]),
                     row["xllcorner"], row["yllcorner"], row["cellsize"],

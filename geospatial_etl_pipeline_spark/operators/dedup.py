@@ -143,6 +143,11 @@ def banded_signatures(
     join pipeline (lsh_candidate_pairs), the skew audit (q162) and the
     calibration (q163) all call this one function, so the banding
     scheme cannot drift between the production path and its audits."""
+    assert num_hashes % bands == 0, (
+        f"num_hashes ({num_hashes}) must divide evenly into bands ({bands}); "
+        "a remainder would silently drop trailing minhash columns and weaken "
+        "the LSH recall guarantee"
+    )
     rows_per_band = num_hashes // bands
     band_cols = [
         F.md5(

@@ -15,7 +15,10 @@ as composable DataFrame transformations:
 - ``encode_geotiff``: the GeoTIFF sink boundary (:259–261) — a real
   minimal GeoTIFF (pure-``struct`` TIFF 6.0 + GeoTIFF 1.1 tags, codec
   in operators/geotiff.py), openable by any float64-capable TIFF
-  reader; swap the kernel for GDAL to add COG tiling/compression.
+  reader. Strip-based; kept as the cheap option.
+- ``encode_cog``: the CLOUD_OPTIMIZED_GEOTIFF path (:259–261's literal
+  config keyword) — internal tiles + deflate + overview pyramid +
+  front-loaded IFDs (codec in operators/geotiff.py, range-read tested).
 
 Scale: one row per raster keeps lineage columnar; a 10k×10k float grid
 is ~800 MB of cells, so production tiling would split rasters into
@@ -301,6 +304,51 @@ def encode_geotiff(rasters: DataFrame) -> DataFrame:
                             int(r["width"]), int(r["height"]),
                             r["xllcorner"], r["yllcorner"], r["cellsize"],
                             r["nodata_value"], r["crs"], list(r["cells"]),
+                        )
+                        for r in pdf.to_dict("records")
+                    ],
+                }
+            )
+
+    return rasters.mapInPandas(enc, "base_name string, tiff binary")
+
+
+def encode_cog(
+    rasters: DataFrame,
+    tile_px: int = 512,
+    levels: int | None = None,
+    compress: bool = True,
+) -> DataFrame:
+    """Cloud-Optimized GeoTIFF sink boundary — the reference's
+    CLOUD_OPTIMIZED_GEOTIFF config keyword (copy_esrigrid…py:259–261)
+    honored structurally: each raster row becomes a tiled (default
+    512×512) deflate-compressed GeoTIFF with a factor-2 block-mean
+    overview pyramid and all IFDs at the front of the file (codec:
+    operators/geotiff.encode_cog; layout + range reads round-trip
+    tested tile-by-tile in test_raster.py).
+
+    The overview build inside the kernel is
+    geotiff.block_mean_downsample — the per-row twin of
+    :func:`downsample_block_mean`, pinned EQUAL to it by test — so the
+    pyramid ships per-row inside Arrow-batched ``mapInPandas`` with no
+    extra shuffle (the distributed-operator alternative would groupBy
+    base_name and re-join every overview level). At 100 TB each raster
+    row encodes independently on its executor; rasters above classic
+    TIFF's 4 GB offset ceiling go through :func:`tile` first."""
+
+    from .geotiff import encode_cog as _enc_one
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "base_name": pdf["base_name"],
+                    "tiff": [
+                        _enc_one(
+                            int(r["width"]), int(r["height"]),
+                            r["xllcorner"], r["yllcorner"], r["cellsize"],
+                            r["nodata_value"], r["crs"], list(r["cells"]),
+                            tile_px=tile_px, levels=levels, compress=compress,
                         )
                         for r in pdf.to_dict("records")
                     ],

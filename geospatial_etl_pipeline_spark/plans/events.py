@@ -2770,8 +2770,14 @@ def q197_deseasonalized_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Determinism: the adjusted series is per-row IEEE on integer
     ratios; its moments pass through the floor-quantized BIGINT
-    ladder at 1e6 (adj_c ≤ ~1e8 keeps q2 under 2^63 at this corpus —
-    the scale dial documented here for bigger ones), and the 3σ
+    ladder at 1e6. Overflow dial: a SINGLE floor(adj_c²·1e6) term
+    hits 2^63 at adj_c ≈ 3.0e6, and q2 sums n_days of them, so the
+    safe bound is adj_c ≤ sqrt(2^63 / (1e6 · n_days)) — ~1e6 for a
+    multi-year daily series. Past it the failure mode is silent
+    divergence, not an error: Spark's non-ANSI BIGINT sum wraps
+    while DuckDB's SUM promotes to HUGEINT, so parity AND the
+    statistic both break. For corpora above the bound, drop the
+    quantization scale (1e6 → 1e3) or pre-scale adj_c. The 3σ
     comparison is a pinned expression of those exact sums. Degenerate
     series (k<2 or zero variance) contribute no anomalies identically
     in both engines.

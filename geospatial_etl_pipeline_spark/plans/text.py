@@ -1207,7 +1207,11 @@ def q167_source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = d.select("source", tokens("text").alias("_tok"))
     per_bg = (
         staged.select(
-            "source", F.explode_outer(word_ngrams_t(F.col("_tok"), 2)).alias("bigram")
+            # plain explode (not explode_outer), matching q155: the oracle's
+            # unnest(NULL/empty) emits nothing, and explode is the Spark twin
+            # of that contract — explode_outer would emit a NULL-bigram row
+            # for a NULL/empty text and silently diverge from the oracle
+            "source", F.explode(word_ngrams_t(F.col("_tok"), 2)).alias("bigram")
         )
         .groupBy("source", "bigram")
         .agg(F.count(F.lit(1)).alias("c"))

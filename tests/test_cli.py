@@ -54,11 +54,15 @@ def test_cli_end_to_end(spark, io_dirs):
         assert names[2].endswith(".tif")
         stats = json.loads(zf.read(names[1]))
         assert stats["n_cells"] > 0
-        # the .tif is a REAL GeoTIFF (round-trips through our decoder)
-        from geospatial_etl_pipeline_spark.operators.geotiff import decode_geotiff
+        # the .tif is a REAL Cloud-Optimized GeoTIFF: tiled, deflated,
+        # with an overview pyramid (round-trips through our decoder)
+        from geospatial_etl_pipeline_spark.operators.geotiff import decode_cog
 
-        tif = decode_geotiff(zf.read(names[2]))
+        tif = decode_cog(zf.read(names[2]))
         assert tif["width"] == 10 and tif["crs"] == "EPSG:27200"
+        assert tif["tile_px"] % 16 == 0
+        assert len(tif["overviews"]) >= 1
+        assert all(o["reduced_resolution"] for o in tif["overviews"])
 
     docs = sorted(p for p in os.listdir(out) if p.endswith(".json"))
     assert len(docs) == 4

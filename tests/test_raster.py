@@ -145,6 +145,137 @@ def test_encode_geotiff_roundtrip(rasters):
     assert got["cells"] == list(src["cells"])
 
 
+def test_encode_cog_layout_is_cloud_optimized(rasters):
+    """COG structural contract: tiled IFDs (multiple-of-16 tiles), an
+    overview IFD flagged NewSubfileType=1, EVERY IFD serialized before
+    any tile data (the range-reader property), and full-res tile data
+    LAST (GDAL's COG ordering: zoomed-out reads touch the file front)."""
+    from geospatial_etl_pipeline_spark.operators.geotiff import cog_ifds
+    from geospatial_etl_pipeline_spark.operators.raster import encode_cog
+
+    big = rasters.filter("base_name = 'grid_02_a_b_mean_monthly7'")
+    blob = encode_cog(big, tile_px=16).collect()[0]["tiff"]
+    ifds = cog_ifds(blob)
+    assert len(ifds) >= 2  # full res + >=1 overview
+    assert ifds[0][254][0] == 0 and all(t[254][0] == 1 for t in ifds[1:])
+    for t in ifds:
+        assert t[322][0] % 16 == 0 and t[323][0] % 16 == 0  # tile dims
+        assert len(t[324]) == len(t[325]) >= 1  # offsets/bytecounts
+    first_tile_off = min(min(t[324]) for t in ifds)
+    # IFD region (walk it) must end before the first tile byte
+    pos = struct.unpack_from("<I", blob, 4)[0]
+    while pos:
+        (n,) = struct.unpack_from("<H", blob, pos)
+        end = pos + 2 + n * 12 + 4
+        assert pos < first_tile_off
+        (pos,) = struct.unpack_from("<I", blob, end - 4)
+    # full-res tiles live AFTER every overview tile
+    assert min(ifds[0][324]) > max(max(t[324]) for t in ifds[1:])
+
+
+def test_encode_cog_roundtrip_with_overviews(rasters):
+    """decode(encode_cog(raster)) recovers level 0 exactly (through the
+    deflate + tile + pad path) and each overview equals repeated
+    factor-2 block_mean_downsample output."""
+    from geospatial_etl_pipeline_spark.operators.geotiff import (
+        block_mean_downsample,
+        decode_cog,
+    )
+    from geospatial_etl_pipeline_spark.operators.raster import encode_cog
+
+    src = rasters.filter("base_name = 'small'").collect()[0]
+    blob = encode_cog(
+        rasters.filter("base_name = 'small'"), tile_px=16
+    ).collect()[0]["tiff"]
+    got = decode_cog(blob)
+    assert (got["width"], got["height"]) == (src["width"], src["height"])
+    assert got["cells"] == list(src["cells"])
+    assert got["crs"] == "EPSG:27200"
+    assert got["nodata_value"] == src["nodata_value"]
+    assert len(got["overviews"]) >= 1
+    w, h, cv = src["width"], src["height"], list(src["cells"])
+    cs = src["cellsize"]
+    for o in got["overviews"]:
+        w, h, cv = block_mean_downsample(w, h, cv, src["nodata_value"], 2)
+        cs *= 2.0
+        assert (o["width"], o["height"]) == (w, h)
+        assert o["cells"] == cv
+        assert o["cellsize"] == cs
+        assert o["xllcorner"] == src["xllcorner"]
+
+
+def test_cog_overview_kernel_equals_distributed_operator(spark, rasters):
+    """The per-row overview kernel (geotiff.block_mean_downsample) is
+    bit-identical to the distributed JVM operator
+    (raster.downsample_block_mean) — nodata exclusion, partial edge
+    blocks, and fold order all match, so the COG pyramid IS the
+    operator's output."""
+    from geospatial_etl_pipeline_spark.operators.geotiff import (
+        block_mean_downsample,
+    )
+    from geospatial_etl_pipeline_spark.operators.raster import (
+        downsample_block_mean,
+    )
+
+    for factor in (2, 3):
+        dist = {
+            r["base_name"]: r
+            for r in downsample_block_mean(rasters, factor).collect()
+        }
+        for src in rasters.collect():
+            w, h, cv = block_mean_downsample(
+                src["width"], src["height"], list(src["cells"]),
+                src["nodata_value"], factor,
+            )
+            d = dist[src["base_name"]]
+            assert (d["width"], d["height"]) == (w, h)
+            assert list(d["cells"]) == cv, (src["base_name"], factor)
+
+
+def test_cog_range_read_single_tile(rasters):
+    """The range-read property, proven not claimed: reading one tile
+    through a fetch(offset, size) callback touches only the IFD walk at
+    the file front plus the one tile's byte range — a small fraction of
+    the file, never a full scan."""
+    from geospatial_etl_pipeline_spark.operators.geotiff import read_cog_tile
+    from geospatial_etl_pipeline_spark.operators.raster import encode_cog
+
+    big = rasters.filter("base_name = 'grid_02_a_b_mean_monthly7'")
+    src = big.collect()[0]
+    blob = encode_cog(big, tile_px=16, compress=False).collect()[0]["tiff"]
+    calls: list[tuple[int, int]] = []
+
+    def fetch(off: int, size: int) -> bytes:
+        calls.append((off, size))
+        return blob[off : off + size]
+
+    t = read_cog_tile(fetch, 0, 0, 0)
+    assert (t["width"], t["height"]) == (10, 10)
+    for r in range(10):
+        assert t["cells"][r * 10 : r * 10 + 10] == list(
+            src["cells"][r * 10 : r * 10 + 10]
+        )
+    # last fetch is the tile itself; everything before it is header walk
+    header_reads = calls[:-1]
+    tile_off, tile_size = calls[-1]
+    assert tile_size == 16 * 16 * 8
+    header_end = max(off + size for off, size in header_reads)
+    assert header_end <= tile_off  # header walk never crosses into data
+    assert sum(size for _, size in header_reads) < len(blob) // 2
+    # overview read touches even less: its tiles sit FIRST in the data
+    calls.clear()
+    o = read_cog_tile(fetch, 1, 0, 0)
+    assert (o["width"], o["height"]) == (5, 5)
+    assert calls[-1][0] < tile_off  # overview tile precedes full-res data
+
+
+def test_encode_cog_rejects_bad_tile_size(rasters):
+    from geospatial_etl_pipeline_spark.operators.geotiff import encode_cog
+
+    with pytest.raises(ValueError, match="multiple of 16"):
+        encode_cog(4, 4, 0.0, 0.0, 1.0, -9999.0, None, [0.0] * 16, tile_px=17)
+
+
 @pytest.mark.parametrize("w,h,tp", [(10, 10, 4), (7, 5, 3), (10, 10, 10),
                                     (6, 9, 2), (5, 7, 16)])
 def test_tile_partitions_cells_exactly(spark, w, h, tp):
