@@ -5,13 +5,18 @@ the only schema that scales to 100 TB of images/audio/video in a
 relational engine (content-addressed blobs, columnar metadata, operators
 as Arrow-batched transforms).
 
-The image/audio codec libraries are NOT in this container, so ONLY the
-byte<->pixel codec boundary is faked (clearly-marked deterministic fake
-containers, ``allow_fake=True`` required): feature extraction, the
+The byte<->pixel codec boundary is PLUGGABLE (see ``resolve_codec``):
+``PillowCodec`` is wired in and used automatically when PIL is
+importable; the clearly-marked deterministic ``FakeCodec`` is the
+fallback (``allow_fake=True`` required to opt into it explicitly).
+Everything downstream of decode — feature extraction, the
 nearest-neighbor ``resize`` math, ``frame_sample`` timestamp
-arithmetic, and all Spark plumbing — schema, Arrow batch iteration,
-per-frame fan-out, partition sizing — are real and tested end to end.
-Swap the fake_*code_* functions for Pillow/ffmpeg calls to go live.
+arithmetic, aHash bit-packing, and all Spark plumbing (schema, Arrow
+batch iteration, per-frame fan-out, partition sizing) — is real,
+codec-independent, and tested end to end; tests parametrize over every
+available codec so the same pixel assertions run under both.
+Video demux still needs ffmpeg (not importable here) and stays behind
+the fake container with the same pluggable seam.
 """
 
 from __future__ import annotations
@@ -92,25 +97,49 @@ def _fake_decode(blob: bytes, dims: int = 8) -> np.ndarray:
     return np.asarray(vals[:dims], dtype=np.float64)
 
 
+def _pixel_features(px: "np.ndarray", dims: int) -> "np.ndarray":
+    """REAL feature kernel over decoded grayscale pixels: global moments
+    (mean, std, min, max) followed by a normalized histogram, truncated/
+    padded to ``dims``. Codec-independent math — runs identically on
+    Pillow-decoded PNGs and fake-container pixels."""
+    flat = px.astype(np.float64).ravel() / 255.0
+    moments = [flat.mean(), flat.std(), flat.min(), flat.max()]
+    nbins = max(dims - len(moments), 0)
+    if nbins:
+        hist, _ = np.histogram(flat, bins=nbins, range=(0.0, 1.0))
+        moments.extend(hist / max(flat.size, 1))
+    return np.asarray(moments[:dims], dtype=np.float64)
+
+
 def decode_features(
-    media: DataFrame, dims: int = 8, allow_fake: bool = False
+    media: DataFrame, dims: int = 8, allow_fake: bool = False,
+    codec: str | None = None,
 ) -> DataFrame:
     """Decode + feature-extract each blob into a fixed-length vector.
 
-    Real codecs are unavailable in this image: pass ``allow_fake=True``
-    to run the deterministic fake kernel through the production plumbing
-    (Arrow batches, explicit schema, per-partition streaming).
+    Codec seam (:func:`resolve_codec`): under the FAKE codec the
+    feature kernel is the MD5-chained byte expansion (`_fake_decode`) —
+    deterministic and SQL-modelable, which is what q95/q96's oracles
+    pin. Under a REAL codec (Pillow, picked automatically when
+    importable) blobs decode to pixels and features are
+    :func:`_pixel_features` moments+histogram — real math, no SQL
+    oracle (DuckDB cannot decode PNGs; the pixel tests cover it).
     """
-    if not allow_fake:
-        raise NotImplementedError(
-            "media codecs (Pillow/ffmpeg) are not available in this "
-            "environment; pass allow_fake=True to run the deterministic "
-            "fake decode kernel through the real Spark plumbing"
-        )
+    impl = resolve_codec(codec, allow_fake)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(b, dims) for b in pdf["blob"]]
+            if impl is FakeCodec:
+                feats = [_fake_decode(b, dims) for b in pdf["blob"]]
+            else:
+                feats = [
+                    _pixel_features(
+                        impl.decode_image(bytes(b), m.get("width"),
+                                          m.get("height")),
+                        dims,
+                    )
+                    for b, m in zip(pdf["blob"], pdf["meta"])
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -127,11 +156,12 @@ def decode_features(
 
 
 # --------------------------------------------------------------------------
-# Pluggable pixel codec. ONLY the byte<->pixel codec is fake (no
-# Pillow/ffmpeg in this image); everything downstream of decode —
-# nearest-neighbor resize indexing, frame timestamp arithmetic, the
-# Spark plumbing — is the real production math and runs unchanged when
-# the codec swaps to Pillow/ffmpeg.
+# Pluggable pixel codec. The byte<->pixel step is the ONLY part that
+# differs between the deterministic fake containers and a real library;
+# everything downstream of decode — nearest-neighbor resize indexing,
+# frame timestamp arithmetic, aHash bit-packing, the Spark plumbing —
+# is the real production math and runs unchanged under either codec.
+# resolve_codec picks Pillow automatically when PIL is importable.
 # --------------------------------------------------------------------------
 
 _FAKEIMG = b"FIMG"  # fake image container: magic + <HH> h,w + uint8 pixels
@@ -189,6 +219,128 @@ def fake_decode_video(blob: bytes) -> tuple[np.ndarray, int]:
     return frames, frame_ms
 
 
+class FakeCodec:
+    """Deterministic codec over the FIMG/FVID containers (and raw-byte
+    tiling for fixture blobs). No external libraries; every pixel is a
+    pure function of the input bytes, so tests are bit-reproducible."""
+
+    name = "fake"
+    image_mime = "image/x-fake"
+
+    @staticmethod
+    def available() -> bool:
+        return True
+
+    @staticmethod
+    def decode_image(blob: bytes, meta_w: int | None = None,
+                     meta_h: int | None = None) -> np.ndarray:
+        return fake_decode_image(blob, meta_w, meta_h)
+
+    @staticmethod
+    def encode_image(arr: np.ndarray) -> bytes:
+        return fake_encode_image(arr)
+
+    @staticmethod
+    def decode_video(blob: bytes) -> tuple[np.ndarray, int]:
+        return fake_decode_video(blob)
+
+    @staticmethod
+    def encode_video(frames: np.ndarray, frame_ms: int) -> bytes:
+        return fake_encode_video(frames, frame_ms)
+
+
+class PillowCodec:
+    """Real image codec backed by Pillow, used automatically when PIL
+    is importable (it is an optional dependency — this module never
+    hard-imports it). Grayscale ('L') pixels in/out; encode writes
+    lossless PNG so decode(encode(arr)) is exact and the same pixel
+    tests that pin the fake codec pass unchanged. Video stays
+    unsupported (that seam needs ffmpeg, not Pillow)."""
+
+    name = "pillow"
+    image_mime = "image/png"
+
+    @staticmethod
+    def available() -> bool:
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError:
+            return False
+        return True
+
+    @staticmethod
+    def decode_image(blob: bytes, meta_w: int | None = None,
+                     meta_h: int | None = None) -> np.ndarray:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(blob)) as img:
+            return np.asarray(img.convert("L"), dtype=np.uint8)
+
+    @staticmethod
+    def encode_image(arr: np.ndarray) -> bytes:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.ascontiguousarray(arr, dtype=np.uint8), mode="L"
+        ).save(buf, format="PNG")
+        return buf.getvalue()
+
+    @staticmethod
+    def decode_video(blob: bytes) -> tuple[np.ndarray, int]:
+        raise NotImplementedError(
+            "PillowCodec has no video demuxer; video needs ffmpeg"
+        )
+
+    @staticmethod
+    def encode_video(frames: np.ndarray, frame_ms: int) -> bytes:
+        raise NotImplementedError(
+            "PillowCodec has no video muxer; video needs ffmpeg"
+        )
+
+
+CODECS = {FakeCodec.name: FakeCodec, PillowCodec.name: PillowCodec}
+
+
+def available_codecs() -> list[str]:
+    """Names of codecs usable in this environment (fake is always
+    available; pillow appears when PIL is importable)."""
+    return [name for name, c in CODECS.items() if c.available()]
+
+
+def resolve_codec(codec: str | None = None, allow_fake: bool = False):
+    """Pick the codec for a media operator.
+
+    - ``codec='pillow'`` / ``codec='fake'``: that codec, or
+      NotImplementedError if its library is absent.
+    - ``codec=None``: a REAL codec if one is importable (Pillow), else
+      the fake codec when ``allow_fake=True``, else NotImplementedError
+      — the fake never runs silently by default."""
+    if codec is not None:
+        impl = CODECS.get(codec)
+        if impl is None:
+            raise ValueError(f"unknown codec {codec!r}; known: {sorted(CODECS)}")
+        if not impl.available():
+            raise NotImplementedError(
+                f"codec {codec!r} is not available in this environment "
+                f"(library not importable)"
+            )
+        return impl
+    if allow_fake:
+        return FakeCodec
+    if PillowCodec.available():
+        return PillowCodec
+    raise NotImplementedError(
+        "no real media codec (Pillow/ffmpeg) is importable in this "
+        "environment; pass allow_fake=True (or codec='fake') to run the "
+        "deterministic fake codec through the real math and Spark plumbing"
+    )
+
+
 def _nn_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """REAL nearest-neighbor resize (the math is identical under any
     codec): source index = floor((i + 0.5) * src/dst)."""
@@ -203,38 +355,35 @@ def _nn_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 def resize(
-    media: DataFrame, width: int, height: int, allow_fake: bool = False
+    media: DataFrame, width: int, height: int, allow_fake: bool = False,
+    codec: str | None = None,
 ) -> DataFrame:
     """Image resize: media(MEDIA_SCHEMA) -> media(MEDIA_SCHEMA) with
     meta.width/height rewritten and the blob re-encoded at the target
-    size. Nearest-neighbor sampling (real math); decode/encode go
-    through the pluggable codec — ``allow_fake=True`` runs the
-    deterministic fake codec (this image has no Pillow), a production
-    deploy swaps in a real one with zero plan changes. Arrow-batched
+    size. Nearest-neighbor sampling (real math, codec-independent);
+    decode/encode go through the pluggable codec seam
+    (:func:`resolve_codec`): Pillow automatically when importable, or
+    the deterministic fake codec with ``allow_fake=True`` /
+    ``codec='fake'`` — same plan either way. Arrow-batched
     ``mapInPandas``: one task per partition of blobs, no driver work."""
-    if not allow_fake:
-        raise NotImplementedError(
-            "image codecs (Pillow) are not available in this environment; "
-            "pass allow_fake=True to run the deterministic fake codec "
-            "through the real resize math and Spark plumbing"
-        )
+    impl = resolve_codec(codec, allow_fake)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for row in pdf.to_dict("records"):
                 meta = row["meta"]
-                arr = fake_decode_image(
-                    row["blob"], meta.get("width"), meta.get("height")
+                arr = impl.decode_image(
+                    bytes(row["blob"]), meta.get("width"), meta.get("height")
                 )
                 resized = _nn_resize(arr, width, height)
                 out.append(
                     {
                         "media_id": row["media_id"],
                         "kind": row["kind"],
-                        "blob": fake_encode_image(resized),
+                        "blob": impl.encode_image(resized),
                         "meta": {
-                            "mime": "image/x-fake",
+                            "mime": impl.image_mime,
                             "width": width,
                             "height": height,
                             "duration_ms": meta.get("duration_ms"),
@@ -257,7 +406,8 @@ FRAME_SCHEMA = StructType(
 
 
 def frame_sample(
-    media: DataFrame, every_ms: int, allow_fake: bool = False
+    media: DataFrame, every_ms: int, allow_fake: bool = False,
+    codec: str | None = None,
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame
     (media_id, frame_idx, ts_ms, blob=encoded frame image), sampling at
@@ -266,19 +416,26 @@ def frame_sample(
     operator; only the byte<->frame codec is fake (no ffmpeg here) —
     swap it for a real demuxer with no change to the Spark shape (the
     per-row fan-out to N frame rows is the part that matters at scale:
-    it happens inside the executor batch, never on the driver)."""
-    if not allow_fake:
+    it happens inside the executor batch, never on the driver).
+
+    Note: only the fake codec demuxes video today (Pillow has no video
+    path; the real seam is ffmpeg), so ``codec=None`` without
+    ``allow_fake`` raises even when Pillow is importable — the sampled
+    frames are still ENCODED through the resolved image codec, so with
+    Pillow present the output rows carry real PNGs."""
+    if codec is None and not allow_fake:
         raise NotImplementedError(
-            "video codecs (ffmpeg) are not available in this environment; "
-            "pass allow_fake=True to run the deterministic fake codec "
-            "through the real sampling math and Spark plumbing"
+            "video demuxing needs ffmpeg, which is not available in this "
+            "environment; pass allow_fake=True to run the deterministic "
+            "fake video container through the real sampling math"
         )
+    impl = resolve_codec(codec, allow_fake)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for row in pdf.to_dict("records"):
-                frames, frame_ms = fake_decode_video(row["blob"])
+                frames, frame_ms = impl.decode_video(bytes(row["blob"]))
                 duration = len(frames) * frame_ms
                 ts = 0
                 while ts < duration:
@@ -288,7 +445,7 @@ def frame_sample(
                             "media_id": row["media_id"],
                             "frame_idx": int(idx),
                             "ts_ms": int(ts),
-                            "blob": fake_encode_image(frames[idx]),
+                            "blob": impl.encode_image(frames[idx]),
                         }
                     )
                     ts += every_ms
@@ -344,28 +501,25 @@ AHASH_SCHEMA = StructType(
 )
 
 
-def ahash64(media: DataFrame, allow_fake: bool = False) -> DataFrame:
+def ahash64(
+    media: DataFrame, allow_fake: bool = False, codec: str | None = None
+) -> DataFrame:
     """64-bit average-hash (aHash) per media blob: decode → 8×8
     nearest-neighbor downscale (REAL math) → threshold at the mean →
     bit-packed signature. The perceptual fingerprint that survives
     re-encoding/resizing, where content_hash (exact bytes) does not —
     the image-dedup analogue of MinHash for text.
 
-    The byte→pixel step is the pluggable fake codec (``allow_fake``,
-    same contract as decode_features); everything after it is
-    production math. Arrow-batched mapInPandas; blobs never leave the
-    executor.
+    The byte→pixel step is the pluggable codec seam
+    (:func:`resolve_codec` — Pillow automatically when importable, fake
+    with ``allow_fake=True``); everything after it is production math.
+    Arrow-batched mapInPandas; blobs never leave the executor.
 
     IMAGE rows only: non-image kinds are filtered out up front (a
     video container tiled through the image decoder would hash to
     silent garbage, and audio rows have no pixel dims to shape — the
     frame-sampling path is the video analogue)."""
-    if not allow_fake:
-        raise NotImplementedError(
-            "media codecs (Pillow/ffmpeg) are not available in this "
-            "environment; pass allow_fake=True to run the deterministic "
-            "fake decode kernel through the real Spark plumbing"
-        )
+    impl = resolve_codec(codec, allow_fake)
 
     media = media.filter(F.col("kind") == "image")
 
@@ -375,7 +529,7 @@ def ahash64(media: DataFrame, allow_fake: bool = False) -> DataFrame:
             for mid, kind, blob, meta in zip(
                 pdf["media_id"], pdf["kind"], pdf["blob"], pdf["meta"]
             ):
-                px = fake_decode_image(
+                px = impl.decode_image(
                     bytes(blob), meta["width"], meta["height"]
                 )
                 small = _nn_resize(px, 8, 8).astype(np.int64)
