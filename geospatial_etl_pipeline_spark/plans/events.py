@@ -1702,6 +1702,79 @@ def q151_rolling_weekly_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q201_rolling_weekly_actives_sketch",
+    tags=("events", "llm-data", "rolling-distinct", "sketch", "hll"),
+    oracle=None,  # sketch bits are engine-specific -> rows-only + in-plan
+    #               bound asserts vs the exact columns (q29's discipline)
+    oracle_twin="q151_rolling_weekly_actives",
+)
+def q201_rolling_weekly_actives_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q151's 100 TB form: rolling 7-day actives via MERGEABLE HLL
+    sketches (DataSketches ``hll_sketch_agg``/``hll_union_agg``) instead
+    of the exact range-join fan-out. The exact plan fans the distinct
+    (day, user) relation ≤7× before a per-day COUNT(DISTINCT) — fine at
+    bench scale, but the fan-out is 7 × (days × active users) rows. The
+    sketch plan reduces each day to ONE fixed-size (2^lgK bytes) sketch
+    first, range-joins only the DAY-level sketch relation (≤ 7 ×
+    n_days rows total, corpus-independent), and merges — distinct
+    counts don't decompose over sliding sums, but sketch UNION does,
+    which is exactly why sketches exist.
+
+    Not unfalsifiable: the same plan carries the exact q151 range-join
+    as a twin branch and emits ``within_bound`` per day — |approx −
+    exact| / exact ≤ 3σ of the published DataSketches HLL relative
+    standard error 1.04/√(2^lgK) (≈1.63% at lgK=12). test_catalog
+    asserts every day's bound at two scales; the driver's rows-only
+    check covers shape. SCALING.md's "HLL swap" row points HERE."""
+    _LG_K = 12
+    _RSD = 1.04 / (2 ** (_LG_K / 2.0))
+    e = t(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    # one fixed-size sketch per day (single corpus exchange, map-side
+    # partial sketches merge in the agg)
+    daily = du.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", F.lit(_LG_K)).alias("sk")
+    )
+    days = daily.select(F.col("day").alias("anchor"))
+    sk_joined = daily.join(
+        days,
+        (F.col("day") <= F.col("anchor"))
+        & (F.col("day") > F.date_sub(F.col("anchor"), 7)),
+    )
+    approx = sk_joined.groupBy(F.col("anchor").alias("day")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("bigint")
+        .alias("wau_sketch")
+    )
+    # exact twin branch (q151's plan verbatim) for the in-plan bound
+    exact_joined = du.join(
+        days,
+        (F.col("day") <= F.col("anchor"))
+        & (F.col("day") > F.date_sub(F.col("anchor"), 7)),
+    )
+    exact = exact_joined.groupBy(F.col("anchor").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau_exact")
+    )
+    err = (
+        F.abs(F.col("wau_sketch") - F.col("wau_exact"))
+        / F.col("wau_exact").cast("double")
+    )
+    return (
+        approx.join(exact, "day")
+        .select(
+            "day",
+            "wau_sketch",
+            "wau_exact",
+            (err <= 3 * _RSD).alias("within_bound"),
+        )
+    )
+
+
+@register(
     "q152_event_gap_histogram",
     tags=("events", "llm-data", "histogram", "cadence"),
     oracle="""

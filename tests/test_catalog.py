@@ -83,6 +83,25 @@ def test_q29_sketches_within_published_error(spark):
             assert r["p99_within_bound"], (sf, r)
 
 
+def test_q201_hll_rolling_dau_within_published_error(spark):
+    """q201 (q151's mergeable-sketch scale form) is falsifiable the
+    same way as q29: the plan carries the exact range-join twin and a
+    per-day within_bound boolean against 3σ of the DataSketches HLL
+    published error. Every day must bound-check at two scales, and the
+    sketch must track the exact series (equal-length join output)."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        q201 = catalog.QUERIES["q201_rolling_weekly_actives_sketch"]
+        rows = q201.fn(spark, sf).collect()
+        assert rows, sf
+        exact = catalog.QUERIES["q151_rolling_weekly_actives"].fn(
+            spark, sf
+        ).collect()
+        assert len(rows) == len(exact), sf  # one output row per day
+        for r in rows:
+            assert r["within_bound"], (sf, r)
+            assert r["wau_sketch"] > 0, (sf, r)
+
+
 def test_q161_zorder_cells_are_local(spark):
     """The whole point of the Z-order census: every coarse cell (top 8
     code bits = 3 bits dropped per axis) must contain points from at
@@ -211,6 +230,9 @@ def test_catalog_hygiene():
         "q54_ann_lsh_topk",
         "q74_ref_pipeline_e2e",
         "q114_kmeans_clusters",
+        "q201_rolling_weekly_actives_sketch",  # HLL sketch bits are
+        # engine-specific; exact-twinned to q151 + in-plan within_bound
+        # asserted at two scales below
     }
     for name, spec in catalog.QUERIES.items():
         assert re.match(r"^q\d+_[a-z0-9_]+$", name), name
