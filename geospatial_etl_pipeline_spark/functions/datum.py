@@ -65,29 +65,53 @@ def _xyz_to_geodetic(x, y, z, a, f):
     return np.degrees(lon), np.degrees(lat)
 
 
-# Shipped synthetic NTv2 fixture for the NZ window (built by
-# tools/make_nz_grid.py from the 3-param transform sampled at the nodes;
-# real LINZ nzgd2kgrid0005.gsb drops in at the same path).
-_DEFAULT_GRID_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(__file__)),
-    "data", "nz_nzgd49_nzgd2000_synth.gsb",
-)
-_default_grid_cache: list = []  # [] = unloaded, [None] = missing, [grid]
+# Grid resolution order (first parseable wins):
+#   1. $SPARK_GRAFT_NTV2_GRID — operator-provided path (cluster deploys
+#      point this at the production grid on shared storage);
+#   2. data/nzgd2kgrid0005.gsb — the real LINZ-published grid, placed by
+#      the build-time fetch hook (tools/fetch_linz_grid.py);
+#   3. data/nz_nzgd49_nzgd2000_synth.gsb — the shipped synthetic fixture
+#      (built by tools/make_nz_grid.py from the 3-param transform
+#      sampled at the nodes), so the pipeline is runnable offline.
+_ENV_GRID = "SPARK_GRAFT_NTV2_GRID"
+_DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data")
+_REAL_GRID_PATH = os.path.join(_DATA_DIR, "nzgd2kgrid0005.gsb")
+_DEFAULT_GRID_PATH = os.path.join(_DATA_DIR, "nz_nzgd49_nzgd2000_synth.gsb")
+_default_grid_cache: list = []  # [] = unloaded, [grid] = loaded
+
+
+def grid_search_paths() -> list[str]:
+    """Candidate ``.gsb`` paths in priority order (env override → real
+    LINZ grid → synthetic fixture)."""
+    paths = []
+    env = os.environ.get(_ENV_GRID)
+    if env:
+        paths.append(env)
+    paths.append(_REAL_GRID_PATH)
+    paths.append(_DEFAULT_GRID_PATH)
+    return paths
 
 
 def default_nz_grid() -> "NTv2Grid | None":
-    """Lazily parse the shipped NZ ``.gsb`` (None if the file is absent).
+    """Lazily parse the first resolvable NZ ``.gsb`` from
+    :func:`grid_search_paths` (None if every candidate is absent).
     Parsed once per process; executors each pay one ~50 KB parse, not
-    one per batch."""
+    one per batch. Unparseable candidates are skipped, not fatal — a
+    corrupt download must not take out the synthetic fallback."""
     if not _default_grid_cache:
-        try:
-            with open(_DEFAULT_GRID_PATH, "rb") as f:
-                _default_grid_cache.append(parse_ntv2(f.read()))
-        except OSError:
-            # Do NOT cache the miss: the fixture can be generated later
-            # in the same process (tools/make_nz_grid.py), and a
-            # process-lifetime None would silently pin the 3-parameter
-            # fallback forever after one early call.
+        for path in grid_search_paths():
+            try:
+                with open(path, "rb") as f:
+                    _default_grid_cache.append(parse_ntv2(f.read()))
+                break
+            except (OSError, ValueError):
+                continue
+        else:
+            # Do NOT cache the miss: a grid can be generated/fetched
+            # later in the same process (tools/make_nz_grid.py,
+            # tools/fetch_linz_grid.py), and a process-lifetime None
+            # would silently pin the 3-parameter fallback forever
+            # after one early call.
             return None
     return _default_grid_cache[0]
 
@@ -232,6 +256,12 @@ def parse_ntv2(data: bytes) -> NTv2Grid:
     def f8(d: dict, k: str) -> float:
         return struct.unpack("<d", d[k])[0]
 
+    required = {"S_LAT", "N_LAT", "E_LONG", "W_LONG", "LAT_INC", "LONG_INC",
+                "GS_COUNT"}
+    if "NUM_OREC" not in header or not required <= set(sub):
+        raise ValueError(
+            "not a parseable NTv2 .gsb (missing header/subgrid records)"
+        )
     count = struct.unpack("<i", sub["GS_COUNT"][:4])[0]
     # records start right after GS_COUNT; each is 4 little-endian float32
     hdr_len = 16 * (len(header) + len(sub))
