@@ -244,8 +244,16 @@ def run(
     crs: str = "EPSG:27200",
     strict: bool = False,
     regions_url: str | None = None,
+    upload_fs_base: str | None = None,
 ) -> dict:
-    """Execute the pipeline; returns counts for logging/tests."""
+    """Execute the pipeline; returns counts for logging/tests.
+
+    ``upload_fs_base``: when set, the zip artifacts are ALSO copied to
+    this Hadoop-filesystem URI via ``sinks.upload_artifacts`` —
+    ``s3a://bucket/prefix`` on a cluster, ``file:///...`` in the
+    offline contract test (same code path, scheme-dispatched). Unset,
+    the upload stage stays manifest-only (URI column + parquet
+    manifest), matching a dry run."""
     rasters = read_asc(spark, file_folder, crs=crs)
     regions = load_regions(spark, regions_csv, regions_url)
     products = build_products(spark, rasters, regions).cache()
@@ -287,6 +295,11 @@ def run(
             r["upload_target"]
             for r in targets.orderBy("upload_target").limit(10).collect()
         ]
+    upload_result = None
+    if upload_fs_base:
+        from .operators.sinks import upload_artifacts
+
+        upload_result = upload_artifacts(spark, zip_dir, upload_fs_base)
     products.unpersist()
     return {
         "products": n_products,
@@ -294,6 +307,7 @@ def run(
         "metadata_docs": n_docs,
         "upload_targets": uploads,
         "n_upload_targets": n_uploads,
+        "uploaded": upload_result["uploaded"] if upload_result else [],
     }
 
 
@@ -313,6 +327,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--s3prefix", default=None)
     ap.add_argument("--crs", default="EPSG:27200")
     ap.add_argument("--strict", action="store_true")
+    ap.add_argument("--upload_fs_base", default=None,
+                    help="Hadoop FS URI to copy zips to (s3a://bucket/"
+                         "prefix on a cluster; file:///path for local "
+                         "contract runs). Unset = manifest-only.")
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -329,6 +347,7 @@ def main(argv: list[str] | None = None) -> None:
         args.crs,
         args.strict,
         regions_url=args.regions_url,
+        upload_fs_base=args.upload_fs_base,
     )
     print(json.dumps({k: v for k, v in result.items()}, indent=2))
 

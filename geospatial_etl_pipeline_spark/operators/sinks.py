@@ -109,6 +109,76 @@ def upload_prefix(bucket: str, prefix: str | None, name: str) -> str:
     return f"s3a://{bucket}/{name}"
 
 
+def upload_artifacts(
+    spark,
+    src_dir: str,
+    dest_base: str,
+    suffix: str = ".zip",
+    tolerate_missing: bool = True,
+) -> dict:
+    """Object-store upload through the Hadoop FileSystem API — the real
+    byte-moving twin of the reference's boto3 loop (copy_esrigrid…py:
+    377–406). ``FileSystem.get(URI, conf)`` dispatches on the
+    destination SCHEME, so the identical code path serves
+    ``s3a://bucket/prefix`` on a cluster (S3A connector),
+    ``hdfs://...``, and ``file:///...`` — which is how the contract
+    test proves the path end-to-end in a sandbox with no object store:
+    same calls, same copy, same overwrite semantics, different scheme.
+
+    Reference parity: ``*.lock`` artifacts are excluded (:331–333), a
+    source directory that is absent or empty is tolerated when
+    ``tolerate_missing`` (the reference's permissive mode, :77–92 —
+    a pipeline stage that produced nothing must not fail the upload
+    stage), and existing destination objects are overwritten (:98).
+
+    Scale note: the per-file loop runs on the driver — correct for the
+    reference's hundreds-of-zips workload (the bytes stream JVM-side;
+    Python only orchestrates). At thousands of artifacts, land the
+    artifacts directly on the destination filesystem instead
+    (write_partitioned_parquet/df.write straight to s3a) — uploading
+    after the fact is the reference's shape, not the 100 TB one, and
+    the docstrings on the parquet sinks say so.
+
+    Returns {"uploaded": [names], "skipped_lock": n, "dest_base": uri}.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dest_base = dest_base.rstrip("/")
+    uri = jvm.java.net.URI(dest_base)
+    dst_fs = jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf)
+    local_fs = jvm.org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    if not os.path.isdir(src_dir):
+        if tolerate_missing:
+            return {"uploaded": [], "skipped_lock": 0, "dest_base": dest_base}
+        raise FileNotFoundError(src_dir)
+    dst_fs.mkdirs(hpath(dest_base))
+    uploaded: list[str] = []
+    skipped_lock = 0
+    for name in sorted(os.listdir(src_dir)):
+        if name.endswith(".lock"):
+            skipped_lock += 1
+            continue
+        if suffix and not name.endswith(suffix):
+            continue
+        src = os.path.join(src_dir, name)
+        ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
+            local_fs, hpath(src), dst_fs, hpath(f"{dest_base}/{name}"),
+            False,  # keep the source
+            True,   # overwrite (arcpy.env.overwriteOutput=True, REF:98)
+            conf,
+        )
+        if not ok and not tolerate_missing:
+            raise IOError(f"copy failed for {src}")
+        if ok:
+            uploaded.append(name)
+    return {
+        "uploaded": uploaded,
+        "skipped_lock": skipped_lock,
+        "dest_base": dest_base,
+    }
+
+
 def write_partitioned_parquet(
     df: DataFrame,
     out_dir: str,

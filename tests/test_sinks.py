@@ -61,6 +61,84 @@ def test_upload_prefix():
     assert upload_prefix("b", "", "x.zip") == "s3a://b/x.zip"
 
 
+def test_upload_artifacts_hadoop_fs_contract(spark, tmp_path):
+    """The upload path, exercised END-TO-END through the Hadoop
+    FileSystem API against a file:// destination — FileSystem.get
+    dispatches on the URI scheme, so this is byte-for-byte the same
+    code that targets s3a://bucket/prefix on a cluster (no object
+    store exists in this sandbox; the scheme is the only difference).
+    Covers: copy, overwrite-on-rerun, *.lock exclusion, and the
+    reference's tolerate-missing permissive mode."""
+    from geospatial_etl_pipeline_spark.operators.sinks import (
+        upload_artifacts,
+    )
+
+    src = tmp_path / "zips"
+    src.mkdir()
+    (src / "a.zip").write_bytes(b"alpha-bytes")
+    (src / "b.zip").write_bytes(b"beta-bytes")
+    (src / "c.lock").write_bytes(b"LOCK")
+    (src / "notes.txt").write_bytes(b"not a zip")
+    dest_dir = tmp_path / "bucket" / "pre" / "fix"
+    dest = f"file://{dest_dir}"
+
+    result = upload_artifacts(spark, str(src), dest)
+    assert result["uploaded"] == ["a.zip", "b.zip"]
+    assert result["skipped_lock"] == 1
+    assert (dest_dir / "a.zip").read_bytes() == b"alpha-bytes"
+    assert (dest_dir / "b.zip").read_bytes() == b"beta-bytes"
+    assert not (dest_dir / "c.lock").exists()
+    assert not (dest_dir / "notes.txt").exists()
+
+    # overwrite semantics (REF:98): rerun with changed bytes replaces
+    (src / "a.zip").write_bytes(b"alpha-v2")
+    result2 = upload_artifacts(spark, str(src), dest)
+    assert result2["uploaded"] == ["a.zip", "b.zip"]
+    assert (dest_dir / "a.zip").read_bytes() == b"alpha-v2"
+
+    # tolerate-missing (REF:77-92): absent source dir is permissive...
+    empty = upload_artifacts(spark, str(tmp_path / "nope"), dest)
+    assert empty["uploaded"] == []
+    # ...unless strict mode is asked for
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        upload_artifacts(
+            spark, str(tmp_path / "nope"), dest, tolerate_missing=False
+        )
+
+
+def test_cli_upload_fs_base_end_to_end(spark, tmp_path):
+    """cli.run(upload_fs_base=file://...) ships the real zip artifacts
+    through the Hadoop FS upload stage: every zip the pipeline wrote
+    lands at the destination with identical bytes."""
+    import os
+
+    from geospatial_etl_pipeline_spark import cli
+    from geospatial_etl_pipeline_spark.sources.asc import write_asc
+
+    src = tmp_path / "grids" / "07"
+    src.mkdir(parents=True)
+    write_asc(str(src / "grid_02_a_b_mean_monthly7.asc"), 4, 4,
+              [float(v) for v in range(16)])
+    out = tmp_path / "out"
+    dest_dir = tmp_path / "bucket" / "products"
+    result = cli.run(
+        spark, str(tmp_path / "grids"), str(out),
+        bucket_name="climate-bucket", s3prefix="/products/",
+        upload_fs_base=f"file://{dest_dir}",
+    )
+    assert result["zips"] >= 1
+    assert len(result["uploaded"]) == result["zips"]
+    for name in result["uploaded"]:
+        local = out / "zips" / name
+        assert (dest_dir / name).read_bytes() == local.read_bytes()
+    # Hadoop's checksummed LocalFileSystem adds .crc sidecars (absent
+    # on s3a); the visible artifact set must match exactly
+    visible = [n for n in os.listdir(dest_dir) if not n.startswith(".")]
+    assert sorted(visible) == sorted(result["uploaded"])
+
+
 def test_golden_metadata_json(spark, tmp_path):
     """SURVEY §5.3: byte-compare one fixed product's metadata document
     against the committed golden file. updatedAt is the injected fixed
