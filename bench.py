@@ -69,21 +69,31 @@ HEADLINE = [
     "q96_media_feature_moments",
 ]
 
-# Heaviest plans never picked by the driver's correctness sample — timed
-# and reported, but EXCLUDED from "value" so the 25-query headline total
-# stays an apples-to-apples series against BASELINE.md.
-EXTRA = [
+# The most expensive plans in the catalog, promoted to a FIRST-CLASS
+# series (r4 verdict item 6): timed every round with their own
+# normalized totals so round-over-round perf of the heavy family is a
+# headline signal — still EXCLUDED from "value" so the frozen 25-query
+# total stays an apples-to-apples series against BASELINE.md (q48, the
+# fourth member of the family, is already inside the frozen 25).
+# r4 reference (extra_normalized, BENCH_r04.json): q49 24.0,
+# q121 28.2, q125 18.6.
+HEAVY = [
     "q49_dedup_clusters",
-    "q100_hourly_gap_fill",
-    "q111_dup_graph_degrees",
     "q121_semantic_dedup",
     "q125_pagerank_dup_graph",
+]
+
+# Additional plans worth timing — reported, not summed into any gate.
+EXTRA = [
+    "q100_hourly_gap_fill",
+    "q111_dup_graph_degrees",
     "q127_ngram_containment_pairs",
     "q155_vocab_growth",
     "q156_zipf_curve",
     "q162_lsh_band_skew",
     "q163_minhash_calibration",
     "q167_source_boilerplate",
+    "q201_rolling_weekly_actives_sketch",
 ]
 
 _SENTINEL_N = 200_000_000
@@ -148,11 +158,16 @@ def main() -> None:
     # query fails, "value" is null and "incomplete" is true so a partial
     # total can never spuriously beat the gate.
     times: dict[str, float] = {}
+    heavy_times: dict[str, float] = {}
     extra_times: dict[str, float] = {}
     sentinels: list[float] = []
     errors: dict[str, str] = {}
-    for name in HEADLINE + EXTRA:
-        bucket = times if name in HEADLINE else extra_times
+    for name in HEADLINE + HEAVY + EXTRA:
+        bucket = (
+            times if name in HEADLINE
+            else heavy_times if name in HEAVY
+            else extra_times
+        )
         try:
             sentinels.append(round(run_sentinel(spark), 3))
         except Exception as exc:  # noqa: BLE001
@@ -187,6 +202,17 @@ def main() -> None:
             n: round(t / med_sent, 2) for n, t in times.items()
         }
         out["normalized_total"] = round(total / med_sent, 2)
+    if heavy_times:
+        # first-class heavy-family series (own totals, never in "value")
+        out["heavy_queries"] = heavy_times
+        out["heavy_total_sec"] = round(sum(heavy_times.values()), 3)
+        if med_sent:
+            out["heavy_normalized"] = {
+                n: round(t / med_sent, 2) for n, t in heavy_times.items()
+            }
+            out["heavy_normalized_total"] = round(
+                sum(heavy_times.values()) / med_sent, 2
+            )
     if extra_times:
         out["extra_queries"] = extra_times
         if med_sent:

@@ -40,9 +40,14 @@ def test_bench_headline_queries_exist():
     import bench
 
     missing = [
-        n for n in bench.HEADLINE + bench.EXTRA if n not in catalog.QUERIES
+        n for n in bench.HEADLINE + bench.HEAVY + bench.EXTRA
+        if n not in catalog.QUERIES
     ]
     assert not missing, missing
+    overlap = set(bench.HEADLINE) & set(bench.HEAVY) | set(
+        bench.HEADLINE
+    ) & set(bench.EXTRA) | set(bench.HEAVY) & set(bench.EXTRA)
+    assert not overlap, overlap  # each query is timed in exactly one bucket
 
 
 def test_no_duplicate_output_columns():
