@@ -81,7 +81,11 @@ def stopword_hits_t(tok: Column, lang: str) -> Column:
 
 
 def fingerprint_t(tok: Column) -> Column:
-    return F.md5(F.concat_ws(" ", tok))
+    # NULL-in -> NULL-out: concat_ws silently collapses a NULL array to
+    # "" (md5 of NULL text would equal md5 of an empty doc and, worse,
+    # DIVERGE from the DuckDB oracle where md5(NULL) is NULL) — found
+    # by the hostile-input parity sweep, pinned by test_hostile_parity
+    return F.when(tok.isNotNull(), F.md5(F.concat_ws(" ", tok)))
 
 
 def token_count(text: Column | str) -> Column:
@@ -131,7 +135,11 @@ def fingerprint(text: Column | str) -> Column:
     """Canonical document fingerprint: MD5 over the space-rejoined,
     whitespace-normalized, lowercased token stream (the classic
     'fingerprint' dedup key)."""
-    return F.md5(F.concat_ws(" ", tokens(text)))
+    c = F.col(text) if isinstance(text, str) else text
+    # guard on the RAW text (tokens(text) is NULL iff text is NULL):
+    # referencing the tokens() subtree twice would re-run the regex
+    # split per reference (see tokens() docstring)
+    return F.when(c.isNotNull(), F.md5(F.concat_ws(" ", tokens(c))))
 
 
 def quality_score(text: Column | str) -> Column:
@@ -155,7 +163,11 @@ def bow_fingerprint_t(tok: Column) -> Column:
     (bag-of-words) duplicate signature. q178 groups on it and q179
     audits those groups against the LSH tier; both build it HERE so
     the signature cannot drift between producer and auditor."""
-    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tok))))
+    # NULL-in -> NULL-out, same contract (and reason) as fingerprint_t
+    return F.when(
+        tok.isNotNull(),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tok)))),
+    )
 
 
 def sql_bow_fp(sql_tokens: str) -> str:

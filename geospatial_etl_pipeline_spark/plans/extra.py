@@ -197,7 +197,11 @@ def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of 1 — measured 3.0 s → 0.4 s at sf0.1 (the md5 hashing
     itself is only ~0.25 s). The round-1 explode×bits + two hash-aggs
     version was worse still (shuffled 32× the token count)."""
-    d = t(spark, sf_dir, "documents")
+    # NULL-text docs are ABSENT from the output in both engines: the
+    # oracle's unnest(NULL tokens) naturally drops the doc; Spark's
+    # in-row fold would emit a degenerate all-(-1)-votes row without
+    # this scan-level prefilter (hostile-input sweep finding).
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     staged = d.select("doc_id", tokens("text").alias("_tok")).select(
         "doc_id",
         F.expr(
@@ -750,7 +754,7 @@ _BLOOM_K = 4  # hash functions
     oracle=f"""
 WITH hist AS (
   SELECT DISTINCT md5(lower(trim(text))) AS fp
-  FROM documents WHERE doc_id % 2 = 0
+  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
 ),
 bits AS (
   SELECT list(DISTINCT
@@ -760,7 +764,7 @@ bits AS (
 ),
 inc AS (
   SELECT doc_id, md5(lower(trim(text))) AS fp
-  FROM documents WHERE doc_id % 2 = 1
+  FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL
 )
 SELECT i.doc_id,
        CASE WHEN list_has_all(b.bs,
@@ -787,8 +791,14 @@ def q133_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side. The exact side stays a fingerprint-keyed join — at 100 TB
     you'd let the bloom PRUNE that join's probe side first (the bloom
     column is computed before the shuffle), which is precisely what
-    AQE's runtime filter automates for q77."""
-    d = t(spark, sf_dir, "documents")
+    AQE's runtime filter automates for q77.
+
+    NULL-text docs are excluded on BOTH sides (explicit WHERE): a doc
+    with no fingerprint can be neither bloom member nor probe — left
+    implicit, DuckDB's list_has_all over a NULL probe list goes
+    vacuously true while Spark's NULL-fold goes false (hostile-input
+    sweep finding)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     fp = F.md5(F.lower(F.trim(F.col("text"))))
 
     def bbucket(j: int, fp_col):

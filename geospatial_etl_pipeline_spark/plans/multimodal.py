@@ -61,6 +61,7 @@ WITH feats AS (
          ('0x' || substr(md5(repeat(text, 3)), 2 * d.j + 1, 2))::BIGINT
            / 256.0 AS x
   FROM documents, range(0, 8) d(j)
+  WHERE text IS NOT NULL
 )
 SELECT kind, dim,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -82,8 +83,15 @@ def q96_media_feature_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the digest == hex pair [2j, 2j+2), an exact dyadic double, so the
     SQL re-derivation hashes identically and the gate verifies the
     PYTHON kernel's arithmetic end to end (the >16-dim chained case
-    stays unit-tested)."""
-    media = synthesize_media(t(spark, sf_dir, "documents"))
+    stays unit-tested).
+
+    NULL-text docs are excluded on BOTH sides (explicit WHERE / blob
+    prefilter): a NULL blob has no bytes to decode — unfiltered, the
+    Python kernel would crash on None while DuckDB's md5(NULL) rows
+    still COUNT(*) into n (hostile-input sweep finding)."""
+    media = synthesize_media(t(spark, sf_dir, "documents")).filter(
+        F.col("blob").isNotNull()
+    )
     feats = decode_features(media, dims=8, allow_fake=True)
     ex = feats.select("kind", F.posexplode("features").alias("dim", "x"))
     return ex.groupBy("kind", "dim").agg(

@@ -316,7 +316,11 @@ def q93_tfidf_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (token) row is already aggregated to one row per document)."""
     staged = _staged(spark, sf_dir)
     tf = (
-        staged.select("doc_id", F.explode_outer("_tok").alias("token"))
+        # plain explode, not explode_outer: a NULL token array (NULL
+        # text) must contribute NO tf rows — the oracle's unnest(NULL)
+        # emits nothing, and explode_outer's NULL-token row survived
+        # all the way into the salient-terms output (hostile sweep)
+        staged.select("doc_id", F.explode("_tok").alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -344,7 +348,12 @@ _RH_B = 131
 _RH_M = 2147483647  # 2^31 - 1: acc*131 + 255 < 2^38, no BIGINT overflow
 _RH_K = 5  # char-gram width
 
-_SQL_RH_NORM = "lower(trim(text))"
+# NULL text reads as '' (both engines, explicitly): the un-coalesced
+# forms diverged on NULL — Spark's IF(NULL>=5) fell to the else branch
+# and aggregated a NULL array to NULL, while DuckDB's greatest(NULL,1)
+# clamp manufactured hash 0 (hostile-input sweep). Empty and NULL docs
+# now share one pinned fingerprint in both engines.
+_SQL_RH_NORM = "lower(trim(coalesce(text, '')))"
 _SQL_RH_GRAMS = (
     f"list_transform(range(1, greatest(length({_SQL_RH_NORM}) - {_RH_K - 1}, 1) + 1), "
     f"i -> substr({_SQL_RH_NORM}, i::INT, {_RH_K}))"
@@ -395,7 +404,9 @@ def q38_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     b4, b3, b2 = _RH_B**4, _RH_B**3, _RH_B**2
     d = t(spark, sf_dir, "documents")
-    staged = d.select("doc_id", normalized("text").alias("_norm")).select(
+    staged = d.select(
+        "doc_id", normalized(F.coalesce(F.col("text"), F.lit(""))).alias("_norm")
+    ).select(
         "doc_id",
         F.expr(
             "transform(split(_norm, ''), ch -> CAST(ascii(ch) AS BIGINT))"
@@ -775,8 +786,13 @@ def q126_char_diversity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.lower(F.trim(F.col("text")))
     # Guard the fan-out: Spark's sequence(1, 0) yields a DESCENDING
     # [1, 0] (two rows of ''), where DuckDB's range(1, 1) is empty —
-    # whitespace-only documents would diverge without the branch.
+    # whitespace-only documents would diverge without the branch. NULL
+    # text stays a NULL array (NOT empty): the oracle's range(1, NULL)
+    # is NULL, so n_chars_norm/n_distinct_chars must be NULL in both
+    # engines (hostile-input sweep finding; 0 would be a lie anyway).
     chars = F.when(
+        norm.isNull(), F.lit(None).cast("array<string>")
+    ).when(
         F.length(norm) > 0,
         F.transform(
             F.sequence(F.lit(1), F.length(norm)),
@@ -1340,6 +1356,7 @@ def q178_bow_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH per_doc AS (
   SELECT CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok FROM documents
+  WHERE text IS NOT NULL
 ),
 hist AS (
   SELECT CAST(LENGTH(bin(n_tok)) - 1 AS INT) AS log2_tokens,
@@ -1369,7 +1386,12 @@ def q182_token_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~15-key partial agg, cumulative windows over the 15-row aggregate
     (the OVER () total is a 1-row broadcast-style window on the same
     tiny relation, not a corpus exchange)."""
-    d = t(spark, sf_dir, "documents")
+    # NULL-text docs are excluded in BOTH engines (explicit WHERE in
+    # the oracle, scan prefilter here): a tokenless doc is not a length
+    # bucket, and a NULL log2 group would sort NULLS-FIRST in Spark's
+    # cumulative window but NULLS-LAST in DuckDB's — shifting the whole
+    # CDF (hostile-input sweep finding).
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n_tok = F.size(tokens("text")).cast("bigint")
     hist = (
         d.select(n_tok.alias("n_tok"))

@@ -1,0 +1,120 @@
+"""Hostile-input differential tests: Spark vs DuckDB on documents the
+generated datasets never contain — NULL text, empty text, whitespace-only
+text.
+
+Why this exists: the engines disagree about NULL in exactly the places a
+clean dataset can't reveal. Spark's ``concat_ws`` collapses a NULL array
+to ``''`` where DuckDB's ``md5(NULL)`` is NULL; ``explode_outer`` emits
+a NULL row where ``unnest(NULL)`` emits nothing; ``IF(NULL >= k)`` falls
+to the else branch while a ``greatest(NULL, 1)`` clamp manufactures a
+value. Each of those was a REAL latent divergence found by running the
+full oracle catalog against this augmented table (round 5); the fixes
+live in functions/text.py (NULL-propagating fingerprints) and
+plans/text.py (q38/q93/q126/q167). This suite pins the contract so the
+divergences cannot come back.
+
+The fixture: sf0.001 with documents.parquet replaced by the original 500
+rows plus three hostile rows (NULL / '' / whitespace text). All other
+tables are the originals.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from geospatial_etl_pipeline_spark.oracle import compare
+from geospatial_etl_pipeline_spark.plans import catalog
+
+catalog.load_all_plans()
+
+_SRC = "/root/testdata/sf0.001"
+
+# The pinned set: every query that historically diverged on hostile
+# input, plus the rest of the fingerprint/token-explode family that
+# shares the fixed builders (cheap at this scale; the full-catalog
+# hostile sweep runs out-of-band at round close).
+HOSTILE_PINNED = [
+    "q33_fingerprint",            # md5(NULL tokens) was md5('')
+    "q38_rolling_hash_fingerprint",  # IF(NULL) vs greatest(NULL,1) clamp
+    "q40_dedup_exact",            # fingerprint grouping
+    "q43_top_word_bigrams",       # explode_outer + ngram builder
+    "q44_simhash",                # NULL doc emitted a degenerate signature
+    "q93_tfidf_salient_terms",    # explode_outer leaked a NULL-token row
+    "q96_media_feature_moments",  # NULL blob crashed the Python kernel
+    "q105_oov_rate",
+    "q126_char_diversity_quality",  # 0/0 vs NULL/NULL on NULL text
+    "q133_bloom_prefilter_audit",  # vacuous list_has_all on NULL probe
+    "q150_dedup_savings_report",  # NULL doc counted as dup of ''
+    "q155_vocab_growth",
+    "q167_source_boilerplate",    # the original ADVICE finding
+    "q178_bow_duplicate_groups",  # NULL doc joined the '' duplicate group
+    "q182_token_cdf",             # NULLS-FIRST vs NULLS-LAST CDF shift
+    "q200_corpus_scorecard",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hostile_sf")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        os.symlink(f"{_SRC}/{t}.parquet", d / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{_SRC}/documents.parquet')
+          UNION ALL SELECT 100001, NULL,  'en', 'webcrawl', 0
+          UNION ALL SELECT 100002, '',    'en', 'webcrawl', 0
+          UNION ALL SELECT 100003, '   ', 'en', 'webcrawl', 3
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize("name", HOSTILE_PINNED)
+def test_hostile_documents_parity(spark, hostile_sf_dir, name):
+    spec = catalog.QUERIES[name]
+    res = compare(name, spark, hostile_sf_dir, spec.fn, spec.oracle)
+    assert res.ok, str(res)
+
+
+def test_fingerprint_builders_null_contract(spark):
+    """The shared builders themselves: NULL-in → NULL-out, and the
+    empty document keeps its own (non-NULL) fingerprint — NULL must
+    never alias with ''."""
+    from pyspark.sql import functions as F
+
+    from geospatial_etl_pipeline_spark.functions.text import (
+        bow_fingerprint_t,
+        fingerprint,
+        fingerprint_t,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "a b")], ["id", "text"]
+    ).select(
+        "id",
+        tokens("text").alias("_tok"),
+        fingerprint(F.col("text")).alias("fp_direct"),
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            "fp_direct",
+            fingerprint_t(F.col("_tok")).alias("fp"),
+            bow_fingerprint_t(F.col("_tok")).alias("bow"),
+        ).collect()
+    }
+    assert rows[1]["fp"] is None and rows[1]["bow"] is None
+    assert rows[1]["fp_direct"] is None
+    assert rows[2]["fp"] is not None and rows[3]["fp"] is not None
+    assert rows[4]["fp"] not in (None, rows[2]["fp"])
+    # staged and direct forms agree on non-NULL input
+    for i in (2, 3, 4):
+        assert rows[i]["fp_direct"] == rows[i]["fp"]
