@@ -94,6 +94,7 @@ EXTRA = [
     "q163_minhash_calibration",
     "q167_source_boilerplate",
     "q201_rolling_weekly_actives_sketch",
+    "q202_embedding_validation_audit",
 ]
 
 _SENTINEL_N = 200_000_000

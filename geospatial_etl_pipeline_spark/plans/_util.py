@@ -14,6 +14,46 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# ---- validated embeddings boundary (the similarity family's input) ----
+#
+# A single malformed vector must not take down a 100 TB similarity job:
+# unvalidated, a NULL embedding crashes the Arrow kernels, an empty one
+# throws INVALID_ARRAY_INDEX out of element_at, and an all-zero one
+# turns every cosine into ANSI DIVIDE_BY_ZERO — while DuckDB silently
+# produces NaN/vacuous values for the same rows, so the engines don't
+# even fail the same way (hostile-input sweep, round 5). The contract:
+# every similarity/ANN/clustering plan reads THIS relation — non-null,
+# non-empty, NaN-free, nonzero-norm vectors — and its SQL twin
+# ``_SQL_EMB`` appears in every oracle, so both engines see the same
+# rows. q202_embedding_validation_audit accounts for the rejects
+# per defect class (validation must be observable, never silent).
+
+_SQL_EMB = (
+    "(SELECT * FROM embeddings WHERE embedding IS NOT NULL"
+    " AND len(embedding) > 0"
+    " AND len(list_filter(embedding, x -> isnan(x))) = 0"
+    " AND len(list_filter(embedding, x -> x <> 0)) > 0)"
+)
+
+
+def valid_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Rows whose vector is usable: non-null, non-empty, NaN-free, and
+    with at least one non-zero element (zero-norm vectors have no
+    cosine direction). Spark twin of :data:`_SQL_EMB`."""
+    e = F.col(vec_col)
+    return df.filter(
+        e.isNotNull()
+        & (F.size(e) > 0)
+        & ~F.exists(e, F.isnan)
+        & F.exists(e, lambda x: x != F.lit(0.0))
+    )
+
+
+def temb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table behind the validity boundary."""
+    return valid_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
 def literal_df(spark: SparkSession, rows: list[tuple], cols: list[str]) -> DataFrame:
     """Broadcast-sized DataFrame from literal rows as a PURE-JVM plan.
 

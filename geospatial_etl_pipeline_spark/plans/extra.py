@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import tokens
-from ._util import qsum, sql_qsum, t
+from ._util import _SQL_EMB, qsum, sql_qsum, t, temb
 from .catalog import register
 
 _STATUSES = ["F", "O", "P"]
@@ -228,8 +228,8 @@ def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q53_knn_topk_multi_query",
     tags=("similarity", "llm-data", "topk"),
     oracle=f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-e AS (SELECT vec_id, embedding FROM embeddings),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM {_SQL_EMB} embeddings WHERE vec_id < 5),
+e AS (SELECT vec_id, embedding FROM {_SQL_EMB} embeddings),
 prod AS (
   SELECT q.query_id, e.vec_id,
          e.embedding[i::INT]::DOUBLE AS x, qv[i::INT]::DOUBLE AS y
@@ -264,7 +264,7 @@ def q53_knn_topk_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     its oracle-checked twin."""
     from .similarity import _qdot
 
-    e = t(spark, sf_dir, "embeddings").select(
+    e = temb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = e.filter(F.col("vec_id") < 5).select(

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ._util import qsum, sql_qsum, t
+from ._util import _SQL_EMB, qsum, sql_qsum, t, temb
 from .catalog import QUERIES, register
 
 _QUERY_VEC_ID = 0
@@ -27,8 +27,8 @@ _S = float(10**12)  # quantization rescale factor
     "q50_cosine_topk",
     tags=("similarity", "llm-data", "topk"),
     oracle=f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> {_QUERY_VEC_ID}),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+WITH e AS (SELECT vec_id, embedding FROM {_SQL_EMB} embeddings WHERE vec_id <> {_QUERY_VEC_ID}),
+q AS (SELECT embedding AS qv FROM {_SQL_EMB} embeddings WHERE vec_id = {_QUERY_VEC_ID}),
 prod AS (
   SELECT e.vec_id,
          e.embedding[i::INT]::DOUBLE AS x,
@@ -55,7 +55,7 @@ def q50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the only exchange is the final TakeOrdered top-k. The
     per-element floor-quantized integers are identical to the oracle's
     explode+SUM formulation because integer addition is order-free."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = temb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(F.col("v").alias("qv"))
@@ -86,7 +86,7 @@ def q50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT label, i::INT AS dim,
        CAST({sql_qsum('embedding[i::INT]::DOUBLE')} AS DOUBLE) / {_S!r} / COUNT(*)
          AS centroid
-FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+FROM {_SQL_EMB} embeddings, unnest(range(1, len(embedding) + 1)) t(i)
 GROUP BY label, i
 """,
 )
@@ -94,7 +94,7 @@ def q51_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid, one row per (label, dimension). Explode +
     hash-agg: partial aggregation makes the shuffle carry
     |labels|×dim rows regardless of corpus size."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = temb(spark, sf_dir).select(
         "label", F.col("embedding").cast("array<double>").alias("v")
     )
     ex = e.select("label", F.posexplode("v").alias("i", "x"))
@@ -113,7 +113,7 @@ WITH norms AS (
   SELECT label, vec_id,
          sqrt(CAST({sql_qsum('embedding[i::INT]::DOUBLE * embedding[i::INT]::DOUBLE')}
               AS DOUBLE) / {_S!r}) AS l2
-  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+  FROM {_SQL_EMB} embeddings, unnest(range(1, len(embedding) + 1)) t(i)
   GROUP BY label, vec_id
 )
 SELECT label,
@@ -128,7 +128,7 @@ def q52_norm_stats_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector L2 norm folded inside the row (zip_with integer sum —
     order-free, so identical to the oracle's explode+SUM), then ONE
     shuffle for the per-label stats."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = temb(spark, sf_dir).select(
         "label", "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     norms = e.select(
@@ -223,7 +223,7 @@ _SQL_ND_BLK = (
     tags=("similarity", "dedup", "llm-data", "topk"),
     oracle=f"""
 WITH e AS (
-  SELECT vec_id, embedding, {_SQL_ND_BLK} AS blk FROM embeddings
+  SELECT vec_id, embedding, {_SQL_ND_BLK} AS blk FROM {_SQL_EMB} embeddings
 ),
 norms AS (
   SELECT vec_id,
@@ -278,7 +278,7 @@ def q55_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never has to be re-shuffled against a norms table — the plan is one
     blocked equi-join plus in-row arithmetic (two fewer exchanges of
     the pair relation than a post-join norm lookup)."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = temb(spark, sf_dir).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
         _sign_block(F.col("embedding"), _ND_BITS).alias("blk"),
@@ -328,7 +328,7 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
     via the broadcast in-row argmax fold. Extracted verbatim from q56 so
     the cell-occupancy audit (q175) measures EXACTLY the index q56
     probes — any drift would break both parities at once."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = temb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     corpus = e.filter(F.col("vec_id") >= 3)
@@ -384,7 +384,7 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
     "q56_ivf_topk",
     tags=("similarity", "llm-data", "ann", "ivf", "topk"),
     oracle=f"""
-WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+WITH corpus AS (SELECT vec_id, embedding FROM {_SQL_EMB} embeddings WHERE vec_id >= 3),
 cents AS (
   SELECT row_number() OVER (
            ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
@@ -415,7 +415,7 @@ cells AS (
   ) WHERE arn = 1
 ),
 qv AS (SELECT vec_id AS query_id, embedding AS qvec
-       FROM embeddings WHERE vec_id < 3),
+       FROM {_SQL_EMB} embeddings WHERE vec_id < 3),
 qass AS (
   SELECT q.query_id, k.cent_id,
          {sql_qsum('q.qvec[i::INT]::DOUBLE * k.cv[i::INT]::DOUBLE')} AS qd
@@ -439,7 +439,7 @@ cand AS (
 vnorm AS (
   SELECT vec_id,
          {sql_qsum('embedding[i::INT]::DOUBLE * embedding[i::INT]::DOUBLE')} AS qn
-  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i) GROUP BY vec_id
+  FROM {_SQL_EMB} embeddings, unnest(range(1, len(embedding) + 1)) t(i) GROUP BY vec_id
 ),
 cdot AS (
   SELECT cd.query_id, cd.vec_id,
@@ -540,7 +540,7 @@ def q54_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     but not relational — registered rows-only."""
     from ..operators.similarity import lsh_ann_topk
 
-    e = t(spark, sf_dir, "embeddings")
+    e = temb(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -596,9 +596,9 @@ WITH planes AS (
   SELECT t.t, b.b, d.d, {_SQL_PLANE} AS pc
   FROM range({_LSH_T}) t(t), range({_LSH_B}) b(b), range({_LSH_D}) d(d)
 ),
-corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+corpus AS (SELECT vec_id, embedding FROM {_SQL_EMB} embeddings WHERE vec_id >= 3),
 qv AS (SELECT vec_id AS query_id, embedding AS qvec
-       FROM embeddings WHERE vec_id < 3),
+       FROM {_SQL_EMB} embeddings WHERE vec_id < 3),
 cbits AS (
   SELECT c.vec_id, p.t, p.b,
          CASE WHEN {sql_qsum('c.embedding[p.d + 1]::DOUBLE * p.pc')} >= 0
@@ -629,7 +629,7 @@ cand AS (
 vnorm AS (
   SELECT vec_id,
          {sql_qsum('embedding[i::INT]::DOUBLE * embedding[i::INT]::DOUBLE')} AS qn
-  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i) GROUP BY vec_id
+  FROM {_SQL_EMB} embeddings, unnest(range(1, len(embedding) + 1)) t(i) GROUP BY vec_id
 ),
 cdot AS (
   SELECT cd.query_id, cd.vec_id,
@@ -666,7 +666,7 @@ def q84_lsh_ann_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     fast production path (numpy matmul bucketing, Gaussian planes);
     this query proves the LSH dataflow itself — bucket join on
     (table, bucket), dedup, re-rank — is correct end to end."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = temb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     corpus = e.filter(F.col("vec_id") >= 3)
@@ -746,7 +746,7 @@ def q114_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns per-cluster sizes and quantized inertia contribution."""
     from ..operators.clustering import kmeans
 
-    e = t(spark, sf_dir, "embeddings")
+    e = temb(spark, sf_dir)
     assigned, _cents, _inertias = kmeans(e, k=8, iters=3)
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors"),
@@ -768,7 +768,7 @@ WITH ranked AS (
          row_number() OVER (
            ORDER BY md5('kmeans:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
            AS cl
-  FROM embeddings
+  FROM {_SQL_EMB} embeddings
 ),
 cents AS (SELECT cl, embedding AS cv FROM ranked WHERE cl < {_KM_K}),
 d AS (
@@ -777,7 +777,7 @@ d AS (
            i -> (e.embedding[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE)
                 * (e.embedding[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE)),
            'sum') AS d2
-  FROM embeddings e, cents c
+  FROM {_SQL_EMB} e, cents c
 )
 SELECT vec_id, cluster FROM (
   SELECT vec_id, cl AS cluster,
@@ -802,7 +802,7 @@ def q118_kmeans_assign_iter1(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical; ties break on centroid index identically."""
     from ..operators.clustering import assign_clusters, init_centroids
 
-    e = t(spark, sf_dir, "embeddings")
+    e = temb(spark, sf_dir)
     cents = init_centroids(e, _KM_K)
     return assign_clusters(e, cents).select(
         "vec_id", F.col("cluster").cast("long").alias("cluster")
@@ -819,11 +819,11 @@ _FILT_NQ = 3  # vec_id < 3 are the query vectors
     oracle=f"""
 WITH q AS (
   SELECT vec_id AS query_id, label, embedding AS qv
-  FROM embeddings WHERE vec_id < {_FILT_NQ}
+  FROM {_SQL_EMB} embeddings WHERE vec_id < {_FILT_NQ}
 ),
 c AS (
   SELECT vec_id, label, embedding
-  FROM embeddings WHERE vec_id >= {_FILT_NQ}
+  FROM {_SQL_EMB} embeddings WHERE vec_id >= {_FILT_NQ}
 ),
 prod AS (
   SELECT q.query_id, c.vec_id,
@@ -863,7 +863,7 @@ def q124_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds, and the per-query top-k window partitions on query_id. The
     only exchange is the window's — sized |candidates|, already
     threshold-pruned."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = temb(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     q = e.filter(F.col("vec_id") < _FILT_NQ).select(
@@ -905,7 +905,7 @@ WITH ranked AS (
          row_number() OVER (
            ORDER BY md5('kmeans:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
            AS cl
-  FROM embeddings
+  FROM {_SQL_EMB} embeddings
 ),
 cents AS (SELECT cl, embedding AS cv FROM ranked WHERE cl < {_KM_K}),
 d AS (
@@ -914,7 +914,7 @@ d AS (
            i -> (e.embedding[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE)
                 * (e.embedding[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE)),
            'sum') AS d2
-  FROM embeddings e, cents c
+  FROM {_SQL_EMB} e, cents c
 ),
 asg AS (
   SELECT vec_id, cluster FROM (
@@ -972,7 +972,7 @@ def q121_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in lockstep with the q118/q114 oracle family)."""
     from ..operators.clustering import assign_clusters, init_centroids
 
-    e = t(spark, sf_dir, "embeddings")
+    e = temb(spark, sf_dir)
     cents = init_centroids(e, _KM_K)
     # Quantized self-norm computed ONCE per vector at the scan and
     # carried through the pair join — computing it per pair re-folds
@@ -1030,7 +1030,7 @@ WITH n AS (
   SELECT vec_id, label, embedding,
          {sql_qsum('x * x', 12).replace('x * x', 'embedding[i::INT]::DOUBLE * embedding[i::INT]::DOUBLE')}
            AS qn
-  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+  FROM {_SQL_EMB} embeddings, unnest(range(1, len(embedding) + 1)) t(i)
   GROUP BY vec_id, label, embedding
 )
 SELECT vec_id, label,
@@ -1061,7 +1061,7 @@ def q128_embedding_int8_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure scan projection, ZERO exchanges — this is the
     map-side write path in front of a partitioned sink
     (operators/sinks.py) at 100 TB."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = temb(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     qn = _qdot(F.col("v"), F.col("v"))
@@ -1101,7 +1101,7 @@ _NEG_K = 4
     oracle=f"""
 WITH anchors AS (
   SELECT vec_id AS anchor_id, label AS anchor_label
-  FROM embeddings WHERE vec_id < {_NEG_ANCHORS}
+  FROM {_SQL_EMB} embeddings WHERE vec_id < {_NEG_ANCHORS}
 ),
 ranked AS (
   SELECT a.anchor_id, c.vec_id AS neg_id, c.label AS neg_label,
@@ -1132,7 +1132,7 @@ def q129_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     one anchor_id-partitioned window exchange whose input is already
     |corpus| x {_NEG_ANCHORS} rows at most. For large anchor batches
     you shard anchors and union — the per-shard plan is this one."""
-    e = t(spark, sf_dir, "embeddings")
+    e = temb(spark, sf_dir)
     anchors = e.filter(F.col("vec_id") < _NEG_ANCHORS).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
@@ -1163,19 +1163,19 @@ def q129_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q135_embedding_covariance",
     tags=("similarity", "llm-data", "linalg", "covariance"),
     oracle=f"""
-WITH d AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
-n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+WITH d AS (SELECT len(embedding) AS dim FROM {_SQL_EMB} embeddings LIMIT 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {_SQL_EMB} embeddings),
 m AS (
   SELECT i::INT AS dim_i,
          {sql_qsum('embedding[i::INT]::DOUBLE')} AS qs
-  FROM embeddings, d, unnest(range(1, d.dim + 1)) t(i)
+  FROM {_SQL_EMB} embeddings, d, unnest(range(1, d.dim + 1)) t(i)
   GROUP BY i
 ),
 xy AS (
   SELECT i::INT AS dim_i, j::INT AS dim_j,
          {sql_qsum('embedding[i::INT]::DOUBLE * embedding[j::INT]::DOUBLE')}
            AS qsxy
-  FROM embeddings, d,
+  FROM {_SQL_EMB} embeddings, d,
        unnest(range(1, d.dim + 1)) t(i),
        unnest(range(1, d.dim + 1)) u(j)
   WHERE j >= i
@@ -1208,7 +1208,7 @@ def q135_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells. d is bounded (embedding width), so this is the map-reduce
     covariance every distributed PCA uses; the power-iteration loop on
     top is driver-side control like k-means (q114/q118)."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = temb(spark, sf_dir).select(
         F.col("embedding").cast("array<double>").alias("v")
     )
     n = e.select(F.count(F.lit(1)).alias("n"))
@@ -1268,11 +1268,11 @@ def q135_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH q AS (
   SELECT vec_id AS query_id, label, embedding AS qv
-  FROM embeddings WHERE vec_id < {_FILT_NQ}
+  FROM {_SQL_EMB} embeddings WHERE vec_id < {_FILT_NQ}
 ),
 c AS (
   SELECT vec_id, label, embedding
-  FROM embeddings WHERE vec_id >= {_FILT_NQ}
+  FROM {_SQL_EMB} embeddings WHERE vec_id >= {_FILT_NQ}
 ),
 prod AS (
   SELECT q.query_id, c.vec_id,
@@ -1341,7 +1341,7 @@ WITH ranked AS (
          row_number() OVER (
            ORDER BY md5('kmeans:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
            AS cl
-  FROM embeddings
+  FROM {_SQL_EMB} embeddings
 ),
 cents AS (SELECT cl, embedding AS cv FROM ranked WHERE cl < {_KM_K}),
 d AS (
@@ -1350,7 +1350,7 @@ d AS (
            i -> (e.embedding[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE)
                 * (e.embedding[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE)),
            'sum') AS d2
-  FROM embeddings e, cents c
+  FROM {_SQL_EMB} e, cents c
 ),
 asg AS (
   SELECT vec_id, cluster FROM (
@@ -1403,7 +1403,7 @@ def q145_cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     same tiny relation."""
     from ..operators.clustering import assign_clusters, init_centroids
 
-    e = t(spark, sf_dir, "embeddings")
+    e = temb(spark, sf_dir)
     cents = init_centroids(e, _KM_K)
     asg = assign_clusters(e, cents).select("vec_id", "cluster")
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1457,7 +1457,7 @@ def q145_cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH ex AS (
   SELECT label, i::INT AS dim, embedding[i::INT]::DOUBLE AS x
-  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+  FROM {_SQL_EMB} embeddings, unnest(range(1, len(embedding) + 1)) t(i)
 ),
 gstats AS (
   SELECT dim,
@@ -1498,7 +1498,7 @@ def q160_standardized_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     and (dim) — each shuffling |keys| rows only; the global stats
     (dim rows) BROADCAST back onto the label-centroid aggregate. No
     corpus-sized join, no second scan of the vectors."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = temb(spark, sf_dir).select(
         "label", F.col("embedding").cast("array<double>").alias("v")
     )
     ex = e.select(
@@ -1612,7 +1612,7 @@ def q175_ivf_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH n AS (
   SELECT vec_id, label, embedding,
          {sql_qsum('embedding[i::INT]::DOUBLE * embedding[i::INT]::DOUBLE')} AS qn
-  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+  FROM {_SQL_EMB} embeddings, unnest(range(1, len(embedding) + 1)) t(i)
   GROUP BY vec_id, label, embedding
 ),
 el AS (
@@ -1647,7 +1647,7 @@ def q180_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     through floor-quantized BIGINT sums (qsum). Shape: one explode →
     (label) partial agg; at 100 TB this runs beside the export scan
     and adds no exchange beyond the |labels|-row rollup."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = temb(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     qn = _qdot(F.col("v"), F.col("v"))
@@ -1722,7 +1722,7 @@ def q187_blocked_pair_cosine_histogram(
 
     Buckets are floor(cos·20) on engine-identical doubles (the cosine
     is quantized-integer dot ratios); the histogram agg is ≤41 keys."""
-    e = t(spark, sf_dir, "embeddings").select(
+    e = temb(spark, sf_dir).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
         _sign_block(F.col("embedding"), _ND_BITS).alias("blk"),
@@ -1764,8 +1764,8 @@ def q187_blocked_pair_cosine_histogram(
     oracle=f"""
 WITH ivf AS ({QUERIES["q56_ivf_topk"].oracle}),
 bfq AS (SELECT vec_id AS query_id, embedding AS qv
-        FROM embeddings WHERE vec_id < 3),
-bfe AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+        FROM {_SQL_EMB} embeddings WHERE vec_id < 3),
+bfe AS (SELECT vec_id, embedding FROM {_SQL_EMB} embeddings WHERE vec_id >= 3),
 bfprod AS (
   SELECT q.query_id, e.vec_id,
          e.embedding[i::INT]::DOUBLE AS x, qv[i::INT]::DOUBLE AS y
@@ -1811,7 +1811,7 @@ def q188_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = QUERIES["q56_ivf_topk"].fn(spark, sf_dir).select(
         "query_id", F.col("vec_id").alias("ivf_vec")
     )
-    e = t(spark, sf_dir, "embeddings").select(
+    e = temb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = e.filter(F.col("vec_id") < 3).select(
@@ -1849,4 +1849,75 @@ def q188_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("ivf_vec").cast("double") / F.lit(float(_IVF_TOPK))).alias(
             f"recall_at_{_IVF_TOPK}"
         ),
+    )
+
+
+@register(
+    "q202_embedding_validation_audit",
+    tags=("similarity", "llm-data", "validation", "audit"),
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_vec,
+       CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_vec,
+       CAST(SUM(CASE WHEN embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> isnan(x))) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_nan_vec,
+       CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+                 AND len(list_filter(embedding, x -> isnan(x))) = 0
+                 AND len(list_filter(embedding, x -> x <> 0)) = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vec,
+       CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+                 AND len(list_filter(embedding, x -> isnan(x))) = 0
+                 AND len(list_filter(embedding, x -> x <> 0)) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(COUNT(DISTINCT CASE WHEN embedding IS NOT NULL
+                 THEN len(embedding) END) AS BIGINT) AS n_distinct_dims
+FROM embeddings
+""",
+)
+def q202_embedding_validation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The observability half of the embeddings validity boundary: one
+    row counting every defect class the boundary rejects — NULL vector,
+    empty vector, NaN-carrying vector, all-zero vector — next to the
+    valid count and the distinct-dimension census (a second model's
+    vectors landing in the same table show up here as n_distinct_dims
+    > 1 before they shear a zip_with downstream).
+
+    This query intentionally reads the RAW table (the only similarity
+    query that does): validation that can't report what it dropped is
+    indistinguishable from silent data loss. The CASE conditions are
+    the EXACT `_util._SQL_EMB`/`valid_embeddings` predicate split into
+    disjoint classes, so n_valid here equals the row count every other
+    similarity plan sees — drift between the audit and the boundary is
+    structurally impossible on the SQL side and pinned by test on the
+    Spark side.
+
+    Scale: one scan, one 1-row partial agg; the per-row predicates are
+    in-row array folds inside codegen."""
+    e = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    is_null = v.isNull()
+    is_empty = v.isNotNull() & (F.size(v) == 0)
+    has_nan = v.isNotNull() & F.exists(v, F.isnan)
+    nonnull_clean = v.isNotNull() & (F.size(v) > 0) & ~F.exists(v, F.isnan)
+    is_zero = nonnull_clean & ~F.exists(v, lambda x: x != F.lit(0.0))
+    is_valid = nonnull_clean & F.exists(v, lambda x: x != F.lit(0.0))
+
+    def cnt(cond) -> Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        cnt(is_null).alias("n_null_vec"),
+        cnt(is_empty).alias("n_empty_vec"),
+        cnt(has_nan).alias("n_nan_vec"),
+        cnt(is_zero).alias("n_zero_vec"),
+        cnt(is_valid).alias("n_valid"),
+        F.countDistinct(F.when(v.isNotNull(), F.size(v)))
+        .cast("bigint")
+        .alias("n_distinct_dims"),
     )

@@ -314,13 +314,25 @@ def q93_tfidf_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not serve it, so this is the third and last exchange —
     stopword-skewed token partitions are bounded because the payload
     per (token) row is already aggregated to one row per document)."""
-    staged = _staged(spark, sf_dir)
+    # NULL-text docs must contribute NO tf rows (the oracle's
+    # unnest(NULL) emits nothing; explode_outer's NULL-token row
+    # survived into the salient-terms output — hostile sweep). The fix
+    # is an isnotnull(text) prefilter ON THE RAW COLUMN (pushes into
+    # the parquet scan, zero expression duplication) + explode_outer,
+    # NOT plain explode: explode lets InferFiltersFromGenerate plant a
+    # size(split(...))>0 filter below the staged projection, re-running
+    # the regex split 3x per row (the README "Optimizer lessons" trap,
+    # verified in this plan). Non-null text always tokenizes to >=1
+    # element, so outer == inner there.
+    from ..functions.text import tokens as _tokens
+
+    nn_staged = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", _tokens("text").alias("_tok"))
+    )
     tf = (
-        # plain explode, not explode_outer: a NULL token array (NULL
-        # text) must contribute NO tf rows — the oracle's unnest(NULL)
-        # emits nothing, and explode_outer's NULL-token row survived
-        # all the way into the salient-terms output (hostile sweep)
-        staged.select("doc_id", F.explode("_tok").alias("token"))
+        nn_staged.select("doc_id", F.explode_outer("_tok").alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

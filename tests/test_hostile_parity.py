@@ -82,6 +82,81 @@ def test_hostile_documents_parity(spark, hostile_sf_dir, name):
     assert res.ok, str(res)
 
 
+# Similarity family: the validated-embeddings boundary (_util.temb /
+# _SQL_EMB) must make every member behave identically in both engines
+# when NULL / empty / all-zero vectors appear. Unvalidated, these
+# CRASHED (ANSI divide-by-zero on the zero vector, element_at on the
+# empty one, Python kernel on NULL) or silently diverged — the exact
+# failure modes a malformed row triggers at 100 TB.
+HOSTILE_EMB_PINNED = [
+    "q50_cosine_topk",            # was: DIVIDE_BY_ZERO on the zero vector
+    "q52_norm_stats_per_label",   # was: zero vector shifted label stats
+    "q55_embedding_near_dup",     # was: element_at on the empty vector
+    "q118_kmeans_assign_iter1",   # was: NULL vec assigned cluster -1
+    "q121_semantic_dedup",        # was: DIVIDE_BY_ZERO
+    "q128_embedding_int8_export",  # was: 2 phantom export rows
+    "q135_embedding_covariance",  # was: slice(start=0) crash
+    "q175_ivf_cell_census",       # was: occupancy shares off by rejects
+    "q188_ivf_recall_eval",       # was: DIVIDE_BY_ZERO
+    "q202_embedding_validation_audit",  # the audit itself
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_emb_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hostile_emb")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents"):
+        os.symlink(f"{_SRC}/{t}.parquet", d / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{_SRC}/embeddings.parquet')
+          UNION ALL SELECT 200001, NULL, 0
+          UNION ALL SELECT 200002, CAST([] AS FLOAT[]), 0
+          UNION ALL SELECT 200003, list_transform(range(64),
+                                                  i -> 0.0::FLOAT), 1
+        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize("name", HOSTILE_EMB_PINNED)
+def test_hostile_embeddings_parity(spark, hostile_emb_dir, name):
+    spec = catalog.QUERIES[name]
+    res = compare(name, spark, hostile_emb_dir, spec.fn, spec.oracle)
+    assert res.ok, str(res)
+
+
+def test_validity_boundary_makes_hostile_equal_clean(spark, hostile_emb_dir):
+    """The boundary's core guarantee: a plan behind temb produces
+    IDENTICAL results whether or not malformed vectors are present —
+    the invalid rows are rejected, never resampled into the math."""
+    for name in ("q50_cosine_topk", "q118_kmeans_assign_iter1"):
+        fn = catalog.QUERIES[name].fn
+        hostile = sorted(map(tuple, fn(spark, hostile_emb_dir).collect()))
+        clean = sorted(map(tuple, fn(spark, _SRC).collect()))
+        assert hostile == clean, name
+
+
+def test_embedding_audit_counts_each_defect_class(spark, hostile_emb_dir):
+    """q202 on the hostile fixture attributes every injected defect to
+    its class, and n_valid equals the row count the boundary passes."""
+    from geospatial_etl_pipeline_spark.plans._util import temb
+
+    row = catalog.QUERIES["q202_embedding_validation_audit"].fn(
+        spark, hostile_emb_dir
+    ).collect()[0]
+    assert row["n_total"] == 503
+    assert row["n_null_vec"] == 1
+    assert row["n_empty_vec"] == 1
+    assert row["n_nan_vec"] == 0
+    assert row["n_zero_vec"] == 1
+    assert row["n_valid"] == 500
+    assert row["n_valid"] == temb(spark, hostile_emb_dir).count()
+
+
 def test_fingerprint_builders_null_contract(spark):
     """The shared builders themselves: NULL-in → NULL-out, and the
     empty document keeps its own (non-NULL) fingerprint — NULL must
