@@ -44,12 +44,27 @@ def qwavg_pandas(v: pd.Series, w: pd.Series) -> float:  # -> float = GROUPED_AGG
 
     int64 sums are associative, so the result is identical for ANY
     partial-aggregation order and bit-identical to the SQL spec
-    ``SUM(CAST(FLOOR(v*1e12) AS BIGINT)*w) / SUM(w) / 1e12``."""
+    ``SUM(CAST(FLOOR(v*1e12) AS BIGINT)*w) / SUM(w) / 1e12`` over the
+    non-NULL pairs.
+
+    NULL contract (standard SQL aggregate semantics, pinned by the
+    hostile-input sweep): a pair is skipped when EITHER value or
+    weight is NULL, and a group with no usable pairs aggregates to
+    NULL — without the mask, a single NULL rode ``to_numpy`` as NaN,
+    ``astype(int64)`` wrapped it to INT64_MIN, and the whole group's
+    average silently collapsed to ~0 (NaN poisoning, the classic Arrow
+    kernel failure mode)."""
     import numpy as np
 
-    qv = np.floor(v.to_numpy(dtype="float64") * _S).astype("int64")
-    wi = w.to_numpy(dtype="int64")
-    return float((qv * wi).sum()) / float(wi.sum()) / _S
+    mask = v.notna() & w.notna()
+    if not mask.any():
+        return None
+    qv = np.floor(v[mask].to_numpy(dtype="float64") * _S).astype("int64")
+    wi = w[mask].to_numpy(dtype="float64").astype("int64")
+    ws = wi.sum()
+    if ws == 0:
+        return None
+    return float((qv * wi).sum()) / float(ws) / _S
 
 
 def register_udfs(spark: SparkSession) -> None:

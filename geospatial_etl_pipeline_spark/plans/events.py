@@ -238,18 +238,31 @@ def q47_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q63_json_props",
     tags=("events", "json"),
     oracle="""
+WITH k AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k
+  FROM events
+)
 SELECT event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
-FROM events
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM k
 GROUP BY event_type
 """,
 )
 def q63_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: JSON string prop → typed column →
-    aggregate. get_json_object is a codegen'd JVM path (no UDF)."""
+    aggregate. get_json_object is a codegen'd JVM path (no UDF).
+
+    Malformed/NULL props yield a NULL k in BOTH engines: Spark's
+    get_json_object is tolerant by design, but DuckDB's json_extract
+    ERRORS on malformed input, so the oracle guards with json_valid
+    (NULL-safe: json_valid(NULL) is NULL → CASE falls through to NULL).
+    Hostile-input sweep finding — real event streams always carry some
+    broken props, and an oracle that crashes on them can't gate."""
     e = t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return e.groupBy("event_type").agg(
@@ -265,9 +278,11 @@ def q63_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "udf", "pandas-udaf"),
     oracle="""
 SELECT event_type,
-       CAST(SUM(CAST(FLOOR(value * 1000000000000.0) AS BIGINT)
-                * (1 + user_id % 10)) AS DOUBLE)
-         / CAST(SUM(1 + user_id % 10) AS DOUBLE)
+       CAST(SUM(CASE WHEN value IS NOT NULL AND user_id IS NOT NULL
+                THEN CAST(FLOOR(value * 1000000000000.0) AS BIGINT)
+                     * (1 + user_id % 10) END) AS DOUBLE)
+         / CAST(SUM(CASE WHEN value IS NOT NULL AND user_id IS NOT NULL
+                  THEN 1 + user_id % 10 END) AS DOUBLE)
          / 1000000000000.0 AS wavg_value
 FROM events
 GROUP BY event_type
@@ -2328,7 +2343,8 @@ totals AS (
 SELECT p.event_type, p.dow, p.n_events, p.n_days,
        (CAST(p.n_events AS DOUBLE) / p.n_days)
          / (CAST(t.tot_events AS DOUBLE) / t.tot_days) AS seasonal_index
-FROM per_dow p JOIN totals t ON t.event_type = p.event_type
+FROM per_dow p JOIN totals t
+  ON t.event_type IS NOT DISTINCT FROM p.event_type
 """,
 )
 def q173_dow_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2344,7 +2360,13 @@ def q173_dow_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pinned double expression. Shape: corpus → (type, day) partial
     agg (the only corpus-sized exchange), a (type, dow) rollup, then
     per-type totals as windows over that 7·|types|-row aggregate
-    (3 exchanges total, pinned)."""
+    (3 exchanges total, pinned).
+
+    NULL event_type is ITS OWN series in both engines: the Spark
+    window partition keeps it naturally, and the oracle's totals join
+    is IS NOT DISTINCT FROM — a plain equi-join silently dropped the
+    NULL-type rows only on the SQL side (hostile-input sweep). Same
+    fix in q197, which composes these factors."""
     e = t(spark, sf_dir, "events")
     day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
     daily = e.groupBy(
@@ -2810,7 +2832,7 @@ adj AS (
   SELECT d.event_type, d.day, d.c,
          CAST(d.c AS DOUBLE) * d2.d_dow / d2.s_dow AS adj_c
   FROM daily d JOIN dow_tot d2
-    ON d2.event_type = d.event_type AND d2.dow = d.dow
+    ON d2.event_type IS NOT DISTINCT FROM d.event_type AND d2.dow = d.dow
 ),
 mom AS (
   SELECT event_type,
@@ -2831,7 +2853,7 @@ SELECT a.event_type,
                                 - (CAST(m.q1 AS DOUBLE) / 1e6)
                                   * (CAST(m.q1 AS DOUBLE) / 1e6)) / m.k
             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous_days
-FROM adj a JOIN mom m ON m.event_type = a.event_type
+FROM adj a JOIN mom m ON m.event_type IS NOT DISTINCT FROM a.event_type
 GROUP BY a.event_type
 """,
 )

@@ -157,6 +157,67 @@ def test_embedding_audit_counts_each_defect_class(spark, hostile_emb_dir):
     assert row["n_valid"] == temb(spark, hostile_emb_dir).count()
 
 
+# Events family: NULL user_id / NULL event_type / NULL value / NULL or
+# MALFORMED props. 41 of 45 event-reading oracles were already robust;
+# these four diverged or crashed and are pinned post-fix.
+HOSTILE_EV_PINNED = [
+    "q63_json_props",        # DuckDB json_extract ERRORS on bad JSON
+    "q64_pandas_udaf_wavg",  # NaN poisoning: NULL rode astype(int64)
+    "q86_funnel_steps",      # representative already-robust join query
+    "q151_rolling_weekly_actives",  # NULL user in a distinct count
+    "q173_dow_seasonal_index",  # window keeps NULL type, equi-join drops
+    "q177_srm_check",
+    "q197_deseasonalized_anomalies",  # composes q173's factors
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_ev_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hostile_ev")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        os.symlink(f"{_SRC}/{t}.parquet", d / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{_SRC}/events.parquet')
+          UNION ALL SELECT 900001, TIMESTAMP '2024-01-05 12:00:00', NULL,
+                           'click', 10.0, '{{"k": 1}}'
+          UNION ALL SELECT 900002, TIMESTAMP '2024-01-05 12:01:00', 7,
+                           NULL, NULL, NULL
+          UNION ALL SELECT 900003, TIMESTAMP '2024-01-05 12:02:00', 7,
+                           'purchase', 5.5, 'not json'
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize("name", HOSTILE_EV_PINNED)
+def test_hostile_events_parity(spark, hostile_ev_dir, name):
+    spec = catalog.QUERIES[name]
+    res = compare(name, spark, hostile_ev_dir, spec.fn, spec.oracle)
+    assert res.ok, str(res)
+
+
+def test_qwavg_kernel_null_contract(spark):
+    """The UDAF kernel directly: NULL value or NULL weight pairs are
+    skipped; an all-NULL group aggregates to NULL, never to the
+    INT64_MIN-wrapped garbage NaN poisoning used to produce."""
+    from pyspark.sql import functions as F
+
+    from geospatial_etl_pipeline_spark.functions.udfs import qwavg_pandas
+
+    df = spark.createDataFrame(
+        [("a", 10.0, 2), ("a", 20.0, None), ("a", None, 3), ("b", None, 1)],
+        "g string, v double, w long",
+    )
+    rows = {r["g"]: r["wavg"] for r in df.groupBy("g").agg(
+        qwavg_pandas(F.col("v"), F.col("w")).alias("wavg")).collect()}
+    assert rows["a"] == 10.0  # only the (10.0, 2) pair survives
+    assert rows["b"] is None
+
+
 def test_fingerprint_builders_null_contract(spark):
     """The shared builders themselves: NULL-in → NULL-out, and the
     empty document keeps its own (non-NULL) fingerprint — NULL must
