@@ -1,6 +1,6 @@
 # Developer entry points (mirrors the reference repo's Makefile role).
 
-.PHONY: test test-fast parity parity-all parity-sf01 bench smoke
+.PHONY: test test-fast parity parity-all parity-sf01 parity-hostile bench smoke
 
 test:            ## full suite, no -x (the pre-commit gate)
 	python -m pytest tests/ -q
@@ -18,6 +18,9 @@ parity-all:      ## every catalog query vs DuckDB -> PARITY_ALL.json
 
 parity-sf01:     ## 10x scale-drift sweep -> PARITY_SF01.json
 	python tools/parity_sf01.py PARITY_SF01.json
+
+parity-hostile:  ## NULL/malformed-row sweep -> HOSTILE_PARITY.json
+	python tools/hostile_sweep.py HOSTILE_PARITY.json
 
 bench:           ## headline queries at sf0.1, one JSON line
 	python bench.py

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Full-catalog HOSTILE-input parity sweep: run every oracled query
+against fixtures carrying the malformed rows the generated datasets
+never contain, and record a machine-readable artifact the rounds can
+diff (HOSTILE_PARITY.json).
+
+Three fixtures, each sf0.001 with ONE table augmented:
+
+- documents + (NULL text, '' text, whitespace-only text)
+- embeddings + (NULL vector, empty vector, all-zero vector)
+- events     + (NULL user_id; NULL event_type/value/props; malformed
+  JSON props)
+
+Rationale: Spark and DuckDB disagree about NULL exactly where clean
+data can't show it (concat_ws vs md5(NULL), explode_outer vs
+unnest(NULL), NULLS FIRST vs LAST, ANSI errors vs NaN) — every red row
+this sweep ever produced was a REAL latent divergence or crash (see
+tests/test_hostile_parity.py for the pinned subset and the fix log).
+
+Usage: python tools/hostile_sweep.py [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from geospatial_etl_pipeline_spark.oracle import compare  # noqa: E402
+from geospatial_etl_pipeline_spark.plans import catalog  # noqa: E402
+from geospatial_etl_pipeline_spark.session import get_spark  # noqa: E402
+from geospatial_etl_pipeline_spark.sources.tables import TABLES  # noqa: E402
+
+SRC = "/root/testdata/sf0.001"
+
+AUGMENTS = {
+    "documents": """
+        SELECT * FROM read_parquet('{src}/documents.parquet')
+        UNION ALL SELECT 100001, NULL,  'en', 'webcrawl', 0
+        UNION ALL SELECT 100002, '',    'en', 'webcrawl', 0
+        UNION ALL SELECT 100003, '   ', 'en', 'webcrawl', 3
+    """,
+    "embeddings": """
+        SELECT * FROM read_parquet('{src}/embeddings.parquet')
+        UNION ALL SELECT 200001, NULL, 0
+        UNION ALL SELECT 200002, CAST([] AS FLOAT[]), 0
+        UNION ALL SELECT 200003, list_transform(range(64),
+                                                i -> 0.0::FLOAT), 1
+    """,
+    "events": """
+        SELECT * FROM read_parquet('{src}/events.parquet')
+        UNION ALL SELECT 900001, TIMESTAMP '2024-01-05 12:00:00', NULL,
+                         'click', 10.0, '{{"k": 1}}'
+        UNION ALL SELECT 900002, TIMESTAMP '2024-01-05 12:01:00', 7,
+                         NULL, NULL, NULL
+        UNION ALL SELECT 900003, TIMESTAMP '2024-01-05 12:02:00', 7,
+                         'purchase', 5.5, 'not json'
+    """,
+}
+
+
+def build_fixture(root: str, hostile_table: str) -> str:
+    d = os.path.join(root, f"hostile_{hostile_table}")
+    os.makedirs(d, exist_ok=True)
+    for t in TABLES:
+        if t != hostile_table:
+            dst = os.path.join(d, f"{t}.parquet")
+            if not os.path.exists(dst):
+                os.symlink(f"{SRC}/{t}.parquet", dst)
+    con = duckdb.connect()
+    con.execute(
+        f"COPY ({AUGMENTS[hostile_table].format(src=SRC)}) TO "
+        f"'{d}/{hostile_table}.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    return d
+
+
+def main() -> None:
+    out_json = sys.argv[1] if len(sys.argv) > 1 else "HOSTILE_PARITY.json"
+    catalog.load_all_plans()
+    spark = get_spark("hostile-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t_start = time.time()
+    out: dict = {"src_sf": SRC, "fixtures": {}}
+    with tempfile.TemporaryDirectory() as root:
+        for table in AUGMENTS:
+            sf_dir = build_fixture(root, table)
+            # only queries whose ORACLE references the hostile table can
+            # be affected; everything else reads identical inputs
+            names = sorted(
+                n for n, s in catalog.QUERIES.items()
+                if s.oracle and table in s.oracle
+            )
+            fails: dict[str, str] = {}
+            for name in names:
+                spec = catalog.QUERIES[name]
+                try:
+                    r = compare(name, spark, sf_dir, spec.fn, spec.oracle)
+                    if not r.ok:
+                        fails[name] = str(r)[:300]
+                except Exception as exc:  # noqa: BLE001 — record and go on
+                    fails[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"# {table}/{name}: "
+                      f"{'FAIL' if name in fails else 'ok'}",
+                      file=sys.stderr, flush=True)
+            out["fixtures"][table] = {
+                "checked": len(names),
+                "failed": len(fails),
+                "fails": fails,
+            }
+    out["elapsed_sec"] = round(time.time() - t_start, 1)
+    out["all_green"] = all(
+        f["failed"] == 0 for f in out["fixtures"].values()
+    )
+    with open(out_json, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: {"checked": v["checked"], "failed": v["failed"]}
+                      for k, v in out["fixtures"].items()}
+                     | {"all_green": out["all_green"]}))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
