@@ -587,3 +587,32 @@ def test_late_r4_queries_exchange_budgets(spark):
         p = plan_text(cat.QUERIES[name].fn(spark, SF))
         assert n_shuffles(p) <= budget, (name, n_shuffles(p))
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_q201_sketch_plan_shape(spark):
+    """q201's scale claim, visible in the plan: the HLL sketches
+    partial-aggregate (map-side merge before the exchange), and BOTH
+    7-day range joins broadcast the tiny DAY-side relation
+    (BroadcastNestedLoopJoin BuildRight) — the corpus-sized relation is
+    never the build side of a nested loop, and the sketch fan-out is
+    bounded by 7 x n_days rows regardless of corpus size."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q201_rolling_weekly_actives_sketch"].fn(spark, SF))
+    assert p.count("hll_sketch_agg") >= 2  # partial + final sketch agg
+    assert p.count("hll_union_agg") >= 2   # partial + final merge
+    assert p.count("BroadcastNestedLoopJoin Inner BuildRight") == 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q202_audit_is_one_pass(spark):
+    """The validation audit is a single-scan, single-reduction plan:
+    every defect-class counter folds in-row; the only exchanges are the
+    1-row final aggregation (SinglePartition) plus the distinct-dims
+    count — no joins, no Python, no corpus-sized shuffle."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q202_embedding_validation_audit"].fn(spark, SF))
+    assert n_shuffles(p) <= 1  # countDistinct's keyed partial
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
