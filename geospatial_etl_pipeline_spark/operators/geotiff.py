@@ -31,8 +31,10 @@ Scale note: the codec is a per-row kernel — the DataFrame operator wraps
 it in Arrow-batched ``mapInPandas`` (see operators.raster.encode_geotiff
 / encode_cog), so encoding parallelizes per raster/tile row and never
 touches the driver. Classic TIFF's 32-bit offsets cap one artifact at
-4 GB; rasters beyond that go through operators.raster.tile first (or a
-BigTIFF/GDAL kernel swap — the operator shape is unchanged).
+4 GB; ``encode_cog`` auto-switches to BigTIFF (magic 43, 8-byte
+offsets, LONG8 tile arrays — the same public spec GDAL emits past
+4 GB) before that ceiling, so mosaic-scale rasters can't produce a
+wrapped offset. Both formats round-trip through the same readers.
 """
 
 from __future__ import annotations
@@ -43,10 +45,11 @@ import zlib
 _II = b"II"  # little-endian byte order mark
 _MAGIC = 42
 
-# TIFF 6.0 field types
-_T_SHORT, _T_LONG, _T_DOUBLE, _T_ASCII = 3, 4, 12, 2
-_TYPE_SIZE = {_T_SHORT: 2, _T_LONG: 4, _T_DOUBLE: 8, _T_ASCII: 1}
-_TYPE_FMT = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d"}
+# TIFF 6.0 field types (+ BigTIFF's LONG8)
+_T_SHORT, _T_LONG, _T_DOUBLE, _T_ASCII, _T_LONG8 = 3, 4, 12, 2, 16
+_TYPE_SIZE = {_T_SHORT: 2, _T_LONG: 4, _T_DOUBLE: 8, _T_ASCII: 1, _T_LONG8: 8}
+_TYPE_FMT = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d", _T_LONG8: "Q"}
+_MAGIC_BIG = 43
 
 # tags
 _NEW_SUBFILE_TYPE = 254
@@ -300,37 +303,62 @@ def _entry_payload(typ: int, values: list) -> tuple[bytes, int]:
     return struct.pack(f"<{len(values)}{_TYPE_FMT[typ]}", *values), len(values)
 
 
-def _ifd_block_size(entries: list[tuple[int, int, list]]) -> int:
+# Classic TIFF vs BigTIFF (TIFF 6.0 supplement 2, public spec): BigTIFF
+# uses magic 43, 8-byte offsets everywhere (header pointer, IFD entry
+# count + next pointer, entry value/offset field), 20-byte entries, and
+# the LONG8 (16) type for 64-bit tile offsets — lifting classic TIFF's
+# 4 GB file ceiling, which is the difference between "one COG per tile
+# row" and "one COG per continental mosaic" at the 100 TB design point.
+def _hdr_size(big: bool) -> int:
+    return 16 if big else 8
+
+def _entry_size(big: bool) -> int:
+    return 20 if big else 12
+
+def _inline_max(big: bool) -> int:
+    return 8 if big else 4
+
+def _ifd_fixed(big: bool, n: int) -> int:
+    # entry-count field + n entries + next-IFD pointer
+    return (8 + n * 20 + 8) if big else (2 + n * 12 + 4)
+
+
+def _ifd_block_size(entries: list[tuple[int, int, list]], big: bool = False) -> int:
     """Serialized size of one IFD + its external value area (payloads
-    >4 bytes, each word-aligned). Depends only on counts, not values —
-    so offsets can be assigned before values are final."""
-    size = 2 + len(entries) * 12 + 4
+    over the inline limit, each word-aligned). Depends only on counts,
+    not values — so offsets can be assigned before values are final."""
+    size = _ifd_fixed(big, len(entries))
     ext = 0
     for tag, typ, values in entries:
         payload, _ = _entry_payload(typ, values)
-        if len(payload) > 4:
+        if len(payload) > _inline_max(big):
             ext += ext % 2
             ext += len(payload)
     total = size + ext
     return total + total % 2  # blocks end word-aligned so IFD offsets stay even
 
 
-def _ifd_block(entries: list[tuple[int, int, list]], off: int, next_off: int) -> bytes:
-    ifd_size = 2 + len(entries) * 12 + 4
-    ext_off = off + ifd_size
-    ifd = struct.pack("<H", len(entries))
+def _ifd_block(
+    entries: list[tuple[int, int, list]], off: int, next_off: int,
+    big: bool = False,
+) -> bytes:
+    ext_off = off + _ifd_fixed(big, len(entries))
+    ifd = struct.pack("<Q", len(entries)) if big else struct.pack("<H", len(entries))
+    inline = _inline_max(big)
+    entry_hdr = "<HHQ" if big else "<HHI"
+    off_fmt = "<Q" if big else "<I"
     ext = b""
     for tag, typ, values in entries:
         payload, count = _entry_payload(typ, values)
-        if len(payload) <= 4:
-            value_field = payload.ljust(4, b"\x00")
+        if len(payload) <= inline:
+            value_field = payload.ljust(inline, b"\x00")
         else:
             if (ext_off + len(ext)) % 2:
                 ext += b"\x00"
-            value_field = struct.pack("<I", ext_off + len(ext))
+            value_field = struct.pack(off_fmt, ext_off + len(ext))
             ext += payload
-        ifd += struct.pack("<HHI", tag, typ, count) + value_field
-    ifd += struct.pack("<I", next_off)
+        ifd += struct.pack(entry_hdr, tag, typ, count) + value_field
+    ifd += struct.pack(off_fmt, next_off)
     block = ifd + ext
     if len(block) % 2:
         block += b"\x00"
@@ -373,6 +401,7 @@ def encode_cog(
     tile_px: int = 512,
     levels: int | None = None,
     compress: bool = True,
+    bigtiff: bool | None = None,
 ) -> bytes:
     """Encode one raster as a Cloud-Optimized GeoTIFF (REF:259–261's
     CLOUD_OPTIMIZED_GEOTIFF keyword, honored structurally):
@@ -384,14 +413,20 @@ def encode_cog(
       (:func:`block_mean_downsample`, the tested twin of
       operators.raster.downsample_block_mean); ``levels=None`` halves
       until one tile holds the image (minimum 1 level);
-    - ALL IFDs serialized directly after the 8-byte header, full-res
-      first, so one small range request yields the complete tile
-      layout; tile data follows, coarsest overview first and full
-      resolution LAST (GDAL's COG ordering — zoomed-out reads touch
-      the front of the file).
+    - ALL IFDs serialized directly after the header, full-res first,
+      so one small range request yields the complete tile layout; tile
+      data follows, coarsest overview first and full resolution LAST
+      (GDAL's COG ordering — zoomed-out reads touch the front of the
+      file);
+    - ``bigtiff``: classic TIFF's 32-bit offsets cap a file at 4 GB.
+      True writes BigTIFF (magic 43, 8-byte offsets, LONG8 tile
+      arrays — the format GDAL emits as COG past 4 GB); None
+      auto-selects BigTIFF when the packed tile bytes approach the
+      classic ceiling, so a mosaic-scale raster can never produce a
+      silently-corrupt wrapped offset.
 
     Any float64-capable TIFF reader (GDAL, rasterio, tifffile, QGIS)
-    opens the output; :func:`read_cog_tile` proves the range-read
+    opens either format; :func:`read_cog_tile` proves the range-read
     property with a fetch-callback reader."""
     if tile_px % 16 or tile_px <= 0:
         raise ValueError(f"tile_px must be a positive multiple of 16, got {tile_px}")
@@ -424,6 +459,14 @@ def encode_cog(
         for (lw, lh, _, lcv) in all_levels
     ]
 
+    if bigtiff is None:
+        # auto: switch formats before classic's 32-bit offsets can wrap
+        # (margin for IFDs + alignment padding)
+        total_tile_bytes = sum(len(t) for lv in tiles_per_level for t in lv)
+        bigtiff = total_tile_bytes > (1 << 32) - (1 << 20)
+    big = bool(bigtiff)
+    off_type = _T_LONG8 if big else _T_LONG
+
     # ---- IFD entries per level (offsets filled in below) ----
     def entries_for(level: int) -> list[tuple[int, int, list]]:
         lw, lh, lcs, _ = all_levels[level]
@@ -440,8 +483,8 @@ def encode_cog(
             (_PLANAR_CONFIG, _T_SHORT, [1]),
             (_TILE_WIDTH, _T_LONG, [tile_px]),
             (_TILE_LENGTH, _T_LONG, [tile_px]),
-            (_TILE_OFFSETS, _T_LONG, [0] * ntiles),
-            (_TILE_BYTE_COUNTS, _T_LONG,
+            (_TILE_OFFSETS, off_type, [0] * ntiles),
+            (_TILE_BYTE_COUNTS, off_type,
              [len(t) for t in tiles_per_level[level]]),
             (_SAMPLE_FORMAT, _T_SHORT, [3]),
         ]
@@ -453,9 +496,9 @@ def encode_cog(
         return ent
 
     level_entries = [entries_for(i) for i in range(len(all_levels))]
-    block_sizes = [_ifd_block_size(e) for e in level_entries]
+    block_sizes = [_ifd_block_size(e, big) for e in level_entries]
     ifd_offsets = []
-    off = 8
+    off = _hdr_size(big)
     for s in block_sizes:
         ifd_offsets.append(off)
         off += s
@@ -479,11 +522,15 @@ def encode_cog(
                 ent[i] = (tag, typ, tile_offsets[lvl])
 
     # ---- serialize: header, IFD chain, tile data region ----
-    out = [_II + struct.pack("<HI", _MAGIC, ifd_offsets[0])]
+    if big:
+        header = _II + struct.pack("<HHHQ", _MAGIC_BIG, 8, 0, ifd_offsets[0])
+    else:
+        header = _II + struct.pack("<HI", _MAGIC, ifd_offsets[0])
+    out = [header]
     for lvl, ent in enumerate(level_entries):
         next_off = ifd_offsets[lvl + 1] if lvl + 1 < len(level_entries) else 0
-        out.append(_ifd_block(ent, ifd_offsets[lvl], next_off))
-    written = 8 + sum(block_sizes)
+        out.append(_ifd_block(ent, ifd_offsets[lvl], next_off, big))
+    written = _hdr_size(big) + sum(block_sizes)
     if written % 2:
         out.append(b"\x00")
         written += 1
@@ -498,25 +545,34 @@ def encode_cog(
     return b"".join(out)
 
 
-def _read_ifd_at(fetch, off: int) -> tuple[dict[int, list], int]:
-    """Parse one IFD through a fetch(offset, size) callback, pulling
-    external value areas with targeted range reads only."""
-    (n,) = struct.unpack("<H", fetch(off, 2))
-    body = fetch(off + 2, n * 12 + 4)
+def _read_ifd_at(fetch, off: int, big: bool = False) -> tuple[dict[int, list], int]:
+    """Parse one IFD (classic or BigTIFF layout) through a
+    fetch(offset, size) callback, pulling external value areas with
+    targeted range reads only."""
+    esz, inline = _entry_size(big), _inline_max(big)
+    if big:
+        (n,) = struct.unpack("<Q", fetch(off, 8))
+        body = fetch(off + 8, n * esz + 8)
+    else:
+        (n,) = struct.unpack("<H", fetch(off, 2))
+        body = fetch(off + 2, n * esz + 4)
+    entry_hdr = "<HHQ" if big else "<HHI"
+    off_fmt = "<Q" if big else "<I"
+    val_at = 12 if big else 8
     tags: dict[int, list] = {}
     for i in range(n):
-        tag, typ, count = struct.unpack_from("<HHI", body, i * 12)
+        tag, typ, count = struct.unpack_from(entry_hdr, body, i * esz)
         size = _TYPE_SIZE[typ] * count
-        if size <= 4:
-            raw = body[i * 12 + 8 : i * 12 + 8 + size]
+        if size <= inline:
+            raw = body[i * esz + val_at : i * esz + val_at + size]
         else:
-            (voff,) = struct.unpack_from("<I", body, i * 12 + 8)
+            (voff,) = struct.unpack_from(off_fmt, body, i * esz + val_at)
             raw = fetch(voff, size)
         if typ == _T_ASCII:
             tags[tag] = [raw.rstrip(b"\x00").decode("ascii")]
         else:
             tags[tag] = list(struct.unpack(f"<{count}{_TYPE_FMT[typ]}", raw))
-    (next_off,) = struct.unpack_from("<I", body, n * 12)
+    (next_off,) = struct.unpack_from(off_fmt, body, n * esz)
     return tags, next_off
 
 
@@ -532,17 +588,28 @@ def _as_fetch(src):
 
 
 def cog_ifds(src) -> list[dict[int, list]]:
-    """Walk the IFD chain (bytes or fetch-callback source) and return
-    the raw tag dicts, level 0 first. With the COG layout all reads
-    land in the first few KB of the file."""
+    """Walk the IFD chain (bytes or fetch-callback source, classic or
+    BigTIFF) and return the raw tag dicts, level 0 first. With the COG
+    layout all reads land in the first few KB of the file."""
     fetch = _as_fetch(src)
-    head = fetch(0, 8)
-    if head[:2] != _II or struct.unpack_from("<H", head, 2)[0] != _MAGIC:
-        raise ValueError("not a little-endian classic TIFF")
-    (off,) = struct.unpack_from("<I", head, 4)
+    head = fetch(0, 16)
+    if head[:2] != _II:
+        raise ValueError("not a little-endian TIFF")
+    magic = struct.unpack_from("<H", head, 2)[0]
+    if magic == _MAGIC:
+        big = False
+        (off,) = struct.unpack_from("<I", head, 4)
+    elif magic == _MAGIC_BIG:
+        big = True
+        osize, zero = struct.unpack_from("<HH", head, 4)
+        if osize != 8 or zero != 0:
+            raise ValueError(f"unsupported BigTIFF header ({osize}, {zero})")
+        (off,) = struct.unpack_from("<Q", head, 8)
+    else:
+        raise ValueError(f"not a TIFF (magic {magic})")
     out = []
     while off:
-        tags, off = _read_ifd_at(fetch, off)
+        tags, off = _read_ifd_at(fetch, off, big)
         out.append(tags)
     return out
 

@@ -269,6 +269,45 @@ def test_cog_range_read_single_tile(rasters):
     assert calls[-1][0] < tile_off  # overview tile precedes full-res data
 
 
+def test_encode_cog_bigtiff_roundtrip(rasters):
+    """The BigTIFF path (magic 43, 8-byte offsets, LONG8 tile arrays —
+    the format that lifts classic TIFF's 4 GB ceiling): identical
+    round-trip, overview pyramid, and fetch-callback range-read through
+    the same readers; auto mode stays classic for small files."""
+    import struct as _struct
+
+    from geospatial_etl_pipeline_spark.operators.geotiff import (
+        decode_cog,
+        encode_cog as encode_cog_bytes,
+        read_cog_tile,
+    )
+
+    src = rasters.filter("base_name = 'grid_02_a_b_mean_monthly7'").collect()[0]
+    args = (src["width"], src["height"], src["xllcorner"], src["yllcorner"],
+            src["cellsize"], src["nodata_value"], src["crs"],
+            list(src["cells"]))
+    big = encode_cog_bytes(*args, tile_px=16, bigtiff=True)
+    assert _struct.unpack_from("<H", big, 2)[0] == 43
+    got = decode_cog(big)
+    assert got["cells"] == list(src["cells"])
+    assert got["crs"] == "EPSG:27200"
+    assert len(got["overviews"]) >= 1
+    # range read works identically through the BigTIFF IFD walk
+    calls: list[tuple[int, int]] = []
+
+    def fetch(off: int, size: int) -> bytes:
+        calls.append((off, size))
+        return big[off : off + size]
+
+    t = read_cog_tile(fetch, 0, 0, 0)
+    assert (t["width"], t["height"]) == (10, 10)
+    assert t["cells"] == list(src["cells"])
+    assert sum(s for _, s in calls) < len(big)  # never a full scan
+    # auto mode keeps small artifacts classic
+    auto = encode_cog_bytes(*args, tile_px=16)
+    assert _struct.unpack_from("<H", auto, 2)[0] == 42
+
+
 def test_encode_cog_rejects_bad_tile_size(rasters):
     from geospatial_etl_pipeline_spark.operators.geotiff import encode_cog
 
