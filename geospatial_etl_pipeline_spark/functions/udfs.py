@@ -48,15 +48,19 @@ def qwavg_pandas(v: pd.Series, w: pd.Series) -> float:  # -> float = GROUPED_AGG
     non-NULL pairs.
 
     NULL contract (standard SQL aggregate semantics, pinned by the
-    hostile-input sweep): a pair is skipped when EITHER value or
-    weight is NULL, and a group with no usable pairs aggregates to
-    NULL — without the mask, a single NULL rode ``to_numpy`` as NaN,
-    ``astype(int64)`` wrapped it to INT64_MIN, and the whole group's
-    average silently collapsed to ~0 (NaN poisoning, the classic Arrow
-    kernel failure mode)."""
+    hostile-input sweep): a pair is skipped when the value is NULL or
+    NON-FINITE (NaN/±Inf) or the weight is NULL, and a group with no
+    usable pairs aggregates to NULL — without the mask, a single NULL
+    rode ``to_numpy`` as NaN, ``astype(int64)`` wrapped it to
+    INT64_MIN, and the whole group's average silently collapsed to ~0
+    (NaN poisoning, the classic Arrow kernel failure mode). The
+    finite check matters because Arrow erases the NULL-vs-NaN
+    distinction on the way into pandas: a true NaN VALUE must behave
+    like the NULL it is indistinguishable from, and the q64 oracle
+    states the same ``isfinite`` predicate."""
     import numpy as np
 
-    mask = v.notna() & w.notna()
+    mask = v.notna() & w.notna() & np.isfinite(v.fillna(0.0))
     if not mask.any():
         return None
     qv = np.floor(v[mask].to_numpy(dtype="float64") * _S).astype("int64")

@@ -366,9 +366,17 @@ def _ifd_block(
 
 
 def _geo_entries(
-    width: int, height: int, xllcorner: float, yllcorner: float,
+    xllcorner: float, ytop: float,
     cellsize: float, nodata_value: float, crs: str | None,
 ) -> list[tuple[int, int, list]]:
+    """Georeferencing tags anchored at the raster's TOP-LEFT corner.
+
+    ``ytop`` is passed in (not derived from this level's dims): every
+    pyramid level shares the full-resolution top edge, because
+    block-mean blocks anchor at row 0 — an overview with an odd parent
+    dimension extends PAST the bottom edge, never past the top. Deriving
+    ytop per level (yll + lh·lcs) shifted odd-dimension overviews one
+    source cell north (review finding)."""
     epsg = _epsg(crs)
     model_type = _MODEL_GEOGRAPHIC if 4000 <= epsg < 5000 else _MODEL_PROJECTED
     cs_key = _GEOGRAPHIC_TYPE if model_type == _MODEL_GEOGRAPHIC else _PROJECTED_CS_TYPE
@@ -378,11 +386,10 @@ def _geo_entries(
         _GT_RASTER_TYPE, 0, 1, _RASTER_PIXEL_IS_AREA,
         cs_key, 0, 1, epsg,
     ]
-    ytop = float(yllcorner) + height * float(cellsize)
     return [
         (_MODEL_PIXEL_SCALE, _T_DOUBLE, [float(cellsize), float(cellsize), 0.0]),
         (_MODEL_TIEPOINT, _T_DOUBLE,
-         [0.0, 0.0, 0.0, float(xllcorner), ytop, 0.0]),
+         [0.0, 0.0, 0.0, float(xllcorner), float(ytop), 0.0]),
         (_GEO_KEY_DIRECTORY, _T_SHORT, geo_keys),
         (_GDAL_NODATA, _T_ASCII,
          [repr(float(nodata_value)).encode("ascii") + b"\x00"]),
@@ -398,7 +405,7 @@ def encode_cog(
     nodata_value: float,
     crs: str | None,
     cells: list[float],
-    tile_px: int = 512,
+    tile_px: int | None = None,
     levels: int | None = None,
     compress: bool = True,
     bigtiff: bool | None = None,
@@ -407,7 +414,11 @@ def encode_cog(
     CLOUD_OPTIMIZED_GEOTIFF keyword, honored structurally):
 
     - internal tiles (``tile_px`` edge, multiple of 16 per TIFF 6.0)
-      with per-tile DEFLATE (compression 8) so nodata padding is free;
+      with per-tile DEFLATE (compression 8) so nodata padding is
+      cheap; ``tile_px=None`` auto-sizes to min(512, the smallest
+      multiple of 16 covering the image) — a 10×10 clipped grid gets
+      one 16×16 tile, not a 512×512 pad-and-deflate (a reader would
+      otherwise inflate 2 MB to fetch 800 bytes);
     - overview pyramid: ``levels`` reduced-resolution IFDs
       (NewSubfileType=1), factor-2 nodata-aware block-mean
       (:func:`block_mean_downsample`, the tested twin of
@@ -421,13 +432,17 @@ def encode_cog(
     - ``bigtiff``: classic TIFF's 32-bit offsets cap a file at 4 GB.
       True writes BigTIFF (magic 43, 8-byte offsets, LONG8 tile
       arrays — the format GDAL emits as COG past 4 GB); None
-      auto-selects BigTIFF when the packed tile bytes approach the
-      classic ceiling, so a mosaic-scale raster can never produce a
-      silently-corrupt wrapped offset.
+      auto-selects BigTIFF by sizing the ACTUAL classic layout (IFD
+      blocks + aligned tile data) against the 32-bit ceiling, so a
+      mosaic-scale raster can never produce a silently-corrupt
+      wrapped offset — including the tile-heavy case where the IFD
+      region itself is megabytes of offset arrays.
 
     Any float64-capable TIFF reader (GDAL, rasterio, tifffile, QGIS)
     opens either format; :func:`read_cog_tile` proves the range-read
     property with a fetch-callback reader."""
+    if tile_px is None:
+        tile_px = max(16, min(512, ((max(width, height, 1) + 15) // 16) * 16))
     if tile_px % 16 or tile_px <= 0:
         raise ValueError(f"tile_px must be a positive multiple of 16, got {tile_px}")
     if len(cells) != width * height:
@@ -459,18 +474,15 @@ def encode_cog(
         for (lw, lh, _, lcv) in all_levels
     ]
 
-    if bigtiff is None:
-        # auto: switch formats before classic's 32-bit offsets can wrap
-        # (margin for IFDs + alignment padding)
-        total_tile_bytes = sum(len(t) for lv in tiles_per_level for t in lv)
-        bigtiff = total_tile_bytes > (1 << 32) - (1 << 20)
-    big = bool(bigtiff)
-    off_type = _T_LONG8 if big else _T_LONG
+    # every pyramid level shares the full-resolution TOP edge (see
+    # _geo_entries: block-mean overviews anchor at row 0)
+    ytop0 = float(yllcorner) + height * float(cellsize)
 
     # ---- IFD entries per level (offsets filled in below) ----
-    def entries_for(level: int) -> list[tuple[int, int, list]]:
+    def entries_for(level: int, big: bool) -> list[tuple[int, int, list]]:
         lw, lh, lcs, _ = all_levels[level]
         ntiles = len(tiles_per_level[level])
+        off_type = _T_LONG8 if big else _T_LONG
         ent = [
             (_NEW_SUBFILE_TYPE, _T_LONG,
              [_REDUCED_RESOLUTION if level else 0]),
@@ -488,21 +500,39 @@ def encode_cog(
              [len(t) for t in tiles_per_level[level]]),
             (_SAMPLE_FORMAT, _T_SHORT, [3]),
         ]
-        # georeferencing on every IFD (each level has its own scale)
-        ent += _geo_entries(
-            lw, lh, xllcorner, yllcorner, lcs, nodata_value, crs
-        )
+        # georeferencing on every IFD (each level has its own scale,
+        # all share ytop0)
+        ent += _geo_entries(xllcorner, ytop0, lcs, nodata_value, crs)
         ent.sort(key=lambda e: e[0])
         return ent
 
-    level_entries = [entries_for(i) for i in range(len(all_levels))]
-    block_sizes = [_ifd_block_size(e, big) for e in level_entries]
-    ifd_offsets = []
-    off = _hdr_size(big)
-    for s in block_sizes:
-        ifd_offsets.append(off)
-        off += s
-    data_start = off + (off % 2)
+    def layout(big: bool):
+        level_entries = [
+            entries_for(i, big) for i in range(len(all_levels))
+        ]
+        block_sizes = [_ifd_block_size(e, big) for e in level_entries]
+        ifd_offsets = []
+        off = _hdr_size(big)
+        for s in block_sizes:
+            ifd_offsets.append(off)
+            off += s
+        data_start = off + (off % 2)
+        # exact end-of-file bound: aligned tile data after the IFDs
+        end = data_start
+        for lv in tiles_per_level:
+            for t in lv:
+                end += end % 2
+                end += len(t)
+        return level_entries, block_sizes, ifd_offsets, data_start, end
+
+    if bigtiff is None:
+        # auto: size the ACTUAL classic layout (IFD offset arrays grow
+        # with tile count, so a fixed margin under-counts tile-heavy
+        # files); switch when any offset could exceed 32 bits
+        _, _, _, _, end = layout(False)
+        bigtiff = end >= (1 << 32)
+    big = bool(bigtiff)
+    level_entries, block_sizes, ifd_offsets, data_start, _ = layout(big)
 
     # ---- tile data offsets: coarsest overview first, level 0 LAST ----
     data_order = list(range(len(all_levels) - 1, -1, -1))

@@ -124,8 +124,15 @@ def decode_features(
     importable) blobs decode to pixels and features are
     :func:`_pixel_features` moments+histogram — real math, no SQL
     oracle (DuckDB cannot decode PNGs; the pixel tests cover it).
+
+    Under a real codec only IMAGE rows are featurized (same guard as
+    ahash64 — handing an audio/video blob to an image decoder raises
+    mid-job); the fake kernel hashes raw bytes, so it featurizes
+    every kind.
     """
     impl = resolve_codec(codec, allow_fake)
+    if impl is not FakeCodec:
+        media = media.filter(F.col("kind") == "image")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -315,11 +322,16 @@ def available_codecs() -> list[str]:
 def resolve_codec(codec: str | None = None, allow_fake: bool = False):
     """Pick the codec for a media operator.
 
-    - ``codec='pillow'`` / ``codec='fake'``: that codec, or
+    - ``codec='pillow'`` / ``codec='fake'``: that codec explicitly, or
       NotImplementedError if its library is absent.
-    - ``codec=None``: a REAL codec if one is importable (Pillow), else
-      the fake codec when ``allow_fake=True``, else NotImplementedError
-      — the fake never runs silently by default."""
+    - ``codec=None, allow_fake=True``: the FAKE codec, always —
+      allow_fake is a determinism pin, not a fallback: the q95/q96
+      oracles model the fake kernel byte-for-byte, so installing
+      Pillow must not silently change their results. Ask for Pillow
+      by name (or pass allow_fake=False) to get it.
+    - ``codec=None, allow_fake=False``: a REAL codec if one is
+      importable (Pillow), else NotImplementedError — the fake never
+      runs silently by default."""
     if codec is not None:
         impl = CODECS.get(codec)
         if impl is None:
@@ -407,7 +419,7 @@ FRAME_SCHEMA = StructType(
 
 def frame_sample(
     media: DataFrame, every_ms: int, allow_fake: bool = False,
-    codec: str | None = None,
+    frame_codec: str | None = None,
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame
     (media_id, frame_idx, ts_ms, blob=encoded frame image), sampling at
@@ -418,24 +430,28 @@ def frame_sample(
     per-row fan-out to N frame rows is the part that matters at scale:
     it happens inside the executor batch, never on the driver).
 
-    Note: only the fake codec demuxes video today (Pillow has no video
-    path; the real seam is ffmpeg), so ``codec=None`` without
-    ``allow_fake`` raises even when Pillow is importable — the sampled
-    frames are still ENCODED through the resolved image codec, so with
-    Pillow present the output rows carry real PNGs."""
-    if codec is None and not allow_fake:
+    TWO codec seams, deliberately separate (review finding — one
+    parameter conflated them and made the documented Pillow path
+    unreachable): the DEMUX seam is ffmpeg-shaped and only the fake
+    FVID container implements it today, so ``allow_fake=True`` is
+    required outright; the per-frame IMAGE-ENCODE seam is
+    ``frame_codec`` (resolve_codec semantics: 'pillow' by name emits
+    real PNG frame rows when PIL is importable; default stays the
+    deterministic fake so q97's oracle is stable)."""
+    if not allow_fake:
         raise NotImplementedError(
             "video demuxing needs ffmpeg, which is not available in this "
-            "environment; pass allow_fake=True to run the deterministic "
-            "fake video container through the real sampling math"
+            "environment; the deterministic fake FVID container is the "
+            "only demuxer — pass allow_fake=True to run it through the "
+            "real sampling math and Spark plumbing"
         )
-    impl = resolve_codec(codec, allow_fake)
+    img = resolve_codec(frame_codec, allow_fake=True)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for row in pdf.to_dict("records"):
-                frames, frame_ms = impl.decode_video(bytes(row["blob"]))
+                frames, frame_ms = FakeCodec.decode_video(bytes(row["blob"]))
                 duration = len(frames) * frame_ms
                 ts = 0
                 while ts < duration:
@@ -445,7 +461,7 @@ def frame_sample(
                             "media_id": row["media_id"],
                             "frame_idx": int(idx),
                             "ts_ms": int(ts),
-                            "blob": impl.encode_image(frames[idx]),
+                            "blob": img.encode_image(frames[idx]),
                         }
                     )
                     ts += every_ms

@@ -315,17 +315,18 @@ def encode_geotiff(rasters: DataFrame) -> DataFrame:
 
 def encode_cog(
     rasters: DataFrame,
-    tile_px: int = 512,
+    tile_px: int | None = None,
     levels: int | None = None,
     compress: bool = True,
 ) -> DataFrame:
     """Cloud-Optimized GeoTIFF sink boundary — the reference's
     CLOUD_OPTIMIZED_GEOTIFF config keyword (copy_esrigrid…py:259–261)
-    honored structurally: each raster row becomes a tiled (default
-    512×512) deflate-compressed GeoTIFF with a factor-2 block-mean
-    overview pyramid and all IFDs at the front of the file (codec:
+    honored structurally: each raster row becomes a tiled
+    (auto-sized: min(512, smallest multiple of 16 covering the image))
+    deflate-compressed GeoTIFF with a factor-2 block-mean overview
+    pyramid and all IFDs at the front of the file (codec:
     operators/geotiff.encode_cog; layout + range reads round-trip
-    tested tile-by-tile in test_raster.py).
+    tested tile-by-tile in test_raster.py; auto-BigTIFF past 4 GB).
 
     The overview build inside the kernel is
     geotiff.block_mean_downsample — the per-row twin of

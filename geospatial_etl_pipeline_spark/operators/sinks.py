@@ -168,10 +168,13 @@ def upload_artifacts(
             True,   # overwrite (arcpy.env.overwriteOutput=True, REF:98)
             conf,
         )
-        if not ok and not tolerate_missing:
-            raise IOError(f"copy failed for {src}")
-        if ok:
-            uploaded.append(name)
+        if not ok:
+            # a failed byte copy ALWAYS raises: tolerate_missing covers
+            # a missing SOURCE (the reference's permissive mode), never
+            # a destination that silently rejected the write — that
+            # would be success-shaped data loss (review finding)
+            raise IOError(f"copy failed for {src} -> {dest_base}/{name}")
+        uploaded.append(name)
     return {
         "uploaded": uploaded,
         "skipped_lock": skipped_lock,

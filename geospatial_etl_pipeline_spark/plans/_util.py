@@ -31,20 +31,24 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _SQL_EMB = (
     "(SELECT * FROM embeddings WHERE embedding IS NOT NULL"
     " AND len(embedding) > 0"
-    " AND len(list_filter(embedding, x -> isnan(x))) = 0"
+    " AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0"
     " AND len(list_filter(embedding, x -> x <> 0)) > 0)"
 )
 
 
 def valid_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Rows whose vector is usable: non-null, non-empty, NaN-free, and
-    with at least one non-zero element (zero-norm vectors have no
-    cosine direction). Spark twin of :data:`_SQL_EMB`."""
+    """Rows whose vector is usable: non-null, non-empty, every ELEMENT
+    non-null and finite (NULL elements make Spark's fold NULL while
+    SQL SUM skips them — silent divergence; NaN/±Inf poison quantized
+    sums and crash FLOOR casts), and at least one non-zero element
+    (zero-norm vectors have no cosine direction). Spark twin of
+    :data:`_SQL_EMB`."""
     e = F.col(vec_col)
+    bad = lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))  # noqa: E731
     return df.filter(
         e.isNotNull()
         & (F.size(e) > 0)
-        & ~F.exists(e, F.isnan)
+        & ~F.exists(e, bad)
         & F.exists(e, lambda x: x != F.lit(0.0))
     )
 

@@ -241,6 +241,8 @@ def q47_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH k AS (
   SELECT event_type,
          CASE WHEN json_valid(props)
+               AND regexp_matches(json_extract_string(props, '$.k'),
+                                  '^-?[0-9]{1,9}$')
               THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k
   FROM events
 )
@@ -257,14 +259,20 @@ def q63_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: JSON string prop → typed column →
     aggregate. get_json_object is a codegen'd JVM path (no UDF).
 
-    Malformed/NULL props yield a NULL k in BOTH engines: Spark's
-    get_json_object is tolerant by design, but DuckDB's json_extract
-    ERRORS on malformed input, so the oracle guards with json_valid
-    (NULL-safe: json_valid(NULL) is NULL → CASE falls through to NULL).
-    Hostile-input sweep finding — real event streams always carry some
-    broken props, and an oracle that crashes on them can't gate."""
+    Hostile-props contract, pinned in BOTH engines: k is extracted only
+    when props is valid JSON AND '$.k' is an integer LITERAL of ≤9
+    digits; everything else is NULL. Each clause closes a real
+    divergence/crash (hostile sweep + review): DuckDB's json_extract
+    ERRORS on malformed JSON where get_json_object is tolerant
+    (json_valid guard); a non-integer k crashes both ANSI casts, and
+    the engines even disagree on '1.5' (DuckDB TRY_CAST rounds to 2,
+    Spark truncates) — the digit regex makes the value well-defined;
+    the 9-digit bound keeps CAST AS INT overflow-proof by
+    construction. Real event streams always carry some broken props —
+    an oracle that crashes on them can't gate."""
     e = t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k_str = F.get_json_object("props", "$.k")
+    k = F.when(k_str.rlike("^-?[0-9]{1,9}$"), k_str.cast("int"))
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(k).cast("bigint").alias("sum_k"),
@@ -278,10 +286,10 @@ def q63_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "udf", "pandas-udaf"),
     oracle="""
 SELECT event_type,
-       CAST(SUM(CASE WHEN value IS NOT NULL AND user_id IS NOT NULL
+       CAST(SUM(CASE WHEN isfinite(value) AND user_id IS NOT NULL
                 THEN CAST(FLOOR(value * 1000000000000.0) AS BIGINT)
                      * (1 + user_id % 10) END) AS DOUBLE)
-         / CAST(SUM(CASE WHEN value IS NOT NULL AND user_id IS NOT NULL
+         / CAST(SUM(CASE WHEN isfinite(value) AND user_id IS NOT NULL
                   THEN 1 + user_id % 10 END) AS DOUBLE)
          / 1000000000000.0 AS wavg_value
 FROM events

@@ -1862,14 +1862,17 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
        CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) = 0
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_vec,
        CAST(SUM(CASE WHEN embedding IS NOT NULL
-                 AND len(list_filter(embedding, x -> isnan(x))) > 0
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_nan_vec,
+                 AND len(list_filter(embedding,
+                       x -> x IS NULL OR NOT isfinite(x))) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_elem_vec,
        CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
-                 AND len(list_filter(embedding, x -> isnan(x))) = 0
+                 AND len(list_filter(embedding,
+                       x -> x IS NULL OR NOT isfinite(x))) = 0
                  AND len(list_filter(embedding, x -> x <> 0)) = 0
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vec,
        CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
-                 AND len(list_filter(embedding, x -> isnan(x))) = 0
+                 AND len(list_filter(embedding,
+                       x -> x IS NULL OR NOT isfinite(x))) = 0
                  AND len(list_filter(embedding, x -> x <> 0)) > 0
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
        CAST(COUNT(DISTINCT CASE WHEN embedding IS NOT NULL
@@ -1882,7 +1885,8 @@ def q202_embedding_validation_audit(
 ) -> DataFrame:
     """The observability half of the embeddings validity boundary: one
     row counting every defect class the boundary rejects — NULL vector,
-    empty vector, NaN-carrying vector, all-zero vector — next to the
+    empty vector, vector with a NULL/NaN/±Inf element, all-zero
+    vector — next to the
     valid count and the distinct-dimension census (a second model's
     vectors landing in the same table show up here as n_distinct_dims
     > 1 before they shear a zip_with downstream).
@@ -1900,10 +1904,14 @@ def q202_embedding_validation_audit(
     in-row array folds inside codegen."""
     e = t(spark, sf_dir, "embeddings")
     v = F.col("embedding")
+
+    def bad(x):
+        return x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+
     is_null = v.isNull()
     is_empty = v.isNotNull() & (F.size(v) == 0)
-    has_nan = v.isNotNull() & F.exists(v, F.isnan)
-    nonnull_clean = v.isNotNull() & (F.size(v) > 0) & ~F.exists(v, F.isnan)
+    has_bad = v.isNotNull() & F.exists(v, bad)
+    nonnull_clean = v.isNotNull() & (F.size(v) > 0) & ~F.exists(v, bad)
     is_zero = nonnull_clean & ~F.exists(v, lambda x: x != F.lit(0.0))
     is_valid = nonnull_clean & F.exists(v, lambda x: x != F.lit(0.0))
 
@@ -1914,7 +1922,7 @@ def q202_embedding_validation_audit(
         F.count(F.lit(1)).cast("bigint").alias("n_total"),
         cnt(is_null).alias("n_null_vec"),
         cnt(is_empty).alias("n_empty_vec"),
-        cnt(has_nan).alias("n_nan_vec"),
+        cnt(has_bad).alias("n_bad_elem_vec"),
         cnt(is_zero).alias("n_zero_vec"),
         cnt(is_valid).alias("n_valid"),
         F.countDistinct(F.when(v.isNotNull(), F.size(v)))

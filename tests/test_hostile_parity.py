@@ -116,6 +116,10 @@ def hostile_emb_dir(tmp_path_factory):
           UNION ALL SELECT 200002, CAST([] AS FLOAT[]), 0
           UNION ALL SELECT 200003, list_transform(range(64),
                                                   i -> 0.0::FLOAT), 1
+          UNION ALL SELECT 200004, [0.5::FLOAT, NULL]
+                           || list_transform(range(62), i -> 0.5::FLOAT), 1
+          UNION ALL SELECT 200005, ['infinity'::FLOAT]
+                           || list_transform(range(63), i -> 0.5::FLOAT), 1
         ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
     """)
     con.close()
@@ -148,10 +152,10 @@ def test_embedding_audit_counts_each_defect_class(spark, hostile_emb_dir):
     row = catalog.QUERIES["q202_embedding_validation_audit"].fn(
         spark, hostile_emb_dir
     ).collect()[0]
-    assert row["n_total"] == 503
+    assert row["n_total"] == 505
     assert row["n_null_vec"] == 1
     assert row["n_empty_vec"] == 1
-    assert row["n_nan_vec"] == 0
+    assert row["n_bad_elem_vec"] == 2  # NULL element + Inf element
     assert row["n_zero_vec"] == 1
     assert row["n_valid"] == 500
     assert row["n_valid"] == temb(spark, hostile_emb_dir).count()
@@ -187,6 +191,10 @@ def hostile_ev_dir(tmp_path_factory):
                            NULL, NULL, NULL
           UNION ALL SELECT 900003, TIMESTAMP '2024-01-05 12:02:00', 7,
                            'purchase', 5.5, 'not json'
+          UNION ALL SELECT 900004, TIMESTAMP '2024-01-05 12:03:00', 9,
+                           'click', 1.0, '{{"k": "abc"}}'
+          UNION ALL SELECT 900005, TIMESTAMP '2024-01-05 12:04:00', 9,
+                           'click', 2.0, '{{"k": 1.5}}'
         ) TO '{d}/events.parquet' (FORMAT PARQUET)
     """)
     con.close()

@@ -308,6 +308,46 @@ def test_encode_cog_bigtiff_roundtrip(rasters):
     assert _struct.unpack_from("<H", auto, 2)[0] == 42
 
 
+def test_cog_overviews_share_full_res_top_edge():
+    """Odd-dimension pyramid georeferencing: block-mean overviews
+    anchor at row 0, so every level's tiepoint must carry the
+    FULL-RES top edge — deriving ytop from the overview's own dims
+    (yll + lh·lcs) shifted odd levels one source cell north."""
+    from geospatial_etl_pipeline_spark.operators.geotiff import (
+        decode_cog,
+        encode_cog,
+    )
+
+    w, h = 11, 9  # odd height: overview is 6x5, 5*2 != 9
+    cells = [float(i) for i in range(w * h)]
+    d = decode_cog(
+        encode_cog(w, h, 100.0, 200.0, 1.0, -9999.0, "EPSG:2193", cells,
+                   tile_px=16)
+    )
+    ytop0 = d["yllcorner"] + d["height"] * d["cellsize"]
+    assert ytop0 == 200.0 + 9.0
+    for o in d["overviews"]:
+        assert o["yllcorner"] + o["height"] * o["cellsize"] == pytest.approx(
+            ytop0
+        )
+
+
+def test_cog_auto_tile_size_fits_small_rasters():
+    """tile_px=None auto-sizes: a 10x10 grid gets one 16x16 tile (a
+    sub-kilobyte artifact), not a 512x512 pad-and-deflate; large
+    images cap at 512."""
+    from geospatial_etl_pipeline_spark.operators.geotiff import (
+        decode_cog,
+        encode_cog,
+    )
+
+    blob = encode_cog(10, 10, 0.0, 0.0, 1.0, -9999.0, None, [0.0] * 100)
+    d = decode_cog(blob)
+    assert d["tile_px"] == 16
+    assert len(blob) < 2048
+    assert d["cells"] == [0.0] * 100
+
+
 def test_encode_cog_rejects_bad_tile_size(rasters):
     from geospatial_etl_pipeline_spark.operators.geotiff import encode_cog
 

@@ -7,7 +7,8 @@ diff (HOSTILE_PARITY.json).
 Three fixtures, each sf0.001 with ONE table augmented:
 
 - documents + (NULL text, '' text, whitespace-only text)
-- embeddings + (NULL vector, empty vector, all-zero vector)
+- embeddings + (NULL vector, empty vector, all-zero vector,
+  NULL-element vector, Inf-element vector)
 - events     + (NULL user_id; NULL event_type/value/props; malformed
   JSON props)
 
@@ -52,6 +53,10 @@ AUGMENTS = {
         UNION ALL SELECT 200002, CAST([] AS FLOAT[]), 0
         UNION ALL SELECT 200003, list_transform(range(64),
                                                 i -> 0.0::FLOAT), 1
+        UNION ALL SELECT 200004, [0.5::FLOAT, NULL]
+                         || list_transform(range(62), i -> 0.5::FLOAT), 1
+        UNION ALL SELECT 200005, ['infinity'::FLOAT]
+                         || list_transform(range(63), i -> 0.5::FLOAT), 1
     """,
     "events": """
         SELECT * FROM read_parquet('{src}/events.parquet')
@@ -61,6 +66,10 @@ AUGMENTS = {
                          NULL, NULL, NULL
         UNION ALL SELECT 900003, TIMESTAMP '2024-01-05 12:02:00', 7,
                          'purchase', 5.5, 'not json'
+        UNION ALL SELECT 900004, TIMESTAMP '2024-01-05 12:03:00', 9,
+                         'click', 1.0, '{{"k": "abc"}}'
+        UNION ALL SELECT 900005, TIMESTAMP '2024-01-05 12:04:00', 9,
+                         'click', 2.0, '{{"k": 1.5}}'
     """,
 }
 
