@@ -73,6 +73,43 @@ def windowed_counts(
     )
 
 
+def rolling_active_users(
+    stream: DataFrame,
+    window: str = "7 days",
+    slide: str = "1 day",
+    watermark: str = "1 day",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Rolling distinct active users per sliding window — the STREAMING
+    form of the q151/q201 family. Exact COUNT(DISTINCT) is unsupported
+    on streams (it cannot merge incrementally); ``approx_count_distinct``
+    is the supported path because HLL state is exactly what q201
+    exploits in batch: fixed-size, order-free, mergeable — each open
+    window keeps one sketch, merged as micro-batches arrive, bounded by
+    the watermark horizon like any windowed agg.
+
+    Determinism contract (what the equivalence test pins): HLL++
+    insertion is commutative and the merge is associative, so the
+    stream's incremental sketch equals the batch sketch over the same
+    rows EXACTLY — not approximately — whatever the micro-batch
+    cut points. The estimate's error vs the TRUE distinct count is the
+    usual 1.04/√2^p band (q201's in-plan bound covers that side)."""
+    win = F.window("ts", window, slide)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "approx_users",
+            "n_events",
+        )
+    )
+
+
 def sessionized(
     stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -45,6 +45,54 @@ def test_sliding_window_counts_matches_batch(spark, sf_dir, stream):
     assert g == b and len(g) > 0
 
 
+def test_rolling_active_users_matches_batch(spark, sf_dir, stream):
+    """Streaming rolling-distinct (the q151/q201 family's stream form):
+    the incremental HLL state must equal a batch approx_count_distinct
+    over the same sliding windows EXACTLY — sketch insertion is
+    commutative and merge associative, so micro-batch cut points must
+    not change a single estimate."""
+    from pyspark.sql import functions as F
+
+    from geospatial_etl_pipeline_spark.sources.tables import load_table
+    from geospatial_etl_pipeline_spark.streaming.events import (
+        rolling_active_users,
+    )
+
+    got = run_to_memory_sink(
+        rolling_active_users(stream, window="2 days", slide="1 day"),
+        "t_rolling_dau",
+        mode="complete",
+    )
+    e = load_table(spark, sf_dir, "events")
+    batch = (
+        e.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "approx_users",
+                "n_events")
+    )
+    g = {r["window_start"]: (r["approx_users"], r["n_events"])
+         for r in got.collect()}
+    b = {r["window_start"]: (r["approx_users"], r["n_events"])
+         for r in batch.collect()}
+    assert g == b and len(g) > 0
+    # and the estimates track the exact counts within the q201-style
+    # 3-sigma band of the declared rsd
+    exact = {
+        r["window_start"]: r["n_users"]
+        for r in e.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "n_users")
+        .collect()
+    }
+    for ws, (approx, _) in g.items():
+        assert abs(approx - exact[ws]) <= 3 * 0.05 * exact[ws] + 1, (
+            ws, approx, exact[ws],
+        )
+
+
 def test_sessionized_stream_counts(spark, sf_dir, stream):
     got = run_to_memory_sink(sessionized(stream), "t_sessions", mode="complete")
     per_user = {}
