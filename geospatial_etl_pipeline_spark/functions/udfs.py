@@ -57,10 +57,21 @@ def qwavg_pandas(v: pd.Series, w: pd.Series) -> float:  # -> float = GROUPED_AGG
     finite check matters because Arrow erases the NULL-vs-NaN
     distinction on the way into pandas: a true NaN VALUE must behave
     like the NULL it is indistinguishable from, and the q64 oracle
-    states the same ``isfinite`` predicate."""
+    states the same ``isfinite`` predicate — on BOTH columns, because
+    an Inf WEIGHT would equally wrap through astype(int64).
+
+    Quantization bound: |value| must stay under 9.0e6 or
+    floor(v·1e12) overflows int64 — past it Spark's astype wraps while
+    DuckDB's CAST errors, so the pair is excluded by contract in both
+    engines (the q63/q197-style scale dial: drop the 1e12 scale to
+    admit larger values)."""
     import numpy as np
 
-    mask = v.notna() & w.notna() & np.isfinite(v.fillna(0.0))
+    mask = (
+        v.notna() & w.notna()
+        & np.isfinite(v.fillna(0.0)) & np.isfinite(w.fillna(0.0))
+        & (v.fillna(0.0).abs() < 9.0e6)
+    )
     if not mask.any():
         return None
     qv = np.floor(v[mask].to_numpy(dtype="float64") * _S).astype("int64")

@@ -517,10 +517,13 @@ def encode_cog(
             ifd_offsets.append(off)
             off += s
         data_start = off + (off % 2)
-        # exact end-of-file bound: aligned tile data after the IFDs
+        # exact end-of-file bound: aligned tile data after the IFDs,
+        # walked in the WRITE order (coarsest overview first — level
+        # order would misplace the per-tile alignment pads for
+        # odd-length deflate tiles and under-count the true end)
         end = data_start
-        for lv in tiles_per_level:
-            for t in lv:
+        for lvl in range(len(tiles_per_level) - 1, -1, -1):
+            for t in tiles_per_level[lvl]:
                 end += end % 2
                 end += len(t)
         return level_entries, block_sizes, ifd_offsets, data_start, end
@@ -529,10 +532,14 @@ def encode_cog(
         # auto: size the ACTUAL classic layout (IFD offset arrays grow
         # with tile count, so a fixed margin under-counts tile-heavy
         # files); switch when any offset could exceed 32 bits
-        _, _, _, _, end = layout(False)
-        bigtiff = end >= (1 << 32)
+        lay = layout(False)
+        bigtiff = lay[4] >= (1 << 32)
+    else:
+        lay = None
     big = bool(bigtiff)
-    level_entries, block_sizes, ifd_offsets, data_start, _ = layout(big)
+    if lay is None or big:
+        lay = layout(big)  # reuse the classic sizing pass when it won
+    level_entries, block_sizes, ifd_offsets, data_start, _ = lay
 
     # ---- tile data offsets: coarsest overview first, level 0 LAST ----
     data_order = list(range(len(all_levels) - 1, -1, -1))

@@ -36,6 +36,16 @@ _SQL_EMB = (
 )
 
 
+def bad_embedding_element(x: Column) -> Column:
+    """THE element-level validity predicate: NULL, NaN, or ±Inf. One
+    definition, used by both the boundary filter (valid_embeddings) and
+    the rejection audit (q202) — the audit's class counts must
+    partition exactly against the filter (its test asserts
+    n_valid == temb().count()), so two private copies would let the
+    two drift on the next edit."""
+    return x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+
+
 def valid_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Rows whose vector is usable: non-null, non-empty, every ELEMENT
     non-null and finite (NULL elements make Spark's fold NULL while
@@ -44,11 +54,10 @@ def valid_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     (zero-norm vectors have no cosine direction). Spark twin of
     :data:`_SQL_EMB`."""
     e = F.col(vec_col)
-    bad = lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))  # noqa: E731
     return df.filter(
         e.isNotNull()
         & (F.size(e) > 0)
-        & ~F.exists(e, bad)
+        & ~F.exists(e, bad_embedding_element)
         & F.exists(e, lambda x: x != F.lit(0.0))
     )
 

@@ -239,11 +239,17 @@ def q47_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "json"),
     oracle="""
 WITH k AS (
+  -- NESTED CASE, deliberately: with the extraction inside the outer
+  -- WHEN's conjunction, DuckDB's adaptive conjunct reordering can run
+  -- json_extract_string before json_valid on a large table and crash
+  -- on malformed props (reproduced at ~2M rows; small fixtures pass).
+  -- A CASE branch is guaranteed-conditional; a conjunct is not.
   SELECT event_type,
-         CASE WHEN json_valid(props)
-               AND regexp_matches(json_extract_string(props, '$.k'),
-                                  '^-?[0-9]{1,9}$')
-              THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k
+         CASE WHEN json_valid(props) THEN
+           CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                    '^-?[0-9]{1,9}$')
+                THEN CAST(json_extract_string(props, '$.k') AS INT) END
+         END AS k
   FROM events
 )
 SELECT event_type,
@@ -286,10 +292,12 @@ def q63_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "udf", "pandas-udaf"),
     oracle="""
 SELECT event_type,
-       CAST(SUM(CASE WHEN isfinite(value) AND user_id IS NOT NULL
+       CAST(SUM(CASE WHEN isfinite(value) AND abs(value) < 9.0e6
+                      AND user_id IS NOT NULL
                 THEN CAST(FLOOR(value * 1000000000000.0) AS BIGINT)
                      * (1 + user_id % 10) END) AS DOUBLE)
-         / CAST(SUM(CASE WHEN isfinite(value) AND user_id IS NOT NULL
+         / CAST(SUM(CASE WHEN isfinite(value) AND abs(value) < 9.0e6
+                      AND user_id IS NOT NULL
                   THEN 1 + user_id % 10 END) AS DOUBLE)
          / 1000000000000.0 AS wavg_value
 FROM events

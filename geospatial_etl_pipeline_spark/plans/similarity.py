@@ -1902,12 +1902,10 @@ def q202_embedding_validation_audit(
 
     Scale: one scan, one 1-row partial agg; the per-row predicates are
     in-row array folds inside codegen."""
+    from ._util import bad_embedding_element as bad
+
     e = t(spark, sf_dir, "embeddings")
     v = F.col("embedding")
-
-    def bad(x):
-        return x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
-
     is_null = v.isNull()
     is_empty = v.isNotNull() & (F.size(v) == 0)
     has_bad = v.isNotNull() & F.exists(v, bad)
