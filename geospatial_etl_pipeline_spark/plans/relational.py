@@ -462,14 +462,17 @@ def q20_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_custkey, o_orderkey, o_orderdate,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
-         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate ASC NULLS LAST, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        ) AS DOUBLE) AS running_spend,
        CAST(LAG(o_totalprice) OVER (
-         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate ASC NULLS LAST, o_orderkey
        ) AS DOUBLE) AS prev_price,
        CAST(RANK() OVER (
-         PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         PARTITION BY o_custkey
+         ORDER BY o_totalprice DESC NULLS LAST, o_orderkey
        ) AS INT) AS price_rank
 FROM orders
 """,
@@ -477,12 +480,19 @@ FROM orders
 def q21_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running aggregate + lag + rank in one pass over a single window
     partitioning (one shuffle, three frames). Running sum is decimal-exact
-    so the prefix values are engine-invariant."""
+    so the prefix values are engine-invariant.
+
+    NULL ordering is PINNED (NULLS LAST) in every window, both engines:
+    Spark's ascending default is NULLS FIRST while DuckDB's is NULLS
+    LAST, so a NULL o_orderdate silently reshuffles the running-sum
+    prefix between engines (relational hostile probe finding)."""
     o = t(spark, sf_dir, "orders")
-    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_time = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), "o_orderkey"
+    )
     w_run = w_time.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_rank = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
+        F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey")
     )
     return o.select(
         "o_custkey",

@@ -11,6 +11,8 @@ Three fixtures, each sf0.001 with ONE table augmented:
   NULL-element vector, Inf-element vector)
 - events     + (NULL user_id; NULL event_type/value/props; malformed
   JSON props)
+- orders     + (orphan NULL o_custkey; NULL status/price/date)
+- lineitem   + (NULL part/supp keys and measures)
 
 Rationale: Spark and DuckDB disagree about NULL exactly where clean
 data can't show it (concat_ws vs md5(NULL), explode_outer vs
@@ -57,6 +59,17 @@ AUGMENTS = {
                          || list_transform(range(62), i -> 0.5::FLOAT), 1
         UNION ALL SELECT 200005, ['infinity'::FLOAT]
                          || list_transform(range(63), i -> 0.5::FLOAT), 1
+    """,
+    "orders": """
+        SELECT * FROM read_parquet('{src}/orders.parquet')
+        UNION ALL SELECT 990001, NULL, 'O', 100.0,
+                         DATE '1995-06-01', '3-MEDIUM'
+        UNION ALL SELECT 990002, 1, NULL, NULL, NULL, NULL
+    """,
+    "lineitem": """
+        SELECT * FROM read_parquet('{src}/lineitem.parquet')
+        UNION ALL SELECT 990001, NULL, NULL, 1, NULL, NULL, NULL, NULL,
+                         NULL, NULL, NULL
     """,
     "events": """
         SELECT * FROM read_parquet('{src}/events.parquet')
