@@ -345,12 +345,13 @@ def q18_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "agg", "array"),
     oracle="""
 SELECT c_nationkey,
-       array_to_string(
+       COALESCE(array_to_string(
          list_transform(
-           (list(c_acctbal ORDER BY c_acctbal DESC, c_custkey ASC))[1:3],
+           (list(c_acctbal ORDER BY c_acctbal DESC, c_custkey ASC)
+              FILTER (c_acctbal IS NOT NULL))[1:3],
            x -> printf('%.2f', x)),
-         '|') AS top3_bal,
-       CAST(len(list(c_acctbal)) AS INT) AS n_customers
+         '|'), '') AS top3_bal,
+       CAST(COUNT(*) AS INT) AS n_customers
 FROM customer
 GROUP BY c_nationkey
 """,
@@ -361,9 +362,20 @@ def q19_array_agg_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     total-ordered, then slices and projects. The slice is emitted as a
     canonical '|'-joined %.2f string (not ARRAY<DOUBLE>) so external
     hash-based comparators can digest the cell; balances are 2-decimal
-    currency, so %.2f is an exact round-trip of the stored double."""
+    currency, so %.2f is an exact round-trip of the stored double.
+
+    NULL balances are excluded from the top-3 STRING in both engines
+    (explicit FILTER in the oracle, a when-guard here — without it
+    Spark's format_string renders NULL as the literal string 'null'
+    while DuckDB's printf propagates NULL: hostile-dim probe);
+    n_customers counts ROWS, NULL balance or not."""
     c = t(spark, sf_dir, "customer")
-    pairs = F.collect_list(F.struct(F.col("c_acctbal"), F.col("c_custkey")))
+    pairs = F.collect_list(
+        F.when(
+            F.col("c_acctbal").isNotNull(),
+            F.struct(F.col("c_acctbal"), F.col("c_custkey")),
+        )
+    )
     # sort structs by (acctbal DESC, custkey ASC): negate both fields
     sorted_bals = F.transform(
         F.slice(
@@ -380,7 +392,7 @@ def q19_array_agg_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform(sorted_bals, lambda b: F.format_string("%.2f", b)), "|"
         ).alias("top3_bal"),
-        F.size(pairs).cast("int").alias("n_customers"),
+        F.count(F.lit(1)).cast("int").alias("n_customers"),
     )
 
 

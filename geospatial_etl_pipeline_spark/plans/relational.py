@@ -550,17 +550,25 @@ SELECT p_partkey,
        UPPER(p_brand) AS brand_upper,
        SUBSTR(p_name, 1, 8) AS name_prefix,
        CAST(LENGTH(p_name) AS INT) AS name_len,
-       CONCAT(p_brand, ':', p_type) AS brand_type,
+       CONCAT_WS(':', p_brand, p_type) AS brand_type,
        REPLACE(p_type, 'ECONOMY', 'ECO') AS type_short,
        LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
-       SPLIT_PART(p_brand, '#', 2) AS brand_num
+       CASE WHEN p_brand IS NULL OR NOT contains(p_brand, '#')
+            THEN NULL ELSE SPLIT_PART(p_brand, '#', 2) END AS brand_num
 FROM part
 """,
 )
 def q23_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String function suite (REF's filename-surgery functions in their
     general form — SURVEY §2h): upper/substr/length/concat/replace/lpad/
-    split-part, all whole-stage-codegen JVM expressions."""
+    split-part, all whole-stage-codegen JVM expressions.
+
+    NULL-string contract (hostile-dim probe): the oracle uses CONCAT_WS
+    (plain CONCAT skips NULL args but keeps the ':' literal — a
+    NULL-brand row concatenated to ':' while Spark's concat_ws gave '');
+    brand_num is CASE-guarded because DuckDB's split_part returns ''
+    for NULL input and for separator-less strings where Spark's
+    getItem(1) is NULL on both."""
     p = t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",

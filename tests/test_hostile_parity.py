@@ -275,7 +275,9 @@ HOSTILE_REL_PINNED = [
     "q01_pricing_summary",
     "q04_order_priority",
     "q13_anti_join_orderless",
-    "q21_running_customer_spend",  # the divergence: NULL-date ordering
+    "q19_array_agg_topn",      # format_string(NULL) rendered 'null'
+    "q21_running_customer_spend",  # NULL-date window ordering
+    "q23_string_functions",    # CONCAT vs concat_ws; split_part('')
     "q35_full_outer_join",
 ]
 
@@ -283,8 +285,7 @@ HOSTILE_REL_PINNED = [
 @pytest.fixture(scope="module")
 def hostile_rel_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("hostile_rel")
-    for t in ("region", "nation", "customer", "supplier", "part", "events",
-              "documents", "embeddings"):
+    for t in ("region", "nation", "events", "documents", "embeddings"):
         os.symlink(f"{_SRC}/{t}.parquet", d / f"{t}.parquet")
     con = duckdb.connect()
     con.execute(f"""
@@ -301,6 +302,24 @@ def hostile_rel_dir(tmp_path_factory):
           UNION ALL SELECT 990001, NULL, NULL, 1, NULL, NULL, NULL, NULL,
                            NULL, NULL, NULL
         ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{_SRC}/customer.parquet')
+          UNION ALL SELECT 980001, NULL, NULL, NULL, NULL
+        ) TO '{d}/customer.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{_SRC}/supplier.parquet')
+          UNION ALL SELECT 980001, NULL, NULL, NULL
+        ) TO '{d}/supplier.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{_SRC}/part.parquet')
+          UNION ALL SELECT 980001, NULL, NULL, NULL, NULL, NULL
+        ) TO '{d}/part.parquet' (FORMAT PARQUET)
     """)
     con.close()
     return str(d)

@@ -11,6 +11,8 @@ Three fixtures, each sf0.001 with ONE table augmented:
   NULL-element vector, Inf-element vector)
 - events     + (NULL user_id; NULL event_type/value/props; malformed
   JSON props)
+- customer/supplier/part + (all-NULL attribute rows: NULL names,
+  nation keys, balances, brands, sizes)
 - orders     + (orphan NULL o_custkey; NULL status/price/date)
 - lineitem   + (NULL part/supp keys and measures)
 
@@ -59,6 +61,18 @@ AUGMENTS = {
                          || list_transform(range(62), i -> 0.5::FLOAT), 1
         UNION ALL SELECT 200005, ['infinity'::FLOAT]
                          || list_transform(range(63), i -> 0.5::FLOAT), 1
+    """,
+    "customer": """
+        SELECT * FROM read_parquet('{src}/customer.parquet')
+        UNION ALL SELECT 980001, NULL, NULL, NULL, NULL
+    """,
+    "supplier": """
+        SELECT * FROM read_parquet('{src}/supplier.parquet')
+        UNION ALL SELECT 980001, NULL, NULL, NULL
+    """,
+    "part": """
+        SELECT * FROM read_parquet('{src}/part.parquet')
+        UNION ALL SELECT 980001, NULL, NULL, NULL, NULL, NULL
     """,
     "orders": """
         SELECT * FROM read_parquet('{src}/orders.parquet')
