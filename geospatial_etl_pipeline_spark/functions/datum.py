@@ -96,15 +96,25 @@ def default_nz_grid() -> "NTv2Grid | None":
     """Lazily parse the first resolvable NZ ``.gsb`` from
     :func:`grid_search_paths` (None if every candidate is absent).
     Parsed once per process; executors each pay one ~50 KB parse, not
-    one per batch. Unparseable candidates are skipped, not fatal — a
-    corrupt download must not take out the synthetic fallback."""
+    one per batch. Unparseable *default* candidates are skipped, not
+    fatal — a corrupt download must not take out the synthetic
+    fallback. But an explicit ``$SPARK_GRAFT_NTV2_GRID`` override that
+    is missing or unparseable RAISES: the operator asked for that grid
+    by name, and silently degrading to the fallback would ship wrong
+    datum accuracy with no signal."""
     if not _default_grid_cache:
+        env = os.environ.get(_ENV_GRID)
         for path in grid_search_paths():
             try:
                 with open(path, "rb") as f:
                     _default_grid_cache.append(parse_ntv2(f.read()))
                 break
-            except (OSError, ValueError):
+            except (OSError, ValueError) as exc:
+                if env and path == env:
+                    raise ValueError(
+                        f"{_ENV_GRID}={env!r} is set but the grid could"
+                        f" not be read/parsed: {exc}"
+                    ) from exc
                 continue
         else:
             # Do NOT cache the miss: a grid can be generated/fetched

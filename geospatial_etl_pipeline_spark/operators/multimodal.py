@@ -103,6 +103,11 @@ def _pixel_features(px: "np.ndarray", dims: int) -> "np.ndarray":
     padded to ``dims``. Codec-independent math — runs identically on
     Pillow-decoded PNGs and fake-container pixels."""
     flat = px.astype(np.float64).ravel() / 255.0
+    if flat.size == 0:
+        # A degenerate 0×N image (Pillow will happily decode one)
+        # must not kill the whole mapInPandas task: min()/max() raise
+        # on empty and mean() emits NaN. All-zero features = nodata.
+        return np.zeros(dims, dtype=np.float64)
     moments = [flat.mean(), flat.std(), flat.min(), flat.max()]
     nbins = max(dims - len(moments), 0)
     if nbins:

@@ -1794,13 +1794,19 @@ def q201_rolling_weekly_actives_sketch(
         F.abs(F.col("wau_sketch") - F.col("wau_exact"))
         / F.col("wau_exact").cast("double")
     )
+    # wau_exact = 0 (a window whose only users are NULL — both
+    # countDistinct and hll_sketch_agg skip NULLs) makes err NaN;
+    # the bound there is simply "the sketch also says 0".
+    within = F.when(
+        F.col("wau_exact") == 0, F.col("wau_sketch") == 0
+    ).otherwise(err <= 3 * _RSD)
     return (
         approx.join(exact, "day")
         .select(
             "day",
             "wau_sketch",
             "wau_exact",
-            (err <= 3 * _RSD).alias("within_bound"),
+            within.alias("within_bound"),
         )
     )
 

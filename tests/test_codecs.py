@@ -136,3 +136,18 @@ def test_decode_features_real_kernel_when_pillow_present(spark):
     f = decode_features(media, dims=8, codec="pillow").collect()[0]["features"]
     assert f[0] == pytest.approx(128 / 255)  # mean
     assert f[1] == pytest.approx(0.0)  # std of a constant image
+
+
+def test_pixel_features_empty_image_is_nodata_zeros():
+    """A degenerate 0-size pixel array (Pillow will decode a 0xN PNG)
+    must yield an all-zero nodata feature vector, not kill the task
+    (min/max raise on empty, mean emits NaN)."""
+    from geospatial_etl_pipeline_spark.operators.multimodal import (
+        _pixel_features,
+    )
+
+    for shape in ((0,), (0, 5), (3, 0)):
+        f = _pixel_features(np.zeros(shape, dtype=np.uint8), 8)
+        assert f.shape == (8,)
+        assert np.all(f == 0.0)
+        assert np.all(np.isfinite(f))

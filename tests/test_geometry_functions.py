@@ -276,9 +276,12 @@ def test_datum_grid_true_rejected_and_miss_not_cached(tmp_path, monkeypatch):
 
 def test_grid_resolution_order(tmp_path, monkeypatch):
     """grid_search_paths honors env override → real LINZ grid →
-    synthetic fixture, and default_nz_grid takes the FIRST parseable
-    candidate — an unparseable (corrupt download) candidate is skipped,
-    never fatal."""
+    synthetic fixture. An unparseable DEFAULT candidate is skipped,
+    never fatal — but an explicit $SPARK_GRAFT_NTV2_GRID that is
+    missing or corrupt RAISES: the operator named that grid, and a
+    silent fallback would degrade datum accuracy with no signal."""
+    import pytest as _pytest
+
     from geospatial_etl_pipeline_spark.functions import datum
 
     paths = datum.grid_search_paths()
@@ -290,11 +293,16 @@ def test_grid_resolution_order(tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_NTV2_GRID", str(override))
     assert datum.grid_search_paths()[0] == str(override)
 
-    # corrupt env-pointed grid: resolution skips it and still lands on
-    # the shipped fixture instead of crashing or going 3-param-only
+    # missing env-pointed grid: loud failure, not silent degradation
+    monkeypatch.setattr(datum, "_default_grid_cache", [])
+    with _pytest.raises(ValueError, match="SPARK_GRAFT_NTV2_GRID"):
+        datum.default_nz_grid()
+
+    # corrupt env-pointed grid: same loud failure
     override.write_bytes(b"this is not an NTv2 file")
     monkeypatch.setattr(datum, "_default_grid_cache", [])
-    assert datum.default_nz_grid() is not None
+    with _pytest.raises(ValueError, match="SPARK_GRAFT_NTV2_GRID"):
+        datum.default_nz_grid()
 
     # healthy env-pointed grid wins over the shipped fixture
     import shutil

@@ -330,3 +330,63 @@ def test_hostile_relational_parity(spark, hostile_rel_dir, name):
     spec = catalog.QUERIES[name]
     res = compare(name, spark, hostile_rel_dir, spec.fn, spec.oracle)
     assert res.ok, str(res)
+
+
+def test_q201_bound_holds_when_window_has_only_null_users(
+    spark, tmp_path_factory
+):
+    """A day (and trailing 7-day window) whose only rows carry NULL
+    user_id has wau_exact = 0 — both countDistinct and hll_sketch_agg
+    skip NULLs — and err = |0-0|/0 is NaN, which used to flip
+    within_bound false spuriously. The guard: exact = 0 is within
+    bound iff the sketch also says 0 (ADVICE r5)."""
+    d = tmp_path_factory.mktemp("q201_null_users")
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT * FROM (VALUES
+            (1, TIMESTAMP '2024-01-01 10:00:00',
+             CAST(NULL AS BIGINT), 'click', 1.0, NULL),
+            (2, TIMESTAMP '2024-01-01 11:00:00',
+             CAST(NULL AS BIGINT), 'view', 2.0, NULL),
+            (3, TIMESTAMP '2024-03-01 10:00:00',
+             CAST(7 AS BIGINT), 'click', 3.0, NULL)
+          ) AS t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    spec = catalog.QUERIES["q201_rolling_weekly_actives_sketch"]
+    rows = spec.fn(spark, str(d)).collect()
+    by_day = {str(r["day"]): r for r in rows}
+    jan = by_day["2024-01-01"]
+    assert jan["wau_exact"] == 0 and jan["wau_sketch"] == 0
+    assert all(r["within_bound"] for r in rows), rows
+
+
+def test_hostile_sweep_selection_is_word_bounded():
+    """Sweep selection must match table names as word-bounded tokens:
+    'part' must not select queries only because their oracle says
+    SPLIT_PART or PARTITION BY, and 'events' must not fire on a
+    n_events alias — while every rows-only query is swept on every
+    fixture for crash coverage (ADVICE r5)."""
+    from tools.hostile_sweep import select_queries
+
+    part_sel, rows_only = select_queries("part")
+    for name in part_sel:
+        oracle = catalog.QUERIES[name].oracle
+        import re
+        assert re.search(r"\bpart\b", oracle), name
+    # rows-only covers every oracle-less query in the catalog
+    expected_rows_only = sorted(
+        n for n, s in catalog.QUERIES.items() if not s.oracle
+    )
+    assert rows_only == expected_rows_only and rows_only
+    # a known false-positive of the old substring match: any query
+    # whose oracle uses SPLIT_PART/PARTITION BY but never reads part
+    substring_only = [
+        n for n, s in catalog.QUERIES.items()
+        if s.oracle and "part" in s.oracle
+        and not __import__("re").search(r"\bpart\b", s.oracle)
+    ]
+    assert not set(substring_only) & set(part_sel)
+    assert substring_only, "fixture premise: such queries exist"

@@ -35,6 +35,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import re  # noqa: E402
+
 import duckdb  # noqa: E402
 
 from geospatial_etl_pipeline_spark.oracle import compare  # noqa: E402
@@ -118,6 +120,26 @@ def build_fixture(root: str, hostile_table: str) -> str:
     return d
 
 
+def select_queries(table: str) -> tuple[list[str], list[str]]:
+    """(oracled, rows_only) query names to sweep for a hostile table.
+
+    Oracled queries are selected by a WORD-BOUNDED match of the table
+    name in their oracle SQL: bare substring matching selected 'part'
+    inside SPLIT_PART/PARTITION BY and 'events' inside n_events
+    (wasted runs) — `_` is a word character, so \\b cuts exactly at
+    real table references. Rows-only queries (oracle=None) have no SQL
+    to inspect, so ALL of them are returned for crash coverage."""
+    word = re.compile(rf"\b{table}\b")
+    oracled = sorted(
+        n for n, s in catalog.QUERIES.items()
+        if s.oracle and word.search(s.oracle)
+    )
+    rows_only = sorted(
+        n for n, s in catalog.QUERIES.items() if not s.oracle
+    )
+    return oracled, rows_only
+
+
 def main() -> None:
     out_json = sys.argv[1] if len(sys.argv) > 1 else "HOSTILE_PARITY.json"
     catalog.load_all_plans()
@@ -130,11 +152,10 @@ def main() -> None:
         for table in AUGMENTS:
             sf_dir = build_fixture(root, table)
             # only queries whose ORACLE references the hostile table can
-            # be affected; everything else reads identical inputs
-            names = sorted(
-                n for n, s in catalog.QUERIES.items()
-                if s.oracle and table in s.oracle
-            )
+            # be affected; everything else reads identical inputs. The
+            # rows-only set runs on EVERY fixture — a hostile row must
+            # not kill the plan even with no oracle to diff against.
+            names, rows_only = select_queries(table)
             fails: dict[str, str] = {}
             for name in names:
                 spec = catalog.QUERIES[name]
@@ -147,8 +168,19 @@ def main() -> None:
                 print(f"# {table}/{name}: "
                       f"{'FAIL' if name in fails else 'ok'}",
                       file=sys.stderr, flush=True)
+            for name in rows_only:
+                spec = catalog.QUERIES[name]
+                try:
+                    spec.fn(spark, sf_dir).count()
+                except Exception as exc:  # noqa: BLE001 — record and go on
+                    fails[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"# {table}/{name} (rows-only): "
+                      f"{'FAIL' if name in fails else 'ok'}",
+                      file=sys.stderr, flush=True)
             out["fixtures"][table] = {
-                "checked": len(names),
+                "checked": len(names) + len(rows_only),
+                "oracled": len(names),
+                "rows_only": len(rows_only),
                 "failed": len(fails),
                 "fails": fails,
             }
