@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import literal_df, t
+from ._util import literal_df, qsum, sql_qsum, t
 from .catalog import register
 
 # x/y in [0, 97) × [0, 89): coprime moduli give a scattered point cloud.
@@ -415,4 +415,175 @@ def q189_zorder_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("touched") * F.col("n_points")).cast("double")
             / F.min("n_matched")
         ).alias("scan_amplification"),
+    )
+
+
+# ---- q203: inverse-distance-weighted interpolation -----------------------
+
+# Interpolation grid: cell centers every 12 units over the point cloud's
+# [0,97) x [0,89) extent -> 8 x 7 = 56 cells; influence radius 18.
+_IDW_STEP = 12
+_IDW_NX, _IDW_NY = 8, 7
+_IDW_R2 = 18 * 18
+# contribution = c_acctbal / (d2+1): |x| <= ~1e4, so scale-10
+# quantization stays under 2^53 (1e4 * 1e10 = 1e14 < 9e15).
+_IDW_SCALE = 10
+
+
+@register(
+    "q203_idw_interpolation",
+    tags=("geometry", "spatial-join", "interpolation", "agg"),
+    oracle=f"""
+WITH cells AS (
+  SELECT CAST(gi.range * {_IDW_NY} + gj.range AS BIGINT) AS cell_id,
+         CAST(6 + {_IDW_STEP} * gi.range AS INT) AS cx,
+         CAST(6 + {_IDW_STEP} * gj.range AS INT) AS cy
+  FROM range({_IDW_NX}) gi CROSS JOIN range({_IDW_NY}) gj
+),
+hits AS (
+  SELECT cell_id, cx, cy,
+         ({_X} - cx) * ({_X} - cx) + ({_Y} - cy) * ({_Y} - cy) AS d2,
+         c.c_acctbal
+  FROM customer c JOIN cells
+    ON ({_X} - cx) * ({_X} - cx) + ({_Y} - cy) * ({_Y} - cy) <= {_IDW_R2}
+)
+SELECT cell_id, cx, cy, COUNT(*) AS n_points,
+       {sql_qsum("c_acctbal / (d2 + 1)", _IDW_SCALE)} AS num_q,
+       {sql_qsum("1.0e0 / (d2 + 1)", _IDW_SCALE)} AS den_q,
+       {sql_qsum("c_acctbal / (d2 + 1)", _IDW_SCALE)}
+         / {sql_qsum("1.0e0 / (d2 + 1)", _IDW_SCALE)} AS idw_value
+FROM hits
+GROUP BY cell_id, cx, cy
+""",
+)
+def q203_idw_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted interpolation of a point attribute onto
+    a regular analysis grid (the classic points->surface geoprocessing
+    op the reference's raster stage consumes, copy_esrigrid…py:229-270
+    operates on exactly such interpolated grids): for every cell center,
+    idw = sum(v_i / (d2_i+1)) / sum(1 / (d2_i+1)) over points within the
+    influence radius.
+
+    Plan shape: the 56-cell grid is a broadcast nested-loop join against
+    the point cloud (radius predicate), then one per-cell aggregate — no
+    shuffle of the point side before the partial agg. At 100 TB the
+    radius join becomes an equi-join on floor(x/R),floor(y/R) bins
+    expanded to the 3x3 neighbor ring (q85's binning), which keeps the
+    pairing linear in points; the per-cell aggregate is unchanged.
+    Weighted sums are scale-10 floor-quantized (engine-exact); the final
+    ratio is one BIGINT/BIGINT division -> identical double."""
+    pts = t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 97).cast("int").alias("x"),
+        (F.col("c_custkey") % 89).cast("int").alias("y"),
+        "c_acctbal",
+    )
+    cells = (
+        spark.range(_IDW_NX)
+        .select(F.col("id").alias("gi"))
+        .crossJoin(spark.range(_IDW_NY).select(F.col("id").alias("gj")))
+        .select(
+            (F.col("gi") * _IDW_NY + F.col("gj")).alias("cell_id"),
+            (F.lit(6) + _IDW_STEP * F.col("gi")).cast("int").alias("cx"),
+            (F.lit(6) + _IDW_STEP * F.col("gj")).cast("int").alias("cy"),
+        )
+    )
+    d2 = (pts.x - F.col("cx")) * (pts.x - F.col("cx")) + (
+        pts.y - F.col("cy")
+    ) * (pts.y - F.col("cy"))
+    hits = pts.join(F.broadcast(cells), d2 <= _IDW_R2).select(
+        "cell_id", "cx", "cy", d2.alias("d2"), "c_acctbal"
+    )
+    w = F.lit(1.0) / (F.col("d2") + 1)
+    num = qsum(F.col("c_acctbal") / (F.col("d2") + 1), _IDW_SCALE)
+    den = qsum(w, _IDW_SCALE)
+    return hits.groupBy("cell_id", "cx", "cy").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        num.alias("num_q"),
+        den.alias("den_q"),
+        (num / den).alias("idw_value"),
+    )
+
+
+# ---- q210: nearest-neighbor spatial join ---------------------------------
+
+# Supplier "station" coordinates: multiplicative scatter over the same
+# plane as the customer cloud (s_suppkey is dense 1..N, so the raw
+# modulus would collapse to a line).
+_SX = "CAST((s_suppkey * 37) % 97 AS INT)"
+_SY = "CAST((s_suppkey * 53) % 89 AS INT)"
+
+
+@register(
+    "q210_spatial_nn_join",
+    tags=("geometry", "knn", "spatial-join", "agg"),
+    oracle=f"""
+WITH nn AS (
+  SELECT c.c_custkey, s.s_suppkey, s.s_nationkey,
+         ({_X} - {_SX}) * ({_X} - {_SX})
+           + ({_Y} - {_SY}) * ({_Y} - {_SY}) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.c_custkey
+           ORDER BY ({_X} - {_SX}) * ({_X} - {_SX})
+                  + ({_Y} - {_SY}) * ({_Y} - {_SY}) ASC, s.s_suppkey ASC
+         ) AS rn
+  FROM customer c CROSS JOIN supplier s
+)
+SELECT s_suppkey, s_nationkey,
+       COUNT(*) AS n_customers,
+       CAST(MIN(d2) AS BIGINT) AS min_d2,
+       CAST(MAX(d2) AS BIGINT) AS max_d2
+FROM nn WHERE rn = 1
+GROUP BY s_suppkey, s_nationkey
+""",
+)
+def q210_spatial_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor spatial join (each customer point -> its closest
+    supplier station, exact integer distance², ties broken on supplier
+    id): the "assign every parcel to its service point" geoprocessing
+    primitive. Output is the per-station assignment census.
+
+    Plan shape: the station side is dimension-sized -> broadcast, then
+    the argmin is a map-side partial min(struct(d2, suppkey)) per
+    customer — the struct's field order IS the (d2 ASC, suppkey ASC)
+    tiebreak — so the only shuffles are the two aggregates, never the
+    fanned-out pair relation. At 100 TB with a big right side the same
+    plan degrades gracefully: bin both sides to an R-grid and expand the
+    probe to rings of increasing radius until a hit (q85's machinery);
+    the argmin agg is unchanged. The oracle takes the ROW_NUMBER
+    formulation — a deliberately different algorithm for the same
+    semantics, so a shared-formula bug cannot hide."""
+    pts = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 97).cast("int").alias("x"),
+        (F.col("c_custkey") % 89).cast("int").alias("y"),
+    )
+    sup = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        ((F.col("s_suppkey") * 37) % 97).cast("int").alias("sx"),
+        ((F.col("s_suppkey") * 53) % 89).cast("int").alias("sy"),
+    )
+    d2 = (pts.x - F.col("sx")) * (pts.x - F.col("sx")) + (
+        pts.y - F.col("sy")
+    ) * (pts.y - F.col("sy"))
+    best = (
+        pts.crossJoin(F.broadcast(sup))
+        .groupBy("c_custkey")
+        .agg(
+            F.min(
+                F.struct(
+                    d2.alias("d2"),
+                    F.col("s_suppkey").alias("s_suppkey"),
+                    F.col("s_nationkey").alias("s_nationkey"),
+                )
+            ).alias("nn")
+        )
+    )
+    return best.groupBy(
+        F.col("nn.s_suppkey").alias("s_suppkey"),
+        F.col("nn.s_nationkey").alias("s_nationkey"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("nn.d2").cast("bigint").alias("min_d2"),
+        F.max("nn.d2").cast("bigint").alias("max_d2"),
     )

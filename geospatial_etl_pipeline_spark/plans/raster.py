@@ -319,3 +319,120 @@ def q181_focal_slope_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("slope2").cast("bigint").alias("min_slope2"),
         F.max("slope2").cast("bigint").alias("max_slope2"),
     )
+
+
+# ---- q204: zonal aspect octants ------------------------------------------
+
+# Shared octant spec: direction of the Horn gradient (gx, gy) classified
+# into 8 compass sectors split at the 45-degree diagonals, ties resolved
+# by the explicit CASE order below (axis-dominant wins; exact diagonals
+# fall to the ordinal sectors; a zero gradient is 'flat'). The CASE *is*
+# the operator's definition — integer comparisons only, no trig.
+_SQL_ASPECT = """CASE
+  WHEN gx = 0 AND gy = 0 THEN 'flat'
+  WHEN ABS(gx) > ABS(gy) AND gx > 0 THEN 'E'
+  WHEN ABS(gx) > ABS(gy) THEN 'W'
+  WHEN ABS(gy) > ABS(gx) AND gy > 0 THEN 'N'
+  WHEN ABS(gy) > ABS(gx) THEN 'S'
+  WHEN gx > 0 AND gy > 0 THEN 'NE'
+  WHEN gx > 0 THEN 'SE'
+  WHEN gy > 0 THEN 'NW'
+  ELSE 'SW' END"""
+
+
+def _aspect_col() -> F.Column:
+    gx, gy = F.col("gx"), F.col("gy")
+    ax, ay = F.abs(gx), F.abs(gy)
+    return (
+        F.when((gx == 0) & (gy == 0), "flat")
+        .when((ax > ay) & (gx > 0), "E")
+        .when(ax > ay, "W")
+        .when((ay > ax) & (gy > 0), "N")
+        .when(ay > ax, "S")
+        .when((gx > 0) & (gy > 0), "NE")
+        .when(gx > 0, "SE")
+        .when(gy > 0, "NW")
+        .otherwise("SW")
+    )
+
+
+@register(
+    "q204_aspect_octants",
+    tags=("raster", "focal", "clip", "agg"),
+    oracle=f"""
+WITH grid AS (
+  SELECT CAST(id % {_W} AS INT) AS i, CAST(id // {_W} AS INT) AS j
+  FROM range({_W * _H}) t(id)
+),
+grad AS (
+  SELECT i, j,
+    ((((i+1)*31 + (j-1)*17) % 101) + 2*(((i+1)*31 + j*17) % 101)
+       + (((i+1)*31 + (j+1)*17) % 101))
+    - ((((i-1)*31 + (j-1)*17) % 101) + 2*(((i-1)*31 + j*17) % 101)
+       + (((i-1)*31 + (j+1)*17) % 101)) AS gx,
+    ((((i-1)*31 + (j+1)*17) % 101) + 2*((i*31 + (j+1)*17) % 101)
+       + (((i+1)*31 + (j+1)*17) % 101))
+    - ((((i-1)*31 + (j-1)*17) % 101) + 2*((i*31 + (j-1)*17) % 101)
+       + (((i+1)*31 + (j-1)*17) % 101)) AS gy
+  FROM grid
+  WHERE i > 0 AND i < {_W - 1} AND j > 0 AND j < {_H - 1}
+)
+SELECT r.region_code, {_SQL_ASPECT} AS aspect,
+       COUNT(*) AS n_cells,
+       CAST(SUM(gx*gx + gy*gy) AS BIGINT) AS sum_slope2,
+       CAST(MAX(gx*gx + gy*gy) AS BIGINT) AS max_slope2
+FROM grad g
+JOIN (VALUES {_SQL_REGIONS}) AS r(region_code, xmin, ymin, xmax, ymax)
+  ON g.i >= r.xmin AND g.i < r.xmax AND g.j >= r.ymin AND g.j < r.ymax
+GROUP BY r.region_code, aspect
+""",
+)
+def q204_aspect_octants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal aspect map: Horn 3×3 gradient per interior cell (q181's
+    kernel), gradient direction classified into 8 compass octants +
+    'flat' (integer sign/magnitude comparisons only — no trig, so the
+    classification is engine-exact), then clipped per region footprint
+    and aggregated — the aspect + zonal-histogram pair every terrain
+    pipeline derives next to slope (the reference's grids are exactly
+    such DEM derivatives, copy_esrigrid…py:259-261).
+
+    One generated scan computes both gradient components in-row (no
+    neighbor self-join — the grid function is algebraic), the region
+    clip is a broadcast containment join, and the only shuffle is the
+    final ~36-key aggregate. On file-backed tiles the same kernel runs
+    per tile with a 1-cell halo (operators.raster.focal machinery)."""
+    g = _grid(spark).select("i", "j")
+
+    def val(di: int, dj: int):
+        return ((F.col("i") + di) * 31 + (F.col("j") + dj) * 17) % 101
+
+    interior = (
+        (F.col("i") > 0) & (F.col("i") < _W - 1)
+        & (F.col("j") > 0) & (F.col("j") < _H - 1)
+    )
+    gx = (val(1, -1) + F.lit(2) * val(1, 0) + val(1, 1)) - (
+        val(-1, -1) + F.lit(2) * val(-1, 0) + val(-1, 1)
+    )
+    gy = (val(-1, 1) + F.lit(2) * val(0, 1) + val(1, 1)) - (
+        val(-1, -1) + F.lit(2) * val(0, -1) + val(1, -1)
+    )
+    grad = g.filter(interior).select(
+        "i", "j", gx.alias("gx"), gy.alias("gy")
+    )
+    r = literal_df(
+        spark, _REGIONS, ["region_code", "xmin", "ymin", "xmax", "ymax"]
+    )
+    cond = (
+        (grad.i >= F.col("xmin")) & (grad.i < F.col("xmax"))
+        & (grad.j >= F.col("ymin")) & (grad.j < F.col("ymax"))
+    )
+    slope2 = F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy")
+    return (
+        grad.join(F.broadcast(r), cond)
+        .groupBy("region_code", _aspect_col().alias("aspect"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(slope2).cast("bigint").alias("sum_slope2"),
+            F.max(slope2).cast("bigint").alias("max_slope2"),
+        )
+    )
