@@ -1547,3 +1547,82 @@ def q196_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.sum("n_pairs").over(w).cast("bigint").alias("pairs_at_or_above"),
     )
+
+
+# ---- q206: corpus-vs-corpus shingle containment --------------------------
+
+
+@register(
+    "q206_corpus_containment",
+    tags=("dedup", "llm-data", "containment", "join"),
+    oracle=f"""
+WITH sh AS (
+  SELECT DISTINCT source, unnest({_SQL_SHINGLES}) AS sh
+  FROM documents
+  WHERE len({_SQL_TOKENS}) >= {_SHINGLE_K}
+),
+sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source <> b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(sb.n_sh AS BIGINT) AS n_shingles_b,
+       CAST(i.n_common AS DOUBLE) / sb.n_sh AS containment_b_in_a
+FROM inter i JOIN sizes sb ON sb.source = i.source_b
+""",
+)
+def q206_corpus_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus overlap matrix: for every ordered source pair
+    (A, B), the share of B's distinct word-trigram shingles that also
+    occur anywhere in A — the dataset-overlap estimate run before mixing
+    a new crawl into an existing pretraining blend (answers "how much of
+    B is already covered by A?"). Containment, not Jaccard: it is
+    asymmetric, which is exactly what "is B worth adding to A" needs.
+
+    Shape: one distinct (source, shingle) agg collapses the corpus to
+    its source-level shingle inventory (the big reduction — map-side
+    combine on a fine-grained key), then a postings self-join on the
+    shingle key counts co-occurrences per pair, capped at |sources|²
+    rows out. At 100 TB the inventory becomes minhash signatures per
+    source and the same join estimates containment from signature
+    agreement (q163's calibration machinery); the exact form here IS
+    the oracle contract. Short docs (< {_SHINGLE_K} tokens) are
+    excluded on both sides — their truncated shingles aren't trigrams
+    (q79's gram-level ⟺ doc-level filter equivalence)."""
+    from ..functions.text import tokens, word_ngrams_t
+
+    d = t(spark, sf_dir, "documents")
+    staged = d.select("source", tokens("text").alias("_tok"))
+    grams = staged.select(
+        "source",
+        F.array_distinct(word_ngrams_t(F.col("_tok"), _SHINGLE_K)).alias("gs"),
+    )
+    full_gram = F.size(F.split(F.col("sh"), " ")) == _SHINGLE_K
+    sh = (
+        grams.select("source", F.explode_outer("gs").alias("sh"))
+        .filter(full_gram)
+        .dropDuplicates(["source", "sh"])
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("source").alias("source_a"), "sh")
+    b = sh.select(F.col("source").alias("source_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return inter.join(
+        F.broadcast(sizes.withColumnRenamed("source", "source_b")),
+        "source_b",
+    ).select(
+        "source_a",
+        "source_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.col("n_sh").cast("bigint").alias("n_shingles_b"),
+        (F.col("n_common").cast("double") / F.col("n_sh")).alias(
+            "containment_b_in_a"
+        ),
+    )

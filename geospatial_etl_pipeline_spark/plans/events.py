@@ -2951,3 +2951,169 @@ def q197_deseasonalized_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("flag").cast("bigint").alias("n_anomalous_days"),
         )
     )
+
+
+# ---- q205: per-type OLS daily trend --------------------------------------
+
+# Daily totals are scale-6 floor-quantized BIGINTs (value < 500, ~300
+# rows/day even at sf1 keeps the per-day sum < 2^53 pre-floor), and the
+# regression runs entirely in exact 64-bit integer sums: with x = day
+# index (< ~40) and y < 5e11, n*Sxy < 30*40*5e11*30 ~ 2e16 << 2^63.
+# Only the final two divisions touch doubles (BIGINT/BIGINT -> the same
+# IEEE op in both engines).
+
+
+@register(
+    "q205_ols_trend",
+    tags=("events", "regression", "agg", "window"),
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS y_q
+  FROM events
+  GROUP BY event_type, day
+),
+xy AS (
+  SELECT event_type, y_q,
+         CAST(date_diff('day', MIN(day) OVER (PARTITION BY event_type), day)
+              AS BIGINT) AS x
+  FROM daily
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y_q) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y_q) AS sxy
+  FROM xy GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days, sx, sy, sxx, sxy,
+       ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)) * 1e-6
+         AS slope_per_day,
+       ((sy * sxx - sx * sxy) / CAST(n * sxx - sx * sx AS DOUBLE)) * 1e-6
+         AS intercept
+FROM s
+""",
+)
+def q205_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS regression of daily event value against time, per
+    event type — the trend-line primitive behind drift monitors and
+    capacity forecasts. slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) computed
+    from exact integer power sums (quantized y, per-type day index), so
+    the whole regression is engine-exact up to the final division.
+
+    Shape: daily partial agg (map-side combine on ~type×days keys), a
+    per-type window MIN for the day origin, then a second tiny agg for
+    the power sums — the distributed-regression pattern where only
+    5 numbers per group cross the wire, never the observations. The
+    same sums merge associatively across 1000 executors at 100 TB."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint")).alias("y_q")
+    )
+    w = Window.partitionBy("event_type")
+    xy = daily.select(
+        "event_type",
+        "y_q",
+        F.datediff(F.col("day"), F.min("day").over(w)).cast("bigint").alias("x"),
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y_q").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y_q")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    det = (n * sxx - sx * sx).cast("double")
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n_days"),
+        "sx", "sy", "sxx", "sxy",
+        (((n * sxy - sx * sy) / det) * F.lit(1e-6)).alias("slope_per_day"),
+        (((sy * sxx - sx * sxy) / det) * F.lit(1e-6)).alias("intercept"),
+    )
+
+
+# ---- q209: peak interval concurrency (sweep line) ------------------------
+
+_CONC_DUR_US = 300 * 1_000_000  # each event holds a 5-minute interval
+
+
+@register(
+    "q209_interval_concurrency",
+    tags=("events", "sweep-line", "window", "agg"),
+    oracle=f"""
+WITH b AS (
+  SELECT event_type, epoch_us(ts) AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + {_CONC_DUR_US} AS t, -1 AS delta
+  FROM events
+),
+net AS (
+  SELECT event_type, t, SUM(delta) AS net
+  FROM b GROUP BY event_type, t
+),
+run AS (
+  SELECT event_type, t,
+         SUM(net) OVER (PARTITION BY event_type ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS conc
+  FROM net
+)
+SELECT event_type,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+       CAST(MIN(CASE WHEN conc = m THEN t END) AS BIGINT) AS peak_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n_boundaries
+FROM (SELECT *, MAX(conc) OVER (PARTITION BY event_type) AS m FROM run) r
+GROUP BY event_type
+""",
+)
+def q209_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval-overlap concurrency per event type via the sweep
+    line: every event holds a half-open 5-minute interval; boundaries
+    become +1/−1 deltas, deltas collapse per distinct timestamp (ends
+    and starts at the same instant net out — the half-open convention
+    needs no tie ordering once netted), and a running sum over time is
+    the concurrency curve. Reported: the curve's max and the earliest
+    time it is reached.
+
+    Shape: one union-explode (narrow), one partial agg on (type, t),
+    one window partitioned by type — at 100 TB the curve per type is
+    the only ordered pass, and it partitions by the group key, not
+    time, so no global sort. Integer microseconds end to end."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    starts = e.select(
+        "event_type", us.alias("t"), F.lit(1).alias("delta")
+    )
+    ends = e.select(
+        "event_type",
+        (us + F.lit(_CONC_DUR_US)).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    net = (
+        starts.unionByName(ends)
+        .groupBy("event_type", "t")
+        .agg(F.sum("delta").alias("net"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = net.select(
+        "event_type", "t", F.sum("net").over(w).alias("conc")
+    )
+    wm = Window.partitionBy("event_type")
+    flagged = run.select(
+        "event_type", "t", "conc", F.max("conc").over(wm).alias("m")
+    )
+    return flagged.groupBy("event_type").agg(
+        F.max("conc").cast("bigint").alias("peak_concurrency"),
+        F.min(F.when(F.col("conc") == F.col("m"), F.col("t")))
+        .cast("bigint")
+        .alias("peak_start_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
+    )

@@ -1674,3 +1674,103 @@ def q200_corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_tokens",
         "mean_quality",
     )
+
+
+# ---- q207: chunk-level (paragraph) deduplication census ------------------
+
+_CHUNK_W = 8  # tokens per non-overlapping chunk ("paragraph" unit)
+
+# Non-overlapping full chunks: chunk i covers tokens [(i-1)*W+1, i*W].
+# floor(n/W) chunks; the oracle's doc-level len >= W filter and the
+# Spark side's chunk-level "exactly W words" filter select the same
+# rows (a truncated tail chunk has < W space-joined words; real tokens
+# never contain whitespace — same equivalence q79 relies on).
+_SQL_CHUNKS = (
+    f"list_transform("
+    f"range(1, CAST(FLOOR(len({_SQL_TOKENS}) / {float(_CHUNK_W)}) AS INT) + 1), "
+    f"i -> concat_ws(' ', "
+    + ", ".join(
+        f"({_SQL_TOKENS})[(i-1)*{_CHUNK_W} + {j + 1}]" for j in range(_CHUNK_W)
+    )
+    + "))"
+)
+
+
+@register(
+    "q207_chunk_dedup_census",
+    tags=("text", "dedup", "llm-data", "agg"),
+    oracle=f"""
+WITH ch AS (
+  SELECT doc_id, source, unnest({_SQL_CHUNKS}) AS chunk
+  FROM documents
+  WHERE len({_SQL_TOKENS}) >= {_CHUNK_W}
+),
+stats AS (
+  SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs
+  FROM ch GROUP BY chunk
+)
+SELECT c.source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT c.chunk) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_crossdoc_dup_chunks,
+       CAST(SUM(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_share
+FROM ch c JOIN stats s ON s.chunk = c.chunk
+GROUP BY c.source
+""",
+)
+def q207_chunk_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) duplication census: documents are
+    cut into non-overlapping {_CHUNK_W}-token chunks — the paragraph
+    unit for corpora whose text carries no structural delimiters — and
+    each source is scored by the share of its chunk occurrences whose
+    chunk text recurs in ≥ 2 distinct documents. This is the
+    boilerplate/template detector that document-level dedup (q40/q42)
+    cannot see: two distinct pages sharing a nav footer dedup nowhere,
+    but their shared chunks light up here.
+
+    Shape: one staged tokenize + in-row chunk build (no join), one
+    chunk-stats agg (map-side combine on the chunk key), one equi-join
+    of occurrences back to stats, one per-source agg. At 100 TB the
+    chunk string key becomes xxhash64(chunk) — same topology, 8-byte
+    shuffle keys — and the stats relation is the reusable corpus-wide
+    "chunk frequency" artifact."""
+    d = t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", "source", tokens("text").alias("_tok"))
+    n_chunks = F.floor(F.size(F.col("_tok")) / F.lit(float(_CHUNK_W))).cast(
+        "int"
+    )
+    chunk_expr = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            *[
+                F.try_element_at(
+                    F.col("_tok"), (i - 1) * _CHUNK_W + (j + 1)
+                )
+                for j in range(_CHUNK_W)
+            ],
+        ),
+    )
+    full_chunk = F.size(F.split(F.col("chunk"), " ")) == _CHUNK_W
+    ch = (
+        staged.select(
+            "doc_id", "source", F.explode_outer(chunk_expr).alias("chunk")
+        )
+        .filter(full_chunk)
+    )
+    stats = ch.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    dup = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        ch.join(stats, "chunk")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.countDistinct("chunk").cast("bigint").alias("n_distinct_chunks"),
+            F.sum(dup).cast("bigint").alias("n_crossdoc_dup_chunks"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_share"),
+        )
+    )
