@@ -1127,3 +1127,190 @@ def q158_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("hi"),
         qsum(F.col("o_totalprice"), 6).alias("sum_price_q6"),
     )
+
+
+# ---- q208: Pareto frontier (skyline) -------------------------------------
+
+
+@register(
+    "q208_skyline_pareto",
+    tags=("skyline", "window", "part"),
+    oracle="""
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+      AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+  )
+""",
+)
+def q208_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier operator: the parts not dominated on
+    (minimize retail price, maximize size) — the multi-objective
+    shortlist primitive (BNL/SFS skyline literature). A part is
+    dominated by any part at most as expensive with at least its size,
+    strictly better on one axis; equal-(price, size) points co-survive.
+
+    Plan: collapse to the per-price max size (one partial agg — the
+    only relation the ordered pass ever sees), running max over
+    strictly cheaper prices (window, 1-row lag frame), keep prices
+    whose max size strictly exceeds it, then semi-join the survivors
+    back to rows on (price, size = price-group max). The ordered window
+    runs on the per-PRICE aggregate (bounded domain — cents-quantized
+    prices), not the row relation, so the sort input at 100 TB is the
+    price histogram, not the table; the skyline is also
+    union-mergeable (skyline(A ∪ B) = skyline(skyline(A) ∪
+    skyline(B))) for partition-local pre-filtering. The oracle states
+    the quadratic NOT-EXISTS domination spec — a deliberately different
+    algorithm, so a shared-formula bug cannot hide."""
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    )
+    per_price = p.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("msize")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier_prices = per_price.select(
+        "p_retailprice",
+        "msize",
+        F.max("msize").over(w).alias("prevmax"),
+    ).filter(F.col("prevmax").isNull() | (F.col("msize") > F.col("prevmax")))
+    return p.join(
+        F.broadcast(frontier_prices),
+        (p.p_retailprice == frontier_prices.p_retailprice)
+        & (p.p_size == frontier_prices.msize),
+        "leftsemi",
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
+# ---- q211: small-file compaction planner ---------------------------------
+
+_COMPACT_TARGET = 2000  # target chars per compaction group
+
+
+@register(
+    "q211_compaction_planner",
+    tags=("maintenance", "window", "documents"),
+    oracle=f"""
+WITH f AS (
+  SELECT source, doc_id, COALESCE(n_chars, 0) AS sz,
+         COALESCE(SUM(COALESCE(n_chars, 0)) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM documents
+)
+SELECT source,
+       CAST(cum_before // {_COMPACT_TARGET} AS BIGINT) AS group_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(sz) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+FROM f
+GROUP BY source, group_id
+""",
+)
+def q211_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the table-maintenance pass every
+    100 TB lakehouse runs: within each source partition, files (docs
+    stand in, n_chars = size) are packed in id order into target-size
+    output groups by bucketing the RUNNING size-before-me at the target
+    (first-fit-in-order bin packing; a file larger than the target gets
+    its own group and the next group starts fresh past it). Output is
+    the compaction manifest: per (source, group) the file count, byte
+    total and id span a rewrite job needs.
+
+    Shape: one window cumsum per source partition (ordered by the
+    unique file id — deterministic), one agg on the derived group key;
+    both share the source-hash shuffle. Exact integer arithmetic end to
+    end. At scale the plan is per-partition independent — exactly how
+    Delta/Iceberg OPTIMIZE schedules bin-packing per partition."""
+    d = t(spark, sf_dir, "documents")
+    sz = F.coalesce(F.col("n_chars"), F.lit(0))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f = d.select(
+        "source",
+        "doc_id",
+        sz.alias("sz"),
+        F.coalesce(F.sum(sz).over(w), F.lit(0)).alias("cum_before"),
+    )
+    gid = F.floor(F.col("cum_before") / F.lit(_COMPACT_TARGET)).cast("bigint")
+    return f.groupBy("source", gid.alias("group_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("sz").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
+
+
+# ---- q212: mergeable partition statistics --------------------------------
+
+
+@register(
+    "q212_partition_stats_merge",
+    tags=("profiling", "agg", "documents"),
+    oracle="""
+WITH s AS (
+  SELECT source, COUNT(n_chars) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS s1,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY source
+),
+u AS (
+  SELECT source, n, s1, s2 FROM s
+  UNION ALL
+  SELECT '__ALL__', CAST(COUNT(n_chars) AS BIGINT),
+         CAST(SUM(n_chars) AS BIGINT),
+         CAST(SUM(n_chars * n_chars) AS BIGINT)
+  FROM documents
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       s1 AS sum_chars, s2 AS sumsq_chars,
+       s1 / CAST(n AS DOUBLE) AS mean_chars,
+       (n * s2 - s1 * s1) / CAST(n AS DOUBLE) / n AS var_pop_chars
+FROM u WHERE n > 0
+""",
+)
+def q212_partition_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable partition statistics — the profile pattern that makes
+    100 TB table stats O(partitions): each partition contributes exact
+    integer power sums (n, Σx, Σx²); any union of partitions merges by
+    ADDING them; mean and population variance derive at read time as
+    (nΣx² − (Σx)²)/n². The global '__ALL__' row here is computed BY
+    MERGING the per-source sums — never re-reading rows — while the
+    oracle derives it directly from the raw table, so the hash check
+    certifies the merge algebra itself, not just the formulas.
+
+    Bounds: n_chars < 10⁴, so Σx² < 10⁸·rows — a 10¹⁰-row partition
+    stays within int64; beyond that the sums go DECIMAL(38,0) with the
+    same algebra. Divisions happen once per output row on identical
+    integers → identical doubles."""
+    d = t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("n_chars").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("s2"),
+    )
+    merged = per.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s1").cast("bigint").alias("s1"),
+        F.sum("s2").cast("bigint").alias("s2"),
+    ).select(F.lit("__ALL__").alias("source"), "n", "s1", "s2")
+    u = per.select("source", "n", "s1", "s2").unionByName(merged)
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    return u.filter(n > 0).select(
+        "source",
+        n.cast("bigint").alias("n"),
+        s1.alias("sum_chars"),
+        s2.alias("sumsq_chars"),
+        (s1 / n.cast("double")).alias("mean_chars"),
+        ((n * s2 - s1 * s1) / n.cast("double") / n).alias("var_pop_chars"),
+    )
