@@ -144,3 +144,76 @@ def qsum(col: Column, scale: int = 12) -> Column:
 
 def sql_qsum(expr: str, scale: int = 12) -> str:
     return f"SUM(CAST(FLOOR(({expr}) * {float(10 ** scale)!r}) AS BIGINT))"
+
+
+# ---- salted mergeable money sums (round 6) -------------------------------
+#
+# dsum's DECIMAL(38,6) accumulator is exact at any scale but ~0.45 s per
+# aggregate per 600 k rows (the 128-bit buffer is not long-backed).
+# The mergeable form keeps the exactness and moves the hot loop to
+# int64: per row, FLOOR(x * 10^scale) -> BIGINT (one IEEE multiply —
+# engine-identical); partial sums accumulate per (group, salt) in
+# exact int64 (the salt bounds rows per partial so the sum stays far
+# from 2^63 — 1024 buckets holds to ~10^12 rows/group at money
+# magnitudes); the merge re-aggregates the ≤ buckets partials per group
+# in DECIMAL(38,0) — exact with 10^20 headroom over int64. Measured on
+# q01's five sums at sf0.1: 2.13 s (decimal) -> 0.60 s (salted int64).
+#
+# Wire format: CAST(exact_sum AS DOUBLE) / 10^scale. The cast rounds
+# the exact integer once (identical round-half-even in both engines;
+# DuckDB's HUGEINT sum takes the same cast) and the division by a
+# power of ten is correctly rounded on identical operands — DuckDB
+# evaluates DECIMAL / INT in double, so presenting the exact decimal
+# quotient instead would 1-ulp-diverge above 2^53 (verified).
+#
+# NOTE the value contract differs from dsum's at the 6th decimal: rows
+# quantize by FLOOR, not round-half-up. Every query migrating to msum
+# migrates its oracle in the same commit.
+
+_MSUM_BUCKETS = 1024
+
+
+def mq(col: Column | str, scale: int = 6) -> Column:
+    """Per-row money quantizer: FLOOR(x * 10^scale) as int64.
+    Requires |x| * 10^scale < 2^53 (money magnitudes: ample)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(float(10**scale))).cast("bigint")
+
+
+def msalt(*cols: Column | str, buckets: int = _MSUM_BUCKETS) -> Column:
+    """Deterministic salt for the partial-sum layer: a hash of the row's
+    own measure columns — no extra scan column, uniform by construction.
+    Any deterministic row function works; correctness never depends on
+    the salt (integer addition is associative), only overflow headroom
+    does."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.pmod(F.hash(*cs), F.lit(buckets))
+
+
+def munscale(sum_col: Column | str, scale: int = 6) -> Column:
+    """Merge partial int64 sums exactly in DECIMAL(38,0) and present as
+    double: CAST(exact AS DOUBLE) / 10^scale (see wire-format note)."""
+    c = F.col(sum_col) if isinstance(sum_col, str) else sum_col
+    return F.sum(c.cast("decimal(38,0)")).cast("double") / F.lit(
+        float(10**scale)
+    )
+
+
+def sql_msum(expr: str, scale: int = 6) -> str:
+    """DuckDB mirror of the whole quantize->sum->present pipeline (the
+    single-level SUM is exact in HUGEINT, so no salt is needed on the
+    oracle side — associativity is the point)."""
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {float(10 ** scale)!r}) AS BIGINT))"
+        f" AS DOUBLE) / {float(10 ** scale)!r}"
+    )
+
+
+def mqsum(col: Column | str, scale: int = 6) -> Column:
+    """Single-level quantized money sum for FINE-GRAINED groups (many
+    groups, few rows each — e.g. per order key): the int64 partial can
+    never approach 2^63 because the group itself is small, so the salt
+    layer of the msalt/munscale form would be pure overhead. Same wire
+    format and oracle mirror (sql_msum); ANSI mode turns any
+    miscalibrated overflow into a loud error, never a wrap."""
+    return F.sum(mq(col, scale)).cast("double") / F.lit(float(10**scale))
