@@ -3117,3 +3117,136 @@ def q209_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("peak_start_us"),
         F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
     )
+
+
+# ---- q213: linear-interpolation resample ---------------------------------
+
+
+@register(
+    "q213_linear_interpolation",
+    tags=("events", "time-series", "resample", "interpolation"),
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         COUNT(*) AS n_events,
+         SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS v_q
+  FROM events GROUP BY event_type, hr
+),
+bounds AS (
+  SELECT event_type,
+         date_trunc('hour', MIN(ts)) AS hr_min,
+         date_trunc('hour', MAX(ts)) AS hr_max
+  FROM events GROUP BY event_type
+),
+spine AS (
+  SELECT b.event_type, unnest(generate_series(b.hr_min, b.hr_max,
+                                              INTERVAL 1 HOUR)) AS hr
+  FROM bounds b
+),
+j AS (
+  SELECT s.event_type, s.hr,
+         epoch_us(s.hr) // 3600000000 AS hn,
+         h.n_events, h.v_q
+  FROM spine s LEFT JOIN hourly h
+    ON h.event_type = s.event_type AND h.hr = s.hr
+),
+nb AS (
+  SELECT event_type, hr, hn, n_events, v_q,
+         last_value(v_q IGNORE NULLS) OVER w_prev AS v0,
+         last_value(CASE WHEN v_q IS NOT NULL THEN hn END IGNORE NULLS)
+           OVER w_prev AS t0,
+         first_value(v_q IGNORE NULLS) OVER w_next AS v1,
+         first_value(CASE WHEN v_q IS NOT NULL THEN hn END IGNORE NULLS)
+           OVER w_next AS t1
+  FROM j
+  WINDOW w_prev AS (PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_next AS (PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, hr AS hour_start,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       CAST(v_q IS NOT NULL AS INT) AS observed,
+       CASE WHEN v_q IS NOT NULL THEN v_q * 1e-6
+            ELSE ((v0 * (t1 - hn) + v1 * (hn - t0))
+                  / CAST(t1 - t0 AS DOUBLE)) * 1e-6
+       END AS value_interp
+FROM nb
+""",
+)
+def q213_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resample (q100's forward-fill twin, the
+    other standard gap-fill mode): dense hourly spine per event type;
+    observed hours carry their exact hourly total; missing hours get
+    the line between the bracketing observations —
+    v = (v0·(t1−h) + v1·(h−t0)) / (t1−t0).
+
+    Engine-exact by construction: hourly totals are scale-6 quantized
+    BIGINTs, hour indices are integer epoch-hours, so the interpolation
+    numerator/denominator are exact int64 products (|v_q|·span < 2^53
+    at any plausible gap) and the single BIGINT/BIGINT division is the
+    same IEEE op in both engines. Spine rows before the first / after
+    the last observation cannot occur (bounds are observed hours), so
+    t0/t1 always exist for interior gaps and den > 0 exactly on the
+    non-observed rows. Shape: hourly pre-agg before the spine join,
+    then ONE partition-ordered pass per type computing both bracketing
+    windows — the sort is per event_type, never global."""
+    e = t(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    hourly = e.groupBy("event_type", hr.alias("hr")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint")).alias("v_q"),
+    )
+    bounds = e.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("hr_min"),
+        F.date_trunc("hour", F.max("ts")).alias("hr_max"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("hr_min", "hr_max", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    j = spine.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.expr("unix_micros(hr) div 3600000000").alias("hn"),
+        "n_events",
+        "v_q",
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_of = F.when(F.col("v_q").isNotNull(), F.col("hn"))
+    nb = j.select(
+        "event_type",
+        "hr",
+        "hn",
+        "n_events",
+        "v_q",
+        F.last("v_q", ignorenulls=True).over(w_prev).alias("v0"),
+        F.last(t_of, ignorenulls=True).over(w_prev).alias("t0"),
+        F.first("v_q", ignorenulls=True).over(w_next).alias("v1"),
+        F.first(t_of, ignorenulls=True).over(w_next).alias("t1"),
+    )
+    interp = (
+        (F.col("v0") * (F.col("t1") - F.col("hn"))
+         + F.col("v1") * (F.col("hn") - F.col("t0")))
+        / (F.col("t1") - F.col("t0")).cast("double")
+    ) * F.lit(1e-6)
+    return nb.select(
+        "event_type",
+        F.col("hr").alias("hour_start"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("v_q").isNotNull().cast("int").alias("observed"),
+        F.when(F.col("v_q").isNotNull(), F.col("v_q") * F.lit(1e-6))
+        .otherwise(interp)
+        .alias("value_interp"),
+    )

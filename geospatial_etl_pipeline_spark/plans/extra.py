@@ -1314,3 +1314,84 @@ def q212_partition_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s1 / n.cast("double")).alias("mean_chars"),
         ((n * s2 - s1 * s1) / n.cast("double") / n).alias("var_pop_chars"),
     )
+
+
+# ---- q214: order-independent table checksum ------------------------------
+
+# Canonical row representation: every column is rendered through an
+# engine-invariant encoding (integers and quantized money as decimal
+# strings, timestamps as integer epoch-micros, strings verbatim) with a
+# per-column NULL sentinel — doubles NEVER go straight to string (the
+# engines format them differently), and coalesce markers keep NULL from
+# aliasing with ''.
+_CK_SQL_REPR = (
+    "concat_ws('|',"
+    " COALESCE(CAST(o_orderkey AS VARCHAR), '#N'),"
+    " COALESCE(CAST(o_custkey AS VARCHAR), '#N'),"
+    " COALESCE(CAST(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS VARCHAR), '#N'),"
+    " COALESCE(CAST(epoch_us(o_orderdate) AS VARCHAR), '#N'),"
+    " COALESCE(o_orderstatus, '#N'),"
+    " COALESCE(o_orderpriority, '#N'))"
+)
+
+
+@register(
+    "q214_table_checksum",
+    tags=("maintenance", "checksum", "agg"),
+    oracle=f"""
+WITH h AS (
+  SELECT o_orderstatus,
+         ('0x' || substr(md5({_CK_SQL_REPR}), 1, 12))::BIGINT AS rh
+  FROM orders
+)
+SELECT COALESCE(o_orderstatus, '#N') AS slice,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(rh) AS BIGINT) AS xor48,
+       CAST(SUM(rh) AS VARCHAR) AS sum48
+FROM h
+GROUP BY o_orderstatus
+""",
+)
+def q214_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum per slice — the reconciliation
+    primitive for replication / migration / backfill audits at 100 TB:
+    two copies of a table compare by exchanging (slice, n_rows, xor,
+    sum) instead of rows. Each row hashes its CANONICAL representation
+    (engine-invariant encodings; doubles via cent-quantization, never
+    engine-formatted) to 48 bits of md5; slices aggregate with two
+    complementary order-independent folds — XOR (cheap, but blind to a
+    row appearing twice vs zero times) and the exact integer SUM
+    (catches multiplicity; presented as digits since 48 bits × row
+    count exceeds int64's range in DOUBLE presentation). Both folds
+    merge associatively across any partitioning — the checksum of a
+    union is computable from partial checksums.
+
+    Shape: one scan, one partial-agg'd groupBy on the slice key; the
+    md5 stays in the scan stage. Production would swap md5 for
+    xxhash64 — md5 is the cross-engine-verifiable contract."""
+    o = t(spark, sf_dir, "orders")
+
+    def enc(c: Column) -> Column:
+        return F.coalesce(c.cast("string"), F.lit("#N"))
+
+    repr_ = F.concat_ws(
+        "|",
+        enc(F.col("o_orderkey")),
+        enc(F.col("o_custkey")),
+        enc(F.floor(F.col("o_totalprice") * 100.0).cast("bigint")),
+        # o_orderdate arrives TIMESTAMP_NTZ; the UTC-pinned session makes
+        # the TIMESTAMP cast value-identical to DuckDB's epoch_us read
+        enc(F.unix_micros(F.col("o_orderdate").cast("timestamp"))),
+        enc(F.col("o_orderstatus")),
+        enc(F.col("o_orderpriority")),
+    )
+    rh = F.conv(F.substring(F.md5(repr_), 1, 12), 16, 10).cast("bigint")
+    return (
+        o.select(F.col("o_orderstatus").alias("status"), rh.alias("rh"))
+        .groupBy(F.coalesce("status", F.lit("#N")).alias("slice"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.bit_xor("rh").cast("bigint").alias("xor48"),
+            F.sum(F.col("rh").cast("decimal(38,0)")).cast("string").alias("sum48"),
+        )
+    )
