@@ -2986,10 +2986,12 @@ s AS (
   FROM xy GROUP BY event_type
 )
 SELECT event_type, CAST(n AS BIGINT) AS n_days, sx, sy, sxx, sxy,
-       ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)) * 1e-6
-         AS slope_per_day,
-       ((sy * sxx - sx * sxy) / CAST(n * sxx - sx * sx AS DOUBLE)) * 1e-6
-         AS intercept
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE))
+                 * 1e-6 END AS slope_per_day,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE ((sy * sxx - sx * sxy) / CAST(n * sxx - sx * sx AS DOUBLE))
+                 * 1e-6 END AS intercept
 FROM s
 """,
 )
@@ -3008,9 +3010,7 @@ def q205_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(
-        F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint")).alias("y_q")
-    )
+    ).agg(qsum(F.col("value"), 6).alias("y_q"))
     w = Window.partitionBy("event_type")
     xy = daily.select(
         "event_type",
@@ -3026,13 +3026,19 @@ def q205_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, sxy = F.col("sxx"), F.col("sxy")
-    det = (n * sxx - sx * sx).cast("double")
+    det_i = n * sxx - sx * sx
+    det = det_i.cast("double")
+    # det = 0 (all observations on one day) -> NULL, not a crash: ANSI
+    # Spark raises DIVIDE_BY_ZERO where DuckDB yields NULL — the
+    # zero-denominator rule (same guard as the trend query's)
     return s.select(
         "event_type",
         n.cast("bigint").alias("n_days"),
         "sx", "sy", "sxx", "sxy",
-        (((n * sxy - sx * sy) / det) * F.lit(1e-6)).alias("slope_per_day"),
-        (((sy * sxx - sx * sxy) / det) * F.lit(1e-6)).alias("intercept"),
+        F.when(det_i != 0, ((n * sxy - sx * sy) / det) * F.lit(1e-6))
+        .alias("slope_per_day"),
+        F.when(det_i != 0, ((sy * sxx - sx * sxy) / det) * F.lit(1e-6))
+        .alias("intercept"),
     )
 
 
@@ -3195,7 +3201,7 @@ def q213_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     hr = F.date_trunc("hour", F.col("ts"))
     hourly = e.groupBy("event_type", hr.alias("hr")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.floor(F.col("value") * 1000000.0).cast("bigint")).alias("v_q"),
+        qsum(F.col("value"), 6).alias("v_q"),
     )
     bounds = e.groupBy("event_type").agg(
         F.date_trunc("hour", F.min("ts")).alias("hr_min"),

@@ -1324,6 +1324,9 @@ def q212_partition_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-column NULL sentinel — doubles NEVER go straight to string (the
 # engines format them differently), and coalesce markers keep NULL from
 # aliasing with ''.
+# The trailing null bitmap makes the encoding injective: without it a
+# literal '#N' value would hash identically to a NULL field, so two
+# tables differing only by NULL<->'#N' would reconcile as "in sync".
 _CK_SQL_REPR = (
     "concat_ws('|',"
     " COALESCE(CAST(o_orderkey AS VARCHAR), '#N'),"
@@ -1331,7 +1334,10 @@ _CK_SQL_REPR = (
     " COALESCE(CAST(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS VARCHAR), '#N'),"
     " COALESCE(CAST(epoch_us(o_orderdate) AS VARCHAR), '#N'),"
     " COALESCE(o_orderstatus, '#N'),"
-    " COALESCE(o_orderpriority, '#N'))"
+    " COALESCE(o_orderpriority, '#N'),"
+    " concat(CAST(o_orderkey IS NULL AS INT), CAST(o_custkey IS NULL AS INT),"
+    "        CAST(o_totalprice IS NULL AS INT), CAST(o_orderdate IS NULL AS INT),"
+    "        CAST(o_orderstatus IS NULL AS INT), CAST(o_orderpriority IS NULL AS INT)))"
 )
 
 
@@ -1344,7 +1350,7 @@ WITH h AS (
          ('0x' || substr(md5({_CK_SQL_REPR}), 1, 12))::BIGINT AS rh
   FROM orders
 )
-SELECT COALESCE(o_orderstatus, '#N') AS slice,
+SELECT o_orderstatus AS slice,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(bit_xor(rh) AS BIGINT) AS xor48,
        CAST(SUM(rh) AS VARCHAR) AS sum48
@@ -1374,6 +1380,15 @@ def q214_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     def enc(c: Column) -> Column:
         return F.coalesce(c.cast("string"), F.lit("#N"))
 
+    cols = [
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_totalprice"),
+        F.col("o_orderdate"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    ]
+    bitmap = F.concat(*[c.isNull().cast("int").cast("string") for c in cols])
     repr_ = F.concat_ws(
         "|",
         enc(F.col("o_orderkey")),
@@ -1384,11 +1399,15 @@ def q214_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc(F.unix_micros(F.col("o_orderdate").cast("timestamp"))),
         enc(F.col("o_orderstatus")),
         enc(F.col("o_orderpriority")),
+        bitmap,
     )
     rh = F.conv(F.substring(F.md5(repr_), 1, 12), 16, 10).cast("bigint")
     return (
-        o.select(F.col("o_orderstatus").alias("status"), rh.alias("rh"))
-        .groupBy(F.coalesce("status", F.lit("#N")).alias("slice"))
+        # group by the RAW status (a NULL slice stays its own row, same
+        # as the oracle's GROUP BY) — coalescing the KEY would merge a
+        # literal '#N' status with the NULL slice on one side only
+        o.select(F.col("o_orderstatus").alias("slice"), rh.alias("rh"))
+        .groupBy("slice")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.bit_xor("rh").cast("bigint").alias("xor48"),

@@ -526,7 +526,8 @@ WITH nn AS (
            ORDER BY ({_X} - {_SX}) * ({_X} - {_SX})
                   + ({_Y} - {_SY}) * ({_Y} - {_SY}) ASC, s.s_suppkey ASC
          ) AS rn
-  FROM customer c CROSS JOIN supplier s
+  FROM (SELECT * FROM customer WHERE c_custkey IS NOT NULL) c
+  CROSS JOIN (SELECT * FROM supplier WHERE s_suppkey IS NOT NULL) s
 )
 SELECT s_suppkey, s_nationkey,
        COUNT(*) AS n_customers,
@@ -552,16 +553,28 @@ def q210_spatial_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmin agg is unchanged. The oracle takes the ROW_NUMBER
     formulation — a deliberately different algorithm for the same
     semantics, so a shared-formula bug cannot hide."""
-    pts = t(spark, sf_dir, "customer").select(
-        "c_custkey",
-        (F.col("c_custkey") % 97).cast("int").alias("x"),
-        (F.col("c_custkey") % 89).cast("int").alias("y"),
+    # NULL keys are excluded on BOTH sides: a NULL-key station yields a
+    # NULL d2, and Spark's min(struct) ranks a NULL leading field FIRST
+    # where the oracle's ORDER BY ranks it LAST — the pinned
+    # NULLS FIRST/LAST divergence class (hostile-sweep rule)
+    pts = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").isNotNull())
+        .select(
+            "c_custkey",
+            (F.col("c_custkey") % 97).cast("int").alias("x"),
+            (F.col("c_custkey") % 89).cast("int").alias("y"),
+        )
     )
-    sup = t(spark, sf_dir, "supplier").select(
-        "s_suppkey",
-        "s_nationkey",
-        ((F.col("s_suppkey") * 37) % 97).cast("int").alias("sx"),
-        ((F.col("s_suppkey") * 53) % 89).cast("int").alias("sy"),
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey").isNotNull())
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            ((F.col("s_suppkey") * 37) % 97).cast("int").alias("sx"),
+            ((F.col("s_suppkey") * 53) % 89).cast("int").alias("sy"),
+        )
     )
     d2 = (pts.x - F.col("sx")) * (pts.x - F.col("sx")) + (
         pts.y - F.col("sy")

@@ -257,13 +257,6 @@ def q72_metadata_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = dim_df(spark, REGION, "regc_code", "region_name").filter(
         F.col("regc_code") != "99"
     )
-    ring = F.array(
-        F.array(
-            F.array("xmin", "ymin"), F.array("xmax", "ymin"),
-            F.array("xmax", "ymax"), F.array("xmin", "ymax"),
-            F.array("xmin", "ymin"),
-        )
-    )
     title = F.concat(F.col("product_name"), F.lit("_"), F.col("region_name"))
     # SERIALIZATION FAST PATH: every string below comes from the three
     # literal lookup dims (naming.py's reference tables) or integer

@@ -275,7 +275,9 @@ def q06_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             munscale("_r").alias("revenue_delta"),
-            F.sum("_n").alias("n_rows"),
+            # an empty two-level agg yields SUM = NULL where the
+            # oracle's COUNT(*) yields 0 — coalesce the merged count
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("n_rows"),
         )
     )
 

@@ -674,6 +674,8 @@ def test_q01_salted_money_sum_shape(spark):
     assert "partial_sum" in p
     # two-level aggregate: (flag, status, _salt) then (flag, status)
     assert p.count("Arguments: hashpartitioning") == 2
-    # the decimal cast happens at merge (38,0), never on the row values
-    assert "decimal(38,6)" not in p.split("ReadSchema")[0] or True
+    # the decimal cast happens at merge (38,0), never on the row values:
+    # no decimal(38,6) accumulator anywhere in this plan, and the row
+    # quantizer (FLOOR) is present in the scan stage
+    assert "decimal(38,6)" not in p
     assert "FLOOR" in p or "floor" in p
