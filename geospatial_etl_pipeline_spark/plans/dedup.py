@@ -1638,3 +1638,100 @@ def q206_corpus_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment_b_in_a"
         ),
     )
+
+
+# ---- q216: 2-hop reach on the near-duplicate graph -----------------------
+
+
+@register(
+    "q216_two_hop_reach",
+    tags=("dedup", "llm-data", "graph", "two-hop"),
+    oracle=f"""
+WITH {_SQL_LSH_CTES},
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM lsh_pairs
+),
+two_hop AS (
+  SELECT DISTINCT e1.src, e2.dst
+  FROM sym e1 JOIN sym e2 ON e1.dst = e2.src
+  WHERE e2.dst <> e1.src
+),
+reach AS (
+  SELECT src, COUNT(*) AS n_two_hop FROM two_hop GROUP BY src
+),
+direct AS (
+  SELECT src, COUNT(DISTINCT dst) AS n_direct FROM sym GROUP BY src
+)
+SELECT d.src AS doc_id,
+       CAST(d.n_direct AS BIGINT) AS n_direct,
+       CAST(COALESCE(r.n_two_hop, 0) AS BIGINT) AS n_within_two_hops,
+       CAST(COALESCE(r.n_two_hop, 0) - d.n_direct AS BIGINT)
+         AS n_new_at_hop2
+FROM direct d LEFT JOIN reach r ON r.src = d.src
+""",
+)
+def q216_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood census on the near-duplicate graph — the
+    "how much does the duplicate cluster grow if I chase one more hop"
+    signal that sizes transitive-closure work (q49) before running it.
+    n_within_two_hops counts the distinct endpoints of 2-step walks
+    a→x→c with c ≠ a: direct neighbors are included whenever they are
+    reachable through a common neighbor (a→c→b), while the degenerate
+    back-step a→b→a is excluded, so n_new_at_hop2 = reach − degree is
+    the marginal cluster growth one more hop would buy.
+
+    Shape: ONE materialized symmetric edge relation (built on the SAME
+    LSH pair operator q42 hash-checks) self-joins on the middle vertex
+    — cost Σ deg(v)², the standard 2-hop bound, kept sane by the same
+    df-cap that bounds LSH bucket occupancy — then a distinct + two
+    counts, all key-partitioned. The oracle restates the dataflow on
+    the shared CTEs; the engines share NOTHING below the pair list."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs,
+        num_hashes=_NUM_HASHES,
+        shingle_k=_SHINGLE_K,
+        bands=_BANDS,
+        jaccard_threshold=_JACCARD,
+    )
+    # materialize the symmetric edges once; both join sides and the
+    # direct-degree count reuse this exchange
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .repartition("dst")
+    )
+    e2 = sym.select(F.col("src").alias("mid"), F.col("dst").alias("dst2"))
+    two_hop = (
+        sym.join(e2, sym.dst == e2.mid)
+        .filter(F.col("dst2") != F.col("src"))
+        .select("src", F.col("dst2").alias("dst"))
+        .distinct()
+    )
+    reach = two_hop.groupBy("src").agg(F.count(F.lit(1)).alias("n_two_hop"))
+    direct = sym.groupBy("src").agg(
+        F.countDistinct("dst").alias("n_direct")
+    )
+    return direct.join(reach, "src", "left").select(
+        F.col("src").alias("doc_id"),
+        F.col("n_direct").cast("bigint").alias("n_direct"),
+        F.coalesce("n_two_hop", F.lit(0)).cast("bigint").alias(
+            "n_within_two_hops"
+        ),
+        (F.coalesce("n_two_hop", F.lit(0)) - F.col("n_direct"))
+        .cast("bigint")
+        .alias("n_new_at_hop2"),
+    )

@@ -1414,3 +1414,84 @@ def q214_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("rh").cast("decimal(38,0)")).cast("string").alias("sum48"),
         )
     )
+
+
+# ---- q215: incremental view maintenance by partial-state merge -----------
+
+_IVM_SPLIT = 5000  # event_id threshold: base snapshot vs delta batch
+
+
+@register(
+    "q215_incremental_view_merge",
+    tags=("maintenance", "ivm", "agg"),
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS sum_q,
+       CAST(MIN(value) AS DOUBLE) AS min_value,
+       CAST(MAX(value) AS DOUBLE) AS max_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+""",
+)
+def q215_incremental_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-type aggregate view is
+    computed by MERGING two independently aggregated slices — the
+    "base" snapshot (event_id < {_IVM_SPLIT}) and the "delta" batch —
+    exactly how a 100 TB materialized view absorbs a new ingest without
+    rescanning history. COUNT/SUM merge by addition, MIN/MAX by
+    min/max; COUNT(DISTINCT user) is the one non-distributive
+    aggregate, so the partial state carries the distinct (type, user)
+    pairs — the textbook IVM state decomposition (additive scalars +
+    a distinct-key set that at production scale becomes a mergeable HLL
+    sketch, q29/q201's contract).
+
+    The oracle aggregates the unsplit table directly, so the hash check
+    certifies the merge algebra, not just the formulas (q212's
+    discipline, extended to min/max and distinct state)."""
+    e = t(spark, sf_dir, "events")
+
+    def slice_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            qsum(F.col("value"), 6).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = e.filter(F.col("event_id") < _IVM_SPLIT)
+    delta = e.filter(
+        F.col("event_id").isNull() | (F.col("event_id") >= _IVM_SPLIT)
+    )
+    merged_scalars = (
+        slice_agg(base)
+        .unionByName(slice_agg(delta))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("s").alias("sum_q"),
+            F.min("mn").cast("double").alias("min_value"),
+            F.max("mx").cast("double").alias("max_value"),
+        )
+    )
+    # distinct-user state: per-slice distinct pairs union-merge, then
+    # one count per type (the part a sketch replaces at scale)
+    pairs = (
+        base.select("event_type", "user_id")
+        .distinct()
+        .unionByName(delta.select("event_type", "user_id").distinct())
+        .distinct()
+    )
+    users = pairs.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users")
+    )
+    # null-safe join key: a NULL event_type is a real group in both
+    # engines' GROUP BY; a plain inner join would silently drop it
+    return merged_scalars.join(
+        users,
+        merged_scalars["event_type"].eqNullSafe(users["event_type"]),
+    ).select(
+        merged_scalars["event_type"],
+        "n_events", "sum_q", "min_value", "max_value", "n_users",
+    )
