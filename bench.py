@@ -95,6 +95,15 @@ EXTRA = [
     "q167_source_boilerplate",
     "q201_rolling_weekly_actives_sketch",
     "q202_embedding_validation_audit",
+    # round-6 additions (one per new family)
+    "q203_idw_interpolation",
+    "q206_corpus_containment",
+    "q207_chunk_dedup_census",
+    "q208_skyline_pareto",
+    "q209_interval_concurrency",
+    "q213_linear_interpolation",
+    "q214_table_checksum",
+    "q216_two_hop_reach",
 ]
 
 _SENTINEL_N = 200_000_000
