@@ -103,6 +103,7 @@ EXTRA = [
     "q209_interval_concurrency",
     "q213_linear_interpolation",
     "q214_table_checksum",
+    "q215_incremental_view_merge",
     "q216_two_hop_reach",
 ]
 

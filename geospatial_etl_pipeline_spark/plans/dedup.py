@@ -109,6 +109,29 @@ def q41_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sym_edges(pairs, extra=None):
+    """Both edge directions of an (id_a, id_b) pair relation from ONE
+    in-row explode — a unionAll of two selects would replay the entire
+    un-materialized LSH pair pipeline twice. ``extra`` maps additional
+    output column names to Columns carried on both directions (the
+    weighted-PageRank edge weight). Shared by q125/q142/q216 so the
+    symmetrization contract cannot drift between them."""
+    extra = extra or {}
+
+    def _side(a: str, b: str):
+        return F.struct(
+            F.col(a).alias("src"),
+            F.col(b).alias("dst"),
+            *[c.alias(n) for n, c in extra.items()],
+        )
+
+    return pairs.select(
+        F.explode(F.array(_side("id_a", "id_b"), _side("id_b", "id_a"))).alias(
+            "e"
+        )
+    ).select("e.*")
+
+
 # the LSH pair pipeline as reusable CTEs (q42 emits the pairs; q49
 # builds duplicate CLUSTERS on top of the same edge set)
 _SQL_LSH_CTES = f"""sh_t AS (
@@ -804,16 +827,7 @@ def q125_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
         jaccard_threshold=_JACCARD,
     )
-    # both edge directions from ONE pass (in-row explode) — unionAll of
-    # two selects would replay the entire LSH pair pipeline twice
-    sym = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    sym = sym_edges(pairs)
     n = docs.select(F.count(F.lit(1)).alias("n"))
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     contrib = (
@@ -966,22 +980,7 @@ def q142_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=_JACCARD,
     )
     qw = F.floor(F.col("jaccard") * F.lit(float(_PRW_WQ))).cast("bigint")
-    sym = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("id_a").alias("src"),
-                    F.col("id_b").alias("dst"),
-                    qw.alias("qw"),
-                ),
-                F.struct(
-                    F.col("id_b").alias("src"),
-                    F.col("id_a").alias("dst"),
-                    qw.alias("qw"),
-                ),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst", "e.qw")
+    sym = sym_edges(pairs, extra={"qw": qw})
     n = docs.select(F.count(F.lit(1)).alias("n"))
     wsum = sym.groupBy("src").agg(F.sum("qw").alias("w_out"))
     contrib = (
@@ -1653,13 +1652,17 @@ sym AS (
   UNION ALL
   SELECT id_b, id_a FROM lsh_pairs
 ),
-two_hop AS (
-  SELECT DISTINCT e1.src, e2.dst
-  FROM sym e1 JOIN sym e2 ON e1.dst = e2.src
-  WHERE e2.dst <> e1.src
+reach_pairs AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT e1.src, e2.dst
+    FROM sym e1 JOIN sym e2 ON e1.dst = e2.src
+    WHERE e2.dst <> e1.src
+    UNION ALL
+    SELECT src, dst FROM sym
+  )
 ),
 reach AS (
-  SELECT src, COUNT(*) AS n_two_hop FROM two_hop GROUP BY src
+  SELECT src, COUNT(*) AS n_two_hop FROM reach_pairs GROUP BY src
 ),
 direct AS (
   SELECT src, COUNT(DISTINCT dst) AS n_direct FROM sym GROUP BY src
@@ -1676,11 +1679,11 @@ def q216_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop neighborhood census on the near-duplicate graph — the
     "how much does the duplicate cluster grow if I chase one more hop"
     signal that sizes transitive-closure work (q49) before running it.
-    n_within_two_hops counts the distinct endpoints of 2-step walks
-    a→x→c with c ≠ a: direct neighbors are included whenever they are
-    reachable through a common neighbor (a→c→b), while the degenerate
-    back-step a→b→a is excluded, so n_new_at_hop2 = reach − degree is
-    the marginal cluster growth one more hop would buy.
+    n_within_two_hops counts the distinct vertices reachable in one OR
+    two hops (2-step walk endpoints a→x→c with c ≠ a, unioned with the
+    direct neighbors — so a pendant neighbor with no common-neighbor
+    path still counts), and n_new_at_hop2 = reach − degree ≥ 0 is the
+    marginal cluster growth one more hop would buy.
 
     Shape: ONE materialized symmetric edge relation (built on the SAME
     LSH pair operator q42 hash-checks) self-joins on the middle vertex
@@ -1698,30 +1701,22 @@ def q216_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize the symmetric edges once; both join sides and the
     # direct-degree count reuse this exchange
-    sym = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-                    ),
-                    F.struct(
-                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .repartition("dst")
-    )
+    sym = sym_edges(pairs).repartition("dst")
     e2 = sym.select(F.col("src").alias("mid"), F.col("dst").alias("dst2"))
-    two_hop = (
+    # reachable in <= 2 hops = 2-step walk endpoints (back-step a->b->a
+    # excluded) UNION the direct neighbors — without the union, a
+    # pendant neighbor with no common-neighbor path drops out and the
+    # marginal-growth column can go negative (review finding, r6)
+    reach_pairs = (
         sym.join(e2, sym.dst == e2.mid)
         .filter(F.col("dst2") != F.col("src"))
         .select("src", F.col("dst2").alias("dst"))
+        .unionByName(sym.select("src", "dst"))
         .distinct()
     )
-    reach = two_hop.groupBy("src").agg(F.count(F.lit(1)).alias("n_two_hop"))
+    reach = reach_pairs.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_two_hop")
+    )
     direct = sym.groupBy("src").agg(
         F.countDistinct("dst").alias("n_direct")
     )

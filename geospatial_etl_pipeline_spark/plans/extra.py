@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import tokens
-from ._util import _SQL_EMB, qsum, sql_qsum, t, temb
+from ._util import _SQL_EMB, mq, msalt, qsum, sql_qsum, t, temb
 from .catalog import register
 
 _STATUSES = ["F", "O", "P"]
@@ -1427,7 +1427,7 @@ _IVM_SPLIT = 5000  # event_id threshold: base snapshot vs delta batch
     oracle=f"""
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS sum_q,
+       CAST({sql_qsum('value', 6)} AS VARCHAR) AS sum_q,
        CAST(MIN(value) AS DOUBLE) AS min_value,
        CAST(MAX(value) AS DOUBLE) AS max_value,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
@@ -1453,11 +1453,22 @@ def q215_incremental_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
 
     def slice_agg(df: DataFrame) -> DataFrame:
-        return df.groupBy("event_type").agg(
+        # event_type is a COARSE key (a handful of values for the whole
+        # table), so the quantized int64 sum takes the salted two-level
+        # shape (q01's msum discipline): int64 partials per (type,
+        # salt), exact DECIMAL(38,0) merge — a flat qsum here is the
+        # exact overflow-at-1e12-rows/group case _util.py documents
+        pre = df.groupBy("event_type", msalt("value").alias("_salt")).agg(
             F.count(F.lit(1)).alias("n"),
-            qsum(F.col("value"), 6).alias("s"),
+            F.sum(mq("value", 6)).alias("s"),
             F.min("value").alias("mn"),
             F.max("value").alias("mx"),
+        )
+        return pre.groupBy("event_type").agg(
+            F.sum("n").alias("n"),
+            F.sum(F.col("s").cast("decimal(38,0)")).alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
         )
 
     base = e.filter(F.col("event_id") < _IVM_SPLIT)
@@ -1470,7 +1481,10 @@ def q215_incremental_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum("n").cast("bigint").alias("n_events"),
-            F.sum("s").alias("sum_q"),
+            # digits, not a numeric type: the exact sum outgrows int64
+            # at the design scale and doubles can't carry it (q214's
+            # presentation rule)
+            F.sum("s").cast("decimal(38,0)").cast("string").alias("sum_q"),
             F.min("mn").cast("double").alias("min_value"),
             F.max("mx").cast("double").alias("max_value"),
         )
