@@ -436,3 +436,122 @@ def q204_aspect_octants(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(slope2).cast("bigint").alias("max_slope2"),
         )
     )
+
+
+# ---- q220: D8 flow-direction census --------------------------------------
+
+# Neighbor order IS the tie-break priority (first max drop wins), pinned
+# identically in both engines' CASE chains. j+1 is north (the q204
+# convention).
+_D8_DIRS = [
+    ("E", 1, 0), ("NE", 1, 1), ("N", 0, 1), ("NW", -1, 1),
+    ("W", -1, 0), ("SW", -1, -1), ("S", 0, -1), ("SE", 1, -1),
+]
+
+
+def _sql_d8_val(di: int, dj: int) -> str:
+    return f"(((i+{di})*31 + (j+{dj})*17) % 101)" if (di or dj) else \
+        "((i*31 + j*17) % 101)"
+
+
+_SQL_D8_DROPS = ",\n         ".join(
+    f"{_sql_d8_val(0, 0)} - {_sql_d8_val(di, dj)} AS d_{name.lower()}"
+    for name, di, dj in _D8_DIRS
+)
+_SQL_D8_MAX = "GREATEST(" + ", ".join(f"d_{n.lower()}" for n, _, _ in _D8_DIRS) + ")"
+_SQL_D8_CASE = (
+    "CASE WHEN maxdrop <= 0 THEN 'sink' "
+    + " ".join(
+        f"WHEN d_{n.lower()} = maxdrop THEN '{n}'" for n, _, _ in _D8_DIRS
+    )
+    + " END"
+)
+
+
+@register(
+    "q220_d8_flow_census",
+    tags=("raster", "focal", "hydrology", "agg"),
+    oracle=f"""
+WITH grid AS (
+  SELECT CAST(id % {_W} AS INT) AS i, CAST(id // {_W} AS INT) AS j
+  FROM range({_W * _H}) t(id)
+  WHERE id % {_W} > 0 AND id % {_W} < {_W - 1}
+    AND id // {_W} > 0 AND id // {_W} < {_H - 1}
+),
+drops AS (
+  SELECT i, j,
+         {_SQL_D8_DROPS}
+  FROM grid
+),
+d8 AS (
+  SELECT i, j, {_SQL_D8_MAX} AS maxdrop,
+         d_e, d_ne, d_n, d_nw, d_w, d_sw, d_s, d_se
+  FROM drops
+)
+SELECT r.region_code,
+       {_SQL_D8_CASE} AS flow_dir,
+       COUNT(*) AS n_cells,
+       CAST(SUM(maxdrop) AS BIGINT) AS sum_drop,
+       CAST(MAX(maxdrop) AS BIGINT) AS max_drop
+FROM d8 g
+JOIN (VALUES {_SQL_REGIONS}) AS r(region_code, xmin, ymin, xmax, ymax)
+  ON g.i >= r.xmin AND g.i < r.xmax AND g.j >= r.ymin AND g.j < r.ymax
+GROUP BY r.region_code, flow_dir
+""",
+)
+def q220_d8_flow_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow-direction census — the hydrology primitive downstream of
+    the reference's DEM grids (copy_esrigrid…py:259-261 ships exactly
+    such terrain derivatives): each interior cell drains to the
+    steepest-descent neighbor among its 8, ties broken by a pinned
+    compass priority (E,NE,N,NW,W,SW,S,SE — first max wins), cells
+    with no positive drop are sinks. Zonal census per region footprint
+    (broadcast containment join) counts cells and drop mass per
+    direction — the input a flow-accumulation or watershed-labeling
+    pass would consume.
+
+    All-integer (grid formula, drops, GREATEST, CASE) so the
+    classification is engine-exact. No neighbor self-join: the grid
+    function is algebraic, so all 8 neighbor values are in-row
+    expressions; on file-backed tiles the same kernel runs per tile
+    with a 1-cell halo (operators.raster focal machinery). One
+    generated scan, one broadcast join, one ~40-key agg."""
+    g = _grid(spark).select("i", "j")
+
+    def val(di: int, dj: int):
+        return ((F.col("i") + di) * 31 + (F.col("j") + dj) * 17) % 101
+
+    interior = (
+        (F.col("i") > 0) & (F.col("i") < _W - 1)
+        & (F.col("j") > 0) & (F.col("j") < _H - 1)
+    )
+    drops = g.filter(interior).select(
+        "i",
+        "j",
+        *[
+            (val(0, 0) - val(di, dj)).alias(f"d_{n.lower()}")
+            for n, di, dj in _D8_DIRS
+        ],
+    )
+    d8 = drops.withColumn(
+        "maxdrop", F.greatest(*[F.col(f"d_{n.lower()}") for n, _, _ in _D8_DIRS])
+    )
+    flow = F.when(F.col("maxdrop") <= 0, "sink")
+    for n, _, _ in _D8_DIRS:
+        flow = flow.when(F.col(f"d_{n.lower()}") == F.col("maxdrop"), n)
+    r = literal_df(
+        spark, _REGIONS, ["region_code", "xmin", "ymin", "xmax", "ymax"]
+    )
+    cond = (
+        (d8.i >= F.col("xmin")) & (d8.i < F.col("xmax"))
+        & (d8.j >= F.col("ymin")) & (d8.j < F.col("ymax"))
+    )
+    return (
+        d8.join(F.broadcast(r), cond)
+        .groupBy("region_code", flow.alias("flow_dir"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("maxdrop").cast("bigint").alias("sum_drop"),
+            F.max("maxdrop").cast("bigint").alias("max_drop"),
+        )
+    )

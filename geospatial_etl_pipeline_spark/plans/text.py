@@ -1779,3 +1779,356 @@ def q207_chunk_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_share"),
         )
     )
+
+
+# ---- q217: bigram language-model fluency score ---------------------------
+
+# Quantization for the smoothed bigram probability: p_q = (Q*(c12+1)) div
+# (c1 + V), all BIGINT. Q=1e9 bounds Q*(c12+1) < 2^63 for bigram counts up
+# to ~9.2e9 occurrences; at the 100 TB design point Q drops to 1e6 (same
+# monotonicity, 3 fewer digits of resolution) — the dial is this constant.
+_LM_Q = 1_000_000_000
+
+
+@register(
+    "q217_bigram_lm_score",
+    tags=("text", "llm-data", "quality", "lm"),
+    oracle=f"""
+WITH nn AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents WHERE text IS NOT NULL
+),
+occ AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> concat_ws(' ', toks[i::INT], toks[i::INT + 1]))) AS bigram
+  FROM nn WHERE len(toks) >= 2
+),
+c12 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12 FROM occ GROUP BY bigram),
+c1 AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM occ GROUP BY w1
+),
+v AS (
+  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+  FROM (SELECT unnest({_SQL_TOKENS}) AS tok
+        FROM documents WHERE text IS NOT NULL)
+),
+sc AS (
+  SELECT b.bigram,
+         CAST(({_LM_Q} * (b.c12 + 1)) // (c.c1 + (SELECT v FROM v)) AS BIGINT)
+           AS p_q
+  FROM c12 b JOIN c1 c ON c.w1 = split_part(b.bigram, ' ', 1)
+),
+docbg AS (
+  SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS m
+  FROM occ GROUP BY doc_id, bigram
+)
+SELECT d.doc_id,
+       CAST(SUM(d.m) AS BIGINT) AS n_bigrams,
+       CAST(SUM(d.m * s.p_q) AS BIGINT) AS sum_p_q,
+       CAST(SUM(d.m * s.p_q) // SUM(d.m) AS BIGINT) AS avg_p_q
+FROM docbg d JOIN sc s ON s.bigram = d.bigram
+GROUP BY d.doc_id
+""",
+)
+def q217_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM fluency scoring (the KenLM-style quality filter
+    every pretraining pipeline runs, done cross-engine-exact): train an
+    add-one-smoothed bigram model ON the corpus, then score each
+    document by its mean smoothed bigram probability.
+
+    The usual formulation is log-prob, but ln() differs in the last ulp
+    between libm and DuckDB (the q93 lesson), so the score is the
+    integer-quantized probability itself: p_q = (Q*(c12+1)) div
+    (c1 + V) — same ordering of documents, bit-identical in both
+    engines. c1 is the left-context occurrence count (sum over w2 of
+    c12, computed directly from the bigram stream so the model is
+    self-consistent), V the corpus vocabulary size.
+
+    Scale shape: one explode into bigram occurrences feeds (a) the
+    model counts c12/c1 (two partial-agg shuffles on bigram/w1 — the
+    token-frequency table, NOT the token stream, is what shuffles
+    twice) and (b) per-doc bigram multiplicities (doc_id,bigram). The
+    scored model sc is bigram-keyed; the doc join probes it on bigram
+    (SMJ at scale — the model is corpus-sized, never broadcast), then
+    one final doc_id agg. V and nothing else crosses as a scalar
+    broadcast."""
+    nn = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", tokens("text").alias("_tok"))
+    )
+    occ = (
+        nn.filter(F.size("_tok") >= 2)
+        .select(
+            "doc_id",
+            F.explode_outer(word_ngrams_t(F.col("_tok"), 2)).alias("bigram"),
+        )
+    )
+    c12 = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    # c1 = Σ_w2 c12 — rolled up from the bigram table, NOT a second
+    # explode of the token stream: the shuffle carries vocabulary-sized
+    # counts either way, but this saves one full corpus scan+explode.
+    c1 = (
+        c12.groupBy(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
+        )
+        .agg(F.sum("c12").alias("c1"))
+    )
+    v1 = (
+        nn.select(F.explode_outer("_tok").alias("tok"))
+        .agg(F.countDistinct("tok").alias("_v"))
+    )
+    sc = (
+        c12.join(
+            c1,
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w1"),
+        )
+        .crossJoin(F.broadcast(v1))
+        .select(
+            "bigram",
+            F.expr(f"CAST(({_LM_Q} * (c12 + 1)) div (c1 + _v) AS BIGINT)").alias(
+                "p_q"
+            ),
+        )
+    )
+    docbg = occ.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("m"))
+    return (
+        docbg.join(sc, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("m") * F.col("p_q")).cast("bigint").alias("sum_p_q"),
+            F.expr("CAST(SUM(m * p_q) div SUM(m) AS BIGINT)").alias("avg_p_q"),
+        )
+    )
+
+
+# ---- q218: per-source distribution divergence ----------------------------
+
+# Total-variation distance (0.5 * L1 between unigram distributions) —
+# chosen over KL/JS precisely because it needs NO logarithm: quantized
+# probabilities subtract and take ABS in exact BIGINT arithmetic.
+_TV_Q = 1_000_000_000
+
+
+@register(
+    "q218_source_divergence",
+    tags=("text", "llm-data", "mixing", "drift"),
+    oracle=f"""
+WITH occ AS (
+  SELECT source, unnest({_SQL_TOKENS}) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM occ),
+gtok AS (
+  SELECT tok,
+         CAST(({_TV_Q} * CAST(COUNT(*) AS BIGINT)) // (SELECT t FROM tot)
+              AS BIGINT) AS p_q
+  FROM occ GROUP BY tok
+),
+totp AS (SELECT CAST(SUM(p_q) AS BIGINT) AS total_p_q FROM gtok),
+srctot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ts FROM occ GROUP BY source),
+src AS (
+  SELECT o.source, o.tok, CAST(COUNT(*) AS BIGINT) AS cst
+  FROM occ o GROUP BY o.source, o.tok
+)
+SELECT s.source,
+       CAST(MIN(st.ts) AS BIGINT) AS n_token_occ,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+       CAST(SUM(ABS(({_TV_Q} * s.cst) // st.ts - g.p_q)) - SUM(g.p_q)
+            + (SELECT total_p_q FROM totp) AS BIGINT) AS tv_q,
+       CAST(SUM(ABS(({_TV_Q} * s.cst) // st.ts - g.p_q)) - SUM(g.p_q)
+            + (SELECT total_p_q FROM totp) AS DOUBLE) / {2.0 * _TV_Q}
+         AS tv
+FROM src s
+JOIN srctot st ON st.source IS NOT DISTINCT FROM s.source
+JOIN gtok g ON g.tok = s.tok
+GROUP BY s.source
+""",
+)
+def q218_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift audit for corpus mixing: total-variation distance
+    between each source's unigram distribution and the whole-corpus
+    distribution. TV = ½·Σ|p_s - p| over ALL tokens; tokens absent
+    from a source contribute p each, folded in as (total_p_q - Σ_{{t∈s}}
+    p_q) so the join only materializes (source, token) pairs that
+    exist — never the sources × vocabulary cross product.
+
+    TV (not KL/JS) because it is logarithm-free: quantized integer
+    probabilities ((Q·c) div T) subtract exactly in both engines. The
+    double ``tv`` divides the integer by the exact constant 2Q —
+    IEEE-deterministic.
+
+    Scale: one explode feeds the (source,token) partial agg; the
+    global token table joins on token (SMJ, both sides corpus-
+    vocabulary-sized); per-source totals broadcast. Final agg is
+    #sources rows."""
+    occ = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", tokens("text").alias("_tok"))
+        .select("source", F.explode_outer("_tok").alias("tok"))
+    )
+    # ONE explode + one (source,token) partial agg; every other count
+    # is a rollup of `src` (vocabulary-sized shuffles, never the token
+    # stream again): global token counts = Σ_sources cst, per-source
+    # totals = Σ_tokens cst, corpus total = Σ ts.
+    src = occ.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cst"))
+    srctot = src.groupBy("source").agg(F.sum("cst").alias("ts"))
+    tot = srctot.agg(F.sum("ts").alias("_t"))
+    glob = (
+        src.groupBy("tok")
+        .agg(F.sum("cst").alias("c"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.expr(f"CAST(({_TV_Q} * c) div _t AS BIGINT)").alias("p_q"),
+        )
+    )
+    totp = glob.agg(F.sum("p_q").cast("bigint").alias("_total_p_q"))
+    # null-safe equality on source: a NULL source must still find its
+    # own total (the oracle's IS NOT DISTINCT FROM), or its rows drop
+    # and the NULL group silently vanishes on one side only.
+    j = (
+        src.alias("s")
+        .join(
+            F.broadcast(srctot).alias("st"),
+            F.expr("s.source <=> st.source"),
+        )
+        .select("s.source", "s.tok", "s.cst", "st.ts")
+        .join(glob, "tok")
+    )
+    dev = F.abs(F.expr(f"({_TV_Q} * cst) div ts") - F.col("p_q"))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.min("ts").cast("bigint").alias("n_token_occ"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_tokens"),
+            (F.sum(dev) - F.sum("p_q")).alias("_part"),
+        )
+        .crossJoin(F.broadcast(totp))
+        .select(
+            "source",
+            "n_token_occ",
+            "n_distinct_tokens",
+            (F.col("_part") + F.col("_total_p_q")).cast("bigint").alias("tv_q"),
+            (
+                (F.col("_part") + F.col("_total_p_q")).cast("double")
+                / F.lit(2.0 * _TV_Q)
+            ).alias("tv"),
+        )
+    )
+
+
+# ---- q219: DSIR-style hashed importance weights --------------------------
+
+_DSIR_B = 256  # hashed feature buckets
+_DSIR_Q = 1_000_000_000
+_DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "q219_dsir_importance",
+    tags=("text", "llm-data", "sampling", "quality"),
+    oracle=f"""
+WITH occ AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(unnest({_SQL_TOKENS})), 1, 8))::BIGINT % {_DSIR_B}
+           AS b
+  FROM documents WHERE text IS NOT NULL
+),
+raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM occ GROUP BY b),
+rawtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tr FROM occ),
+tgt AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM occ
+  WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b
+),
+tgttot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM occ
+  WHERE lang = '{_DSIR_TARGET_LANG}'
+),
+wt AS (
+  SELECT r.b,
+         CAST(({_DSIR_Q} * (COALESCE(g.ct, 0) + 1))
+                // ((SELECT tt FROM tgttot) + {_DSIR_B})
+              - ({_DSIR_Q} * (r.cr + 1))
+                // ((SELECT tr FROM rawtot) + {_DSIR_B}) AS BIGINT) AS w_q
+  FROM raw r LEFT JOIN tgt g ON g.b = r.b
+),
+docb AS (
+  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS m FROM occ GROUP BY doc_id, b
+)
+SELECT d.doc_id,
+       CAST(SUM(d.m) AS BIGINT) AS n_tokens,
+       CAST(SUM(d.m * w.w_q) AS BIGINT) AS weight_q
+FROM docb d JOIN wt w ON w.b = d.b
+GROUP BY d.doc_id
+""",
+)
+def q219_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hash unigram
+    features into {_DSIR_B} buckets, estimate add-one-smoothed bucket
+    distributions for the TARGET slice (lang = en — the proxy for
+    "high-quality target domain") and the RAW corpus, and weight each
+    document by Σ_tokens (p_target(b) - p_raw(b)).
+
+    Published DSIR uses log-ratios; the quantized DIFFERENCE of bucket
+    probabilities keeps the same resample ordering for near-flat ratios
+    while staying in exact BIGINT arithmetic (no libm). md5 is the
+    portable hash (the q140 convention): identical bucket assignment in
+    both engines.
+
+    Scale: the model side collapses to {_DSIR_B} rows — broadcast to
+    the per-doc bucket multiplicities (one explode + one
+    (doc_id,bucket) partial agg + map-side join + doc agg). The
+    corpus never shuffles by token, only by the 256-bucket key and
+    doc_id."""
+    occ = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "lang", tokens("text").alias("_tok"))
+        .select("doc_id", "lang", F.explode_outer("_tok").alias("_t"))
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("bigint")
+                % _DSIR_B
+            ).alias("b"),
+        )
+    )
+    # One (bucket, is-target) partial agg (≤ 2·B = 512 keys) feeds every
+    # model count as a rollup — the token stream aggregates map-side
+    # once for the model, once for the per-doc multiplicities.
+    is_t = F.col("lang") == _DSIR_TARGET_LANG
+    cnt = occ.groupBy("b", is_t.alias("_is_t")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    raw = cnt.groupBy("b").agg(F.sum("c").alias("cr"))
+    rawtot = raw.agg(F.sum("cr").alias("tr"))
+    tgt = cnt.filter(F.col("_is_t")).select("b", F.col("c").alias("ct"))
+    tgttot = tgt.agg(F.sum("ct").alias("tt"))
+    wt = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(rawtot))
+        .crossJoin(F.broadcast(tgttot))
+        .select(
+            "b",
+            F.expr(
+                f"CAST(({_DSIR_Q} * (COALESCE(ct, 0) + 1))"
+                f" div (tt + {_DSIR_B})"
+                f" - ({_DSIR_Q} * (cr + 1)) div (tr + {_DSIR_B}) AS BIGINT)"
+            ).alias("w_q"),
+        )
+    )
+    docb = occ.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("m"))
+    return (
+        docb.join(F.broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("m") * F.col("w_q")).cast("bigint").alias("weight_q"),
+        )
+    )
