@@ -555,3 +555,117 @@ def q220_d8_flow_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("maxdrop").cast("bigint").alias("max_drop"),
         )
     )
+
+
+# ---- q221: D8 inflow census (one flow-accumulation step) -----------------
+
+# The drain assignment (maxdrop/tie-break/sink) is q220's, restated as a
+# reusable SQL fragment over the `drops` relation.
+_SQL_D8_DIR_IDX = (
+    "CASE WHEN " + _SQL_D8_MAX + " <= 0 THEN -1 "
+    + " ".join(
+        f"WHEN d_{n.lower()} = {_SQL_D8_MAX} THEN {k}"
+        for k, (n, _, _) in enumerate(_D8_DIRS)
+    )
+    + " END"
+)
+
+
+@register(
+    "q221_d8_inflow_census",
+    tags=("raster", "focal", "hydrology", "graph", "agg"),
+    oracle=f"""
+WITH grid AS (
+  SELECT CAST(id % {_W} AS INT) AS i, CAST(id // {_W} AS INT) AS j
+  FROM range({_W * _H}) t(id)
+  WHERE id % {_W} > 0 AND id % {_W} < {_W - 1}
+    AND id // {_W} > 0 AND id // {_W} < {_H - 1}
+),
+drops AS (
+  SELECT i, j, {_SQL_D8_DROPS} FROM grid
+),
+dirs AS (
+  SELECT i, j, {_SQL_D8_DIR_IDX} AS dir_idx FROM drops
+),
+edges AS (
+  SELECT i, j,
+         i + CASE dir_idx {' '.join(f'WHEN {k} THEN {di}' for k, (_, di, _) in enumerate(_D8_DIRS))} END AS ti,
+         j + CASE dir_idx {' '.join(f'WHEN {k} THEN {dj}' for k, (_, _, dj) in enumerate(_D8_DIRS))} END AS tj
+  FROM dirs WHERE dir_idx >= 0
+),
+indeg AS (
+  SELECT g.i, g.j, CAST(COUNT(e.ti) AS BIGINT) AS n_in
+  FROM grid g LEFT JOIN edges e ON e.ti = g.i AND e.tj = g.j
+  GROUP BY g.i, g.j
+)
+SELECT n_in,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(MIN(i + j * {_W}) AS BIGINT) AS min_cell_id,
+       CAST(MAX(i + j * {_W}) AS BIGINT) AS max_cell_id
+FROM indeg
+GROUP BY n_in
+""",
+)
+def q221_d8_inflow_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One flow-accumulation step on the D8 drain graph: route every
+    non-sink cell's unit of flow to its steepest-descent neighbor
+    (q220's pinned drain assignment) and census the receiving side —
+    how many interior cells receive 0..8 inflows. Cells with high
+    in-degree are channel heads; the full accumulation is the
+    transitive closure of this edge relation (the iterative
+    operators.graph shape), and this single certified step is its
+    hash-checkable core.
+
+    Unlike q220 (pure in-row algebra) this materializes the flow EDGE
+    RELATION and equi-joins it back to the cell relation on the target
+    coordinate — the graph-on-raster join shape: one shuffle of the
+    edge list keyed by (ti,tj), left join to keep zero-inflow cells,
+    then a ≤9-key census agg. At scale the join is grid-partitioned
+    (tile-local edges stay within a tile except the 1-cell halo)."""
+    g = _grid(spark).select("i", "j")
+
+    def val(di: int, dj: int):
+        return ((F.col("i") + di) * 31 + (F.col("j") + dj) * 17) % 101
+
+    interior = (
+        (F.col("i") > 0) & (F.col("i") < _W - 1)
+        & (F.col("j") > 0) & (F.col("j") < _H - 1)
+    )
+    cells = g.filter(interior)
+    drops = cells.select(
+        "i",
+        "j",
+        *[
+            (val(0, 0) - val(di, dj)).alias(f"d_{n.lower()}")
+            for n, di, dj in _D8_DIRS
+        ],
+    ).withColumn(
+        "maxdrop", F.greatest(*[F.col(f"d_{n.lower()}") for n, _, _ in _D8_DIRS])
+    )
+    # build the drain target via the same first-max-wins priority chain
+    ti_expr = F.when(F.col("maxdrop") <= 0, F.lit(None).cast("int"))
+    tj_expr = F.when(F.col("maxdrop") <= 0, F.lit(None).cast("int"))
+    for n, di, dj in _D8_DIRS:
+        hit = F.col(f"d_{n.lower()}") == F.col("maxdrop")
+        ti_expr = ti_expr.when(hit, F.col("i") + di)
+        tj_expr = tj_expr.when(hit, F.col("j") + dj)
+    edges = (
+        drops.select(ti_expr.alias("ti"), tj_expr.alias("tj"))
+        .filter(F.col("ti").isNotNull())
+    )
+    indeg = (
+        cells.alias("g")
+        .join(
+            edges.alias("e"),
+            (F.col("e.ti") == F.col("g.i")) & (F.col("e.tj") == F.col("g.j")),
+            "left",
+        )
+        .groupBy("g.i", "g.j")
+        .agg(F.count(F.col("e.ti")).alias("n_in"))
+    )
+    cell_id = (F.col("i") + F.col("j") * _W).cast("bigint")
+    return indeg.groupBy("n_in").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min(cell_id).alias("min_cell_id"),
+        F.max(cell_id).alias("max_cell_id"),
+    )

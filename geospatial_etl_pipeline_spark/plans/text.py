@@ -2132,3 +2132,70 @@ def q219_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("m") * F.col("w_q")).cast("bigint").alias("weight_q"),
         )
     )
+
+
+# ---- q222: lexical richness / hapax census per source --------------------
+
+_RICH_Q = 1_000_000  # type-token-ratio quantizer (ratio < 1, BIGINT-exact)
+
+
+@register(
+    "q222_lexical_richness",
+    tags=("text", "llm-data", "quality"),
+    oracle=f"""
+WITH occ AS (
+  SELECT source, unnest({_SQL_TOKENS}) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+tc AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM occ GROUP BY source, tok
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+       CAST(({_RICH_Q} * CAST(COUNT(*) AS BIGINT)) // SUM(c) AS BIGINT)
+         AS ttr_q,
+       CAST(({_RICH_Q} * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END))
+            // GREATEST(CAST(COUNT(*) AS BIGINT), 1) AS BIGINT) AS hapax_share_q
+FROM tc
+GROUP BY source
+""",
+)
+def q222_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness census per source — the vocabulary-health lens
+    corpus curation reads next to q155's growth curve: token and type
+    counts, hapax legomena (frequency-1 types — boilerplate-heavy or
+    template-generated sources have anomalously FEW), dis legomena,
+    and quantized type-token ratio + hapax share (Good-Turing's
+    unseen-mass estimate is n_hapax/n_tokens — both numerators
+    emitted, ratios integer-quantized so no float division).
+
+    One explode → one (source,token) partial agg → one per-source
+    rollup; the second shuffle carries vocabulary-sized rows. Zero
+    joins, zero broadcasts."""
+    occ = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", tokens("text").alias("_tok"))
+        .select("source", F.explode_outer("_tok").alias("tok"))
+    )
+    tc = occ.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        hapax.cast("bigint").alias("n_hapax"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dis"),
+        F.expr(f"CAST(({_RICH_Q} * COUNT(1)) div SUM(c) AS BIGINT)").alias(
+            "ttr_q"
+        ),
+        F.expr(
+            f"CAST(({_RICH_Q} * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END))"
+            " div GREATEST(COUNT(1), 1) AS BIGINT)"
+        ).alias("hapax_share_q"),
+    )

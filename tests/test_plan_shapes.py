@@ -679,3 +679,37 @@ def test_q01_salted_money_sum_shape(spark):
     # quantizer (FLOOR) is present in the scan stage
     assert "decimal(38,6)" not in p
     assert "FLOOR" in p or "floor" in p
+
+
+def test_continuation_queries_exchange_budgets(spark):
+    """Exchange budgets + no-Python guarantee for the round-6
+    continuation additions (q217-q222). The text-family budgets above
+    2 are static pre-AQE counts on VOCABULARY-sized relations (model
+    rollup chains duplicated per consumer until AQE's runtime exchange
+    reuse collapses them — q218 measured 4 ReusedExchange at runtime);
+    the token stream itself aggregates map-side before every one of
+    those shuffles."""
+    budgets = {
+        "q217_bigram_lm_score": 7,    # bigram agg ×2 consumers + model rollups
+        "q218_source_divergence": 12, # (source,tok) agg chains pre-reuse
+        "q219_dsir_importance": 8,    # 512-key model chains + doc agg
+        "q220_d8_flow_census": 1,     # one zonal census agg
+        "q221_d8_inflow_census": 2,   # edge join + census agg
+        "q222_lexical_richness": 2,   # (source,tok) agg + source rollup
+    }
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    for name, budget in budgets.items():
+        p = plan_text(cat.QUERIES[name].fn(spark, SF))
+        assert n_shuffles(p) <= budget, (name, n_shuffles(p))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_q219_model_side_broadcasts(spark):
+    """q219's 256-bucket model must reach the per-doc multiplicities as
+    a broadcast (a shuffled join there would shuffle the corpus-sized
+    doc-bucket relation against 256 rows)."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q219_dsir_importance"].fn(spark, SF))
+    assert "BroadcastExchange" in p
