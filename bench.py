@@ -105,6 +105,15 @@ EXTRA = [
     "q214_table_checksum",
     "q215_incremental_view_merge",
     "q216_two_hop_reach",
+    # continuation additions (one per new family)
+    "q217_bigram_lm_score",
+    "q218_source_divergence",
+    "q219_dsir_importance",
+    "q220_d8_flow_census",
+    "q221_d8_inflow_census",
+    "q222_lexical_richness",
+    "q223_transition_gini",
+    "q224_knn_label_consistency",
 ]
 
 _SENTINEL_N = 200_000_000

@@ -3256,3 +3256,82 @@ def q213_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(interp)
         .alias("value_interp"),
     )
+
+
+# ---- q223: next-event predictability (Gini impurity) ---------------------
+
+# Quantizer for transition probabilities: p_q = (Q*c) div n <= Q = 1e6, so
+# p_q^2 <= 1e12 and the impurity sum stays far inside BIGINT at any row
+# count — the quantization (not the counts) bounds the arithmetic, which
+# is what makes this safe at 100 TB where c^2 alone would overflow int64.
+_GINI_Q = 1_000_000
+
+
+@register(
+    "q223_transition_gini",
+    tags=("events", "markov", "quality", "agg"),
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+cnt AS (
+  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+),
+tot AS (
+  SELECT prev_type, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_next_types
+  FROM cnt GROUP BY prev_type
+)
+SELECT c.prev_type,
+       CAST(MIN(t.n) AS BIGINT) AS n_transitions,
+       CAST(MIN(t.n_next_types) AS BIGINT) AS n_next_types,
+       CAST({_GINI_Q} - SUM((({_GINI_Q} * c.c) // t.n)
+                            * (({_GINI_Q} * c.c) // t.n)) // {_GINI_Q}
+            AS BIGINT) AS gini_q
+FROM cnt c JOIN tot t ON t.prev_type = c.prev_type
+GROUP BY c.prev_type
+""",
+)
+def q223_transition_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event predictability per antecedent event type: Gini
+    impurity 1 - Σp² of the next-event distribution (q116's transition
+    matrix collapsed to one decisiveness scalar per row) — low impurity
+    means the journey step is deterministic (funnel edge), high means
+    an exploration point. Gini, not Shannon entropy, because it is
+    LOGARITHM-FREE: quantized probabilities square and sum in exact
+    BIGINT arithmetic, engine-identical (the q93/q217 lesson applied
+    to information measures).
+
+    Shape: q116's one user window + (prev,next) agg; totals are a
+    rollup of the transition counts (never a second pass over events);
+    the impurity agg runs on the |event types|² matrix — dimension-
+    sized, trivially small at any corpus scale."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cnt.groupBy("prev_type").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_next_types")
+    )
+    p_q = F.expr(f"({_GINI_Q} * c) div n")
+    return (
+        cnt.join(tot, "prev_type")
+        .groupBy("prev_type")
+        .agg(
+            F.min("n").cast("bigint").alias("n_transitions"),
+            F.min("n_next_types").cast("bigint").alias("n_next_types"),
+            F.expr(
+                f"CAST({_GINI_Q} - SUM((({_GINI_Q} * c) div n)"
+                f" * (({_GINI_Q} * c) div n)) div {_GINI_Q} AS BIGINT)"
+            ).alias("gini_q"),
+        )
+    )

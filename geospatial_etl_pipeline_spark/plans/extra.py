@@ -1509,3 +1509,125 @@ def q215_incremental_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged_scalars["event_type"],
         "n_events", "sum_q", "min_value", "max_value", "n_users",
     )
+
+
+_KNN_EVAL_N = 50   # eval sample: vec_id < 50
+_KNN_K = 5         # votes per query
+_ACC_Q = 1_000_000
+
+
+@register(
+    "q224_knn_label_consistency",
+    tags=("similarity", "llm-data", "quality", "eval"),
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+  FROM {_SQL_EMB} embeddings WHERE vec_id < {_KNN_EVAL_N}
+),
+e AS (SELECT vec_id, label, embedding FROM {_SQL_EMB} embeddings),
+prod AS (
+  SELECT q.query_id, q.qlabel, e.vec_id, e.label AS nlabel,
+         e.embedding[i::INT]::DOUBLE AS x, qv[i::INT]::DOUBLE AS y
+  FROM e, q, unnest(range(1, len(e.embedding) + 1)) t(i)
+  WHERE e.vec_id <> q.query_id
+),
+agg AS (
+  SELECT query_id, qlabel, vec_id, nlabel,
+         CAST({sql_qsum('x * y')} AS DOUBLE) / 1e12 AS dot,
+         CAST({sql_qsum('x * x')} AS DOUBLE) / 1e12 AS na,
+         CAST({sql_qsum('y * y')} AS DOUBLE) / 1e12 AS nq
+  FROM prod GROUP BY query_id, qlabel, vec_id, nlabel
+),
+ranked AS (
+  SELECT query_id, qlabel, nlabel,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY dot / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC) AS rn
+  FROM agg
+),
+votes AS (
+  SELECT query_id, qlabel, nlabel, CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM ranked WHERE rn <= {_KNN_K}
+  GROUP BY query_id, qlabel, nlabel
+),
+pred AS (
+  SELECT query_id, qlabel, nlabel AS predicted,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY n_votes DESC, nlabel ASC NULLS LAST) AS pr
+  FROM votes
+)
+SELECT qlabel AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN predicted IS NOT DISTINCT FROM qlabel
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+       CAST(({_ACC_Q} * SUM(CASE WHEN predicted IS NOT DISTINCT FROM qlabel
+                                 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+         AS consistency_q
+FROM pred WHERE pr = 1
+GROUP BY qlabel
+""",
+)
+def q224_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label-consistency audit (the mislabel detector
+    curation runs before training a classifier head): for an eval
+    sample of vectors, predict each one's label by majority vote of
+    its {_KNN_K} nearest neighbors (leave-self-out, q53's exact
+    quantized-cosine ranking, vote ties broken by smallest label
+    pinned NULLS LAST in both engines — the q21 lesson), then report
+    per-label consistency: how often the neighborhood agrees with the
+    assigned label. Labels whose consistency collapses are candidate
+    labeling errors or genuinely entangled classes.
+
+    Shape: broadcast eval sample × corpus (the q53 brute-force arm —
+    at scale the candidate set comes from the q56 IVF cells instead,
+    same vote/consistency tail), one window top-k per query, a
+    #queries×#labels vote agg, and a label-sized final rollup."""
+    from .similarity import _qdot
+
+    e = temb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < _KNN_EVAL_N).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    agg = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "qlabel", "vec_id", F.col("label").alias("nlabel"),
+            (_qdot(F.col("v"), F.col("qv")).cast("double") / F.lit(1e12)).alias("dot"),
+            (_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(1e12)).alias("na"),
+            (_qdot(F.col("qv"), F.col("qv")).cast("double") / F.lit(1e12)).alias("nq"),
+        )
+    )
+    cos = F.col("dot") / (F.sqrt("na") * F.sqrt("nq"))
+    wk = Window.partitionBy("query_id").orderBy(
+        cos.desc(), F.col("vec_id").asc()
+    )
+    top = (
+        agg.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _KNN_K)
+    )
+    votes = top.groupBy("query_id", "qlabel", "nlabel").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("nlabel").asc_nulls_last()
+    )
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") == 1)
+        .select("query_id", "qlabel", F.col("nlabel").alias("predicted"))
+    )
+    hit = F.when(F.expr("predicted <=> qlabel"), 1).otherwise(0)
+    return pred.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(hit).cast("bigint").alias("n_consistent"),
+        F.expr(
+            f"CAST(({_ACC_Q} * SUM(CASE WHEN predicted <=> qlabel"
+            " THEN 1 ELSE 0 END)) div COUNT(1) AS BIGINT)"
+        ).alias("consistency_q"),
+    )

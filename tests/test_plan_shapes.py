@@ -696,6 +696,8 @@ def test_continuation_queries_exchange_budgets(spark):
         "q220_d8_flow_census": 1,     # one zonal census agg
         "q221_d8_inflow_census": 2,   # edge join + census agg
         "q222_lexical_richness": 2,   # (source,tok) agg + source rollup
+        "q223_transition_gini": 5,    # user window + matrix agg + rollup chains
+        "q224_knn_label_consistency": 2,  # top-k window + vote/label aggs
     }
     from geospatial_etl_pipeline_spark.plans import catalog as cat
 
