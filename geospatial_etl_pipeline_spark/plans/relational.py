@@ -1635,3 +1635,294 @@ def q199_repeat_purchase_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rpt.cast("double") / F.count(F.lit(1))).alias("repeat_rate"),
         F.sum("n_orders").cast("bigint").alias("n_orders_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# q225–q228 — the four hard classic shapes (TPC-H Q19/Q21/Q22/Q20 forms)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q225_ored_predicate_revenue",
+    tags=("relational", "join", "disjunctive-predicate"),
+    oracle=f"""
+SELECT
+  {sql_msum('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1.0 AND 20.0)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 5.0 AND 40.0)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 10.0 AND 60.0)
+""",
+)
+def q225_ored_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a disjunction of conjunctive predicate groups
+    that straddles the join — each branch constrains BOTH sides
+    (part.brand/size and lineitem.quantity), so naive evaluation joins
+    first and filters last. The scale-correct plan: Catalyst extracts
+    the common equi-key (partkey), derives the per-side implied
+    disjunctions (brand IN the 3 brands; quantity in the union range)
+    and pushes them into each scan as `PushedFilters`, then evaluates
+    the residual OR-of-ANDs at probe time. part is dimension-sized →
+    broadcast; the fact side never shuffles."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    qty = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1.0, 20.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(10, 30)
+            & qty.between(5.0, 40.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(20, 50)
+            & qty.between(10.0, 60.0)
+        )
+    )
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    # single global group → salted int64 partials (q01's msum form):
+    # one group's int64 sum would overflow around 9e7 money rows
+    pre = (
+        joined.filter(branch)
+        .groupBy(msalt("l_extendedprice", "l_quantity").alias("_salt"))
+        .agg(
+            F.sum(mq(rev)).alias("_r"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return pre.agg(
+        munscale("_r").alias("revenue"),
+        F.sum("_n").cast("bigint").alias("n_lines"),
+    )
+
+
+_WAIT_DAYS = 730  # "late" = shipped > 2 years after the order date
+
+
+@register(
+    "q226_waiting_suppliers",
+    tags=("relational", "join", "exists", "decorrelation"),
+    oracle=f"""
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s, lineitem l1, orders o
+WHERE s.s_suppkey = l1.l_suppkey
+  AND o.o_orderkey = l1.l_orderkey
+  AND o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL {_WAIT_DAYS} DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate
+                                        + INTERVAL {_WAIT_DAYS} DAY)
+GROUP BY s_name
+""",
+)
+def q226_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the classic double-correlated EXISTS +
+    NOT EXISTS: per supplier, count finished multi-supplier orders
+    where THIS supplier shipped late (> {_WAIT_DAYS} days after the
+    order date) and no OTHER supplier in the order did.
+
+    The correlated form re-probes lineitem twice per row; the
+    scale-correct decorrelation is ONE aggregate over the order key:
+    per (orderkey, suppkey) compute any_late, then per order count
+    suppliers and late suppliers — an order qualifies a supplier iff
+    that supplier is late, n_suppliers >= 2 and n_late == 1. One
+    shuffle on orderkey (which orders⋈lineitem already needs), a
+    supplier-sized final agg, and the 10-row supplier dim broadcast
+    for names. Both EXISTS probes become integer comparisons on the
+    aggregate — no second or third lineitem scan."""
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {_WAIT_DAYS} DAYS"
+    )
+    per_pair = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(late.cast("int")).alias("any_late"),
+            # Q21 counts qualifying l1 ROWS, not orders: a supplier
+            # with three late lines in one order scores three
+            F.sum(late.cast("int")).alias("n_late_lines"),
+        )
+    )
+    worder = Window.partitionBy("l_orderkey")
+    audited = per_pair.select(
+        "l_suppkey",
+        "any_late",
+        "n_late_lines",
+        F.count(F.lit(1)).over(worder).alias("n_supp"),
+        F.sum("any_late").over(worder).alias("n_late"),
+    )
+    waiting = audited.filter(
+        (F.col("any_late") == 1)
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_late") == 1)
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
+    )
+
+
+_DORMANT_CUTOFF = "2000-09-01"
+_DORMANT_NATIONS = (1, 3, 5, 7, 9, 11, 13)
+
+
+@register(
+    "q227_dormant_high_balance",
+    tags=("relational", "subquery", "scalar-subquery", "anti-join"),
+    oracle=f"""
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       {sql_msum('c_acctbal')} AS totacctbal
+FROM customer c
+WHERE c_nationkey IN {_DORMANT_NATIONS}
+  AND c_acctbal > (
+    SELECT {sql_davg('c_acctbal')} FROM customer
+    WHERE c_acctbal > 0.0 AND c_nationkey IN {_DORMANT_NATIONS}
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{_DORMANT_CUTOFF}'
+  )
+GROUP BY c_nationkey
+""",
+)
+def q227_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery as a filter threshold
+    + NOT EXISTS anti-join. Dormant high-balance customers — above the
+    average positive balance of their market (the scalar subquery) and
+    no order since {_DORMANT_CUTOFF} (the anti-join) — rolled up per
+    nation.
+
+    Scale shape: the scalar is a 1-row aggregate (exact decimal sum /
+    count, deterministic in both engines) cross-joined as a broadcast
+    — never a per-row correlated probe. The anti-join's probe side is
+    pre-filtered to post-cutoff orders (pushed to the scan) and keyed
+    on custkey; customers is the smaller side but stays the probe to
+    preserve anti semantics."""
+    nations = list(_DORMANT_NATIONS)
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(nations)
+    )
+    thr = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(davg("c_acctbal").alias("thr"))
+    )
+    recent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(_DORMANT_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    dormant = c.join(
+        recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    )
+    pre = (
+        dormant.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .groupBy("c_nationkey", msalt("c_acctbal", "c_custkey").alias("_salt"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(mq("c_acctbal")).alias("_q"),
+        )
+    )
+    return pre.groupBy("c_nationkey").agg(
+        F.sum("_n").cast("bigint").alias("numcust"),
+        munscale("_q").alias("totacctbal"),
+    )
+
+
+_DOMINANT_SINCE = "2000-01-01"
+
+
+@register(
+    "q228_dominant_suppliers",
+    tags=("relational", "agg", "decorrelation", "fraction-of-total"),
+    oracle=f"""
+WITH sp AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(FLOOR(l_quantity * 1000000.0) AS BIGINT)) AS pair_q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_DOMINANT_SINCE}'
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+  SELECT l_partkey, SUM(pair_q) AS total_q,
+         COUNT(*) AS n_suppliers
+  FROM sp GROUP BY l_partkey
+)
+SELECT s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_dominated_parts,
+       CAST(SUM(pair_q) AS DOUBLE) / 1000000.0 AS dominated_qty
+FROM sp JOIN tot USING (l_partkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE 2 * pair_q > total_q AND n_suppliers >= 2
+GROUP BY s_name
+""",
+)
+def q228_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape, decorrelated: the original's correlated scalar
+    subquery ("this supplier's quantity vs a threshold over ALL
+    shipments of the part") becomes a fraction-of-total — per
+    (part, supplier) quantity vs a window total over the part. A
+    supplier *dominates* a contested part (>= 2 suppliers shipped it
+    since {_DOMINANT_SINCE}) when it shipped more than half the
+    part's total quantity.
+
+    Scale shape: the groupBy exchange on (partkey, suppkey) runs AFTER
+    a map-side partial sum, so shuffle #1 carries pair partials, never
+    raw lineitems (repartitioning raw rows by partkey to share one
+    exchange with the window was evaluated and rejected — it forfeits
+    the partial agg and ships the full fact table); the window's
+    partkey exchange then moves only the already-tiny pair relation.
+    Quantities are exact micro-scaled int64 (mq) so the 2*pair > total
+    comparison is bit-deterministic; the supplier dim broadcasts."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit(_DOMINANT_SINCE).cast("timestamp")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    sp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(mq("l_quantity")).alias("pair_q")
+    )
+    wpart = Window.partitionBy("l_partkey")
+    audited = sp.select(
+        "l_suppkey",
+        "pair_q",
+        F.sum("pair_q").over(wpart).alias("total_q"),
+        F.count(F.lit(1)).over(wpart).alias("n_suppliers"),
+    ).filter(
+        (F.lit(2) * F.col("pair_q") > F.col("total_q"))
+        & (F.col("n_suppliers") >= 2)
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        audited.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dominated_parts"),
+            (F.sum("pair_q").cast("double") / F.lit(1e6)).alias(
+                "dominated_qty"
+            ),
+        )
+    )

@@ -715,3 +715,29 @@ def test_q219_model_side_broadcasts(spark):
 
     p = plan_text(cat.QUERIES["q219_dsir_importance"].fn(spark, SF))
     assert "BroadcastExchange" in p
+
+
+def test_classic_shape_queries_plan_budgets(spark):
+    """q225-q228 (the adapted TPC-H Q19/Q21/Q22/Q20 shapes): exchange
+    budgets, mandatory dimension broadcasts, and the no-Python
+    guarantee. q226/q228 budgets include the fact-side join exchanges;
+    their downstream window/agg stages ride aggregated relations only
+    (the raw fact shuffles exactly once each)."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    budgets = {
+        "q225_ored_predicate_revenue": 1,  # salted global agg only
+        "q226_waiting_suppliers": 3,       # join sides + supplier rollup
+        "q227_dormant_high_balance": 2,    # anti-join probe + nation agg
+        "q228_dominant_suppliers": 3,      # pair agg + part window + name agg
+    }
+    for name, budget in budgets.items():
+        p = plan_text(cat.QUERIES[name].fn(spark, SF))
+        assert n_shuffles(p) <= budget, (name, n_shuffles(p))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert "BroadcastExchange" in p, name
+        assert "PushedFilters: [" in p, name
+    # q225's disjunctive predicate must not suppress scan pushdown of
+    # the common branch structure: part scan carries brand/size residuals
+    p = plan_text(cat.QUERIES["q225_ored_predicate_revenue"].fn(spark, SF))
+    assert "Brand#11" in p
