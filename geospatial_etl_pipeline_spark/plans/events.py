@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.asof import asof_join
-from ._util import DEC, dsum, qsum, sql_dsum, t
+from ._util import DEC, dsum, qsum, sql_dsum, sql_qsum, t
 from .catalog import QUERIES, register
 
 
@@ -3333,5 +3333,227 @@ def q223_transition_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST({_GINI_Q} - SUM((({_GINI_Q} * c) div n)"
                 f" * (({_GINI_Q} * c) div n)) div {_GINI_Q} AS BIGINT)"
             ).alias("gini_q"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q229 — Kaplan-Meier risk table (survival analysis over user lifetimes)
+# --------------------------------------------------------------------------
+
+_KM_HORIZON_DAYS = 7   # "churned" = silent for the last week of the corpus
+_KM_Q = 1_000_000      # hazard quantizer
+
+
+@register(
+    "q229_kaplan_meier_table",
+    tags=("events", "survival", "window", "analytics"),
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, ts FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+mx AS (SELECT MAX(ts) AS max_ts FROM base),
+pu AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+              AS INT) AS duration_days,
+         CASE WHEN MAX(ts) < (SELECT max_ts FROM mx)
+                              - INTERVAL {_KM_HORIZON_DAYS} DAY
+              THEN 1 ELSE 0 END AS death
+  FROM base GROUP BY user_id
+),
+lvl AS (
+  SELECT duration_days,
+         CAST(SUM(death) AS BIGINT) AS n_deaths,
+         CAST(SUM(1 - death) AS BIGINT) AS n_censored
+  FROM pu GROUP BY duration_days
+),
+risk AS (
+  SELECT duration_days, n_deaths, n_censored,
+         SUM(n_deaths + n_censored) OVER (
+           ORDER BY duration_days DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM lvl
+)
+SELECT duration_days, CAST(n_risk AS BIGINT) AS n_risk, n_deaths, n_censored,
+       CAST(({_KM_Q} * n_deaths) // n_risk AS BIGINT) AS hazard_q
+FROM risk
+""",
+)
+def q229_kaplan_meier_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier risk table over user lifetimes — the survival-
+    analysis primitive behind churn/retention curves. A user's
+    lifetime is first-event to last-event (whole days); users whose
+    last event falls within {_KM_HORIZON_DAYS} days of the corpus
+    horizon are right-CENSORED (still alive at observation end),
+    everyone else is a churn event at their lifetime. Per observed
+    lifetime t: deaths d_t, censored c_t, and the at-risk count
+    n_t = Σ_(t'>=t)(d+c) via a descending cumulative window. The
+    per-step hazard is the integer-quantized rational
+    ({_KM_Q}·d_t) div n_t — the survival curve Π(1 - hazard) is a
+    |steps|-row presentation fold, deliberately NOT computed here
+    (cumulative FP products are neither order-stable nor
+    cross-engine exact; the table is the distributed part).
+
+    Shape at scale: one user-key agg (the only data-sized shuffle),
+    a horizon scalar broadcast, then a duration-level relation bounded
+    by the corpus time span in DAYS (thousands of rows at any data
+    scale) — its unpartitioned ordered window is bounded by the
+    calendar, not the data."""
+    base = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select("user_id", "ts")
+    mx = base.agg(F.max("ts").alias("max_ts"))
+    pu = (
+        base.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff(
+                F.col("last_ts").cast("date"), F.col("first_ts").cast("date")
+            ).cast("int").alias("duration_days"),
+            F.when(
+                F.col("last_ts")
+                < F.col("max_ts") - F.expr(f"INTERVAL {_KM_HORIZON_DAYS} DAYS"),
+                1,
+            ).otherwise(0).alias("death"),
+        )
+    )
+    lvl = pu.groupBy("duration_days").agg(
+        F.sum("death").cast("bigint").alias("n_deaths"),
+        F.sum(F.lit(1) - F.col("death")).cast("bigint").alias("n_censored"),
+    )
+    wdesc = (
+        Window.orderBy(F.col("duration_days").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = lvl.withColumn(
+        "n_risk",
+        F.sum(F.col("n_deaths") + F.col("n_censored")).over(wdesc),
+    )
+    return risk.select(
+        "duration_days",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        "n_deaths",
+        "n_censored",
+        F.expr(f"CAST(({_KM_Q} * n_deaths) div n_risk AS BIGINT)").alias(
+            "hazard_q"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q230 — CUSUM changepoint detection on daily event-value series
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q230_cusum_changepoint",
+    tags=("events", "timeseries", "changepoint", "window"),
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, ts, value FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         {sql_qsum('value', 6)} AS dq,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(dq) AS total_q, SUM(n) AS total_n
+  FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, d.day,
+         d.dq * t.total_n - t.total_q * d.n AS dev
+  FROM daily d JOIN tot t ON d.event_type IS NOT DISTINCT FROM t.event_type
+),
+cus AS (
+  SELECT event_type, day,
+         SUM(dev) OVER (PARTITION BY event_type ORDER BY day ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cusum,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_days
+  FROM dev
+),
+ranked AS (
+  SELECT event_type, day, cusum, n_days,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(cusum) DESC, day ASC) AS rn
+  FROM cus
+)
+SELECT event_type, day AS change_day, CAST(cusum AS BIGINT) AS cusum_at_change,
+       CAST(n_days AS BIGINT) AS n_days
+FROM ranked WHERE rn = 1
+""",
+)
+def q230_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: where did the daily
+    value level shift? The cumulative sum of deviations from the
+    type's overall mean peaks (in absolute value) at the most likely
+    changepoint — the classic Page/pettitt-style screen that q123's
+    per-hour z-scores can't see (a persistent small shift never trips
+    a pointwise threshold; it accumulates here).
+
+    Engine-exactness: the deviation is the cross-multiplied integer
+    form dq·N − total·n (daily quantized value sum dq, day count n,
+    per-type totals) — no division anywhere, and Σdev telescopes to
+    exactly 0, so the CUSUM is a true discrete bridge. All arithmetic
+    is int64 under ANSI mode (loud overflow, never silent wrap);
+    the 100 TB swap is DECIMAL(38,0) for the two products.
+
+    Shape at scale: one (type, day) partial agg — calendar-bounded
+    output — then a type-level broadcastable totals join, a window
+    along each type's day series, and a 1-row-per-type argmax. The
+    data-sized scan aggregates map-side; everything after is
+    calendar-sized."""
+    base = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select("event_type", "ts", "value")
+    daily = base.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        qsum(F.col("value"), 6).alias("dq"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("dq").alias("total_q"), F.sum("n").alias("total_n")
+    )
+    dev = daily.join(
+        tot.withColumnRenamed("event_type", "et"),
+        F.col("event_type").eqNullSafe(F.col("et")),
+    ).select(
+        "event_type",
+        "day",
+        (
+            F.col("dq") * F.col("total_n") - F.col("total_q") * F.col("n")
+        ).alias("dev"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtype = Window.partitionBy("event_type")
+    cus = dev.select(
+        "event_type",
+        "day",
+        F.sum("dev").over(wcum).alias("cusum"),
+        F.count(F.lit(1)).over(wtype).alias("n_days"),
+    )
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day").asc()
+    )
+    return (
+        cus.withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("cusum").cast("bigint").alias("cusum_at_change"),
+            F.col("n_days").cast("bigint").alias("n_days"),
         )
     )

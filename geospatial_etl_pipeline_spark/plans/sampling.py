@@ -944,3 +944,114 @@ def q172_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("rep_mean", 0.5).alias("boot_p50"),
         F.percentile("rep_mean", 0.975).alias("boot_p975"),
     )
+
+
+# --------------------------------------------------------------------------
+# q231 — weighted systematic sampling (size-proportional, deterministic)
+# --------------------------------------------------------------------------
+
+_WSYS_M = 97  # sample target (prime → strides never resonate with weights)
+
+
+@register(
+    "q231_weighted_systematic_sample",
+    tags=("llm-data", "sampling", "weighted", "window"),
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source,
+         GREATEST(COALESCE(n_chars, 0), 0) AS wgt,
+         md5('wsys:' || COALESCE(CAST(doc_id AS VARCHAR), '<null>')) AS hkey
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, wgt, hkey,
+         SUM(wgt) OVER (ORDER BY hkey ASC, doc_id ASC NULLS FIRST
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS w_cum,
+         SUM(wgt) OVER () AS w_tot
+  FROM w
+)
+SELECT doc_id, source, CAST(wgt AS BIGINT) AS weight,
+       CAST((w_cum * {_WSYS_M}) // w_tot AS BIGINT) AS bucket
+FROM c
+WHERE w_tot > 0
+  AND (w_cum * {_WSYS_M}) // w_tot > ((w_cum - wgt) * {_WSYS_M}) // w_tot
+""",
+)
+def q231_weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-proportional systematic sampling — the deterministic
+    replacement for weighted reservoir sampling in corpus-assembly
+    pipelines: lay every document on a line in hash order, each
+    occupying an interval equal to its weight (chars), and pick the
+    document under each of {_WSYS_M} equally-spaced pins. Selection
+    probability ∝ weight, no rand(), stable under reshuffles; a doc is
+    selected iff the pin index floor(W_i·m/W_tot) advances across its
+    interval. All arithmetic is non-negative int64 (identical floor
+    division in both engines); the md5 ordering is the same
+    content-addressed determinism as q39.
+
+    Scale shape (the part worth reading): the global ordered cumsum is
+    NOT a single-partition window at scale — the Spark plan computes
+    per-bucket local cumsums (window partitioned by the 2-hex-char
+    prefix of the ordering key, 256 buckets) plus exclusive bucket
+    offsets from a 256-row rollup broadcast back. Because the bucket
+    is a PREFIX of the ordering key, offset + local_cum equals the
+    global cumsum exactly — two bucket-keyed exchanges and one 256-row
+    broadcast instead of one all-data sort into a single partition."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        "source",
+        F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(0)).alias(
+            "wgt"
+        ),
+        F.md5(
+            F.concat(
+                F.lit("wsys:"),
+                F.coalesce(F.col("doc_id").cast("string"), F.lit("<null>")),
+            )
+        ).alias("hkey"),
+    ).withColumn("b", F.substring("hkey", 1, 2))
+    # local cumulative weight within each 256-way prefix bucket
+    wloc = (
+        Window.partitionBy("b")
+        .orderBy(F.col("hkey").asc(), F.col("doc_id").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = w.withColumn("local_cum", F.sum("wgt").over(wloc))
+    # exclusive prefix offsets over the 256-row bucket rollup
+    btot = w.groupBy("b").agg(F.sum("wgt").alias("b_wgt"))
+    woff = (
+        Window.orderBy(F.col("b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = btot.select(
+        "b",
+        F.coalesce(F.sum("b_wgt").over(woff), F.lit(0)).alias("b_off"),
+        F.sum("b_wgt").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("w_tot"),
+    )
+    c = local.join(F.broadcast(offsets), "b").select(
+        "doc_id",
+        "source",
+        "wgt",
+        (F.col("b_off") + F.col("local_cum")).alias("w_cum"),
+        "w_tot",
+    )
+    return c.filter(
+        (F.col("w_tot") > 0)
+        & (
+            F.expr(f"(w_cum * {_WSYS_M}) div w_tot")
+            > F.expr(f"((w_cum - wgt) * {_WSYS_M}) div w_tot")
+        )
+    ).select(
+        "doc_id",
+        "source",
+        F.col("wgt").cast("bigint").alias("weight"),
+        F.expr(f"CAST((w_cum * {_WSYS_M}) div w_tot AS BIGINT)").alias(
+            "bucket"
+        ),
+    )

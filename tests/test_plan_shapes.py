@@ -741,3 +741,27 @@ def test_classic_shape_queries_plan_budgets(spark):
     # the common branch structure: part scan carries brand/size residuals
     p = plan_text(cat.QUERIES["q225_ored_predicate_revenue"].fn(spark, SF))
     assert "Brand#11" in p
+
+
+def test_survival_cusum_sample_plan_budgets(spark):
+    """q229-q231: exchange budgets + no-Python. The SinglePartition
+    exchanges inside q229 (duration-level window) and q231 (256-row
+    bucket-offset window) operate on calendar-/bucket-bounded
+    relations by construction — the data-sized relations only ever
+    cross the hash exchanges counted here. q231's global cumsum must
+    NOT be a single-partition window over the corpus: its local
+    cumsums partition by the 2-hex prefix bucket."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    budgets = {
+        "q229_kaplan_meier_table": 2,   # user agg + duration agg
+        "q230_cusum_changepoint": 4,    # daily agg + totals + windows
+        "q231_weighted_systematic_sample": 2,  # bucket window + rollup
+    }
+    for name, budget in budgets.items():
+        p = plan_text(cat.QUERIES[name].fn(spark, SF))
+        assert n_shuffles(p) <= budget, (name, n_shuffles(p))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+    # q231's corpus-sized window is bucket-partitioned, not global
+    p = plan_text(cat.QUERIES["q231_weighted_systematic_sample"].fn(spark, SF))
+    assert p.count("Arguments: SinglePartition") <= 1
