@@ -112,3 +112,43 @@ def dedup_clusters(
             F.col("cluster_size").cast("bigint"),
         )
     )
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """All reachability pairs (org, cur): cur strictly downstream of
+    org along directed ``edges``. Pointer doubling — each round
+    composes the current reach-set with itself (R ∪ R∘R), so a
+    diameter-L graph converges in ceil(log2(L)) rounds, not L: the
+    D8 drainage grid (longest path ≤ 101 strictly-decreasing values)
+    closes in 7 rounds where hop-at-a-time propagation needs 100.
+
+    Cycles saturate rather than spin (every node on a cycle becomes
+    reachable from itself, a finite fixpoint); the round cap guards
+    pathological diameters only. The reach relation itself bounds
+    memory — for functional graphs (out-degree ≤ 1, e.g. D8 flow) it
+    is exactly Σ path lengths. Each round localCheckpoints: the
+    join's lineage would otherwise double every iteration too.
+    """
+    r = edges.select(
+        F.col(src).alias("org"), F.col(dst).alias("cur")
+    ).distinct().localCheckpoint(eager=True)
+    n = r.count()
+    for _ in range(max_rounds):
+        hop = (
+            r.alias("a")
+            .join(r.alias("b"), F.col("a.cur") == F.col("b.org"))
+            .select(F.col("a.org").alias("org"), F.col("b.cur").alias("cur"))
+        )
+        new_r = r.unionByName(hop).distinct().localCheckpoint(eager=True)
+        new_n = new_r.count()
+        if new_n == n:
+            return new_r
+        r, n = new_r, new_n
+    raise RuntimeError(
+        f"transitive_closure did not converge in {max_rounds} rounds"
+    )

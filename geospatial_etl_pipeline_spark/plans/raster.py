@@ -669,3 +669,148 @@ def q221_d8_inflow_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(cell_id).alias("min_cell_id"),
         F.max(cell_id).alias("max_cell_id"),
     )
+
+
+# ---- q232: D8 flow accumulation (iterative closure over the drainage) ----
+
+_CHANNEL_MIN_UP = 32  # cells with >= this many upstream cells are "channels"
+
+_SQL_D8_DST = "CASE " + " ".join(
+    f"WHEN d_{n.lower()} = maxdrop THEN (j + ({dj}))*{_W} + (i + ({di}))"
+    for n, di, dj in _D8_DIRS
+) + " END"
+
+
+@register(
+    "q232_d8_flow_accumulation",
+    tags=("raster", "hydrology", "graph", "iterative"),
+    oracle=f"""
+WITH RECURSIVE grid AS (
+  SELECT CAST(id % {_W} AS INT) AS i, CAST(id // {_W} AS INT) AS j
+  FROM range({_W * _H}) t(id)
+  WHERE id % {_W} > 0 AND id % {_W} < {_W - 1}
+    AND id // {_W} > 0 AND id // {_W} < {_H - 1}
+),
+drops AS (
+  SELECT i, j,
+         {_SQL_D8_DROPS}
+  FROM grid
+),
+d8 AS (
+  SELECT i, j, {_SQL_D8_MAX} AS maxdrop,
+         d_e, d_ne, d_n, d_nw, d_w, d_sw, d_s, d_se
+  FROM drops
+),
+edges AS (
+  SELECT j*{_W} + i AS src, {_SQL_D8_DST} AS dst
+  FROM d8 WHERE maxdrop > 0
+),
+reach AS (
+  SELECT src AS org, dst AS cur FROM edges
+  UNION
+  SELECT r.org, e.dst FROM reach r JOIN edges e ON e.src = r.cur
+),
+accum AS (
+  SELECT cur AS cell, CAST(COUNT(*) AS BIGINT) AS n_up
+  FROM reach GROUP BY cur
+)
+SELECT r.region_code,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(COALESCE(a.n_up, 0)) AS BIGINT) AS sum_upstream,
+       CAST(MAX(COALESCE(a.n_up, 0)) AS BIGINT) AS max_upstream,
+       CAST(SUM(CASE WHEN COALESCE(a.n_up, 0) >= {_CHANNEL_MIN_UP}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_channel_cells
+FROM grid g
+LEFT JOIN accum a ON a.cell = g.j*{_W} + g.i
+JOIN (VALUES {_SQL_REGIONS}) AS r(region_code, xmin, ymin, xmax, ymax)
+  ON g.i >= r.xmin AND g.i < r.xmax AND g.j >= r.ymin AND g.j < r.ymax
+GROUP BY r.region_code
+""",
+)
+def q232_d8_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow ACCUMULATION — the second hydrology stage on top of
+    q220's flow directions: each cell's upstream-cell count (how much
+    of the terrain drains through it), the quantity that extracts
+    channel networks and sizes watersheds. Upstream counts are the
+    transitive closure of the drainage graph; because D8 follows
+    strictly decreasing cell values the graph is acyclic with
+    functional out-degree, and the closure converges by POINTER
+    DOUBLING in ceil(log2(max path)) ≈ 7 rounds
+    (operators/graph.transitive_closure), not one round per hop —
+    the same log-round discipline q49's min-label propagation uses.
+
+    The DuckDB oracle walks the identical edges with a recursive CTE,
+    so every (region, count, max, channel-census) value is
+    hash-checked — iteration vs recursion, same answer.
+
+    Shape at scale: the grid is algebraic (generated, never shuffled
+    to build edges — all 8 neighbor drops are in-row expressions);
+    each doubling round is one equi-join + distinct on the reach
+    relation (Σ path lengths pairs, localCheckpointed); the census is
+    a broadcast containment join + 4-region agg. On file-backed DEM
+    tiles the construction is identical after a 1-cell-halo edge
+    build (operators/raster tiling)."""
+    from ..operators.graph import transitive_closure
+
+    g = _grid(spark).select("i", "j")
+    interior = (
+        (F.col("i") > 0) & (F.col("i") < _W - 1)
+        & (F.col("j") > 0) & (F.col("j") < _H - 1)
+    )
+
+    def val(di: int, dj: int):
+        return ((F.col("i") + di) * 31 + (F.col("j") + dj) * 17) % 101
+
+    d8 = g.filter(interior).select(
+        "i",
+        "j",
+        *[
+            (val(0, 0) - val(di, dj)).alias(f"d_{n.lower()}")
+            for n, di, dj in _D8_DIRS
+        ],
+    ).withColumn(
+        "maxdrop",
+        F.greatest(*[F.col(f"d_{n.lower()}") for n, _, _ in _D8_DIRS]),
+    )
+    # chained whens evaluate in order → first-max compass priority,
+    # the same tie-break the oracle's CASE encodes
+    dst_expr = None
+    for n, di, dj in _D8_DIRS:
+        cond = F.col(f"d_{n.lower()}") == F.col("maxdrop")
+        branch = ((F.col("j") + dj) * _W + (F.col("i") + di)).cast("bigint")
+        dst_expr = (
+            F.when(cond, branch) if dst_expr is None
+            else dst_expr.when(cond, branch)
+        )
+    edges = d8.filter(F.col("maxdrop") > 0).select(
+        (F.col("j") * _W + F.col("i")).cast("bigint").alias("src"),
+        dst_expr.alias("dst"),
+    )
+    accum = transitive_closure(edges).groupBy(
+        F.col("cur").alias("cell")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_up"))
+    cells = g.filter(interior).select(
+        "i", "j", (F.col("j") * _W + F.col("i")).cast("bigint").alias("cell")
+    )
+    joined = cells.join(accum, "cell", "left").select(
+        "i", "j", F.coalesce(F.col("n_up"), F.lit(0)).alias("n_up")
+    )
+    r = literal_df(
+        spark, _REGIONS, ["region_code", "xmin", "ymin", "xmax", "ymax"]
+    )
+    cond = (
+        (joined.i >= F.col("xmin")) & (joined.i < F.col("xmax"))
+        & (joined.j >= F.col("ymin")) & (joined.j < F.col("ymax"))
+    )
+    return (
+        joined.join(F.broadcast(r), cond)
+        .groupBy("region_code")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("n_up").cast("bigint").alias("sum_upstream"),
+            F.max("n_up").cast("bigint").alias("max_upstream"),
+            F.sum(
+                F.when(F.col("n_up") >= _CHANNEL_MIN_UP, 1).otherwise(0)
+            ).cast("bigint").alias("n_channel_cells"),
+        )
+    )

@@ -558,3 +558,33 @@ def test_phash_rejects_unguaranteed_threshold(spark):
     df = spark.createDataFrame([(1, "image", 0)], "media_id long, kind string, ahash long")
     with _pytest.raises(ValueError):
         phash_near_dup_pairs(df, max_hamming=4, bands=4)
+
+
+def test_transitive_closure_chain_tree_and_cycle(spark):
+    from geospatial_etl_pipeline_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    # chain 1→2→3→4: closure is all 6 ordered ancestor pairs, found in
+    # log rounds (max_rounds=3 suffices for diameter 3 via doubling)
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    got = {
+        (r.org, r.cur)
+        for r in transitive_closure(chain, max_rounds=3).collect()
+    }
+    assert got == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+
+    # tree/confluence 1→3, 2→3, 3→4: both sources reach the sink
+    tree = spark.createDataFrame([(1, 3), (2, 3), (3, 4)], ["src", "dst"])
+    got = {
+        (r.org, r.cur) for r in transitive_closure(tree).collect()
+    }
+    assert got == {(1, 3), (2, 3), (3, 4), (1, 4), (2, 4)}
+
+    # a cycle saturates to the finite fixpoint (self-pairs included),
+    # it must not spin to the round cap
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    got = {(r.org, r.cur) for r in transitive_closure(cyc).collect()}
+    assert got == {(1, 2), (2, 1), (1, 1), (2, 2)}
