@@ -3557,3 +3557,204 @@ def q230_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_days").cast("bigint").alias("n_days"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q233 — Theil-Sen robust trend per event type
+# --------------------------------------------------------------------------
+
+_TS_EPOCH = "2024-01-01"
+_TS_Q = 1_000_000
+
+
+@register(
+    "q233_theil_sen_trend",
+    tags=("events", "timeseries", "robust-stats", "window"),
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, ts, value FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '{_TS_EPOCH}', CAST(ts AS DATE)) AS d,
+         {sql_qsum('value', 2)} AS x
+  FROM base GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(b.x - a.x AS DOUBLE) / (b.d - a.d) AS slope,
+         a.d AS d1, b.d AS d2
+  FROM daily a JOIN daily b
+    ON a.event_type IS NOT DISTINCT FROM b.event_type AND a.d < b.d
+),
+ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope ASC, d1 ASC, d2 ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM pairs
+)
+SELECT event_type,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(FLOOR(slope * {_TS_Q}) AS BIGINT) AS median_slope_q
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+""",
+)
+def q233_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the (lower) MEDIAN of all
+    pairwise slopes of the daily-value series — the estimator that
+    shrugs off the outlier days that wreck q205's OLS fit (breakdown
+    point 29% vs 0%).
+
+    Engine-exactness: each slope is ONE IEEE division of exact
+    integers ((x2-x1) quantized daily sums over (d2-d1) epoch days) —
+    correctly rounded, so bit-identical in both engines; the median is
+    selected by ORDER (never averaged), with (d1, d2) as the
+    deterministic tie-break, and only quantized at the very end.
+
+    Scale shape: the pairwise self-join is CALENDAR-bounded, not
+    data-bounded — a 30-day series yields 435 pairs per type, a
+    10-year one ~6.7M total, constant in corpus size; the data-sized
+    scan collapses to (type, day) partials map-side first."""
+    base = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select("event_type", "ts", "value")
+    daily = base.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit(_TS_EPOCH).cast("date")
+        ).alias("d"),
+    ).agg(qsum(F.col("value"), 2).alias("x"))
+    a = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("d").alias("d1"),
+        F.col("x").alias("x1"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"),
+        F.col("x").alias("x2"),
+    )
+    pairs = a.join(
+        b, F.col("et").eqNullSafe(F.col("et2")) & (F.col("d1") < F.col("d2"))
+    ).select(
+        F.col("et").alias("event_type"),
+        (
+            (F.col("x2") - F.col("x1")).cast("double")
+            / (F.col("d2") - F.col("d1"))
+        ).alias("slope"),
+        "d1",
+        "d2",
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("slope").asc(), F.col("d1").asc(), F.col("d2").asc()
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n_pairs"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) div 2")
+    ).select(
+        "event_type",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.floor(F.col("slope") * _TS_Q).cast("bigint").alias(
+            "median_slope_q"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q234 — Mann-Whitney rank-sum (histogram-ranked, scale form)
+# --------------------------------------------------------------------------
+
+_MW_A, _MW_B = "click", "purchase"
+
+
+@register(
+    "q234_mann_whitney_u",
+    tags=("events", "stats", "hypothesis-test", "window"),
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND event_type IN ('{_MW_A}', '{_MW_B}')
+),
+hist AS (
+  SELECT value,
+         CAST(SUM(CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN event_type = '{_MW_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b
+  FROM base GROUP BY value
+),
+cum AS (
+  SELECT value, n_a, n_b,
+         COALESCE(SUM(n_a + n_b) OVER (
+           ORDER BY value ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM hist
+)
+SELECT CAST(SUM(n_a) AS BIGINT) AS n1,
+       CAST(SUM(n_b) AS BIGINT) AS n2,
+       -- doubled midrank sum of group A keeps tied ranks integral:
+       -- midrank*2 = 2*below + (n_a + n_b) + 1 per distinct value
+       CAST(SUM(n_a * (2*below + n_a + n_b + 1)) AS BIGINT) AS r1_2x,
+       CAST(SUM(n_a * (2*below + n_a + n_b + 1))
+            - SUM(n_a) * (SUM(n_a) + 1) AS BIGINT) AS u1_2x,
+       CAST(SUM(CASE WHEN n_a + n_b > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tied_values
+FROM cum
+""",
+)
+def q234_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum statistic comparing the '{_MW_A}' and
+    '{_MW_B}' value distributions — the nonparametric A/B test that
+    q140's conversion counts can't express (it compares whole
+    distributions, not one rate). Everything stays integral: tied
+    ranks use DOUBLED midranks (2·midrank = 2·below + tie_size + 1),
+    so U·2 is exact int64 and no 0.5 ever touches a float.
+
+    Scale shape (the part that matters): ranks are NOT computed by a
+    global row sort — the plan aggregates to a VALUE HISTOGRAM first
+    (one map-side-combinable shuffle, output bounded by distinct
+    values), then one ordered window over the histogram yields every
+    midrank. The classic rank()-over-all-rows form is a single-
+    partition sort of the corpus; this is the same statistic at
+    histogram cost."""
+    base = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin(_MW_A, _MW_B)
+    ).select("event_type", "value")
+    hist = base.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == _MW_A, 1).otherwise(0))
+        .cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("event_type") == _MW_B, 1).otherwise(0))
+        .cast("bigint").alias("n_b"),
+    )
+    wbelow = Window.orderBy(F.col("value").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "n_a",
+        "n_b",
+        F.coalesce(
+            F.sum(F.col("n_a") + F.col("n_b")).over(wbelow), F.lit(0)
+        ).alias("below"),
+    )
+    r1_2x = F.sum(
+        F.col("n_a") * (2 * F.col("below") + F.col("n_a") + F.col("n_b") + 1)
+    )
+    n1 = F.sum("n_a")
+    return cum.agg(
+        n1.cast("bigint").alias("n1"),
+        F.sum("n_b").cast("bigint").alias("n2"),
+        r1_2x.cast("bigint").alias("r1_2x"),
+        (r1_2x - n1 * (n1 + 1)).cast("bigint").alias("u1_2x"),
+        F.sum(
+            F.when(F.col("n_a") + F.col("n_b") > 1, 1).otherwise(0)
+        ).cast("bigint").alias("n_tied_values"),
+    )

@@ -1926,3 +1926,88 @@ def q228_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q235 — exact weighted median (histogram + cumulative-weight window)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q235_weighted_median_price",
+    tags=("relational", "agg", "robust-stats", "window"),
+    oracle="""
+WITH li AS (
+  SELECT p_brand,
+         CAST(FLOOR((l_extendedprice / l_quantity) * 100.0) AS BIGINT)
+           AS price_q,
+         CAST(FLOOR(l_quantity) AS BIGINT) AS w
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_quantity > 0.0
+),
+hist AS (
+  SELECT p_brand, price_q, SUM(w) AS wv
+  FROM li GROUP BY p_brand, price_q
+),
+cum AS (
+  SELECT p_brand, price_q, wv,
+         SUM(wv) OVER (PARTITION BY p_brand ORDER BY price_q ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         SUM(wv) OVER (PARTITION BY p_brand) AS total_w
+  FROM hist
+)
+SELECT p_brand,
+       CAST(total_w AS BIGINT) AS total_weight,
+       CAST(MIN(price_q) AS BIGINT) AS median_price_q
+FROM cum
+WHERE 2 * cw >= total_w
+GROUP BY p_brand, total_w
+""",
+)
+def q235_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median unit price per brand — the
+    robust price point (half the shipped units cost less): the
+    weighted generalization q28's exact percentiles don't cover.
+    Lower weighted median: smallest price with cumulative weight
+    ≥ half the total — found as MIN over the qualifying frontier, so
+    no row_number pass. Unit price is one IEEE division (correctly
+    rounded, bit-identical both engines) quantized to cents at the
+    row; weights and cumulative sums are pure int64.
+
+    Scale shape: histogram-first (one (brand, cent-price) partial agg
+    bounds the relation by the PRICE GRID, not the row count), then a
+    brand-partitioned cumulative window and a frontier-min agg. The
+    classic percentile_cont-style global sort never appears."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0.0)
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rows = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).select(
+        "p_brand",
+        F.floor(
+            (F.col("l_extendedprice") / F.col("l_quantity")) * 100.0
+        ).cast("bigint").alias("price_q"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("w"),
+    )
+    hist = rows.groupBy("p_brand", "price_q").agg(F.sum("w").alias("wv"))
+    wcum = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("price_q").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = Window.partitionBy("p_brand")
+    cum = hist.select(
+        "p_brand",
+        "price_q",
+        F.sum("wv").over(wcum).alias("cw"),
+        F.sum("wv").over(wb).alias("total_w"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("total_w"))
+        .groupBy("p_brand", "total_w")
+        .agg(F.min("price_q").cast("bigint").alias("median_price_q"))
+        .select(
+            "p_brand",
+            F.col("total_w").cast("bigint").alias("total_weight"),
+            "median_price_q",
+        )
+    )

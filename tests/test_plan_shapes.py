@@ -765,3 +765,23 @@ def test_survival_cusum_sample_plan_budgets(spark):
     # q231's corpus-sized window is bucket-partitioned, not global
     p = plan_text(cat.QUERIES["q231_weighted_systematic_sample"].fn(spark, SF))
     assert p.count("Arguments: SinglePartition") <= 1
+
+
+def test_robust_stats_plan_budgets(spark):
+    """q233-q235: the robust-stats family must aggregate BEFORE it
+    windows/joins — the pairwise Theil-Sen join runs on the calendar-
+    bounded daily relation, the Mann-Whitney ranks come from a value
+    histogram (its SinglePartition window is histogram-sized, and the
+    corpus-sized rank()-over-rows sort must not appear), the weighted
+    median cumsum runs per brand on the cent-price grid."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    budgets = {
+        "q233_theil_sen_trend": 3,       # daily agg + pair join + window
+        "q234_mann_whitney_u": 1,        # value histogram only
+        "q235_weighted_median_price": 2, # hist agg + brand window
+    }
+    for name, budget in budgets.items():
+        p = plan_text(cat.QUERIES[name].fn(spark, SF))
+        assert n_shuffles(p) <= budget, (name, n_shuffles(p))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
