@@ -1730,3 +1730,84 @@ def q216_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_new_at_hop2"),
     )
+
+
+# --------------------------------------------------------------------------
+# q238 — duplicate-cluster source purity (provenance-leakage audit)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q238_dup_cluster_source_purity",
+    tags=("dedup", "llm-data", "graph", "provenance"),
+    oracle=f"""
+WITH RECURSIVE {_SQL_LSH_CTES},
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM lsh_pairs
+  UNION
+  SELECT id_b, id_a FROM lsh_pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+),
+comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+),
+by_src AS (
+  SELECT c.cluster_id, d.source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+  GROUP BY c.cluster_id, d.source
+)
+SELECT cluster_id,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(source) AS BIGINT) AS n_sources,
+       CAST(MAX(n) AS BIGINT) AS majority_n,
+       CAST(COUNT(source) > 1 AS BOOLEAN) AS is_cross_source
+FROM by_src
+GROUP BY cluster_id
+""",
+)
+def q238_dup_cluster_source_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance audit of the q49 duplicate clusters: does near-
+    duplication stay WITHIN a source, or do clusters span sources?
+    Cross-source duplicate clusters are the leakage signature every
+    corpus audit wants surfaced — the same document arriving through
+    two crawls (dedup saves double the bytes) or a benchmark bleeding
+    into a crawl (q79's decontamination case caught upstream). Per
+    multi-doc cluster: size, distinct sources, the majority source's
+    count, and the cross-source flag.
+
+    Same LSH pairs → min-label components engine path as q49 (one
+    Pregel loop, localCheckpointed) with the recursive-CTE oracle
+    extended by a (cluster, source) rollup; singleton docs never join
+    a pair, so only REAL clusters reach the output (the relation is
+    near-dup-pair-sized, tiny relative to the corpus at any scale).
+
+    NULL-source rows group as their own provenance in both engines
+    (GROUP BY keeps NULL); n_sources = COUNT(source) skips NULLs in
+    both, so an all-NULL-source cluster reports 0 known sources and
+    never flags cross-source."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs,
+        num_hashes=_NUM_HASHES,
+        shingle_k=_SHINGLE_K,
+        bands=_BANDS,
+        jaccard_threshold=_JACCARD,
+    )
+    from ..operators.graph import dedup_clusters
+
+    clusters = dedup_clusters(pairs, docs).filter(F.col("cluster_size") >= 2)
+    by_src = (
+        clusters.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("cluster_id", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return by_src.groupBy("cluster_id").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count("source").cast("bigint").alias("n_sources"),
+        F.max("n").cast("bigint").alias("majority_n"),
+        (F.count("source") > 1).alias("is_cross_source"),
+    )

@@ -1927,3 +1927,234 @@ def q202_embedding_validation_audit(
         .cast("bigint")
         .alias("n_distinct_dims"),
     )
+
+
+# --------------------------------------------------------------------------
+# q236 — simplified silhouette over the k-means iteration-1 clustering
+# --------------------------------------------------------------------------
+
+_SIL_Q = 1_000_000
+
+
+@register(
+    "q236_simplified_silhouette",
+    tags=("similarity", "llm-data", "kmeans", "cluster-quality"),
+    oracle=f"""
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY md5('kmeans:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cl
+  FROM {_SQL_EMB} embeddings
+),
+cents AS (SELECT cl, embedding AS cv FROM ranked WHERE cl < {_KM_K}),
+d AS (
+  SELECT e.vec_id, c.cl,
+         list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+           i -> (e.embedding[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE)
+                * (e.embedding[i::INT]::DOUBLE - c.cv[i::INT]::DOUBLE)),
+           'sum') AS d2
+  FROM {_SQL_EMB} e, cents c
+),
+rk AS (
+  SELECT vec_id, cl, d2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, cl ASC) AS rn
+  FROM d
+),
+ab AS (
+  SELECT vec_id,
+         MIN(CASE WHEN rn = 1 THEN cl END) AS cluster,
+         MIN(CASE WHEN rn = 1 THEN d2 END) AS a,
+         MIN(CASE WHEN rn = 2 THEN d2 END) AS b
+  FROM rk WHERE rn <= 2 GROUP BY vec_id
+)
+SELECT cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(FLOOR(
+         (CASE WHEN GREATEST(a, b) = 0.0 THEN 0.0
+               ELSE (b - a) / GREATEST(a, b) END) * {_SIL_Q}
+       ) AS BIGINT)) AS BIGINT) AS sum_sil_q,
+       SUM(CAST(FLOOR(a * {_SIL_Q}) AS BIGINT)) AS sum_a_q,
+       SUM(CAST(FLOOR(b * {_SIL_Q}) AS BIGINT)) AS sum_b_q
+FROM ab GROUP BY cluster
+""",
+)
+def q236_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster — the
+    cluster-quality audit for the q118/q121 clustering stack: per
+    vector, a = squared distance to its OWN centroid, b = squared
+    distance to the NEAREST OTHER centroid, s = (b-a)/max(a,b) in
+    [-1, 1]; clusters whose mean s collapses toward 0 are candidates
+    for splitting (SemDeDup's k dial made measurable). Computed on
+    squared distances (monotone in the classic form, no sqrt in the
+    hot path).
+
+    Engine-exactness: distances are the q118 left-fold doubles against
+    the SAME md5-ranked centroids; a, b, and s are then single IEEE
+    ops on identical inputs, quantized at the row.
+
+    Shape at scale: NO |corpus|×k fan-out and NO per-vector window —
+    one in-row fold carries (best, best-cluster, second-best) across
+    the k broadcast centroids, so the corpus is scanned once and the
+    only exchange is the k-row final agg."""
+    from ..operators.clustering import init_centroids
+
+    e = temb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = init_centroids(temb(spark, sf_dir), _KM_K)
+    v = F.col("v")
+
+    def dist2(c):
+        return F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    k = len(cents)
+    acc0 = F.struct(
+        F.lit(float("inf")).alias("d1"),
+        F.lit(-1).alias("cl1"),
+        F.lit(float("inf")).alias("d2nd"),
+    )
+    pairs = F.zip_with(
+        F.lit(cents),
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+    )
+    best2 = F.aggregate(
+        pairs,
+        acc0,
+        lambda acc, ci: F.when(
+            dist2(ci["c"]) < acc["d1"],
+            F.struct(
+                dist2(ci["c"]).alias("d1"),
+                ci["i"].alias("cl1"),
+                acc["d1"].alias("d2nd"),
+            ),
+        )
+        .when(
+            dist2(ci["c"]) < acc["d2nd"],
+            F.struct(
+                acc["d1"].alias("d1"),
+                acc["cl1"].alias("cl1"),
+                dist2(ci["c"]).alias("d2nd"),
+            ),
+        )
+        .otherwise(acc),
+    )
+    ab = e.select(
+        best2["cl1"].alias("cluster"),
+        best2["d1"].alias("a"),
+        best2["d2nd"].alias("b"),
+    )
+    mx = F.greatest(F.col("a"), F.col("b"))
+    s = F.when(mx == 0.0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / mx
+    )
+    return ab.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.floor(s * _SIL_Q).cast("bigint")).cast("bigint").alias(
+            "sum_sil_q"
+        ),
+        F.sum(F.floor(F.col("a") * _SIL_Q).cast("bigint")).alias("sum_a_q"),
+        F.sum(F.floor(F.col("b") * _SIL_Q).cast("bigint")).alias("sum_b_q"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q237 — hard-negative mining for contrastive training
+# --------------------------------------------------------------------------
+
+_HN_NQ = 20  # anchor set: vec_id < 20
+_HN_K = 3    # hard negatives per anchor
+
+
+@register(
+    "q237_hard_negative_mining",
+    tags=("similarity", "llm-data", "topk", "contrastive"),
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+  FROM {_SQL_EMB} embeddings WHERE vec_id < {_HN_NQ}
+),
+e AS (SELECT vec_id, label, embedding FROM {_SQL_EMB} embeddings),
+prod AS (
+  SELECT q.query_id, q.qlabel, e.vec_id, e.label AS nlabel,
+         e.embedding[i::INT]::DOUBLE AS x, qv[i::INT]::DOUBLE AS y
+  FROM e, q, unnest(range(1, len(e.embedding) + 1)) t(i)
+  WHERE e.label IS DISTINCT FROM q.qlabel
+),
+agg AS (
+  SELECT query_id, qlabel, vec_id, nlabel,
+         CAST({sql_qsum('x * y')} AS DOUBLE) / {_S!r} AS dot,
+         CAST({sql_qsum('x * x')} AS DOUBLE) / {_S!r} AS na,
+         CAST({sql_qsum('y * y')} AS DOUBLE) / {_S!r} AS nq
+  FROM prod GROUP BY query_id, qlabel, vec_id, nlabel
+)
+SELECT query_id, qlabel, vec_id AS neg_id, nlabel AS neg_label,
+       CAST(rn AS BIGINT) AS rn,
+       CAST(FLOOR((dot / (sqrt(na) * sqrt(nq))) * 1000000.0) AS BIGINT)
+         AS cos_q
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id
+    ORDER BY dot / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC) AS rn
+  FROM agg
+)
+WHERE rn <= {_HN_K}
+""",
+)
+def q237_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training curation step:
+    for each anchor vector, the {_HN_K} most-similar vectors carrying
+    a DIFFERENT label (IS DISTINCT FROM, so unlabeled rows count as
+    different — pinned in both engines). High-cosine wrong-label
+    neighbors are exactly the negatives that make an embedding model
+    learn boundaries instead of memorizing easy contrasts.
+
+    Cosines ride the quantized-dot chain (exact int sums, then only
+    correctly-rounded IEEE ops: /, sqrt, *), so the emitted cos_q is
+    bit-identical cross-engine, not just rank-stable.
+
+    Shape: anchors broadcast across the corpus scan (the q53/q224
+    brute-force arm — at scale the candidate set comes from the q56
+    IVF cells, identical tail), one top-k window on the anchor key,
+    output |anchors|×{_HN_K} rows."""
+    e = temb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < _HN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .filter(~F.col("label").eqNullSafe(F.col("qlabel")))
+        .select(
+            "query_id", "qlabel", "vec_id",
+            F.col("label").alias("neg_label"),
+            (_qdot(F.col("v"), F.col("qv")).cast("double") / F.lit(_S)).alias("dot"),
+            (_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(_S)).alias("na"),
+            (_qdot(F.col("qv"), F.col("qv")).cast("double") / F.lit(_S)).alias("nq"),
+        )
+    )
+    cos = F.col("dot") / (F.sqrt("na") * F.sqrt("nq"))
+    w = Window.partitionBy("query_id").orderBy(
+        cos.desc(), F.col("vec_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HN_K)
+        .select(
+            "query_id",
+            "qlabel",
+            F.col("vec_id").alias("neg_id"),
+            "neg_label",
+            F.col("rn").cast("bigint").alias("rn"),
+            F.floor(cos * F.lit(1_000_000.0)).cast("bigint").alias("cos_q"),
+        )
+    )

@@ -785,3 +785,21 @@ def test_robust_stats_plan_budgets(spark):
         p = plan_text(cat.QUERIES[name].fn(spark, SF))
         assert n_shuffles(p) <= budget, (name, n_shuffles(p))
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_cluster_quality_plan_shapes(spark):
+    """q236 must evaluate silhouette with the in-row top-2 fold: no
+    |corpus|x k explode, no per-vector window — the only exchange is
+    the k-row cluster agg. q237's anchors broadcast. Both Python-free."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q236_simplified_silhouette"].fn(spark, SF))
+    assert n_shuffles(p) <= 1, n_shuffles(p)
+    assert "Generate" not in p           # no explode of the centroid array
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    p = plan_text(cat.QUERIES["q237_hard_negative_mining"].fn(spark, SF))
+    assert "BroadcastExchange" in p
+    assert n_shuffles(p) <= 1, n_shuffles(p)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
