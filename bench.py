@@ -114,6 +114,13 @@ EXTRA = [
     "q222_lexical_richness",
     "q223_transition_gini",
     "q224_knn_label_consistency",
+    # second-continuation additions (one per new family)
+    "q226_waiting_suppliers",     # decorrelated double-EXISTS shape
+    "q229_kaplan_meier_table",    # survival windows
+    "q231_weighted_systematic_sample",  # decomposed global cumsum
+    "q232_d8_flow_accumulation",  # pointer-doubling closure (iterative)
+    "q234_mann_whitney_u",        # histogram-ranked statistic
+    "q237_hard_negative_mining",  # broadcast anchors x corpus scan
 ]
 
 _SENTINEL_N = 200_000_000

@@ -1811,3 +1811,101 @@ def q238_dup_cluster_source_purity(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("n").cast("bigint").alias("majority_n"),
         (F.count("source") > 1).alias("is_cross_source"),
     )
+
+
+# --------------------------------------------------------------------------
+# q239 — k-core peel census over the near-duplicate graph
+# --------------------------------------------------------------------------
+
+_CORE_K = 3
+_CORE_ROUNDS = 4
+
+
+def _sql_core_round(i: int) -> str:
+    prev = f"s{i - 1}"
+    return f"""d{i} AS (
+  SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM {prev} GROUP BY a
+),
+n{i} AS (SELECT a FROM d{i} WHERE deg >= {_CORE_K}),
+s{i} AS (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN n{i} x ON e.a = x.a
+  JOIN n{i} y ON e.b = y.a
+)"""
+
+
+@register(
+    "q239_core_peel_census",
+    tags=("dedup", "llm-data", "graph", "iterative"),
+    oracle=f"""
+WITH {_SQL_LSH_CTES},
+s0 AS (
+  SELECT id_a AS a, id_b AS b FROM lsh_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM lsh_pairs
+),
+{",".join(_sql_core_round(i) for i in range(1, _CORE_ROUNDS + 1))}
+SELECT * FROM (
+  {" UNION ALL ".join(
+      f"SELECT {i} AS round,"
+      f" (SELECT CAST(COUNT(*) AS BIGINT) FROM n{i}) AS n_nodes,"
+      f" (SELECT CAST(COUNT(*)//2 AS BIGINT) FROM s{i}) AS n_edges"
+      for i in range(1, _CORE_ROUNDS + 1)
+  )}
+)
+""",
+)
+def q239_core_peel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_CORE_K}-core peel over the LSH near-duplicate graph: rounds of
+    'drop every doc with fewer than {_CORE_K} surviving near-dup
+    neighbors' expose the DENSE duplication communities (template
+    farms, mirrored boilerplate) that pairwise counts and q49's
+    components both smear — a component can be a long thin chain; a
+    core cannot. {_CORE_ROUNDS} fixed peels, each census'd
+    (nodes, undirected edges), so convergence is visible in the
+    output (stable rows ⇒ the true {_CORE_K}-core was reached); the
+    oracle unrolls the same peels as plain CTE rounds — fixpoint
+    iteration hash-checked round by round.
+
+    Shape at scale: the symmetrized pair relation localCheckpoints
+    once above the whole LSH DAG (q49's lesson); each peel is one
+    degree agg + two semi joins on the PAIR-sized relation, so the
+    loop never touches corpus-sized data."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs,
+        num_hashes=_NUM_HASHES,
+        shingle_k=_SHINGLE_K,
+        bands=_BANDS,
+        jaccard_threshold=_JACCARD,
+    )
+    s = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+    ).localCheckpoint(eager=True)
+    from functools import reduce
+
+    stats = []
+    for i in range(1, _CORE_ROUNDS + 1):
+        deg = s.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        n = deg.filter(F.col("deg") >= _CORE_K).select("a")
+        s = (
+            s.join(n, "a", "left_semi")
+            .join(n.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        # census rows stay DISTRIBUTED aggregates (1-row each), never a
+        # driver-side .count() re-materialized as literals
+        stats.append(
+            n.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .crossJoin(
+                s.agg(
+                    F.expr("CAST(COUNT(1) div 2 AS BIGINT)").alias("n_edges")
+                )
+            )
+            .select(
+                F.lit(i).cast("int").alias("round"), "n_nodes", "n_edges"
+            )
+        )
+    return reduce(lambda x, y: x.unionByName(y), stats)

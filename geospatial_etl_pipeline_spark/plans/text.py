@@ -2199,3 +2199,109 @@ def q222_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div GREATEST(COUNT(1), 1) AS BIGINT)"
         ).alias("hapax_share_q"),
     )
+
+
+# --------------------------------------------------------------------------
+# q240 — quality-score language-bias AUC (rank-sum audit of the filter)
+# --------------------------------------------------------------------------
+
+_AUC_Q = 1_000_000
+
+
+@register(
+    "q240_quality_lang_bias_auc",
+    tags=("text", "llm-data", "quality", "fairness", "eval"),
+    oracle=f"""
+WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+         {_SQL_QUALITY} AS quality
+  FROM documents
+),
+hist AS (
+  -- unscoreable docs (NULL text => NULL quality) are excluded from the
+  -- audit in BOTH engines: a NULL rank would otherwise ride each
+  -- engine's opposite NULL ordering (hostile-fixture lesson)
+  SELECT quality,
+         CAST(SUM(is_en) AS BIGINT) AS n_en,
+         CAST(SUM(1 - is_en) AS BIGINT) AS n_other
+  FROM scored WHERE quality IS NOT NULL GROUP BY quality
+),
+cum AS (
+  SELECT quality, n_en, n_other,
+         COALESCE(SUM(n_en + n_other) OVER (
+           ORDER BY quality ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM hist
+)
+SELECT CAST(SUM(n_en) AS BIGINT) AS n_en,
+       CAST(SUM(n_other) AS BIGINT) AS n_other,
+       CAST(SUM(n_en * (2*below + n_en + n_other + 1))
+            - SUM(n_en) * (SUM(n_en) + 1) AS BIGINT) AS u_en_2x,
+       CAST(CASE WHEN SUM(n_en) = 0 OR SUM(n_other) = 0 THEN 0
+            ELSE FLOOR(
+              (CAST(SUM(n_en * (2*below + n_en + n_other + 1))
+                    - SUM(n_en) * (SUM(n_en) + 1) AS DOUBLE)
+               / CAST(2 * SUM(n_en) * SUM(n_other) AS DOUBLE)) * {_AUC_Q})
+            END AS BIGINT) AS auc_q
+FROM cum
+""",
+)
+def q240_quality_lang_bias_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bias audit of the q31 quality filter: the AUC of the quality
+    score as a classifier of lang='en' vs everything else — rank-sum
+    (Mann-Whitney) form, so it is exactly P(random en doc outscores a
+    random non-en doc, ties half-credited). AUC far from 0.5 means the
+    'quality' heuristic is substantially a LANGUAGE detector, and
+    filtering on it reshapes the language mix — the audit every
+    multilingual corpus pipeline should run before thresholding.
+
+    Same engine-exact machinery as q234: value-histogram ranks,
+    doubled midranks keep ties integral, one final division
+    (correctly-rounded IEEE on identical integers) quantized to
+    auc_q. Shape: one (quality-value) histogram agg +
+    histogram-sized window; the corpus never sorts."""
+    tok = F.col("_tok")
+    scored = _staged(spark, sf_dir, "text", "lang").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+        _quality_t(tok).alias("quality"),
+    )
+    hist = (
+        scored.filter(F.col("quality").isNotNull())
+        .groupBy("quality")
+        .agg(
+            F.sum("is_en").cast("bigint").alias("n_en"),
+            F.sum(F.lit(1) - F.col("is_en")).cast("bigint").alias("n_other"),
+        )
+    )
+    wbelow = Window.orderBy(F.col("quality").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "n_en",
+        "n_other",
+        F.coalesce(
+            F.sum(F.col("n_en") + F.col("n_other")).over(wbelow), F.lit(0)
+        ).alias("below"),
+    )
+    r2x = F.sum(
+        F.col("n_en") * (2 * F.col("below") + F.col("n_en") + F.col("n_other") + 1)
+    )
+    n_en = F.sum("n_en")
+    n_other = F.sum("n_other")
+    u2x = r2x - n_en * (n_en + 1)
+    return cum.agg(
+        n_en.cast("bigint").alias("n_en"),
+        n_other.cast("bigint").alias("n_other"),
+        u2x.cast("bigint").alias("u_en_2x"),
+        F.when((n_en == 0) | (n_other == 0), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.floor(
+                (
+                    u2x.cast("double")
+                    / (2 * n_en * n_other).cast("double")
+                )
+                * _AUC_Q
+            ).cast("bigint")
+        )
+        .alias("auc_q"),
+    )

@@ -803,3 +803,52 @@ def test_cluster_quality_plan_shapes(spark):
     assert "BroadcastExchange" in p
     assert n_shuffles(p) <= 1, n_shuffles(p)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_dynamic_partition_pruning_through_own_sink(spark, tmp_path):
+    """The 100 TB read-path contract for hive-partitioned output: a
+    fact table written by write_partitioned_parquet, joined to a
+    FILTERED dimension on the partition column, must prune fact
+    partitions AT RUNTIME via dynamic partition pruning — the scan's
+    PartitionFilters must carry a dynamicpruning expression, not read
+    all partitions and filter post-join. This is what makes a
+    dim-filtered query over a 100 TB day-partitioned lake read only
+    the qualifying days."""
+    from pyspark.sql import functions as F
+
+    from geospatial_etl_pipeline_spark.operators.sinks import (
+        write_partitioned_parquet,
+    )
+
+    fact = spark.range(20_000).select(
+        (F.col("id") % 20).alias("day"), F.col("id").alias("v")
+    )
+    write_partitioned_parquet(fact, str(tmp_path / "fact"), ["day"])
+    dim = spark.range(20).select(
+        F.col("id").alias("day"), (F.col("id") % 5).alias("grp")
+    )
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    dm = dim.filter(F.col("grp") == 2)
+    j = f.join(dm, "day").groupBy("grp").agg(F.sum("v").alias("s"))
+    p = plan_text(j)
+    assert "dynamicpruning" in p.lower(), p[:2000]
+    # and the result is right: days {2,7,12,17}, sum of v over those days
+    rows = j.collect()
+    assert len(rows) == 1
+    expect = sum(v for v in range(20_000) if v % 20 in (2, 7, 12, 17))
+    assert rows[0]["s"] == expect
+
+
+def test_core_peel_and_auc_plan_shapes(spark):
+    """q239's peel loop must run on the localCheckpointed pair relation
+    (plan contains no document scan inside the rounds — the checkpoint
+    cut it); q240's AUC is histogram-shaped: one hash agg + a
+    histogram-sized window, Python-free."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q239_core_peel_census"].fn(spark, SF))
+    assert "ExistingRDD" in p or "LocalTableScan" in p or "Scan" in p
+    assert "parquet" not in p.lower()  # rounds never rescan documents
+    p = plan_text(cat.QUERIES["q240_quality_lang_bias_auc"].fn(spark, SF))
+    assert n_shuffles(p) <= 1, n_shuffles(p)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -38,6 +38,7 @@ HEAVY_ORACLES = {
     "q49_dedup_clusters",
     "q150_dedup_savings_report",  # rides the same recursive-CTE closure
     "q238_dup_cluster_source_purity",  # same recursive-CTE closure
+    "q239_core_peel_census",  # unrolled peel rounds over the LSH CTEs
     "q55_embedding_near_dup",
     "q84_lsh_ann_oracle",
     "q111_dup_graph_degrees",
