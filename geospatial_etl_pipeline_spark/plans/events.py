@@ -3758,3 +3758,68 @@ def q234_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_a") + F.col("n_b") > 1, 1).otherwise(0)
         ).cast("bigint").alias("n_tied_values"),
     )
+
+
+# --------------------------------------------------------------------------
+# q241 — seasonal-naive forecast backtest (per-type MAE)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q241_seasonal_naive_backtest",
+    tags=("events", "timeseries", "forecast", "eval", "window"),
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, day, n,
+         LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day ASC) AS pred
+  FROM daily
+)
+SELECT event_type,
+       CAST(COUNT(pred) AS BIGINT) AS n_scored_days,
+       CAST(SUM(ABS(n - pred)) AS BIGINT) AS abs_err_total,
+       CAST(SUM(n) FILTER (WHERE pred IS NOT NULL) AS BIGINT)
+         AS actual_total,
+       CAST(MAX(ABS(n - pred)) AS BIGINT) AS worst_abs_err
+FROM lagged
+GROUP BY event_type
+""",
+)
+def q241_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the SEASONAL-NAIVE forecaster (predict today's
+    event count with the same weekday last week) — the baseline every
+    anomaly threshold and capacity forecast must beat before anything
+    fancier ships. Per type: scored days, total/worst absolute error,
+    and the actual volume over the scored window (MAE and WAPE are
+    one division for the reader; the table stays integer-exact).
+
+    Day-7 lag rides LAG(7) over the observed day series — a MISSING
+    day yields no prediction for the day 7 rows later (strict
+    same-weekday semantics would need q100's spine; the observed-row
+    form is the pinned contract here, identical in both engines).
+
+    Shape: one calendar-bounded (type, day) partial agg, one lag
+    window along each type's series, one type-level rollup."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+    lagged = daily.withColumn("pred", F.lag("n", 7).over(w))
+    err = F.abs(F.col("n") - F.col("pred"))
+    return lagged.groupBy("event_type").agg(
+        F.count("pred").cast("bigint").alias("n_scored_days"),
+        F.sum(err).cast("bigint").alias("abs_err_total"),
+        F.sum(F.when(F.col("pred").isNotNull(), F.col("n")))
+        .cast("bigint").alias("actual_total"),
+        F.max(err).cast("bigint").alias("worst_abs_err"),
+    )

@@ -2011,3 +2011,97 @@ def q235_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_price_q",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q242 — cross-period revenue rank movers
+# --------------------------------------------------------------------------
+
+_RANK_SPLIT = "1998-01-01"  # period A < split <= period B
+
+
+@register(
+    "q242_revenue_rank_movers",
+    tags=("relational", "window", "rank", "drift"),
+    oracle=f"""
+WITH rev AS (
+  SELECT l_partkey,
+         CASE WHEN l_shipdate < TIMESTAMP '{_RANK_SPLIT}' THEN 0 ELSE 1 END
+           AS period,
+         SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1000000.0)
+                  AS BIGINT)) AS rev_q
+  FROM lineitem
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT l_partkey, period, rev_q,
+         RANK() OVER (PARTITION BY period
+                      ORDER BY rev_q DESC, l_partkey ASC) AS rnk
+  FROM rev
+)
+SELECT a.l_partkey,
+       CAST(a.rnk AS BIGINT) AS rank_before,
+       CAST(b.rnk AS BIGINT) AS rank_after,
+       CAST(a.rnk - b.rnk AS BIGINT) AS rank_gain,
+       CAST(a.rev_q AS DOUBLE) / 1000000.0 AS rev_before,
+       CAST(b.rev_q AS DOUBLE) / 1000000.0 AS rev_after
+FROM ranked a JOIN ranked b
+  ON a.l_partkey = b.l_partkey AND a.period = 0 AND b.period = 1
+WHERE ABS(a.rnk - b.rnk) >= 20
+""",
+)
+def q242_revenue_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-period league-table movers: parts whose revenue RANK
+    jumped or collapsed by ≥ 20 places between the pre- and
+    post-{_RANK_SPLIT} periods — the drift view a merchandiser (or a
+    corpus curator watching source share) reads, where q131's
+    distribution drift reports a scalar. Ranks, not revenues, are
+    compared, so a market-wide level shift cancels out.
+
+    Shape: ONE (part, period) partial agg over the fact scan — the
+    only exchange that carries data-sized input; everything after
+    (period window, period-split self-join, final filter) moves the
+    part-dimension-sized aggregate only. Revenue quantized int64 at
+    the row; rank ties pinned by part key."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(
+        "l_partkey",
+        F.when(
+            F.col("l_shipdate") < F.lit(_RANK_SPLIT).cast("timestamp"), 0
+        ).otherwise(1).alias("period"),
+    ).agg(
+        F.sum(
+            mq(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        ).alias("rev_q")
+    )
+    w = Window.partitionBy("period").orderBy(
+        F.col("rev_q").desc(), F.col("l_partkey").asc()
+    )
+    ranked = rev.withColumn("rnk", F.rank().over(w))
+    a = ranked.filter(F.col("period") == 0).select(
+        "l_partkey",
+        F.col("rnk").alias("rank_before"),
+        F.col("rev_q").alias("rev_q_before"),
+    )
+    b = ranked.filter(F.col("period") == 1).select(
+        F.col("l_partkey").alias("pk2"),
+        F.col("rnk").alias("rank_after"),
+        F.col("rev_q").alias("rev_q_after"),
+    )
+    return (
+        a.join(b, F.col("l_partkey") == F.col("pk2"))
+        .filter(F.abs(F.col("rank_before") - F.col("rank_after")) >= 20)
+        .select(
+            "l_partkey",
+            F.col("rank_before").cast("bigint").alias("rank_before"),
+            F.col("rank_after").cast("bigint").alias("rank_after"),
+            (F.col("rank_before") - F.col("rank_after"))
+            .cast("bigint").alias("rank_gain"),
+            (F.col("rev_q_before").cast("double") / F.lit(1e6)).alias(
+                "rev_before"
+            ),
+            (F.col("rev_q_after").cast("double") / F.lit(1e6)).alias(
+                "rev_after"
+            ),
+        )
+    )

@@ -852,3 +852,19 @@ def test_core_peel_and_auc_plan_shapes(spark):
     p = plan_text(cat.QUERIES["q240_quality_lang_bias_auc"].fn(spark, SF))
     assert n_shuffles(p) <= 1, n_shuffles(p)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_backtest_and_movers_plan_budgets(spark):
+    """q241/q242: the fact scan aggregates map-side before any window;
+    every post-agg exchange moves calendar-/dimension-sized relations.
+    Python-free."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    budgets = {
+        "q241_seasonal_naive_backtest": 2,  # daily agg + type rollup
+        "q242_revenue_rank_movers": 4,      # pair agg + windows + join
+    }
+    for name, budget in budgets.items():
+        p = plan_text(cat.QUERIES[name].fn(spark, SF))
+        assert n_shuffles(p) <= budget, (name, n_shuffles(p))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
