@@ -1704,7 +1704,9 @@ def q225_ored_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pre.agg(
         munscale("_r").alias("revenue"),
-        F.sum("_n").cast("bigint").alias("n_lines"),
+        # COUNT(*) over an empty set is 0; SUM over empty partials is
+        # NULL — coalesce so the engines agree when nothing matches
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n_lines"),
     )
 
 
@@ -1715,16 +1717,21 @@ _WAIT_DAYS = 730  # "late" = shipped > 2 years after the order date
     "q226_waiting_suppliers",
     tags=("relational", "join", "exists", "decorrelation"),
     oracle=f"""
+WITH li AS (
+  -- NULL-suppkey lines are unattributable and the correlated <> probes
+  -- are NULL-rejecting anyway: exclude them identically in both engines
+  SELECT * FROM lineitem WHERE l_suppkey IS NOT NULL
+)
 SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
-FROM supplier s, lineitem l1, orders o
+FROM supplier s, li l1, orders o
 WHERE s.s_suppkey = l1.l_suppkey
   AND o.o_orderkey = l1.l_orderkey
   AND o.o_orderstatus = 'F'
   AND l1.l_shipdate > o.o_orderdate + INTERVAL {_WAIT_DAYS} DAY
-  AND EXISTS (SELECT 1 FROM lineitem l2
+  AND EXISTS (SELECT 1 FROM li l2
               WHERE l2.l_orderkey = l1.l_orderkey
                 AND l2.l_suppkey <> l1.l_suppkey)
-  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+  AND NOT EXISTS (SELECT 1 FROM li l3
                   WHERE l3.l_orderkey = l1.l_orderkey
                     AND l3.l_suppkey <> l1.l_suppkey
                     AND l3.l_shipdate > o.o_orderdate
@@ -1750,9 +1757,9 @@ def q226_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
-    li = t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey").isNotNull()
+    ).select("l_orderkey", "l_suppkey", "l_shipdate")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         f"INTERVAL {_WAIT_DAYS} DAYS"
     )
@@ -1866,6 +1873,7 @@ WITH sp AS (
          SUM(CAST(FLOOR(l_quantity * 1000000.0) AS BIGINT)) AS pair_q
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '{_DOMINANT_SINCE}'
+    AND l_partkey IS NOT NULL
   GROUP BY l_partkey, l_suppkey
 ),
 tot AS (
@@ -1900,7 +1908,10 @@ def q228_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quantities are exact micro-scaled int64 (mq) so the 2*pair > total
     comparison is bit-deterministic; the supplier dim broadcasts."""
     li = t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") >= F.lit(_DOMINANT_SINCE).cast("timestamp")
+        (F.col("l_shipdate") >= F.lit(_DOMINANT_SINCE).cast("timestamp"))
+        # NULL partkeys would survive the window partition here but die
+        # in the oracle's USING join — excluded identically instead
+        & F.col("l_partkey").isNotNull()
     ).select("l_partkey", "l_suppkey", "l_quantity")
     sp = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(mq("l_quantity")).alias("pair_q")
@@ -1943,7 +1954,7 @@ WITH li AS (
            AS price_q,
          CAST(FLOOR(l_quantity) AS BIGINT) AS w
   FROM lineitem JOIN part ON p_partkey = l_partkey
-  WHERE l_quantity > 0.0
+  WHERE l_quantity > 0.0 AND l_extendedprice IS NOT NULL
 ),
 hist AS (
   SELECT p_brand, price_q, SUM(w) AS wv
@@ -1979,7 +1990,12 @@ def q235_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds the relation by the PRICE GRID, not the row count), then a
     brand-partitioned cumulative window and a frontier-min agg. The
     classic percentile_cont-style global sort never appears."""
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0.0)
+    li = t(spark, sf_dir, "lineitem").filter(
+        # price-less rows would put a NULL cent-price bucket at opposite
+        # ends of the two engines' cumulative windows (the q182/q240
+        # NULL-ordering lesson) — excluded identically instead
+        (F.col("l_quantity") > 0.0) & F.col("l_extendedprice").isNotNull()
+    )
     p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     rows = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).select(
         "p_brand",

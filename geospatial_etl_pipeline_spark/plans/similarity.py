@@ -2123,13 +2123,19 @@ def q237_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force arm — at scale the candidate set comes from the q56
     IVF cells, identical tail), one top-k window on the anchor key,
     output |anchors|×{_HN_K} rows."""
+    # self-norms fold ONCE per corpus row / per anchor, never per pair
+    # (the vnorm discipline from q50/q55): only the cross dot runs
+    # inside the |corpus|x|anchors| expression
     e = temb(spark, sf_dir).select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("na", _qdot(F.col("v"), F.col("v")).cast("double") / F.lit(_S))
     q = e.filter(F.col("vec_id") < _HN_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("v").alias("qv"),
+        F.col("na").alias("nq"),
     )
     pairs = (
         e.crossJoin(F.broadcast(q))
@@ -2138,8 +2144,8 @@ def q237_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "qlabel", "vec_id",
             F.col("label").alias("neg_label"),
             (_qdot(F.col("v"), F.col("qv")).cast("double") / F.lit(_S)).alias("dot"),
-            (_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(_S)).alias("na"),
-            (_qdot(F.col("qv"), F.col("qv")).cast("double") / F.lit(_S)).alias("nq"),
+            "na",
+            "nq",
         )
     )
     cos = F.col("dot") / (F.sqrt("na") * F.sqrt("nq"))

@@ -53,6 +53,10 @@ HOSTILE_PINNED = [
     "q178_bow_duplicate_groups",  # NULL doc joined the '' duplicate group
     "q182_token_cdf",             # NULLS-FIRST vs NULLS-LAST CDF shift
     "q200_corpus_scorecard",
+    "q240_quality_lang_bias_auc",  # NULL quality rode opposite NULL
+                                   # orderings through the rank window
+                                   # (round-6 continuation; unscoreable
+                                   # docs now excluded in both engines)
 ]
 
 
@@ -390,3 +394,56 @@ def test_hostile_sweep_selection_is_word_bounded():
     ]
     assert not set(substring_only) & set(part_sel)
     assert substring_only, "fixture premise: such queries exist"
+
+
+@pytest.fixture(scope="module")
+def null_key_lineitem_dir(tmp_path_factory):
+    """lineitem augmented with the NULL-key rows the round-6 review
+    identified as parity hazards: a NULL-suppkey line inside a REAL
+    multi-supplier 'F' order (the generic hostile fixture's lone NULL
+    line sits in a nonexistent order, so q226's probes never see it),
+    a NULL-partkey post-cutoff shipment (q228's USING join vs window
+    partition), and a NULL-price positive-quantity line (q235's NULL
+    cent bucket would ride opposite NULL orderings)."""
+    d = tmp_path_factory.mktemp("null_lineitem")
+    from geospatial_etl_pipeline_spark.sources.tables import TABLES
+
+    for t_ in TABLES:
+        if t_ != "lineitem":
+            os.symlink(f"{_SRC}/{t_}.parquet", str(d / f"{t_}.parquet"))
+    con = duckdb.connect()
+    ok = con.execute(f"""
+      SELECT o.o_orderkey FROM '{_SRC}/orders.parquet' o
+      JOIN '{_SRC}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY 1 HAVING COUNT(DISTINCT l.l_suppkey) >= 2 LIMIT 1
+    """).fetchone()[0]
+    con.execute(f"""
+      COPY (
+        SELECT * FROM '{_SRC}/lineitem.parquet'
+        UNION ALL SELECT {ok}, 1, NULL, 99, 5.0, 100.0, 0.0, 0.0,
+                         'N', 'O', TIMESTAMP '2001-06-01'
+        UNION ALL SELECT {ok}, 1, NULL, 98, 5.0, 100.0, 0.0, 0.0,
+                         'N', 'O', TIMESTAMP '1995-02-01'
+        UNION ALL SELECT 990100, NULL, 3, 1, 7.0, 150.0, 0.0, 0.0,
+                         'N', 'O', TIMESTAMP '2000-06-01'
+        UNION ALL SELECT 990101, 5, 4, 1, 9.0, NULL, 0.0, 0.0,
+                         'N', 'O', TIMESTAMP '2000-06-01'
+      ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q225_ored_predicate_revenue",
+        "q226_waiting_suppliers",
+        "q228_dominant_suppliers",
+        "q235_weighted_median_price",
+    ],
+)
+def test_null_key_lineitem_parity(spark, null_key_lineitem_dir, name):
+    spec = catalog.QUERIES[name]
+    res = compare(name, spark, null_key_lineitem_dir, spec.fn, spec.oracle)
+    assert res.ok, res.issues[:3]
