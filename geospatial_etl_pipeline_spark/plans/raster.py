@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ._util import literal_df
 from .catalog import register
@@ -813,4 +814,73 @@ def q232_d8_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("n_up") >= _CHANNEL_MIN_UP, 1).otherwise(0)
             ).cast("bigint").alias("n_channel_cells"),
         )
+    )
+
+
+# ---- q244: per-region value-decile census (quantile remap) ---------------
+
+
+@register(
+    "q244_raster_decile_census",
+    tags=("raster", "window", "quantile", "agg"),
+    oracle=f"""
+WITH grid AS (
+  SELECT CAST(id % {_W} AS INT) AS i, CAST(id // {_W} AS INT) AS j,
+         CAST(((id % {_W}) * 31 + (id // {_W}) * 17) % 101 AS INT) AS val
+  FROM range({_W * _H}) t(id)
+),
+zoned AS (
+  SELECT r.region_code, g.i, g.j, g.val
+  FROM grid g
+  JOIN (VALUES {_SQL_REGIONS}) AS r(region_code, xmin, ymin, xmax, ymax)
+    ON g.i >= r.xmin AND g.i < r.xmax AND g.j >= r.ymin AND g.j < r.ymax
+),
+dec AS (
+  SELECT region_code, val,
+         NTILE(10) OVER (PARTITION BY region_code
+                         ORDER BY val ASC, i ASC, j ASC) AS decile
+  FROM zoned
+)
+SELECT region_code, CAST(decile AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(MIN(val) AS INT) AS min_val,
+       CAST(MAX(val) AS INT) AS max_val
+FROM dec
+GROUP BY region_code, decile
+""",
+)
+def q244_raster_decile_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region value-DECILE census — the quantile remap behind
+    histogram equalization and percentile-stretched rendering of a
+    DEM: each cell gets its within-region decile (NTILE over the
+    pinned total order value,i,j — identical bucket-boundary algebra
+    in both engines), then a (region, decile) census with the value
+    range each decile spans. Uneven decile value-ranges = skewed
+    terrain distribution, the input a contrast-stretch or a
+    classification break-picker consumes.
+
+    Shape: algebraic grid scan → broadcast containment join → one
+    window per region partition (region-bounded, thousands of cells
+    at any corpus scale since the grid is fixed per tile) → ~40-key
+    agg. On file-backed rasters the same window runs per (tile,
+    region) with identical semantics."""
+    g = _grid(spark)
+    r = literal_df(
+        spark, _REGIONS, ["region_code", "xmin", "ymin", "xmax", "ymax"]
+    )
+    cond = (
+        (g.i >= F.col("xmin")) & (g.i < F.col("xmax"))
+        & (g.j >= F.col("ymin")) & (g.j < F.col("ymax"))
+    )
+    zoned = g.join(F.broadcast(r), cond).select("region_code", "i", "j", "val")
+    w = Window.partitionBy("region_code").orderBy(
+        F.col("val").asc(), F.col("i").asc(), F.col("j").asc()
+    )
+    dec = zoned.withColumn("decile", F.ntile(10).over(w))
+    return dec.groupBy(
+        "region_code", F.col("decile").cast("int").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.min("val").cast("int").alias("min_val"),
+        F.max("val").cast("int").alias("max_val"),
     )

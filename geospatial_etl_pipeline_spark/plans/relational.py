@@ -2121,3 +2121,89 @@ def q242_revenue_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q243 — order backlog time series (two-cumulative-series diff)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q243_order_backlog_series",
+    tags=("relational", "timeseries", "window", "ops"),
+    oracle="""
+WITH opened AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_opened
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+),
+closed AS (
+  SELECT CAST(date_trunc('day', last_ship) AS TIMESTAMP) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_closed
+  FROM (SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+        FROM lineitem GROUP BY l_orderkey)
+  WHERE last_ship IS NOT NULL GROUP BY 1
+),
+merged AS (
+  SELECT COALESCE(o.day, c.day) AS day,
+         COALESCE(o.n_opened, 0) AS n_opened,
+         COALESCE(c.n_closed, 0) AS n_closed
+  FROM opened o FULL OUTER JOIN closed c ON o.day = c.day
+)
+SELECT day, n_opened, n_closed,
+       CAST(SUM(n_opened - n_closed) OVER (
+         ORDER BY day ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS backlog
+FROM merged
+""",
+)
+def q243_order_backlog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order BACKLOG time series — the event-sourcing census every
+    fulfillment/ops dashboard leads with: orders opened per day minus
+    orders fully shipped per day (an order closes when its LAST
+    lineitem ships), accumulated into the standing backlog. Orders
+    with no shippable lineitems stay in the backlog permanently —
+    that terminal plateau IS the data-quality signal (q13's anti-join
+    population, seen as a time series).
+
+    Shape: one order-key rollup of lineitem (the only data-sized
+    exchange), two calendar-bounded daily censuses FULL-OUTER merged
+    on the day spine, one ordered cumulative window over the merged
+    calendar. All counts int64."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    opened = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_opened"))
+    last = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .filter(F.col("last_ship").isNotNull())
+    )
+    closed = last.groupBy(
+        F.date_trunc("day", F.col("last_ship")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_closed"))
+    merged = (
+        opened.withColumnRenamed("day", "o_day")
+        .join(
+            closed.withColumnRenamed("day", "c_day"),
+            F.col("o_day") == F.col("c_day"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("o_day"), F.col("c_day")).alias("day"),
+            F.coalesce(F.col("n_opened"), F.lit(0)).alias("n_opened"),
+            F.coalesce(F.col("n_closed"), F.lit(0)).alias("n_closed"),
+        )
+    )
+    wcum = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return merged.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed"))
+        .over(wcum).cast("bigint").alias("backlog"),
+    )

@@ -2164,3 +2164,67 @@ def q237_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(cos * F.lit(1_000_000.0)).cast("bigint").alias("cos_q"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q245 — IVF cell rebalance plan (split/merge proposals from occupancy)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q245_ivf_rebalance_plan",
+    tags=("similarity", "llm-data", "ann", "ivf", "ops"),
+    oracle=f"""
+{_SQL_IVF_CELL_CTES},
+occ AS (
+  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM cells GROUP BY cent_id
+),
+tot AS (
+  SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM occ
+)
+SELECT o.cent_id, o.n_vectors,
+       CASE WHEN o.n_vectors * t.n_cells > 2 * t.n_total THEN 'split'
+            WHEN 2 * o.n_vectors * t.n_cells < t.n_total THEN 'merge'
+            ELSE 'keep' END AS decision
+FROM occ o, tot t
+""",
+)
+def q245_ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance PLAN for the q56 IVF index from q175's occupancy
+    census: cells holding more than 2× the uniform share are split
+    candidates (probe latency hotspots), cells under half the uniform
+    share are merge candidates (wasted quantizer capacity) — the
+    maintenance decision an index rebuild job consumes. Thresholds are
+    integer cross-multiplications (n·cells vs 2·total), so the
+    decision column is engine-exact, never a ratio comparison.
+
+    Shape: identical to q175 (broadcast-argmax assignment map-side,
+    one ncells-key agg, 1-row totals broadcast) plus a CASE — the
+    audit and the plan share the `_ivf_parts` builder, so the index,
+    its census, and its maintenance plan cannot drift apart."""
+    _e, corpus, assign = _ivf_parts(spark, sf_dir)
+    cells = assign(corpus, "vec_id", "v", 1)
+    occ = cells.groupBy("cent_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    tot = occ.agg(
+        F.sum("n_vectors").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    return occ.crossJoin(F.broadcast(tot)).select(
+        "cent_id",
+        "n_vectors",
+        F.when(
+            F.col("n_vectors") * F.col("n_cells") > 2 * F.col("n_total"),
+            "split",
+        )
+        .when(
+            2 * F.col("n_vectors") * F.col("n_cells") < F.col("n_total"),
+            "merge",
+        )
+        .otherwise("keep")
+        .alias("decision"),
+    )

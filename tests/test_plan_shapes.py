@@ -868,3 +868,21 @@ def test_backtest_and_movers_plan_budgets(spark):
         p = plan_text(cat.QUERIES[name].fn(spark, SF))
         assert n_shuffles(p) <= budget, (name, n_shuffles(p))
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_backlog_decile_rebalance_plan_budgets(spark):
+    """q243-q245: the backlog's only data-sized exchange is the
+    order-key rollup; the decile window partitions by region (never a
+    global sort); the rebalance plan inherits q175's map-side argmax
+    shape (no corpus shuffle before the cell agg). Python-free."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    budgets = {
+        "q243_order_backlog_series": 4,  # order rollup + 2 daily + merge
+        "q244_raster_decile_census": 2,  # region window + census agg
+        "q245_ivf_rebalance_plan": 2,    # cell agg + quantizer sample
+    }
+    for name, budget in budgets.items():
+        p = plan_text(cat.QUERIES[name].fn(spark, SF))
+        assert n_shuffles(p) <= budget, (name, n_shuffles(p))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
