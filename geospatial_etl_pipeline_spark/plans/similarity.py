@@ -2228,3 +2228,150 @@ def q245_ivf_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("decision"),
     )
+
+
+# --------------------------------------------------------------------------
+# q247 — reciprocal-rank fusion of the exact and IVF retrieval arms
+# --------------------------------------------------------------------------
+
+_RRF_K = 60            # the standard RRF smoothing constant
+_RRF_Q = 1_000_000_000  # integer reciprocal quantizer
+_RRF_TOPK = 5
+
+
+@register(
+    "q247_rrf_fusion",
+    tags=("similarity", "llm-data", "retrieval", "fusion", "topk"),
+    oracle=f"""
+WITH arm_b AS (
+  SELECT query_id, vec_id, rn FROM ({{Q56_ORACLE}})
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM {_SQL_EMB} embeddings WHERE vec_id < 3),
+e AS (SELECT vec_id, embedding FROM {_SQL_EMB} embeddings WHERE vec_id >= 3),
+prod AS (
+  SELECT q.query_id, e.vec_id,
+         e.embedding[i::INT]::DOUBLE AS x, qv[i::INT]::DOUBLE AS y
+  FROM e, q, unnest(range(1, len(e.embedding) + 1)) t(i)
+),
+agg AS (
+  SELECT query_id, vec_id,
+         CAST({sql_qsum('x * y')} AS DOUBLE) / {_S!r} AS dot,
+         CAST({sql_qsum('x * x')} AS DOUBLE) / {_S!r} AS na,
+         CAST({sql_qsum('y * y')} AS DOUBLE) / {_S!r} AS nq
+  FROM prod GROUP BY query_id, vec_id
+),
+arm_a AS (
+  SELECT query_id, vec_id, rn FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY dot / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC) AS rn
+    FROM agg
+  ) WHERE rn <= {_IVF_TOPK}
+),
+fused AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.vec_id, b.vec_id) AS vec_id,
+         COALESCE({_RRF_Q} // ({_RRF_K} + a.rn), 0)
+           + COALESCE({_RRF_Q} // ({_RRF_K} + b.rn), 0) AS rrf_q,
+         a.rn IS NOT NULL AS in_exact,
+         b.rn IS NOT NULL AS in_ivf
+  FROM arm_a a FULL OUTER JOIN arm_b b
+    ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+)
+SELECT query_id, vec_id, CAST(rrf_q AS BIGINT) AS rrf_q,
+       CAST(fr AS INT) AS fused_rank, in_exact, in_ivf
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY rrf_q DESC, vec_id ASC) AS fr
+  FROM fused
+) WHERE fr <= {_RRF_TOPK}
+""",
+)
+def q247_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion — the hybrid-retrieval combiner every
+    two-arm search stack ships: the exact brute-force top-{_IVF_TOPK}
+    and q56's IVF top-{_IVF_TOPK} fuse by Σ 1/(k+rank) with k={_RRF_K},
+    computed as the INTEGER reciprocal {_RRF_Q} div (k+rank) so the
+    fused score is engine-exact (a float 1/(k+r) sum would be
+    reduction-order-stable here, but the integer form removes even
+    that caveat). Candidates missing from one arm contribute 0 from
+    it; the in_exact/in_ivf flags make arm agreement auditable
+    (q188's recall as a per-hit bit).
+
+    The oracle embeds q56's ENTIRE index-build+probe oracle as the
+    IVF arm (nested CTE subquery) — fusing two independently
+    hash-checked arms and hash-checking the fusion.
+
+    Shape: both arms end |queries|×k-sized; the fusion is a full-outer
+    join + window on that tiny relation. The arms themselves keep
+    their own scale shapes (brute: broadcast queries over one scan;
+    IVF: map-side assignment + cell-pruned re-rank)."""
+    arm_b = QUERIES["q56_ivf_topk"].fn(spark, sf_dir).select(
+        F.col("query_id").alias("qb"),
+        F.col("vec_id").alias("vb"),
+        F.col("rn").alias("rn_b"),
+    )
+    e = temb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    corpus = e.filter(F.col("vec_id") >= 3)
+    agg = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (_qdot(F.col("v"), F.col("qv")).cast("double") / F.lit(_S)).alias("dot"),
+        (_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(_S)).alias("na"),
+        (_qdot(F.col("qv"), F.col("qv")).cast("double") / F.lit(_S)).alias("nq"),
+    )
+    cos = F.col("dot") / (F.sqrt("na") * F.sqrt("nq"))
+    wa = Window.partitionBy("query_id").orderBy(
+        cos.desc(), F.col("vec_id").asc()
+    )
+    arm_a = (
+        agg.withColumn("rn_a", F.row_number().over(wa))
+        .filter(F.col("rn_a") <= _IVF_TOPK)
+        .select("query_id", "vec_id", "rn_a")
+    )
+    fused = arm_a.join(
+        arm_b,
+        (F.col("query_id") == F.col("qb")) & (F.col("vec_id") == F.col("vb")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("query_id"), F.col("qb")).alias("query_id"),
+        F.coalesce(F.col("vec_id"), F.col("vb")).alias("vec_id"),
+        (
+            F.coalesce(
+                F.expr(f"{_RRF_Q} div ({_RRF_K} + rn_a)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{_RRF_Q} div ({_RRF_K} + rn_b)"), F.lit(0)
+            )
+        ).alias("rrf_q"),
+        F.col("rn_a").isNotNull().alias("in_exact"),
+        F.col("rn_b").isNotNull().alias("in_ivf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_q").desc(), F.col("vec_id").asc()
+    )
+    return (
+        fused.withColumn("fr", F.row_number().over(wf))
+        .filter(F.col("fr") <= _RRF_TOPK)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("rrf_q").cast("bigint").alias("rrf_q"),
+            F.col("fr").cast("int").alias("fused_rank"),
+            "in_exact",
+            "in_ivf",
+        )
+    )
+
+
+# splice the IVF arm's full oracle into q247's (registration ran with a
+# placeholder; the registry entry is mutable by design for this seam)
+QUERIES["q247_rrf_fusion"].oracle = QUERIES["q247_rrf_fusion"].oracle.replace(
+    "{Q56_ORACLE}", QUERIES["q56_ivf_topk"].oracle
+)

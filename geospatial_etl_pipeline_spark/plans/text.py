@@ -2305,3 +2305,61 @@ def q240_quality_lang_bias_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("auc_q"),
     )
+
+
+# --------------------------------------------------------------------------
+# q246 — sentence segmentation census
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q246_sentence_stats",
+    tags=("text", "llm-data", "segmentation"),
+    oracle=r"""
+WITH seg AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(text, '[.!?]+'),
+                     s -> trim(s) <> '') AS sents
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, source,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       CAST(COALESCE(list_sum(list_transform(sents,
+                                             s -> length(trim(s)))), 0)
+            AS BIGINT) AS sum_sent_chars,
+       CAST(COALESCE(list_max(list_transform(sents,
+                                             s -> length(trim(s)))), 0)
+            AS BIGINT) AS max_sent_chars
+FROM seg
+""",
+)
+def q246_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation census — the unit every packing/chunking
+    stage that respects sentence boundaries (q66/q83's smarter sibling)
+    needs first: per document, terminal-punctuation sentence count and
+    trimmed char mass/max. Empty segments (consecutive terminators,
+    trailing punctuation) are dropped identically in both engines;
+    NULL-text docs are absent per the q53 scan-prefilter convention.
+
+    Shape: pure map-side row expressions — split, filter, fold — zero
+    exchanges, the 100 TB shape for any per-doc text census."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]+"),
+        lambda s: F.trim(s) != "",
+    )
+    lens = F.transform(sents, lambda s: F.length(F.trim(s)))
+    return d.select(
+        "doc_id",
+        "source",
+        F.size(sents).cast("bigint").alias("n_sentences"),
+        F.coalesce(
+            F.aggregate(
+                lens, F.lit(0).cast("bigint"), lambda a, x: a + x
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("sum_sent_chars"),
+        F.coalesce(F.array_max(lens), F.lit(0)).cast("bigint").alias(
+            "max_sent_chars"
+        ),
+    )

@@ -886,3 +886,17 @@ def test_backlog_decile_rebalance_plan_budgets(spark):
         p = plan_text(cat.QUERIES[name].fn(spark, SF))
         assert n_shuffles(p) <= budget, (name, n_shuffles(p))
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_sentence_and_rrf_plan_shapes(spark):
+    """q246 is a pure scan (zero exchanges); q247's fusion join and
+    windows run on |queries|x k relations — the corpus crosses only the
+    two arms' own (pinned) shapes. Python-free."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q246_sentence_stats"].fn(spark, SF))
+    assert n_shuffles(p) == 0, n_shuffles(p)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    p = plan_text(cat.QUERIES["q247_rrf_fusion"].fn(spark, SF))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastExchange" in p

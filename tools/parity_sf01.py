@@ -45,6 +45,7 @@ HEAVY_ORACLES = {
     # per-(doc x doc/benchmark) or unnest-heavy list oracles that grow
     # superlinearly in DuckDB but are fine in the engine:
     "q53_knn_topk_multi_query",
+    "q247_rrf_fusion",  # embeds q56's full oracle + a q53-shaped brute arm
     "q50_cosine_topk",
     "q51_label_centroids",
     "q52_norm_stats_per_label",
