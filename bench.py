@@ -121,6 +121,8 @@ EXTRA = [
     "q232_d8_flow_accumulation",  # pointer-doubling closure (iterative)
     "q234_mann_whitney_u",        # histogram-ranked statistic
     "q237_hard_negative_mining",  # broadcast anchors x corpus scan
+    "q243_order_backlog_series",  # two-cumulative-series merge
+    "q247_rrf_fusion",            # hybrid retrieval fusion (two arms)
 ]
 
 _SENTINEL_N = 200_000_000
