@@ -119,6 +119,7 @@ def transitive_closure(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 20,
+    rounds: int | None = None,
 ) -> DataFrame:
     """All reachability pairs (org, cur): cur strictly downstream of
     org along directed ``edges``. Pointer doubling — each round
@@ -133,10 +134,31 @@ def transitive_closure(
     memory — for functional graphs (out-degree ≤ 1, e.g. D8 flow) it
     is exactly Σ path lengths. Each round localCheckpoints: the
     join's lineage would otherwise double every iteration too.
+
+    ``rounds``: run exactly that many composition rounds with NO
+    convergence counting — the bounded-HORIZON form (rounds=r yields
+    all paths of length ≤ 2^r; rounds=1 is the two-hop relation). Use
+    it when the horizon IS the semantics. As a perf lever it usually
+    loses: it skips one tiny count job per round but keeps composing
+    after convergence, and late rounds self-join the full closure —
+    measured on q232, the structural ≤101-path bound says 7 rounds
+    while the actual drainage closes in 1, making fixed-7 ~2× slower
+    than adaptive. An understated round count silently truncates.
     """
     r = edges.select(
         F.col(src).alias("org"), F.col(dst).alias("cur")
     ).distinct().localCheckpoint(eager=True)
+    if rounds is not None:
+        for _ in range(rounds):
+            hop = (
+                r.alias("a")
+                .join(r.alias("b"), F.col("a.cur") == F.col("b.org"))
+                .select(
+                    F.col("a.org").alias("org"), F.col("b.cur").alias("cur")
+                )
+            )
+            r = r.unionByName(hop).distinct().localCheckpoint(eager=True)
+        return r
     n = r.count()
     for _ in range(max_rounds):
         hop = (

@@ -588,3 +588,31 @@ def test_transitive_closure_chain_tree_and_cycle(spark):
     cyc = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
     got = {(r.org, r.cur) for r in transitive_closure(cyc).collect()}
     assert got == {(1, 2), (2, 1), (1, 1), (2, 2)}
+
+
+def test_transitive_closure_fixed_rounds_horizon(spark):
+    """rounds=r is the bounded-horizon form: all paths of length
+    <= 2^r, no convergence counting. On the chain 1->2->3->4->5,
+    rounds=1 yields exactly the <=2-hop pairs; rounds=3 the full
+    closure (2^3 >= diameter 4)."""
+    from geospatial_etl_pipeline_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    two_hop = {
+        (r.org, r.cur)
+        for r in transitive_closure(chain, rounds=1).collect()
+    }
+    assert two_hop == {
+        (1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (2, 4), (3, 5)
+    }
+    full = {
+        (r.org, r.cur)
+        for r in transitive_closure(chain, rounds=3).collect()
+    }
+    assert full == {
+        (a, b) for a in range(1, 6) for b in range(a + 1, 6)
+    }
