@@ -2207,3 +2207,83 @@ def q243_order_backlog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_opened") - F.col("n_closed"))
         .over(wcum).cast("bigint").alias("backlog"),
     )
+
+
+# --------------------------------------------------------------------------
+# q248 — right-to-be-forgotten sweep census (deletion-impact audit)
+# --------------------------------------------------------------------------
+
+# content-addressed "deletion request" set: custkeys whose
+# md5('forget:'||key) starts with a zero nibble (~1/16 of customers) —
+# deterministic, reshuffle-stable, no side-channel fixture needed
+_FORGET_PRED = "substr(md5('forget:' || CAST({k} AS VARCHAR)), 1, 1) = '0'"
+
+
+@register(
+    "q248_forget_sweep_census",
+    tags=("relational", "privacy", "ops", "semi-join"),
+    oracle=f"""
+WITH forget AS (
+  SELECT c_custkey FROM customer
+  WHERE {_FORGET_PRED.format(k='c_custkey')}
+),
+ords AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM forget)
+)
+SELECT 'customer' AS table_name,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM forget) AS n_rows_to_delete
+UNION ALL
+SELECT 'orders', (SELECT CAST(COUNT(*) AS BIGINT) FROM ords)
+UNION ALL
+SELECT 'lineitem',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM ords))
+""",
+)
+def q248_forget_sweep_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact sweep — the privacy op every
+    GDPR/CCPA-bound pipeline runs before a purge: given a deletion-
+    request set (here content-addressed: ~1/16 of custkeys by md5
+    nibble, deterministic and reshuffle-stable), count every row the
+    cascade touches — the customers themselves, their orders, and the
+    lineitems under those orders. The census is the dry-run that
+    sizes tombstone writes and validates referential cascade BEFORE
+    any data moves.
+
+    Shape at scale: the request set and its order keys flow as LEFT
+    SEMI joins (never materializing match multiplicity); the fact
+    table is touched once per hop with the semi probe on its natural
+    key. Three 1-row counts union — the output is tables, not data."""
+    c = t(spark, sf_dir, "customer")
+    # Spark twin of _FORGET_PRED (CAST AS STRING; Spark's parser rejects
+    # bare VARCHAR)
+    forget = c.filter(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("forget:"), F.col("c_custkey").cast("string"))
+            ),
+            1,
+            1,
+        )
+        == "0"
+    ).select("c_custkey")
+    o = t(spark, sf_dir, "orders")
+    ords = o.join(
+        forget, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    ).select("o_orderkey")
+    li = t(spark, sf_dir, "lineitem")
+    li_hit = li.join(
+        ords, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+
+    def census(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows_to_delete")
+        ).select(F.lit(name).alias("table_name"), "n_rows_to_delete")
+
+    return (
+        census("customer", forget)
+        .unionByName(census("orders", ords))
+        .unionByName(census("lineitem", li_hit))
+    )

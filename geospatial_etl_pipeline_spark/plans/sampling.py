@@ -1055,3 +1055,81 @@ def q231_weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFra
             "bucket"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q249 — deterministic sharded training order (global permutation, no sort)
+# --------------------------------------------------------------------------
+
+_ORDER_SHARDS = 8
+
+
+@register(
+    "q249_training_shard_order",
+    tags=("llm-data", "sampling", "ordering", "window"),
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         md5('order:' || COALESCE(CAST(doc_id AS VARCHAR), '<null>')) AS hkey
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, source, hkey,
+         CAST(('0x' || substr(hkey, 1, 8))::BIGINT % {_ORDER_SHARDS} AS INT)
+           AS shard
+  FROM keyed
+)
+SELECT doc_id, source, shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY shard
+         ORDER BY hkey ASC, doc_id ASC NULLS FIRST) - 1 AS BIGINT)
+         AS pos_in_shard,
+       CAST((ROW_NUMBER() OVER (
+         PARTITION BY shard
+         ORDER BY hkey ASC, doc_id ASC NULLS FIRST) - 1)
+            * {_ORDER_SHARDS} + shard AS BIGINT) AS global_idx
+FROM sharded
+""",
+)
+def q249_training_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TRAINING ORDER: every document gets a stable
+    position in a pseudo-random global permutation — hash-sharded,
+    hash-ordered within shard, globally interleaved round-robin as
+    global_idx = pos·{_ORDER_SHARDS} + shard. The property that
+    matters at 100 TB: this is a full global shuffle order produced
+    WITHOUT a global sort — each shard orders independently (window
+    partitioned by shard), and the interleave formula is collision-
+    free by construction (uneven shards leave index gaps, which a
+    data loader skips for free; monotone-per-shard and deterministic
+    across reruns/reshuffles is the contract that makes training
+    resumable and ablations comparable).
+
+    Shape: one shard-partitioned window — embarrassingly parallel
+    across shards; shard count dials with the cluster."""
+    d = t(spark, sf_dir, "documents")
+    hkey = F.md5(
+        F.concat(
+            F.lit("order:"),
+            F.coalesce(F.col("doc_id").cast("string"), F.lit("<null>")),
+        )
+    )
+    keyed = d.select("doc_id", "source", hkey.alias("hkey")).withColumn(
+        "shard",
+        (
+            F.conv(F.substring("hkey", 1, 8), 16, 10).cast("bigint")
+            % _ORDER_SHARDS
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("hkey").asc(), F.col("doc_id").asc_nulls_first()
+    )
+    pos = F.row_number().over(w) - 1
+    return keyed.select(
+        "doc_id",
+        "source",
+        "shard",
+        pos.cast("bigint").alias("pos_in_shard"),
+        (pos * _ORDER_SHARDS + F.col("shard")).cast("bigint").alias(
+            "global_idx"
+        ),
+    )

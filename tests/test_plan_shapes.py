@@ -900,3 +900,18 @@ def test_sentence_and_rrf_plan_shapes(spark):
     p = plan_text(cat.QUERIES["q247_rrf_fusion"].fn(spark, SF))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "BroadcastExchange" in p
+
+
+def test_forget_sweep_and_shard_order_plan_shapes(spark):
+    """q248's cascade must flow as LEFT SEMI joins (never materializing
+    match multiplicity); q249's permutation must have NO global sort —
+    its one window partitions by shard. Both Python-free."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q248_forget_sweep_census"].fn(spark, SF))
+    assert "LeftSemi" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    p = plan_text(cat.QUERIES["q249_training_shard_order"].fn(spark, SF))
+    assert n_shuffles(p) <= 1, n_shuffles(p)
+    assert "Arguments: SinglePartition" not in p  # no global sort/window
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
