@@ -2363,3 +2363,100 @@ def q246_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_sent_chars"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q250 — corpus release manifest (the ship-it table)
+# --------------------------------------------------------------------------
+
+_REL_Q = 1_000_000
+_REL_TRAIN_CUT = int(0.8 * 2**32)
+_REL_VAL_CUT = int(0.9 * 2**32)
+
+
+@register(
+    "q250_corpus_release_manifest",
+    tags=("text", "llm-data", "assembly", "manifest"),
+    oracle=rf"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                    1, 8))::BIGINT < {_REL_TRAIN_CUT} THEN 'train'
+              WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                    1, 8))::BIGINT < {_REL_VAL_CUT} THEN 'val'
+              ELSE 'test' END AS split,
+         md5(list_aggregate(regexp_split_to_array({_SQL_NORM}, '\s+'),
+                            'string_agg', ' ')) AS fp,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok,
+         CAST(FLOOR({_SQL_QUALITY} * {_REL_Q}) AS BIGINT) AS quality_q
+  FROM documents WHERE text IS NOT NULL
+),
+keepered AS (
+  SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_keeper
+  FROM per_doc
+)
+SELECT split, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keepers,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CASE WHEN is_keeper THEN n_tok ELSE 0 END) AS BIGINT)
+         AS keeper_tokens,
+       CAST(SUM(quality_q) AS BIGINT) AS sum_quality_q
+FROM keepered
+GROUP BY split, source
+""",
+)
+def q250_corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RELEASE MANIFEST — the table a corpus ships with, stitching
+    the certified pieces into one (split × source) readout: document
+    and exact-dedup-keeper counts, raw and keeper token mass, and the
+    quantized quality mass. Every ingredient is an already-hash-checked
+    builder reused verbatim (q39's content-addressed split thresholds,
+    q40's canonical fingerprint with its NULL contract, q30's token
+    count, q31's quality formula) — the manifest certifies their
+    COMPOSITION, which is exactly what a data card reports and a
+    reproduction audit re-derives.
+
+    Shape: everything per-doc is in-row; keeper status is one window
+    over the fingerprint key (exact-dup groups are tiny partitions);
+    one (split × source)-key agg ends it. NULL-text docs are excluded
+    (unscoreable and unfingerprintable — the q240 lesson applied at
+    the manifest boundary)."""
+    from ..functions.text import fingerprint, token_count_t
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = F.col("_tok")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    per_doc = d.select(
+        "doc_id", "source", "text", tokens("text").alias("_tok")
+    ).select(
+        "doc_id",
+        "source",
+        F.when(bucket < _REL_TRAIN_CUT, "train")
+        .when(bucket < _REL_VAL_CUT, "val")
+        .otherwise("test")
+        .alias("split"),
+        fingerprint("text").alias("fp"),
+        token_count_t(tok).cast("bigint").alias("n_tok"),
+        F.floor(_quality_t(tok) * _REL_Q).cast("bigint").alias("quality_q"),
+    )
+    wfp = Window.partitionBy("fp")
+    keepered = per_doc.withColumn(
+        "is_keeper", F.col("doc_id") == F.min("doc_id").over(wfp)
+    )
+    keeper = F.when(F.col("is_keeper"), 1).otherwise(0)
+    return keepered.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(keeper).cast("bigint").alias("n_keepers"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        F.sum(F.when(F.col("is_keeper"), F.col("n_tok")).otherwise(0))
+        .cast("bigint").alias("keeper_tokens"),
+        F.sum("quality_q").cast("bigint").alias("sum_quality_q"),
+    )

@@ -915,3 +915,13 @@ def test_forget_sweep_and_shard_order_plan_shapes(spark):
     assert n_shuffles(p) <= 1, n_shuffles(p)
     assert "Arguments: SinglePartition" not in p  # no global sort/window
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_release_manifest_plan_shape(spark):
+    """q250: per-doc work is in-row; the only exchanges are the
+    fingerprint window and the (split, source) agg. Python-free."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q250_corpus_release_manifest"].fn(spark, SF))
+    assert n_shuffles(p) <= 2, n_shuffles(p)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
