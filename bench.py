@@ -123,6 +123,7 @@ EXTRA = [
     "q237_hard_negative_mining",  # broadcast anchors x corpus scan
     "q243_order_backlog_series",  # two-cumulative-series merge
     "q247_rrf_fusion",            # hybrid retrieval fusion (two arms)
+    "q250_corpus_release_manifest",  # the ship-it composite
 ]
 
 _SENTINEL_N = 200_000_000
