@@ -3823,3 +3823,73 @@ def q241_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("actual_total"),
         F.max(err).cast("bigint").alias("worst_abs_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# q251 — semi-structured props triage via the VARIANT type
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q251_props_variant_triage",
+    tags=("events", "json", "variant", "ingestion"),
+    oracle="""
+WITH cls AS (
+  SELECT event_type,
+         CASE WHEN props IS NULL THEN 'absent'
+              WHEN NOT json_valid(props) THEN 'malformed'
+              WHEN json_type(props::JSON, '$.k') IN ('UBIGINT', 'BIGINT')
+                THEN 'int_k'
+              WHEN json_extract_string(props::JSON, '$.k') IS NOT NULL
+                THEN 'nonint_k'
+              ELSE 'no_usable_k' END AS klass,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+                   AND json_type(props::JSON, '$.k') IN ('UBIGINT', 'BIGINT')
+              THEN CAST(json_extract_string(props::JSON, '$.k') AS BIGINT)
+         END AS k
+  FROM events
+)
+SELECT event_type, klass,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM cls
+GROUP BY event_type, klass
+""",
+)
+def q251_props_variant_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured INGESTION TRIAGE through Spark's VARIANT type
+    (the 4.x semi-structured path): props parse ONCE via
+    try_parse_json (malformed → NULL variant, never an error), then
+    every row lands in exactly one class — absent / malformed /
+    integer-k / non-integer-k / parsed-but-no-usable-k — with the
+    integer payload summed. The class census is what an ingestion
+    pipeline alerts on (a schema change shows up as mass migrating
+    between classes), and VARIANT keeps the parse cost single-pass
+    where repeated get_json_object calls (q63's pre-4.x form) re-parse
+    per extraction.
+
+    Engine contract: 'integer' is the VARIANT's own inferred type
+    (schema_of_variant ↔ DuckDB json_type), valid for |k| < 2^63 —
+    both engines type a JSON integer as BIGINT-kind in that range.
+
+    Shape: all classification is in-row; one (type × class) partial
+    agg ends it."""
+    e = t(spark, sf_dir, "events")
+    v = F.try_parse_json(F.col("props"))
+    schema = F.schema_of_variant(v)
+    k_str = F.try_variant_get(v, "$.k", "string")
+    is_int = schema.like("%k: BIGINT%")
+    klass = (
+        F.when(F.col("props").isNull(), "absent")
+        .when(v.isNull(), "malformed")
+        .when(is_int, "int_k")
+        .when(k_str.isNotNull(), "nonint_k")
+        .otherwise("no_usable_k")
+    )
+    k = F.when(is_int, F.try_variant_get(v, "$.k", "bigint"))
+    return e.select(
+        "event_type", klass.alias("klass"), k.alias("k")
+    ).groupBy("event_type", "klass").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+    )

@@ -925,3 +925,13 @@ def test_release_manifest_plan_shape(spark):
     p = plan_text(cat.QUERIES["q250_corpus_release_manifest"].fn(spark, SF))
     assert n_shuffles(p) <= 2, n_shuffles(p)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_variant_triage_plan_shape(spark):
+    """q251: the VARIANT parse/classify work is in-row; one (type,
+    class) agg ends the plan. Python-free (VARIANT is JVM-native)."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q251_props_variant_triage"].fn(spark, SF))
+    assert n_shuffles(p) <= 1, n_shuffles(p)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
