@@ -2287,3 +2287,76 @@ def q248_forget_sweep_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(census("orders", ords))
         .unionByName(census("lineitem", li_hit))
     )
+
+
+# --------------------------------------------------------------------------
+# q252 — k-anonymity / l-diversity privacy-risk census
+# --------------------------------------------------------------------------
+
+_KANON_K = 5   # classes smaller than this are re-identification risks
+_LDIV_L = 2    # classes with fewer distinct sensitive values lack diversity
+
+
+@register(
+    "q252_privacy_risk_census",
+    tags=("relational", "privacy", "agg", "ops"),
+    oracle=f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS class_size,
+         CAST(COUNT(DISTINCT CASE WHEN c_acctbal IS NOT NULL
+                    THEN CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) END)
+              AS BIGINT) AS n_sensitive
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(class_size) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_classes_below_k,
+       CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN class_size ELSE 0 END)
+            AS BIGINT) AS n_rows_below_k,
+       CAST(SUM(CASE WHEN n_sensitive < {_LDIV_L} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_classes_below_l,
+       CAST(MIN(class_size) AS BIGINT) AS min_class_size
+FROM classes
+""",
+)
+def q252_privacy_risk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity scorecard — the privacy audit run
+    before releasing a table keyed on quasi-identifiers: group by the
+    QI tuple (nation, market segment), measure each equivalence
+    class's size (re-identification risk when < {_KANON_K}) and its
+    diversity of the sensitive attribute (balance bands; attribute
+    disclosure risk when < {_LDIV_L} distinct). One row out: class
+    counts, the row mass at risk, and the worst class size — the
+    numbers a release gate thresholds on (q248's forget sweep is the
+    remediation; this is the detector).
+
+    Shape: one QI-key partial agg (the COUNT DISTINCT expands
+    map-side), then a 1-row rollup. NULL QI values form their own
+    class in both engines; NULL balances never count as a sensitive
+    value (CASE inside the DISTINCT, pinned both sides)."""
+    c = t(spark, sf_dir, "customer")
+    band = F.when(
+        F.col("c_acctbal").isNotNull(),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint"),
+    )
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size"),
+        F.countDistinct(band).cast("bigint").alias("n_sensitive"),
+    )
+    below_k = F.when(F.col("class_size") < _KANON_K, 1).otherwise(0)
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        F.sum(below_k).cast("bigint").alias("n_classes_below_k"),
+        F.sum(
+            F.when(F.col("class_size") < _KANON_K, F.col("class_size"))
+            .otherwise(0)
+        ).cast("bigint").alias("n_rows_below_k"),
+        F.sum(
+            F.when(F.col("n_sensitive") < _LDIV_L, 1).otherwise(0)
+        ).cast("bigint").alias("n_classes_below_l"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+    )

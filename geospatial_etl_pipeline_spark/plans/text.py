@@ -2460,3 +2460,124 @@ def q250_corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("keeper_tokens"),
         F.sum("quality_q").cast("bigint").alias("sum_quality_q"),
     )
+
+
+# --------------------------------------------------------------------------
+# q253 — Spearman rank agreement between quality signals
+# --------------------------------------------------------------------------
+
+_SPEAR_Q = 1_000_000
+
+
+@register(
+    "q253_quality_length_spearman",
+    tags=("text", "llm-data", "stats", "calibration"),
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(FLOOR({_SQL_QUALITY} * {_SPEAR_Q}) AS BIGINT) AS x,
+         n_chars AS y
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+),
+hx AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt,
+         COALESCE(SUM(COUNT(*)) OVER (ORDER BY x ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM scored GROUP BY x
+),
+hy AS (
+  SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt,
+         COALESCE(SUM(COUNT(*)) OVER (ORDER BY y ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM scored GROUP BY y
+),
+ranked AS (
+  SELECT s.doc_id,
+         2*hx.below + hx.cnt + 1 AS rx2,
+         2*hy.below + hy.cnt + 1 AS ry2
+  FROM scored s JOIN hx ON s.x = hx.x JOIN hy ON s.y = hy.y
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy,
+         CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+         CAST(SUM(ry2 * ry2) AS BIGINT) AS syy
+  FROM ranked
+)
+SELECT n,
+       CAST(CASE WHEN n*sxx = (n*(n+1))*(n*(n+1))
+                   OR n*syy = (n*(n+1))*(n*(n+1)) THEN 0
+            ELSE FLOOR({_SPEAR_Q} *
+              CAST(n*sxy - (n*(n+1))*(n*(n+1)) AS DOUBLE)
+              / (sqrt(CAST(n*sxx - (n*(n+1))*(n*(n+1)) AS DOUBLE))
+                 * sqrt(CAST(n*syy - (n*(n+1))*(n*(n+1)) AS DOUBLE))))
+            END AS BIGINT) AS spearman_q
+FROM agg
+""",
+)
+def q253_quality_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the q31 quality score and raw
+    document length — the calibration question every heuristic filter
+    must answer ("is 'quality' just a length detector?", the q240
+    lesson as a correlation instead of an AUC). Midranks come from the
+    two VALUE HISTOGRAMS (never a corpus rank sort), doubled so ties
+    stay integral; Σ(2·midrank) = n(n+1) is an identity, so the rho
+    numerator n·Σrxry − (n(n+1))² and both variance terms are exact
+    int64, and only the final normalize touches doubles (one subtract,
+    two exact-rounded sqrts, one multiply, one divide — identical in
+    both engines). All-tied degenerate marginals pin rho to 0.
+
+    Int64 headroom: (2·midrank)² ≤ 4n² — exact to n ≈ 2^20 docs per
+    census; beyond that the three power sums move to DECIMAL(38,0)
+    (same mergeable shape). Shape: two histogram aggs + two
+    broadcastable rank joins + one 1-row rollup."""
+    tok = F.col("_tok")
+    scored = (
+        _staged(spark, sf_dir, "text", "n_chars")
+        # BOTH predicates, matching the oracle: a NULL-text doc has a
+        # NULL quality, and its NULL histogram bucket would inflate
+        # every rank via Spark's NULLS-FIRST window ordering (the
+        # hostile fixture caught exactly this)
+        .filter(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            "doc_id",
+            F.floor(_quality_t(tok) * _SPEAR_Q).cast("bigint").alias("x"),
+            F.col("n_chars").alias("y"),
+        )
+    )
+
+    def hist(col: str):
+        w = Window.orderBy(F.col(col).asc()).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        h = scored.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        return h.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + 1
+            ).alias(f"r{col}2"),
+        )
+
+    ranked = (
+        scored.join(F.broadcast(hist("x")), "x")
+        .join(F.broadcast(hist("y")), "y")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"),
+    )
+    t2 = (F.col("n") * (F.col("n") + 1)) * (F.col("n") * (F.col("n") + 1))
+    num = (F.col("n") * F.col("sxy") - t2).cast("double")
+    denx = (F.col("n") * F.col("sxx") - t2).cast("double")
+    deny = (F.col("n") * F.col("syy") - t2).cast("double")
+    rho_q = F.when(
+        (F.col("n") * F.col("sxx") == t2) | (F.col("n") * F.col("syy") == t2),
+        F.lit(0).cast("bigint"),
+    ).otherwise(
+        F.floor(_SPEAR_Q * num / (F.sqrt(denx) * F.sqrt(deny))).cast("bigint")
+    )
+    return agg.select("n", rho_q.alias("spearman_q"))

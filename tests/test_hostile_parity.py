@@ -57,6 +57,11 @@ HOSTILE_PINNED = [
                                    # orderings through the rank window
                                    # (round-6 continuation; unscoreable
                                    # docs now excluded in both engines)
+    "q253_quality_length_spearman",  # same family: a NULL-text doc's
+                                     # NULL histogram bucket inflated
+                                     # every Spark midrank (NULLS FIRST)
+                                     # until the text filter matched the
+                                     # oracle's
 ]
 
 

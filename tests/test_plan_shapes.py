@@ -935,3 +935,18 @@ def test_variant_triage_plan_shape(spark):
     p = plan_text(cat.QUERIES["q251_props_variant_triage"].fn(spark, SF))
     assert n_shuffles(p) <= 1, n_shuffles(p)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_privacy_and_spearman_plan_shapes(spark):
+    """q252 is one QI-key agg + a 1-row rollup; q253's midranks come
+    from broadcast histogram joins (never a corpus rank sort — no
+    SinglePartition window over data-sized relations; the two
+    histogram windows are value-bounded). Python-free."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q252_privacy_risk_census"].fn(spark, SF))
+    assert n_shuffles(p) <= 3, n_shuffles(p)  # QI agg + distinct expand
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    p = plan_text(cat.QUERIES["q253_quality_length_spearman"].fn(spark, SF))
+    assert p.count("BroadcastExchange") >= 2  # both rank histograms
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
