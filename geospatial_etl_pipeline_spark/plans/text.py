@@ -2581,3 +2581,128 @@ def q253_quality_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(_SPEAR_Q * num / (F.sqrt(denx) * F.sqrt(deny))).cast("bigint")
     )
     return agg.select("n", rho_q.alias("spearman_q"))
+
+
+# --------------------------------------------------------------------------
+# q254 — content-defined chunking dedup census (variable boundaries)
+# --------------------------------------------------------------------------
+
+_CDC_DIV = 16  # expected chunk length in tokens (boundary probability 1/16)
+
+
+@register(
+    "q254_cdc_chunk_dedup",
+    tags=("text", "dedup", "llm-data", "cdc", "window"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, t.i AS pos, ({_SQL_TOKENS})[t.i::INT] AS tk
+  FROM documents, unnest(range(1, len({_SQL_TOKENS}) + 1)) t(i)
+  WHERE text IS NOT NULL
+),
+marked AS (
+  SELECT doc_id, source, pos, tk,
+         SUM(CASE WHEN ('0x' || substr(md5(tk), 1, 8))::BIGINT
+                       % {_CDC_DIV} = 0
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS chunk_id
+  FROM tok
+),
+chunks AS (
+  SELECT doc_id, source, chunk_id,
+         string_agg(tk, ' ' ORDER BY pos) AS chunk,
+         CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM marked GROUP BY doc_id, source, chunk_id
+),
+stats AS (
+  SELECT chunk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM chunks GROUP BY chunk
+)
+SELECT c.source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT c.chunk) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_crossdoc_dup_chunks,
+       CAST(SUM(c.n_tok) AS BIGINT) AS sum_chunk_tokens,
+       CAST(MAX(c.n_tok) AS BIGINT) AS max_chunk_tokens
+FROM chunks c JOIN stats s ON s.chunk = c.chunk
+GROUP BY c.source
+""",
+)
+def q254_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED chunking dedup census — the FastCDC idea at
+    token granularity: a chunk boundary opens wherever a token's hash
+    ≡ 0 (mod {_CDC_DIV}), so boundaries are properties of the CONTENT,
+    not of positions. That is the property q207's fixed-width chunks
+    lack: insert one word near the top of a boilerplate page and every
+    fixed chunk after it shifts (nothing matches), while CDC chunks
+    re-align at the next content boundary and the shared tail still
+    lights up cross-doc. Expected chunk length {_CDC_DIV} tokens
+    (geometric); census per source mirrors q207's for side-by-side
+    reading, plus chunk-size mass/max.
+
+    Determinism: the boundary predicate is the md5-mod machinery of
+    q39/q69; chunk text reassembles in explicit pos order in BOTH
+    engines (sorted struct array in Spark, ORDER BY inside string_agg
+    in DuckDB — collect_list alone is order-nondeterministic).
+
+    Shape: one posexplode (token occurrences, q67's cost), a doc-
+    partitioned running boundary count, a (doc, chunk) rollup, then
+    q207's stats join + source census. At 100 TB the chunk key becomes
+    xxhash64(chunk) — 8-byte shuffle keys, same topology."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(tokens("text")).alias("pos0", "tk"),
+    ).select(
+        "doc_id", "source", (F.col("pos0") + 1).alias("pos"), "tk"
+    )
+    is_boundary = (
+        F.conv(F.substring(F.md5(F.col("tk")), 1, 8), 16, 10).cast("bigint")
+        % _CDC_DIV
+        == 0
+    )
+    wpos = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("pos").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = tok.withColumn(
+        "chunk_id", F.sum(is_boundary.cast("int")).over(wpos)
+    )
+    chunks = (
+        marked.groupBy("doc_id", "source", "chunk_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("tk")))
+            ).alias("_parts"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(
+                " ", F.transform(F.col("_parts"), lambda s: s["tk"])
+            ).alias("chunk"),
+            "n_tok",
+        )
+    )
+    stats = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    return (
+        chunks.join(stats, "chunk")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.countDistinct("chunk").cast("bigint").alias(
+                "n_distinct_chunks"
+            ),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("bigint").alias("n_crossdoc_dup_chunks"),
+            F.sum("n_tok").cast("bigint").alias("sum_chunk_tokens"),
+            F.max("n_tok").cast("bigint").alias("max_chunk_tokens"),
+        )
+    )

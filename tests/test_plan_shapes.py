@@ -950,3 +950,14 @@ def test_privacy_and_spearman_plan_shapes(spark):
     p = plan_text(cat.QUERIES["q253_quality_length_spearman"].fn(spark, SF))
     assert p.count("BroadcastExchange") >= 2  # both rank histograms
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_cdc_chunk_plan_shape(spark):
+    """q254: one posexplode feeds a doc-partitioned running boundary
+    count; all later relations are chunk-sized. Python-free."""
+    from geospatial_etl_pipeline_spark.plans import catalog as cat
+
+    p = plan_text(cat.QUERIES["q254_cdc_chunk_dedup"].fn(spark, SF))
+    assert "Generate" in p  # the posexplode
+    assert "Arguments: SinglePartition" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
