@@ -148,29 +148,24 @@ def transitive_closure(
     r = edges.select(
         F.col(src).alias("org"), F.col(dst).alias("cur")
     ).distinct().localCheckpoint(eager=True)
-    if rounds is not None:
-        for _ in range(rounds):
-            hop = (
-                r.alias("a")
-                .join(r.alias("b"), F.col("a.cur") == F.col("b.org"))
-                .select(
-                    F.col("a.org").alias("org"), F.col("b.cur").alias("cur")
-                )
-            )
-            r = r.unionByName(hop).distinct().localCheckpoint(eager=True)
-        return r
-    n = r.count()
-    for _ in range(max_rounds):
+    # one loop body for both modes — the composition step must never
+    # fork between the adaptive and fixed-rounds paths
+    adaptive = rounds is None
+    n = r.count() if adaptive else None
+    for _ in range(max_rounds if adaptive else rounds):
         hop = (
             r.alias("a")
             .join(r.alias("b"), F.col("a.cur") == F.col("b.org"))
             .select(F.col("a.org").alias("org"), F.col("b.cur").alias("cur"))
         )
-        new_r = r.unionByName(hop).distinct().localCheckpoint(eager=True)
-        new_n = new_r.count()
-        if new_n == n:
-            return new_r
-        r, n = new_r, new_n
-    raise RuntimeError(
-        f"transitive_closure did not converge in {max_rounds} rounds"
-    )
+        r = r.unionByName(hop).distinct().localCheckpoint(eager=True)
+        if adaptive:
+            new_n = r.count()
+            if new_n == n:
+                return r
+            n = new_n
+    if adaptive:
+        raise RuntimeError(
+            f"transitive_closure did not converge in {max_rounds} rounds"
+        )
+    return r

@@ -3876,9 +3876,15 @@ def q251_props_variant_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg ends it."""
     e = t(spark, sf_dir, "events")
     v = F.try_parse_json(F.col("props"))
-    schema = F.schema_of_variant(v)
     k_str = F.try_variant_get(v, "$.k", "string")
-    is_int = schema.like("%k: BIGINT%")
+    # the SUB-variant's own schema is the exact per-key type ('BIGINT'
+    # for a JSON integer, None when $.k is missing) — a LIKE over the
+    # whole object schema would false-match any key ending in 'k'
+    # (review finding: '{"risk": 1}' classified int_k)
+    is_int = (
+        F.schema_of_variant(F.try_variant_get(v, "$.k", "variant"))
+        == "BIGINT"
+    )
     klass = (
         F.when(F.col("props").isNull(), "absent")
         .when(v.isNull(), "malformed")

@@ -2370,8 +2370,10 @@ def q246_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _REL_Q = 1_000_000
-_REL_TRAIN_CUT = int(0.8 * 2**32)
-_REL_VAL_CUT = int(0.9 * 2**32)
+# the SAME thresholds as q39 — imported, not re-derived, so a ratio
+# change cannot silently fork the split between q39 and the manifest
+from .sampling import _TRAIN_CUT as _REL_TRAIN_CUT  # noqa: E402
+from .sampling import _VAL_CUT as _REL_VAL_CUT  # noqa: E402
 
 
 @register(
@@ -2423,7 +2425,7 @@ def q250_corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     one (split × source)-key agg ends it. NULL-text docs are excluded
     (unscoreable and unfingerprintable — the q240 lesson applied at
     the manifest boundary)."""
-    from ..functions.text import fingerprint, token_count_t
+    from ..functions.text import fingerprint_t, token_count_t
 
     d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     tok = F.col("_tok")
@@ -2443,7 +2445,9 @@ def q250_corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < _REL_VAL_CUT, "val")
         .otherwise("test")
         .alias("split"),
-        fingerprint("text").alias("fp"),
+        # from the STAGED array — fingerprint("text") would re-run the
+        # whitespace split per row (tokens() duplicates per reference)
+        fingerprint_t(tok).alias("fp"),
         token_count_t(tok).cast("bigint").alias("n_tok"),
         F.floor(_quality_t(tok) * _REL_Q).cast("bigint").alias("quality_q"),
     )
@@ -2505,12 +2509,15 @@ agg AS (
   FROM ranked
 )
 SELECT n,
-       CAST(CASE WHEN n*sxx = (n*(n+1))*(n*(n+1))
-                   OR n*syy = (n*(n+1))*(n*(n+1)) THEN 0
+       -- centered form: Σ(2r)·anything cancels via Σ2r = n(n+1), so
+       -- rho = (sxy − n(n+1)²) / sqrt((sxx − n(n+1)²)(syy − n(n+1)²))
+       -- — every term ≲ 4n³, int64-exact to n ≈ 1.3e6 (the n·sxy form
+       -- overflowed at n ≈ 5e4; review finding)
+       CAST(CASE WHEN sxx = n*(n+1)*(n+1) OR syy = n*(n+1)*(n+1) THEN 0
             ELSE FLOOR({_SPEAR_Q} *
-              CAST(n*sxy - (n*(n+1))*(n*(n+1)) AS DOUBLE)
-              / (sqrt(CAST(n*sxx - (n*(n+1))*(n*(n+1)) AS DOUBLE))
-                 * sqrt(CAST(n*syy - (n*(n+1))*(n*(n+1)) AS DOUBLE))))
+              CAST(sxy - n*(n+1)*(n+1) AS DOUBLE)
+              / (sqrt(CAST(sxx - n*(n+1)*(n+1) AS DOUBLE))
+                 * sqrt(CAST(syy - n*(n+1)*(n+1) AS DOUBLE))))
             END AS BIGINT) AS spearman_q
 FROM agg
 """,
@@ -2527,9 +2534,11 @@ def q253_quality_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     two exact-rounded sqrts, one multiply, one divide — identical in
     both engines). All-tied degenerate marginals pin rho to 0.
 
-    Int64 headroom: (2·midrank)² ≤ 4n² — exact to n ≈ 2^20 docs per
-    census; beyond that the three power sums move to DECIMAL(38,0)
-    (same mergeable shape). Shape: two histogram aggs + two
+    Int64 headroom: the centered-form terms are ≲ 4n³ — exact to
+    n ≈ 1.3×10⁶ docs per census; beyond that, finish the rho tail from
+    the four aggregate scalars driver-side in Python bignum (the
+    distributed part — histograms, rank joins, power sums — is
+    unchanged) or move the power sums to DECIMAL(38,0). Shape: two histogram aggs + two
     broadcastable rank joins + one 1-row rollup."""
     tok = F.col("_tok")
     scored = (
@@ -2570,12 +2579,13 @@ def q253_quality_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx"),
         F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"),
     )
-    t2 = (F.col("n") * (F.col("n") + 1)) * (F.col("n") * (F.col("n") + 1))
-    num = (F.col("n") * F.col("sxy") - t2).cast("double")
-    denx = (F.col("n") * F.col("sxx") - t2).cast("double")
-    deny = (F.col("n") * F.col("syy") - t2).cast("double")
+    # centered form (see oracle comment): terms bounded by ~4n³, not n⁴
+    t1 = F.col("n") * (F.col("n") + 1) * (F.col("n") + 1)
+    num = (F.col("sxy") - t1).cast("double")
+    denx = (F.col("sxx") - t1).cast("double")
+    deny = (F.col("syy") - t1).cast("double")
     rho_q = F.when(
-        (F.col("n") * F.col("sxx") == t2) | (F.col("n") * F.col("syy") == t2),
+        (F.col("sxx") == t1) | (F.col("syy") == t1),
         F.lit(0).cast("bigint"),
     ).otherwise(
         F.floor(_SPEAR_Q * num / (F.sqrt(denx) * F.sqrt(deny))).cast("bigint")

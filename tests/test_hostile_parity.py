@@ -452,3 +452,41 @@ def test_null_key_lineitem_parity(spark, null_key_lineitem_dir, name):
     spec = catalog.QUERIES[name]
     res = compare(name, spark, null_key_lineitem_dir, spec.fn, spec.oracle)
     assert res.ok, res.issues[:3]
+
+
+@pytest.fixture(scope="module")
+def adversarial_props_dir(tmp_path_factory):
+    """events.props with keys that defeat substring-based VARIANT
+    classification (the q251 review finding): a key merely ENDING in
+    'k', a sibling 'kk' beside a string-typed 'k', a NESTED k, and a
+    negative integer k."""
+    d = tmp_path_factory.mktemp("adv_props")
+    from geospatial_etl_pipeline_spark.sources.tables import TABLES
+
+    for t_ in TABLES:
+        if t_ != "events":
+            os.symlink(f"{_SRC}/{t_}.parquet", str(d / f"{t_}.parquet"))
+    con = duckdb.connect()
+    con.execute(f"""
+      COPY (
+        SELECT * FROM '{_SRC}/events.parquet'
+        UNION ALL SELECT 900101, TIMESTAMP '2024-01-06 00:00:00', 1,
+                         'click', 1.0, '{{"risk": 1}}'
+        UNION ALL SELECT 900102, TIMESTAMP '2024-01-06 00:01:00', 1,
+                         'click', 1.0, '{{"kk": 1, "k": "5"}}'
+        UNION ALL SELECT 900103, TIMESTAMP '2024-01-06 00:02:00', 1,
+                         'click', 1.0, '{{"a": {{"k": 7}}}}'
+        UNION ALL SELECT 900104, TIMESTAMP '2024-01-06 00:03:00', 1,
+                         'click', 1.0, '{{"k": -42}}'
+      ) TO '{d}/events.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return str(d)
+
+
+def test_variant_triage_adversarial_keys_parity(spark, adversarial_props_dir):
+    spec = catalog.QUERIES["q251_props_variant_triage"]
+    res = compare(
+        "q251_props_variant_triage", spark, adversarial_props_dir,
+        spec.fn, spec.oracle,
+    )
+    assert res.ok, res.issues[:3]

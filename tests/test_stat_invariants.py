@@ -110,7 +110,9 @@ def test_release_manifest_totals_reconcile(spark):
     )
     assert sum(r["n_docs"] for r in rows) == n_docs_total
     for r in rows:
-        assert 0 < r["n_keepers"] <= r["n_docs"]
+        # a cell CAN legitimately have zero keepers (all its docs
+        # duplicate docs whose keeper lives in another cell)
+        assert 0 <= r["n_keepers"] <= r["n_docs"]
         assert 0 <= r["keeper_tokens"] <= r["sum_tokens"]
 
 
