@@ -1,13 +1,23 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line:
+COMPACT JSON line:
 
     {"metric": "total_query_sec", "value": N, "unit": "sec",
      "queries": {"q01_pricing_summary": sec, ...},
-     "sentinel": {"median_sec": s, "runs": [...]},
-     "normalized": {"q01_pricing_summary": ratio, ...},
-     "normalized_total": R, "sf": 0.1}
+     "sentinel_median_sec": s, "normalized_total": R,
+     "heavy_total_sec": H, "heavy_normalized_total": HR,
+     "detail_file": "bench_detail.json", "sf": 0.1}
+
+The FULL record (per-query normalized maps, sentinel run series, the
+heavy + extra families) is written to ``bench_detail.json`` next to this
+script, NOT printed: the driver's stdout capture keeps only a ~3 KB tail,
+and from r4-r6 the single giant line exceeded it, so the official
+BENCH_r{N}.json artifacts recorded a truncated fragment with
+``parsed: null`` (r6 verdict item 1).  The compact line is ~1.1 KB and
+self-contained (value + normalized_total + sentinel median — everything
+the cross-round comparison needs).  ``python bench.py --full`` prints the
+full record instead, for local BENCH_LOCAL_r{N}.json appends.
 
 Each query executes end-to-end via the no-op sink (full plan execution,
 no collect/driver materialization). A warmup query amortizes JVM/codegen
@@ -254,7 +264,46 @@ def main() -> None:
         out["partial_total_sec"] = total
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+
+    # Full record → file (always); stdout gets the compact headline line
+    # unless --full is passed.  See module docstring: the driver's stdout
+    # tail-capture is ~3 KB, so the printed line must stay small.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(out, fh)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"# detail write failed: {exc}", file=sys.stderr, flush=True)
+
+    if "--full" in sys.argv[1:]:
+        print(json.dumps(out))
+        return
+
+    compact: dict = {
+        "metric": "total_query_sec",
+        "value": out["value"],
+        "unit": "sec",
+        "queries": times,
+        "sentinel_median_sec": med_sent,
+        "sf": sf,
+        "detail_file": "bench_detail.json",
+    }
+    if med_sent:
+        compact["normalized_total"] = out.get("normalized_total")
+    if heavy_times:
+        compact["heavy_total_sec"] = out["heavy_total_sec"]
+        if med_sent:
+            compact["heavy_normalized_total"] = out["heavy_normalized_total"]
+    if headline_errors:
+        compact["incomplete"] = True
+        compact["partial_total_sec"] = total
+    if errors:
+        # names only — full messages live in the detail file
+        compact["error_queries"] = sorted(errors)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
