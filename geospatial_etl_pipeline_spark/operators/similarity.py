@@ -240,7 +240,7 @@ def ivf_topk(
         F.array_sort(F.collect_list(F.struct("cent_id", "_c"))).alias("_cents")
     )
 
-    def _assign(df, idc, vc, keep_n):
+    def _assign(df, idc, vc, keep_n, payload=()):
         scored = F.transform(
             F.col("_cents"),
             lambda ct: F.struct(
@@ -253,22 +253,23 @@ def ivf_topk(
         top = F.slice(F.array_sort(scored), 1, keep_n)
         return (
             df.crossJoin(F.broadcast(carr))
-            .select(F.col(idc), F.explode(top).alias("_t"))
-            .select(idc, F.col("_t.cent_id").alias("cent_id"))
+            .select(F.col(idc), *payload, F.explode(top).alias("_t"))
+            .select(idc, *payload, F.col("_t.cent_id").alias("cent_id"))
         )
 
-    cells = _assign(c, id_col, "_v", 1)
+    # The corpus vector rides THROUGH the assignment as payload and the
+    # (queries × nprobe)-row qcells side is broadcast: the corpus is
+    # scanned once, never exchanged, never re-joined — candidate
+    # generation + exact re-rank happen in the same map-side pipeline,
+    # and the only shuffle in the whole operator is the final per-query
+    # top-k window (WindowGroupLimit pre-prunes each partition to k).
+    cells = _assign(c, id_col, "_v", 1, payload=("_v",))
     q = queries.select(
         F.col(query_id_col),
         F.col(query_vec_col).cast("array<double>").alias("_q"),
     )
-    qcells = _assign(q, query_id_col, "_q", nprobe)
-    cand = (
-        qcells.join(cells, "cent_id")
-        .select(query_id_col, id_col)
-        .join(F.broadcast(q), query_id_col)
-        .join(c, id_col)
-    )
+    qcells = _assign(q, query_id_col, "_q", nprobe, payload=("_q",))
+    cand = cells.join(F.broadcast(qcells), "cent_id")
     sim = cand.select(
         query_id_col,
         id_col,

@@ -355,9 +355,14 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
         )
     )
 
-    def assign(df, idc, vc, keep_n):
+    def assign(df, idc, vc, keep_n, payload=()):
         # struct(-score, cent_id): ascending struct order == the window's
-        # (score DESC, cent_id ASC) — same comparator, same tiebreak
+        # (score DESC, cent_id ASC) — same comparator, same tiebreak.
+        # ``payload`` columns ride along so callers can carry the vector
+        # (and its precomputed norm) THROUGH the assignment instead of
+        # re-joining the corpus afterwards — the r6→r7 q56 fix: the old
+        # shape re-joined corpus-sized relations three times (vectors +
+        # both norm sides) after candidate generation.
         scored = F.transform(
             F.col("_cents"),
             lambda c: F.struct(
@@ -373,8 +378,8 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
         top = F.slice(F.array_sort(scored), 1, keep_n)
         return (
             df.crossJoin(F.broadcast(carr))
-            .select(F.col(idc), F.explode(top).alias("_t"))
-            .select(idc, F.col("_t.cent_id").alias("cent_id"))
+            .select(F.col(idc), *payload, F.explode(top).alias("_t"))
+            .select(idc, *payload, F.col("_t.cent_id").alias("cent_id"))
         )
 
     return e, corpus, assign
@@ -481,37 +486,32 @@ def q56_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.similarity.auto_ncells (√n) so the cent_id join key keeps
     real cardinality at 100 TB — see operators.similarity.ivf_topk.
 
-    Scale shape: centroids broadcast (map-side assignment, no shuffle),
-    candidates via equi-join on cent_id, re-rank touches ~nprobe/ncells
-    of the corpus. All similarity math is floor-quantized integer sums
-    (bit-identical across engines)."""
+    Scale shape (tightened r7 after the r6 bench flag): centroids
+    broadcast (map-side assignment, no shuffle), and the corpus vector +
+    its quantized self-dot ride THROUGH the assignment as payload, so
+    candidate generation is ONE BroadcastHashJoin of the corpus-side
+    cells against the 3×nprobe-row qcells (query vector + norm also
+    carried) — the corpus is scanned once, never exchanged, never
+    re-joined for vectors or norms. The only shuffle left is the final
+    per-query top-k window (WindowGroupLimit pre-prunes map-side). The
+    old shape SMJ'd corpus-sized cells against 12 rows and then re-joined
+    corpus-sized relations three more times. All similarity math is
+    floor-quantized integer sums (bit-identical across engines)."""
     e, corpus, _assign = _ivf_parts(spark, sf_dir)
-    cells = _assign(corpus, "vec_id", "v", 1)
+    corpus_n = corpus.withColumn("qnv", _qdot(F.col("v"), F.col("v")))
+    cells = _assign(corpus_n, "vec_id", "v", 1, payload=("v", "qnv"))
     qv = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qvec"),
+        _qdot(F.col("v"), F.col("v")).alias("qnq"),
     )
-    qcells = _assign(qv, "query_id", "qvec", _IVF_NPROBE)
-    vnorm = e.select("vec_id", _qdot(F.col("v"), F.col("v")).alias("qn"))
-    cand = (
-        qcells.join(cells, "cent_id")
-        .select("query_id", "vec_id")
-        .join(F.broadcast(qv), "query_id")
-        .join(corpus, "vec_id")
-    )
-    dots = cand.select(
-        "query_id", "vec_id", _qdot(F.col("qvec"), F.col("v")).alias("qd")
-    )
-    nq = vnorm.select(F.col("vec_id").alias("query_id"), F.col("qn").alias("qnq"))
-    nv = vnorm.select("vec_id", F.col("qn").alias("qnv"))
-    cosine = (F.col("qd").cast("double") / F.lit(_S)) / (
+    qcells = _assign(qv, "query_id", "qvec", _IVF_NPROBE, payload=("qvec", "qnq"))
+    cand = cells.join(F.broadcast(qcells), "cent_id")
+    cosine = (_qdot(F.col("qvec"), F.col("v")).cast("double") / F.lit(_S)) / (
         F.sqrt(F.col("qnq").cast("double") / F.lit(_S))
         * F.sqrt(F.col("qnv").cast("double") / F.lit(_S))
     )
-    scored = (
-        dots.join(nq, "query_id")
-        .join(nv, "vec_id")
-        .select("query_id", "vec_id", cosine.alias("cosine_sim"))
-    )
+    scored = cand.select("query_id", "vec_id", cosine.alias("cosine_sim"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("vec_id").asc()
     )
