@@ -960,12 +960,14 @@ _WSYS_M = 97  # sample target (prime → strides never resonate with weights)
 WITH w AS (
   SELECT doc_id, source,
          GREATEST(COALESCE(n_chars, 0), 0) AS wgt,
-         md5('wsys:' || COALESCE(CAST(doc_id AS VARCHAR), '<null>')) AS hkey
+         md5('wsys:' || COALESCE(CAST(doc_id AS VARCHAR), '<null>')
+                     || ':' || COALESCE(source, '<null>')) AS hkey
   FROM documents
 ),
 c AS (
   SELECT doc_id, source, wgt, hkey,
-         SUM(wgt) OVER (ORDER BY hkey ASC, doc_id ASC NULLS FIRST
+         SUM(wgt) OVER (ORDER BY hkey ASC, doc_id ASC NULLS FIRST,
+                                 source ASC NULLS FIRST, wgt ASC
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS w_cum,
          SUM(wgt) OVER () AS w_tot
@@ -988,7 +990,12 @@ def q231_weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFra
     selected iff the pin index floor(W_i·m/W_tot) advances across its
     interval. All arithmetic is non-negative int64 (identical floor
     division in both engines); the md5 ordering is the same
-    content-addressed determinism as q39.
+    content-addressed determinism as q39. The hash input folds in
+    ``source`` and the order key appends (source, wgt) after
+    (hkey, doc_id), so duplicate or NULL doc_ids can only tie with
+    fully interchangeable rows — the cumulative weight under any tie
+    order is identical, keeping the selected multiset deterministic
+    across runs AND engines (r6 ADVICE finding).
 
     Scale shape (the part worth reading): the global ordered cumsum is
     NOT a single-partition window at scale — the Spark plan computes
@@ -1009,13 +1016,20 @@ def q231_weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFra
             F.concat(
                 F.lit("wsys:"),
                 F.coalesce(F.col("doc_id").cast("string"), F.lit("<null>")),
+                F.lit(":"),
+                F.coalesce(F.col("source"), F.lit("<null>")),
             )
         ).alias("hkey"),
     ).withColumn("b", F.substring("hkey", 1, 2))
     # local cumulative weight within each 256-way prefix bucket
     wloc = (
         Window.partitionBy("b")
-        .orderBy(F.col("hkey").asc(), F.col("doc_id").asc_nulls_first())
+        .orderBy(
+            F.col("hkey").asc(),
+            F.col("doc_id").asc_nulls_first(),
+            F.col("source").asc_nulls_first(),
+            F.col("wgt").asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = w.withColumn("local_cum", F.sum("wgt").over(wloc))
@@ -1070,7 +1084,8 @@ _ORDER_SHARDS = 8
     oracle=f"""
 WITH keyed AS (
   SELECT doc_id, source,
-         md5('order:' || COALESCE(CAST(doc_id AS VARCHAR), '<null>')) AS hkey
+         md5('order:' || COALESCE(CAST(doc_id AS VARCHAR), '<null>')
+                      || ':' || COALESCE(source, '<null>')) AS hkey
   FROM documents
 ),
 sharded AS (
@@ -1082,11 +1097,13 @@ sharded AS (
 SELECT doc_id, source, shard,
        CAST(ROW_NUMBER() OVER (
          PARTITION BY shard
-         ORDER BY hkey ASC, doc_id ASC NULLS FIRST) - 1 AS BIGINT)
+         ORDER BY hkey ASC, doc_id ASC NULLS FIRST,
+                  source ASC NULLS FIRST) - 1 AS BIGINT)
          AS pos_in_shard,
        CAST((ROW_NUMBER() OVER (
          PARTITION BY shard
-         ORDER BY hkey ASC, doc_id ASC NULLS FIRST) - 1)
+         ORDER BY hkey ASC, doc_id ASC NULLS FIRST,
+                  source ASC NULLS FIRST) - 1)
             * {_ORDER_SHARDS} + shard AS BIGINT) AS global_idx
 FROM sharded
 """,
@@ -1111,6 +1128,8 @@ def q249_training_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit("order:"),
             F.coalesce(F.col("doc_id").cast("string"), F.lit("<null>")),
+            F.lit(":"),
+            F.coalesce(F.col("source"), F.lit("<null>")),
         )
     )
     keyed = d.select("doc_id", "source", hkey.alias("hkey")).withColumn(
@@ -1120,8 +1139,14 @@ def q249_training_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _ORDER_SHARDS
         ).cast("int"),
     )
+    # (source) appended to the tie-break for the same reason as q231:
+    # after (hkey, doc_id, source) the only possible ties are between
+    # rows identical in every output-relevant column, so the positions
+    # assigned under any tie order form the same multiset.
     w = Window.partitionBy("shard").orderBy(
-        F.col("hkey").asc(), F.col("doc_id").asc_nulls_first()
+        F.col("hkey").asc(),
+        F.col("doc_id").asc_nulls_first(),
+        F.col("source").asc_nulls_first(),
     )
     pos = F.row_number().over(w) - 1
     return keyed.select(

@@ -2024,31 +2024,44 @@ def q236_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda c, i: F.struct(c.alias("c"), i.alias("i")),
     )
-    best2 = F.aggregate(
+    # Each centroid distance is computed EXACTLY ONCE (transform to
+    # (d, i) structs), then the fold compares precomputed scalars — the
+    # previous shape called dist2() inside both WHEN branches and the
+    # result struct, re-evaluating the 64-element fold up to 3x per
+    # centroid per row (r6 ADVICE finding; same Catalyst
+    # per-reference-duplication trap as functions.text.tokens).
+    dists = F.transform(
         pairs,
+        lambda ci: F.struct(dist2(ci["c"]).alias("d"), ci["i"].alias("i")),
+    )
+    best2 = F.aggregate(
+        dists,
         acc0,
-        lambda acc, ci: F.when(
-            dist2(ci["c"]) < acc["d1"],
+        lambda acc, di: F.when(
+            di["d"] < acc["d1"],
             F.struct(
-                dist2(ci["c"]).alias("d1"),
-                ci["i"].alias("cl1"),
+                di["d"].alias("d1"),
+                di["i"].alias("cl1"),
                 acc["d1"].alias("d2nd"),
             ),
         )
         .when(
-            dist2(ci["c"]) < acc["d2nd"],
+            di["d"] < acc["d2nd"],
             F.struct(
                 acc["d1"].alias("d1"),
                 acc["cl1"].alias("cl1"),
-                dist2(ci["c"]).alias("d2nd"),
+                di["d"].alias("d2nd"),
             ),
         )
         .otherwise(acc),
     )
-    ab = e.select(
-        best2["cl1"].alias("cluster"),
-        best2["d1"].alias("a"),
-        best2["d2nd"].alias("b"),
+    # best2 staged as ONE aliased column before the 3-way field fan-out:
+    # CollapseProject inlines only cheap multi-referenced aliases, so the
+    # fold runs once per row instead of once per referencing expression.
+    ab = e.select(best2.alias("_b")).select(
+        F.col("_b.cl1").alias("cluster"),
+        F.col("_b.d1").alias("a"),
+        F.col("_b.d2nd").alias("b"),
     )
     mx = F.greatest(F.col("a"), F.col("b"))
     s = F.when(mx == 0.0, F.lit(0.0)).otherwise(

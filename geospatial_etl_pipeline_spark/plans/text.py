@@ -2503,21 +2503,24 @@ ranked AS (
 ),
 agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy,
-         CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
-         CAST(SUM(ry2 * ry2) AS BIGINT) AS syy
+         SUM(CAST(rx2 AS HUGEINT) * ry2) AS sxy,
+         SUM(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+         SUM(CAST(ry2 AS HUGEINT) * ry2) AS syy,
+         CAST(COUNT(*) AS HUGEINT)
+           * (COUNT(*) + 1) * (COUNT(*) + 1) AS t1
   FROM ranked
 )
 SELECT n,
        -- centered form: Σ(2r)·anything cancels via Σ2r = n(n+1), so
        -- rho = (sxy − n(n+1)²) / sqrt((sxx − n(n+1)²)(syy − n(n+1)²))
-       -- — every term ≲ 4n³, int64-exact to n ≈ 1.3e6 (the n·sxy form
-       -- overflowed at n ≈ 5e4; review finding)
-       CAST(CASE WHEN sxx = n*(n+1)*(n+1) OR syy = n*(n+1)*(n+1) THEN 0
+       -- — every term ≲ 4n³; power sums in HUGEINT (int128) mirror the
+       -- Spark plan's DECIMAL(38,0), exact to n ≈ 2.9e12 (the int64
+       -- form hit its ceiling at n ≈ 1.3e6; r6 ADVICE finding)
+       CAST(CASE WHEN sxx = t1 OR syy = t1 THEN 0
             ELSE FLOOR({_SPEAR_Q} *
-              CAST(sxy - n*(n+1)*(n+1) AS DOUBLE)
-              / (sqrt(CAST(sxx - n*(n+1)*(n+1) AS DOUBLE))
-                 * sqrt(CAST(syy - n*(n+1)*(n+1) AS DOUBLE))))
+              CAST(sxy - t1 AS DOUBLE)
+              / (sqrt(CAST(sxx - t1 AS DOUBLE))
+                 * sqrt(CAST(syy - t1 AS DOUBLE))))
             END AS BIGINT) AS spearman_q
 FROM agg
 """,
@@ -2530,16 +2533,18 @@ def q253_quality_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     two VALUE HISTOGRAMS (never a corpus rank sort), doubled so ties
     stay integral; Σ(2·midrank) = n(n+1) is an identity, so the rho
     numerator n·Σrxry − (n(n+1))² and both variance terms are exact
-    int64, and only the final normalize touches doubles (one subtract,
-    two exact-rounded sqrts, one multiply, one divide — identical in
-    both engines). All-tied degenerate marginals pin rho to 0.
+    integers, and only the final normalize touches doubles (one
+    subtract, two exact-rounded sqrts, one multiply, one divide —
+    identical in both engines). All-tied degenerate marginals pin rho
+    to 0.
 
-    Int64 headroom: the centered-form terms are ≲ 4n³ — exact to
-    n ≈ 1.3×10⁶ docs per census; beyond that, finish the rho tail from
-    the four aggregate scalars driver-side in Python bignum (the
-    distributed part — histograms, rank joins, power sums — is
-    unchanged) or move the power sums to DECIMAL(38,0). Shape: two histogram aggs + two
-    broadcastable rank joins + one 1-row rollup."""
+    Headroom: the power sums accumulate in DECIMAL(38,0) (DuckDB
+    mirror: HUGEINT/int128 — internal CTE types are free to differ,
+    only the BIGINT output schema is hashed); the centered-form terms
+    are ≲ 4n³, exact to n ≈ 2.9×10¹² docs per census — the int64 form
+    this replaces hit its ceiling at n ≈ 1.3×10⁶ and aborted loudly
+    under ANSI mode (r6 ADVICE finding). Shape: two histogram aggs +
+    two broadcastable rank joins + one 1-row rollup."""
     tok = F.col("_tok")
     scored = (
         _staged(spark, sf_dir, "text", "n_chars")
@@ -2573,14 +2578,19 @@ def q253_quality_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.join(F.broadcast(hist("x")), "x")
         .join(F.broadcast(hist("y")), "y")
     )
+    # power sums in DECIMAL(38,0): the per-pair product stays int64-safe
+    # after one factor is widened (rx2 ≤ 2n+1), and the accumulator gets
+    # ~1e38 of headroom — exact to n ≈ 2.9e12 (see docstring)
+    dec = "decimal(38,0)"
     agg = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy"),
-        F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx"),
-        F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"),
+        F.sum(F.col("rx2").cast(dec) * F.col("ry2")).alias("sxy"),
+        F.sum(F.col("rx2").cast(dec) * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2").cast(dec) * F.col("ry2")).alias("syy"),
     )
-    # centered form (see oracle comment): terms bounded by ~4n³, not n⁴
-    t1 = F.col("n") * (F.col("n") + 1) * (F.col("n") + 1)
+    # centered form (see oracle comment): terms bounded by ~4n³, not n⁴;
+    # t1 = n(n+1)² itself outgrows int64 at n ≈ 2.6e6, so it is decimal
+    t1 = F.col("n").cast(dec) * (F.col("n") + 1) * (F.col("n") + 1)
     num = (F.col("sxy") - t1).cast("double")
     denx = (F.col("sxx") - t1).cast("double")
     deny = (F.col("syy") - t1).cast("double")
