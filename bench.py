@@ -134,6 +134,8 @@ EXTRA = [
     "q243_order_backlog_series",  # two-cumulative-series merge
     "q247_rrf_fusion",            # hybrid retrieval fusion (two arms)
     "q250_corpus_release_manifest",  # the ship-it composite
+    # round-7 additions
+    "q255_knn_consistency_ivf",   # IVF-backed q224 arm (cell-join candidates)
 ]
 
 _SENTINEL_N = 200_000_000

@@ -1631,3 +1631,175 @@ def q224_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END)) div COUNT(1) AS BIGINT)"
         ).alias("consistency_q"),
     )
+
+
+# q255 — the IVF-backed arm of q224 (r6 verdict item 4): same vote /
+# consistency tail, candidates from q56's inverted-file cells instead of
+# the full-corpus broadcast. The cell CTEs are runtime-sliced from q56's
+# REGISTERED oracle (the q175/q188 discipline), so the index this eval
+# probes cannot drift from the index q56 serves.
+from .similarity import (  # noqa: E402 — needs q56 registered first
+    _IVF_NPROBE,
+    _S,
+    _SQL_IVF_CELL_CTES,
+    _ivf_parts,
+    _qdot,
+)
+
+
+@register(
+    "q255_knn_consistency_ivf",
+    tags=("similarity", "llm-data", "quality", "eval", "ann", "ivf"),
+    oracle=f"""
+{_SQL_IVF_CELL_CTES},
+kq AS (
+  SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+  FROM {_SQL_EMB} embeddings WHERE vec_id < {_KNN_EVAL_N}
+),
+kass AS (
+  SELECT q.query_id, k.cent_id,
+         {sql_qsum('q.qv[i::INT]::DOUBLE * k.cv[i::INT]::DOUBLE')} AS qd
+  FROM kq q, cents k, unnest(range(1, len(q.qv) + 1)) t(i)
+  GROUP BY q.query_id, k.cent_id
+),
+kcells AS (
+  SELECT query_id, cent_id FROM (
+    SELECT a.query_id, a.cent_id,
+           row_number() OVER (PARTITION BY a.query_id
+             ORDER BY (CAST(a.qd AS DOUBLE) / {_S!r})
+                        / sqrt(CAST(n.qnc AS DOUBLE) / {_S!r}) DESC,
+                      a.cent_id ASC) AS arn
+    FROM kass a JOIN cnorm n USING (cent_id)
+  ) WHERE arn <= {_IVF_NPROBE}
+),
+candidates AS (
+  SELECT kc.query_id, ce.vec_id
+  FROM kcells kc JOIN cells ce USING (cent_id)
+  WHERE ce.vec_id <> kc.query_id
+),
+labeled AS (
+  SELECT c.query_id, q.qlabel, c.vec_id, e.label AS nlabel,
+         e.embedding AS nv, q.qv
+  FROM candidates c
+  JOIN kq q ON q.query_id = c.query_id
+  JOIN {_SQL_EMB} e ON e.vec_id = c.vec_id
+),
+prod AS (
+  SELECT query_id, qlabel, vec_id, nlabel,
+         nv[i::INT]::DOUBLE AS x, qv[i::INT]::DOUBLE AS y
+  FROM labeled, unnest(range(1, len(nv) + 1)) t(i)
+),
+agg AS (
+  SELECT query_id, qlabel, vec_id, nlabel,
+         CAST({sql_qsum('x * y')} AS DOUBLE) / {_S!r} AS dot,
+         CAST({sql_qsum('x * x')} AS DOUBLE) / {_S!r} AS na,
+         CAST({sql_qsum('y * y')} AS DOUBLE) / {_S!r} AS nq
+  FROM prod GROUP BY query_id, qlabel, vec_id, nlabel
+),
+ranked AS (
+  SELECT query_id, qlabel, nlabel,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY dot / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC) AS rn
+  FROM agg
+),
+votes AS (
+  SELECT query_id, qlabel, nlabel, CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM ranked WHERE rn <= {_KNN_K}
+  GROUP BY query_id, qlabel, nlabel
+),
+pred AS (
+  SELECT query_id, qlabel, nlabel AS predicted,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY n_votes DESC, nlabel ASC NULLS LAST) AS pr
+  FROM votes
+)
+SELECT qlabel AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN predicted IS NOT DISTINCT FROM qlabel
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+       CAST(({_ACC_Q} * SUM(CASE WHEN predicted IS NOT DISTINCT FROM qlabel
+                                 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+         AS consistency_q
+FROM pred WHERE pr = 1
+GROUP BY qlabel
+""",
+)
+def q255_knn_consistency_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q224's label-consistency audit at index speed: the candidate set
+    for each eval vector comes from q56's IVF cells (query assigned to
+    its {_IVF_NPROBE} nearest Voronoi cells, candidates = the corpus
+    vectors living there, leave-self-out), then the IDENTICAL exact
+    quantized-cosine top-{_KNN_K} vote and per-label consistency tail.
+    Reading both tables side by side measures what the ANN shortcut
+    costs in audit fidelity — the q188 recall discipline applied to the
+    mislabel detector. n_eval can drop below q224's when a query's
+    probed cells hold fewer than one labeled neighbor (empty
+    neighborhoods vanish from the rollup in both engines).
+
+    Shape at scale (vs q224's broadcast eval × FULL corpus scan): the
+    corpus-side cell relation carries (label, vector, norm) as
+    assignment payload — built map-side under the broadcast centroid
+    fold, never exchanged — and candidates come from ONE
+    BroadcastHashJoin against the {_KNN_EVAL_N}×{_IVF_NPROBE}-row query
+    cell relation, so the exact re-rank touches ~nprobe/ncells of the
+    corpus per query instead of all of it. The only shuffles are the
+    per-query top-k window (WindowGroupLimit pre-pruned) and the
+    label-sized rollups."""
+    _e, _corpus, assign = _ivf_parts(spark, sf_dir)
+    el = temb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = el.filter(F.col("vec_id") >= 3).withColumn(
+        "qnv", _qdot(F.col("v"), F.col("v"))
+    )
+    cells = assign(corpus, "vec_id", "v", 1, payload=("label", "v", "qnv"))
+    kq = el.filter(F.col("vec_id") < _KNN_EVAL_N).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    ).withColumn("qnq", _qdot(F.col("qv"), F.col("qv")))
+    kcells = assign(kq, "query_id", "qv", _IVF_NPROBE,
+                    payload=("qlabel", "qv", "qnq"))
+    cand = cells.join(F.broadcast(kcells), "cent_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    # identical rank math to q224: each factor is a quantized BIGINT sum
+    # rescaled to DOUBLE, so the cosine chain is engine-bit-identical
+    cos = (_qdot(F.col("v"), F.col("qv")).cast("double") / F.lit(_S)) / (
+        F.sqrt(F.col("qnv").cast("double") / F.lit(_S))
+        * F.sqrt(F.col("qnq").cast("double") / F.lit(_S))
+    )
+    scored = cand.select(
+        "query_id", "qlabel", "vec_id",
+        F.col("label").alias("nlabel"), cos.alias("cos"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    top = (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _KNN_K)
+    )
+    votes = top.groupBy("query_id", "qlabel", "nlabel").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("nlabel").asc_nulls_last()
+    )
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") == 1)
+        .select("query_id", "qlabel", F.col("nlabel").alias("predicted"))
+    )
+    return pred.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(
+            F.when(F.expr("predicted <=> qlabel"), 1).otherwise(0)
+        ).cast("bigint").alias("n_consistent"),
+        F.expr(
+            f"CAST(({_ACC_Q} * SUM(CASE WHEN predicted <=> qlabel"
+            " THEN 1 ELSE 0 END)) div COUNT(1) AS BIGINT)"
+        ).alias("consistency_q"),
+    )

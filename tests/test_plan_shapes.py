@@ -144,6 +144,19 @@ def test_q56_ivf_assignment_is_map_side(spark):
     assert n_shuffles(p) <= 1
 
 
+def test_q255_knn_ivf_reuses_cell_join(spark):
+    """The IVF-backed q224 arm must get its candidates from the q56
+    cell join, not a fresh full-corpus broadcast: the corpus-side cell
+    relation (vector + norm + label carried as assignment payload) is
+    probed by ONE BroadcastHashJoin against the eval×nprobe-row query
+    cells — no SortMergeJoin anywhere, and ≤2 shuffles total (per-query
+    top-k window + the vote/label rollups)."""
+    p = plan_text(catalog.QUERIES["q255_knn_consistency_ivf"].fn(spark, SF))
+    assert n_shuffles(p) <= 2
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_q56_ivf_centroid_pick_is_partial_topk(spark):
     """The sampled centroid pick (md5-ranked smallest ncells) must
     compile to TakeOrderedAndProject — a per-partition partial top-k —
