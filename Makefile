@@ -1,6 +1,15 @@
 # Developer entry points (mirrors the reference repo's Makefile role).
 
-.PHONY: test test-fast parity parity-all parity-sf01 parity-hostile bench smoke
+.PHONY: test test-fast parity parity-all parity-sf01 parity-hostile bench smoke \
+        fetch-grid close
+
+fetch-grid:      ## best-effort: pull the real LINZ NTv2 grid when network exists
+	-python tools/fetch_linz_grid.py
+	# on success the grid lands in data/ and the real-grid tolerance
+	# test auto-unskips (tests pick up data/ntv2_tolerance_report.json);
+	# without network this is a no-op failure, ignored by the leading -
+
+close: fetch-grid parity-all parity-hostile parity-sf01 test bench  ## full round-close gate sequence
 
 test:            ## full suite, no -x (the pre-commit gate)
 	python -m pytest tests/ -q

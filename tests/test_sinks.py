@@ -108,6 +108,39 @@ def test_upload_artifacts_hadoop_fs_contract(spark, tmp_path):
         )
 
 
+def test_upload_artifacts_unresolvable_dest_raises(spark, tmp_path):
+    """The permissive mode must never extend to the DESTINATION: a dest
+    filesystem that cannot be constructed — here the s3a scheme with no
+    S3A connector on the classpath; on a cluster, a missing credentials
+    chain or a typo'd endpoint behaves the same — raises BEFORE any
+    byte moves, even with tolerate_missing=True and even though the
+    source has artifacts ready to ship. tolerate_missing covers a
+    missing SOURCE (the reference's permissive mode, REF:77–92), and a
+    destination that silently swallowed the upload would be
+    success-shaped data loss. Pinned per r6 verdict item 6 until an
+    object store exists to integration-test the s3a specifics against."""
+    from py4j.protocol import Py4JJavaError
+
+    from geospatial_etl_pipeline_spark.operators.sinks import (
+        upload_artifacts,
+    )
+
+    src = tmp_path / "zips"
+    src.mkdir()
+    (src / "a.zip").write_bytes(b"payload")
+
+    import pytest as _pytest
+
+    with _pytest.raises(Py4JJavaError) as ei:
+        upload_artifacts(
+            spark, str(src), "s3a://no-such-bucket/prefix",
+            tolerate_missing=True,
+        )
+    # failed at destination-scheme resolution — not mid-copy, and not
+    # swallowed by the permissive mode
+    assert "S3AFileSystem" in str(ei.value)
+
+
 def test_cli_upload_fs_base_end_to_end(spark, tmp_path):
     """cli.run(upload_fs_base=file://...) ships the real zip artifacts
     through the Hadoop FS upload stage: every zip the pipeline wrote
