@@ -65,32 +65,40 @@ def assign_clusters(corpus: DataFrame, centroids: list[list[float]],
     centroid array literal — index breaks ties, scan-side only."""
     cents = F.lit(centroids)  # array<array<double>> literal, broadcast-by-plan
     v = F.col(vec_col).cast("array<double>")
-    # fold over (centroid, index) pairs carrying the running best
-    best = F.aggregate(
+    # Each centroid distance is computed EXACTLY ONCE (transform to
+    # (d2, cl) structs), then the argmin fold compares precomputed
+    # scalars — folding dist2() calls directly re-evaluates the whole
+    # distance subtree per reference (the q236/tokens() Catalyst trap;
+    # this operator feeds q114/q118/q121/q160, so the 2x was paid by
+    # the entire k-means family). Strict < keeps the FIRST minimum, so
+    # the lowest-index tiebreak is unchanged.
+    dists = F.transform(
         F.zip_with(cents, F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
                    lambda c, i: F.struct(c.alias("c"), i.alias("i"))),
-        F.struct(
-            F.lit(float("inf")).alias("d2"), F.lit(-1).alias("cl")
-        ),
-        lambda acc, ci: F.when(
+        lambda ci: F.struct(
             F.aggregate(
                 F.zip_with(v, ci["c"], lambda x, y: (x - y) * (x - y)),
                 F.lit(0.0), lambda a, b: a + b,
-            ) < acc["d2"],
-            F.struct(
-                F.aggregate(
-                    F.zip_with(v, ci["c"], lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0), lambda a, b: a + b,
-                ).alias("d2"),
-                ci["i"].alias("cl"),
-            ),
-        ).otherwise(acc),
+            ).alias("d2"),
+            ci["i"].alias("cl"),
+        ),
     )
+    best = F.aggregate(
+        dists,
+        F.struct(
+            F.lit(float("inf")).alias("d2"), F.lit(-1).alias("cl")
+        ),
+        lambda acc, di: F.when(di["d2"] < acc["d2"], di).otherwise(acc),
+    )
+    # best staged as ONE aliased column before the field fan-out so
+    # CollapseProject cannot duplicate the fold per reference
     return corpus.select(
+        F.col(id_col), v.alias("_v"), best.alias("_b")
+    ).select(
         F.col(id_col),
-        v.alias("_v"),
-        best["cl"].alias("cluster"),
-        best["d2"].alias("dist2"),
+        "_v",
+        F.col("_b.cl").alias("cluster"),
+        F.col("_b.d2").alias("dist2"),
     )
 
 

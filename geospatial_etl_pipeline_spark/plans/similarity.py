@@ -963,62 +963,70 @@ def q121_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the assignment is deterministic and the full pipeline sits under
     the value-hash gate end to end.
 
-    Scale shape: one cluster-keyed self-join (the pair relation both
-    sides read from the SAME exchange), in-row quantized cosines, a
-    distinct on dropped ids, and a vec_id-keyed flag join. The 100 TB
-    dial is k: SemDeDup runs k ~ 50k on web-scale corpora precisely so
-    |cluster| ~ corpus/k keeps the per-cluster quadratic bounded; k is
-    a parameter here for the same reason (fixed at {_KM_K} only to stay
-    in lockstep with the q118/q114 oracle family)."""
+    Scale shape (r7 — the pair join became a per-cluster kernel): ONE
+    cluster-keyed exchange of |corpus| rows into applyInPandas, which
+    computes the within-cluster pair cosines as chunked numpy
+    broadcasting (bounded memory: CHUNK×|cluster|×dim per block) and
+    emits the keep flag directly. The r6 shape self-joined the
+    assignment into a |pairs|-row relation — each pair row carrying two
+    64-double vectors through the shuffle (~1.5 GB of duplicated
+    vector bytes at sf0.1) — then distinct'd and re-joined. The kernel
+    math is BIT-IDENTICAL to the relational form: per-element
+    floor(x*y*1e12) int64 sums (numpy float64 multiply/floor are the
+    same IEEE ops as the JVM's), so the oracle is unchanged. The
+    100 TB dial is k: SemDeDup runs k ~ 50k on web-scale corpora
+    precisely so |cluster| ~ corpus/k keeps the per-cluster quadratic
+    bounded; k is a parameter here for the same reason (fixed at
+    {_KM_K} only to stay in lockstep with the q118/q114 oracle
+    family), and group parallelism = k, so the dial also sets how many
+    executor cores the prune can use."""
+    import numpy as np
+    import pandas as pd
+
     from ..operators.clustering import assign_clusters, init_centroids
 
     e = temb(spark, sf_dir)
     cents = init_centroids(e, _KM_K)
-    # Quantized self-norm computed ONCE per vector at the scan and
-    # carried through the pair join — computing it per pair re-folds
-    # |pairs| x dim instead of |corpus| x dim (the q55 lesson; measured
-    # 16.6 s -> norm-carried at sf0.1).
-    a = assign_clusters(e, cents).select(
-        "vec_id",
-        "cluster",
-        "_v",
-        _qdot(F.col("_v"), F.col("_v")).alias("_qn"),
-    )
-    x = a.alias("x")
-    y = a.alias("y")
-    # pair dot via the Arrow-numpy kernel: the pair relation is the
-    # quadratic-in-cluster hot path (1.5M dots at sf0.1) where the
-    # interpreted fold dominated; output bits are identical (see
-    # _qdot_arrow docstring)
-    qdot_np = _qdot_arrow()
-    cos = (
-        (qdot_np(F.col("x._v"), F.col("y._v")).cast("double") / F.lit(_S))
-        / (
-            F.sqrt(F.col("x._qn").cast("double") / F.lit(_S))
-            * F.sqrt(F.col("y._qn").cast("double") / F.lit(_S))
+    a = assign_clusters(e, cents).select("vec_id", "cluster", "_v")
+
+    tau, scale = float(_SD_TAU), float(_S)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        # id order == the oracle's x.vec_id < y.vec_id pair orientation
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = len(pdf)
+        out = pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cluster": pdf["cluster"].astype("int64"),
+            }
         )
-    )
-    dropped = (
-        x.join(
-            y,
-            (F.col("x.cluster") == F.col("y.cluster"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .filter(cos >= _SD_TAU)
-        .select(F.col("y.vec_id").alias("dropped_id"))
-        .distinct()
-    )
-    return (
-        a.join(
-            dropped, a["vec_id"] == dropped["dropped_id"], "left"
-        )
-        .select(
-            "vec_id",
-            F.col("cluster").cast("bigint").alias("cluster"),
-            F.when(F.col("dropped_id").isNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("keep"),
-        )
+        if m <= 1:
+            out["keep"] = np.ones(m, dtype=np.int32)
+            return out
+        V = np.stack(pdf["_v"].to_numpy())  # m × dim float64
+        qn = np.floor(V * V * scale).astype(np.int64).sum(axis=1)
+        norm = np.sqrt(qn.astype(np.float64) / scale)
+        dropped = np.zeros(m, dtype=bool)
+        # chunked pairwise quantized cosines: CHUNK×m×dim per block
+        chunk = max(1, min(256, (1 << 22) // max(m, 1)))
+        for s0 in range(0, m, chunk):
+            blk = V[s0:s0 + chunk]
+            qd = (
+                np.floor(blk[:, None, :] * V[None, :, :] * scale)
+                .astype(np.int64)
+                .sum(axis=-1)
+            )
+            cos = (qd.astype(np.float64) / scale) / (
+                norm[s0:s0 + chunk, None] * norm[None, :]
+            )
+            rows, cols = np.nonzero(cos >= tau)
+            dropped[cols[(rows + s0) < cols]] = True
+        out["keep"] = np.where(dropped, 0, 1).astype(np.int32)
+        return out
+
+    return a.groupBy("cluster").applyInPandas(
+        prune, "vec_id bigint, cluster bigint, keep int"
     )
 
 

@@ -429,14 +429,21 @@ def test_q124_filtered_topk_broadcasts_queries(spark):
 
 
 def test_q121_semdedup_pairs_stay_within_clusters(spark):
-    """The pair join must be keyed on cluster (equi SMJ/BHJ), never a
-    nested-loop over the corpus. The pair-dot kernel is the sanctioned
-    Arrow-numpy shape (vectorized batches) — row-at-a-time Python
-    stays banned."""
+    """The within-cluster prune is ONE cluster-keyed exchange of
+    |corpus| rows into the applyInPandas kernel (chunked numpy pair
+    cosines inside the group) — never a pair-relation join that ships
+    two vectors per pair through the shuffle, and never a nested-loop
+    over the corpus. Row-at-a-time Python stays banned (the kernel is
+    the sanctioned Arrow-batched group shape)."""
     p = plan_text(catalog.QUERIES["q121_semantic_dedup"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p
+    assert "FlatMapGroupsInPandas" in p
     assert n_shuffles(p) <= 2
+    # no pair-relation join survives: the only join in the plan is the
+    # centroid-init subtree's (if any) — the corpus side must reach the
+    # kernel straight from the scan
+    assert "SortMergeJoin" not in p
 
 
 def test_q127_containment_single_posting_exchange(spark):
