@@ -54,10 +54,19 @@ def connected_components(
     sym = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
-    labels = nodes.select(F.col(node_col).alias("node")).distinct().select(
-        "node", F.col("node").alias("component")
+    # The label loop runs over EDGE-ENDPOINT nodes only: a node with no
+    # edges is a fixed point (it keeps its own label forever), so
+    # iterating it just re-shuffles the full vertex set every round —
+    # at dedup scale the dup graph touches a sliver of the corpus, and
+    # the per-round exchange must be sized to THAT, not to |corpus|.
+    # Isolated nodes re-enter once, via the final left-join + coalesce
+    # (the same shape the recursive-CTE oracle states).
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
     )
-    labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_rounds):
         # labels flowing one hop: neighbor's current component
         prop = (
@@ -80,9 +89,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_rounds} rounds"
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    allnodes = nodes.select(F.col(node_col).alias("node")).distinct()
+    return allnodes.join(labels, "node", "left").select(
+        "node",
+        F.coalesce(F.col("component"), F.col("node")).alias("component"),
     )
 
 
