@@ -568,22 +568,25 @@ def ahash64(
 
 
 def phash_near_dup_pairs(
-    hashes: DataFrame, max_hamming: int = 3, bands: int = 4
+    hashes: DataFrame, max_hamming: int = 3, bands: int = 4,
+    sig_bits: int = 64,
 ) -> DataFrame:
-    """Near-duplicate media pairs by banded Hamming join: the 64-bit
-    signature splits into ``bands`` exact-match bands; by pigeonhole
-    any pair within Hamming distance ``bands − 1`` shares at least one
-    band, so a (band_idx, band_value) equi-join generates ALL such
-    candidates (guaranteed recall for max_hamming ≤ bands − 1, the
-    same guarantee structure as MinHash banding) and ``bit_count(xor)``
-    verifies exactly. Never an all-pairs comparison: cost is bounded by
-    band-bucket occupancy — q162's audit shape applies verbatim."""
+    """Near-duplicate media pairs by banded Hamming join: the
+    ``sig_bits``-bit signature splits into ``bands`` exact-match bands;
+    by pigeonhole any pair within Hamming distance ``bands − 1`` shares
+    at least one band, so a (band_idx, band_value) equi-join generates
+    ALL such candidates (guaranteed recall for max_hamming ≤ bands − 1,
+    the same guarantee structure as MinHash banding) and
+    ``bit_count(xor)`` verifies exactly. Never an all-pairs comparison:
+    cost is bounded by band-bucket occupancy — q162's audit shape
+    applies verbatim. ``sig_bits`` serves non-64-bit fingerprints (the
+    32-bit q44 SimHash rides the same dataflow in q257)."""
     if max_hamming > bands - 1:
         raise ValueError(
             f"banded join guarantees recall only for max_hamming <= "
             f"bands - 1 ({bands - 1}); got {max_hamming}"
         )
-    width = 64 // bands
+    width = sig_bits // bands
     mask = (1 << width) - 1
     banded = hashes.select(
         "media_id",

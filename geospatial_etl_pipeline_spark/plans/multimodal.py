@@ -17,8 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
+    ahash64,
     decode_features,
     frame_sample,
+    phash_near_dup_pairs,
     synthesize_media,
     synthesize_videos,
 )
@@ -138,3 +140,95 @@ def q97_video_frame_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_ms").alias("last_ts"),
         F.sum("frame_idx").cast("bigint").alias("sum_idx"),
     )
+
+
+@register(
+    "q256_media_ahash_near_dup",
+    tags=("multimodal", "llm-data", "dedup", "phash"),
+    oracle=None,  # the aHash pixel math (byte tiling → 8×8 NN downscale
+    # → mean threshold → bitpack) is not SQL-expressible; the IDENTICAL
+    # banded-Hamming dataflow is value-hash checked by the SimHash twin
+    # q257 (the q54/q84 twin discipline), and the aHash kernel itself is
+    # pixel-pinned in tests/test_operators.py + codec-invariant in
+    # tests/test_codecs.py.
+    oracle_twin="q257_simhash_hamming_pairs",
+)
+def q256_media_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup — MinHash-for-pixels: 64-bit average-hash
+    per media blob (operators.multimodal.ahash64; decode → 8×8
+    nearest-neighbor downscale → threshold at the mean → bitpack), then
+    banded Hamming join (4×16-bit bands; pigeonhole guarantees every
+    pair within Hamming ≤ 3 shares a band) and exact
+    bit_count(xor) verification. Returns (id_a, id_b, hamming) — what
+    an image-dedup pass ships where content_hash only catches
+    byte-identical copies.
+
+    Degenerate blobs are pre-filtered (NULL text → NULL blob has no
+    bytes to hash; empty text → zero-length pixel source cannot tile) —
+    same guard, both hostile-fixture classes.
+
+    Scale shape: hashing is Arrow-batched mapInPandas (blobs never
+    leave the executor), candidates come from the (band_idx,
+    band_value) equi-join — shuffle bounded by band-bucket occupancy,
+    never all-pairs; q162's skew-audit shape applies to these buckets
+    verbatim."""
+    media = synthesize_media(t(spark, sf_dir, "documents")).filter(
+        F.col("blob").isNotNull() & (F.length("blob") > 0)
+    )
+    hashes = ahash64(media, allow_fake=True)
+    return phash_near_dup_pairs(hashes, max_hamming=3, bands=4)
+
+
+# q257's oracle nests q44's REGISTERED SimHash oracle verbatim (the
+# q188 nesting / q175 slicing discipline): the signature this pair
+# query bands is exactly the one q44 serves, and both sit under the
+# value-hash gate.
+from . import extra as _extra  # noqa: E402,F401 — forces q44 registration
+from .catalog import QUERIES as _QUERIES  # noqa: E402
+
+_SQL_SIMHASH = _QUERIES["q44_simhash"].oracle
+
+
+@register(
+    "q257_simhash_hamming_pairs",
+    tags=("multimodal", "dedup", "llm-data", "simhash", "phash"),
+    oracle=f"""
+WITH sig AS ({_SQL_SIMHASH}),
+banded AS (
+  SELECT doc_id, simhash32 AS h,
+         b.b AS band_idx,
+         (simhash32 // CAST(pow(2, 8 * b.b) AS BIGINT)) % 256 AS band_value
+  FROM sig, range(0, 4) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.h AS ha, b.h AS hb
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx
+   AND a.band_value = b.band_value AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 1
+""",
+)
+def q257_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS — the retrieval tail q44's
+    signatures were built for, and q256's hash-checked twin in one: the
+    SAME registered banded-Hamming operator (phash_near_dup_pairs —
+    banding, pigeonhole candidate join, dedup, bit_count(xor) verify,
+    threshold) driven by q44's 32-bit SimHash (``sig_bits=32`` → 4×8-bit
+    bands), so the ENTIRE pair dataflow sits under the value-hash gate
+    while only q256's pixel-hash kernel stays rows-only (exactly the
+    q54→q84 LSH discipline — and unlike an md5-signature strawman this
+    twin is NON-vacuous: near-dup docs produce real Hamming-≤1 pairs).
+    The oracle nests q44's registered oracle verbatim, so the banded
+    signature cannot drift from the one q44 reports."""
+    sig = (
+        _QUERIES["q44_simhash"].fn(spark, sf_dir)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("text").alias("kind"),
+            F.col("simhash32").alias("ahash"),
+        )
+    )
+    return phash_near_dup_pairs(sig, max_hamming=1, bands=4, sig_bits=32)

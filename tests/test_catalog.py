@@ -238,6 +238,11 @@ def test_catalog_hygiene():
         "q201_rolling_weekly_actives_sketch",  # HLL sketch bits are
         # engine-specific; exact-twinned to q151 + in-plan within_bound
         # asserted at two scales below
+        "q256_media_ahash_near_dup",  # aHash pixel math (tile → 8×8 NN
+        # downscale → mean threshold → bitpack) is not SQL-expressible;
+        # dataflow hash-twinned to q257 (same phash_near_dup_pairs
+        # operator over q44's oracled SimHash), kernel pixel-pinned in
+        # test_operators/test_codecs
     }
     for name, spec in catalog.QUERIES.items():
         assert re.match(r"^q\d+_[a-z0-9_]+$", name), name
