@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def connected_components(
@@ -112,21 +113,31 @@ def dedup_clusters(
     """Near-dup pairs → duplicate clusters with a canonical keeper:
     (doc_id, cluster_id, is_keeper, cluster_size). cluster_id = MIN
     doc id in the component (the same survivor policy as
-    exact_dedup_groups); singleton docs keep themselves."""
+    exact_dedup_groups); singleton docs keep themselves.
+
+    Output is PER DOCUMENT ROW (the q49 oracle's ``documents LEFT JOIN
+    comp`` shape), not per distinct node: duplicate ids label every
+    copy, a NULL id keeps its row (NULL cluster, all NULL-id rows one
+    size group — window partitioning, never a size join whose NULL key
+    would silently drop the row). The dup/NULL-id probe caught the old
+    per-node form diverging from the oracle on exactly those rows."""
     comp = connected_components(
         pairs, docs.select(F.col(id_col).alias("node")), src=id_a, dst=id_b,
     )
-    sizes = comp.groupBy("component").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return (
-        comp.join(sizes, "component")
+    rows = (
+        docs.select(F.col(id_col))
+        .join(comp, docs[id_col] == comp["node"], "left")
         .select(
-            F.col("node").alias(id_col),
-            F.col("component").alias("cluster_id"),
-            (F.col("node") == F.col("component")).alias("is_keeper"),
-            F.col("cluster_size").cast("bigint"),
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
         )
+    )
+    w = Window.partitionBy("cluster_id")
+    return rows.select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_keeper"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
     )
 
 

@@ -20,7 +20,7 @@ from ..operators.dedup import (
     shingle_sets,
 )
 from ._util import qsum, sql_qsum, t
-from .catalog import register
+from .catalog import QUERIES, register
 
 _NUM_HASHES = 8
 _BANDS = 4
@@ -237,6 +237,96 @@ def q49_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import dedup_clusters
 
     return dedup_clusters(pairs, docs)
+
+
+# q258's oracle reuses q49's registered CTE text verbatim up through the
+# cluster labeling — runtime-sliced (the q175 discipline), so the split
+# is keyed on EXACTLY the clusters q49 ships.
+_CLUSTER_SPLIT_MARKER = "SELECT l.doc_id"
+_q49_split = QUERIES["q49_dedup_clusters"].oracle.split(_CLUSTER_SPLIT_MARKER)
+assert len(_q49_split) == 2, "q49 oracle lost its final-SELECT marker"
+_SQL_CLUSTER_CTES = _q49_split[0].rstrip().rstrip(",")
+
+_SPLIT_BUCKETS = (8, 1, 1)  # train/val/test out of 10 hash buckets
+
+
+@register(
+    "q258_cluster_aware_split",
+    tags=("dedup", "llm-data", "sampling", "split", "iterative"),
+    oracle=f"""
+{_SQL_CLUSTER_CTES},
+assigned AS (
+  SELECT doc_id, cluster_id,
+         CAST(('0x' || substr(md5('split:' ||
+                COALESCE(CAST(cluster_id AS VARCHAR), '<null>')), 1, 8)
+              )::BIGINT % 10 AS INT) AS bucket
+  FROM labeled
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < {_SPLIT_BUCKETS[0]} THEN 'train'
+            WHEN bucket < {_SPLIT_BUCKETS[0] + _SPLIT_BUCKETS[1]} THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned
+""",
+)
+def q258_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE train/val/test split — the assembly step naive
+    content-addressed splitting (q39) gets wrong in a deduplicated
+    world: hashing each doc_id independently strands near-duplicates on
+    opposite sides of the train/test wall, so the eval set silently
+    contains paraphrases of training documents. The split key here is
+    the q49 DEDUP CLUSTER id (min-doc-id component of the LSH near-dup
+    graph): every member of a near-dup cluster lands in the SAME split
+    by construction, at the 80/10/10 mix of q39. Singletons hash on
+    their own id (= their cluster id), so the mix stays content-
+    addressed and resharding-stable.
+
+    The oracle reuses q49's registered recursive-CTE closure verbatim
+    (runtime-sliced, the q175 discipline) — the split is provably keyed
+    on the clusters the dedup pass ships, not a reimplementation.
+
+    Scale shape: q49's iterative closure (edge-endpoint-sized rounds)
+    + one map-side hash over the labeled relation; no new exchanges
+    beyond the cluster build itself."""
+    from ..operators.graph import dedup_clusters
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs,
+        num_hashes=_NUM_HASHES,
+        shingle_k=_SHINGLE_K,
+        bands=_BANDS,
+        jaccard_threshold=_JACCARD,
+    )
+    clusters = dedup_clusters(pairs, docs).select("doc_id", "cluster_id")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("split:"),
+                        F.coalesce(
+                            F.col("cluster_id").cast("string"), F.lit("<null>")
+                        ),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    ).cast("int")
+    train_hi, val_hi = _SPLIT_BUCKETS[0], _SPLIT_BUCKETS[0] + _SPLIT_BUCKETS[1]
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < train_hi, F.lit("train"))
+        .when(bucket < val_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
 
 
 _SQL_BIGRAMS = (

@@ -162,24 +162,35 @@ def q29_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "llm-data", "simhash"),
     oracle=r"""
 WITH tok AS (
-  SELECT doc_id,
+  SELECT doc_id, md5(text) AS tkey,
          unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS tk
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 hashed AS (
-  SELECT doc_id, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS hv FROM tok
+  SELECT doc_id, tkey, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS hv FROM tok
 ),
 bits AS (
-  SELECT doc_id, b.bit,
+  SELECT doc_id, tkey, b.bit,
          SUM(CASE WHEN (hv >> b.bit::INT) & 1 = 1 THEN 1 ELSE -1 END) AS s
   FROM hashed, unnest(range(0, 32)) b(bit)
-  GROUP BY doc_id, b.bit
+  GROUP BY doc_id, tkey, b.bit
+),
+sig AS (
+  SELECT doc_id, tkey,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END)
+              AS BIGINT) AS simhash32
+  FROM bits
+  GROUP BY doc_id, tkey
 )
-SELECT doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END) AS BIGINT)
-         AS simhash32
-FROM bits
-GROUP BY doc_id
+-- re-expand onto DOCUMENT ROWS: a bare GROUP BY doc_id would merge
+-- duplicate-id rows' token sets into one chimera signature (and all
+-- NULL-id rows into another) where the engine hashes each row — the
+-- dup/NULL-id probe caught exactly that divergence
+SELECT d.doc_id, s.simhash32
+FROM documents d
+JOIN sig s ON s.doc_id IS NOT DISTINCT FROM d.doc_id
+          AND s.tkey = md5(d.text)
+WHERE d.text IS NOT NULL
 """,
 )
 def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

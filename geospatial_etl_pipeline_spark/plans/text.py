@@ -2726,3 +2726,251 @@ def q254_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tok").cast("bigint").alias("max_chunk_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q259 — token-budget frontier (the curation cost curve)
+# --------------------------------------------------------------------------
+
+_TBF_BINS = 20
+
+
+@register(
+    "q259_token_budget_frontier",
+    tags=("text", "llm-data", "quality", "curation", "window"),
+    oracle=f"""
+WITH scored AS (
+  SELECT CAST(FLOOR({_SQL_QUALITY} * {_TBF_BINS}.0) AS INT) AS bucket,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok
+  FROM documents WHERE text IS NOT NULL
+),
+hist AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM scored GROUP BY bucket
+)
+SELECT bucket, n_docs, n_tokens,
+       CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+       CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens
+FROM hist
+WINDOW w AS (ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def q259_token_budget_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation frontier every data-mix decision reads off: for each
+    quality bin (quality score × {_TBF_BINS}, floored), how many docs
+    and tokens the corpus holds AT that bin and CUMULATIVELY above it —
+    i.e. "if the quality gate is set here, this is the training-token
+    budget that survives". The same quality formula as q31/q166 (one
+    definition, shared SQL builder), so the frontier prices exactly the
+    gate q31 scores.
+
+    Exactness: bin membership is floor() on the engine-identical
+    quality chain; all frontier arithmetic is integer sums.
+
+    Scale shape: one corpus scan → {_TBF_BINS + 1}-key partial agg; the
+    cumulative window runs over the BIN HISTOGRAM (≤{_TBF_BINS + 1}
+    rows — its SinglePartition exchange is bin-bounded by construction,
+    the q229 pattern), never over the corpus."""
+    tok = F.col("_tok")
+    scored = (
+        _staged(spark, sf_dir, "text")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.floor(_quality_t(tok) * _TBF_BINS).cast("int").alias("bucket"),
+            token_count_t(tok).cast("bigint").alias("n_tok"),
+        )
+    )
+    hist = scored.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_docs").over(w).cast("bigint").alias("cum_docs"),
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q260 — intra-document repetition census (loop-generation detector)
+# --------------------------------------------------------------------------
+
+_IDR_Q = 1_000_000
+_IDR_LOOPY = 0.5  # dup-sentence share at/above which a doc counts as loopy
+
+_SQL_SENTS = (
+    "list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),"
+    " s -> trim(s)), s -> len(s) > 0)"
+)
+
+
+@register(
+    "q260_intra_doc_repetition",
+    tags=("text", "llm-data", "dedup", "quality"),
+    oracle=f"""
+WITH sents AS (
+  SELECT doc_id, source,
+         CAST(len({_SQL_SENTS}) AS BIGINT) AS n_sent,
+         CAST(len(list_distinct({_SQL_SENTS})) AS BIGINT) AS n_uniq
+  FROM documents WHERE text IS NOT NULL
+),
+shares AS (
+  SELECT source, n_sent, n_sent - n_uniq AS n_dup,
+         CAST(n_sent - n_uniq AS DOUBLE) / n_sent AS dup_share
+  FROM sents WHERE n_sent > 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_dup) AS BIGINT) AS n_dup_sents,
+       CAST(SUM(CAST(FLOOR(dup_share * {_IDR_Q}) AS BIGINT)) AS BIGINT)
+         AS sum_dup_share_q,
+       CAST(SUM(CASE WHEN dup_share >= {_IDR_LOOPY!r} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_loopy
+FROM shares GROUP BY source
+""",
+)
+def q260_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document duplicate-sentence census — the loop-generation
+    detector corpus filters run beside the Gopher repetition signals:
+    a document whose sentences repeat themselves (dup_share = 1 −
+    distinct/total over [.!?]-split, trimmed, non-empty sentences) is
+    degenerate model output or boilerplate scaffolding, invisible to
+    CROSS-document dedup because the doc only duplicates itself.
+    Per-source rollup: docs, duplicated-sentence count, quantized mean
+    numerator, and how many docs cross the {_IDR_LOOPY} loopy line.
+
+    Exactness: sentence counts are exact integers; the share is one
+    IEEE divide of two ints, quantized at the row before summing.
+
+    Scale shape: the sentence arrays live and die INSIDE the row
+    projection (never exploded, never shuffled); the only exchange is
+    the |sources|-key rollup."""
+    sents_expr = (
+        "filter(transform(split(text, '[.!?]+'), s -> trim(s)),"
+        " s -> length(s) > 0)"
+    )
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    staged = d.select(
+        "source",
+        F.expr(f"CAST(size({sents_expr}) AS BIGINT)").alias("n_sent"),
+        F.expr(
+            f"CAST(size(array_distinct({sents_expr})) AS BIGINT)"
+        ).alias("n_uniq"),
+    ).filter(F.col("n_sent") > 0)
+    dup_share = (F.col("n_sent") - F.col("n_uniq")).cast("double") / F.col(
+        "n_sent"
+    )
+    shares = staged.select(
+        "source",
+        (F.col("n_sent") - F.col("n_uniq")).alias("n_dup"),
+        dup_share.alias("dup_share"),
+    )
+    return shares.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_dup").cast("bigint").alias("n_dup_sents"),
+        F.sum(F.floor(F.col("dup_share") * _IDR_Q).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_dup_share_q"),
+        F.sum(
+            F.when(F.col("dup_share") >= _IDR_LOOPY, 1).otherwise(0)
+        ).cast("bigint").alias("n_loopy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q261 — lang-debiased quality percentile (per-doc midrank, histogram-built)
+# --------------------------------------------------------------------------
+
+_LQP_Q = 1_000_000
+
+
+@register(
+    "q261_lang_quality_percentile",
+    tags=("text", "llm-data", "quality", "calibration", "window"),
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(FLOOR({_SQL_QUALITY} * {_LQP_Q}) AS BIGINT) AS quality_q
+  FROM documents WHERE text IS NOT NULL
+),
+hist AS (
+  SELECT lang, quality_q, CAST(COUNT(*) AS BIGINT) AS cnt,
+         COALESCE(SUM(COUNT(*)) OVER (PARTITION BY lang
+           ORDER BY quality_q ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+         SUM(COUNT(*)) OVER (PARTITION BY lang) AS n_lang
+  FROM scored GROUP BY lang, quality_q
+)
+SELECT s.doc_id, s.lang, s.quality_q,
+       CAST(((2 * h.below + h.cnt + 1) * {_LQP_Q}) // (2 * h.n_lang)
+            AS BIGINT) AS pct_q
+FROM scored s JOIN hist h
+  ON s.lang IS NOT DISTINCT FROM h.lang AND s.quality_q = h.quality_q
+""",
+)
+def q261_lang_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-debiased quality: each document's quality score mapped
+    to its MIDRANK PERCENTILE within its own language — the q240
+    lesson operationalized (the raw quality formula is an easier test
+    for stopword-rich English than for anything else, so a single
+    global gate systematically starves other languages; gating on the
+    within-lang percentile equalizes pass rates by construction).
+    pct_q is the tie-aware midrank (2·below + cnt + 1) / 2n, quantized
+    — exact integer arithmetic end to end, the q253 midrank machinery
+    emitted per document.
+
+    Scale shape: ranks come from the (lang, quality_q) VALUE HISTOGRAM
+    (per-lang windows over histogram-sized relations), then one
+    broadcastable histogram join back to the corpus — never a
+    corpus-wide rank sort. NULL lang is a real group (null-safe join,
+    both engines)."""
+    tok = F.col("_tok")
+    scored = (
+        _staged(spark, sf_dir, "text", "lang")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            F.floor(_quality_t(tok) * _LQP_Q).cast("bigint").alias(
+                "quality_q"
+            ),
+        )
+    )
+    wb = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality_q").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy("lang")
+    hist = (
+        scored.groupBy("lang", "quality_q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.col("lang").alias("h_lang"),
+            F.col("quality_q").alias("h_qq"),
+            "cnt",
+            F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("below"),
+            F.sum("cnt").over(wt).alias("n_lang"),
+        )
+    )
+    joined = scored.join(
+        F.broadcast(hist),
+        scored["lang"].eqNullSafe(hist["h_lang"])
+        & (scored["quality_q"] == hist["h_qq"]),
+    )
+    return joined.select(
+        "doc_id",
+        scored["lang"],
+        "quality_q",
+        F.expr(
+            f"CAST(((2 * below + cnt + 1) * {_LQP_Q}) div (2 * n_lang)"
+            " AS BIGINT)"
+        ).alias("pct_q"),
+    )
