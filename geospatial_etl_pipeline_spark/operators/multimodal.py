@@ -41,7 +41,10 @@ from pyspark.sql.types import (
 
 MEDIA_SCHEMA = StructType(
     [
-        StructField("media_id", LongType(), False),
+        # nullable: media_id inherits doc_id, and a NULL id is DATA (the
+        # dup/NULL-id hostile fixture) — a False here turns it into an
+        # Arrow crash ("Value at index is null") instead of a row
+        StructField("media_id", LongType(), True),
         StructField("kind", StringType(), False),  # image | audio | video
         StructField("blob", BinaryType(), False),
         StructField(
@@ -61,7 +64,7 @@ MEDIA_SCHEMA = StructType(
 
 FEATURE_SCHEMA = StructType(
     [
-        StructField("media_id", LongType(), False),
+        StructField("media_id", LongType(), True),  # see MEDIA_SCHEMA
         StructField("kind", StringType(), False),
         StructField("n_bytes", LongType(), False),
         StructField("content_hash", StringType(), False),
@@ -515,7 +518,7 @@ def synthesize_videos(
 
 AHASH_SCHEMA = StructType(
     [
-        StructField("media_id", LongType(), False),
+        StructField("media_id", LongType(), True),  # see MEDIA_SCHEMA
         StructField("kind", StringType(), False),
         StructField("ahash", LongType(), False),
     ]
@@ -561,7 +564,11 @@ def ahash64(
                 # two's-complement into signed 64-bit for a Spark LONG
                 if h >= 1 << 63:
                     h -= 1 << 64
-                out.append((int(mid), kind, h))
+                # NULL media_id is data (nullable schema) — int(NaN)
+                # would throw inside the Arrow batch
+                out.append(
+                    (None if pd.isna(mid) else int(mid), kind, h)
+                )
             yield pd.DataFrame(out, columns=["media_id", "kind", "ahash"])
 
     return media.mapInPandas(run, AHASH_SCHEMA)

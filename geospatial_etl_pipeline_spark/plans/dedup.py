@@ -1204,35 +1204,38 @@ reach(a, b) AS (
 comp AS (
   SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
 ),
+-- PER-NODE labels, joined null-safely to per-ROW tokens: a per-row
+-- label relation re-joined on doc_id fans out m×n on duplicate ids,
+-- and a plain equi-join drops NULL-id rows (dup/NULL-id fixture)
 labeled AS (
-  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+  SELECT n.doc_id, COALESCE(c.cluster_id, n.doc_id) AS cluster_id
+  FROM (SELECT DISTINCT doc_id FROM documents) n
+  LEFT JOIN comp c ON c.doc_id = n.doc_id
 ),
+-- exact-keep flag computed IN-ROW (window), never re-joined by id:
+-- an id-keyed keeper list marks every row sharing the winner's id.
+-- rn ties (identical rows / same-fp id ties) are aggregate-invariant:
+-- same fp ⇒ same token array ⇒ same n_tok.
 tok AS (
   SELECT doc_id,
          CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok,
-         md5(list_aggregate({_SQL_TOKENS}, 'string_agg', ' ')) AS fp
+         row_number() OVER (
+           PARTITION BY md5(list_aggregate({_SQL_TOKENS}, 'string_agg', ' '))
+           ORDER BY doc_id) AS rn
   FROM documents
-),
-exact_keep AS (
-  SELECT doc_id FROM (
-    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-    FROM tok
-  ) WHERE rn = 1
 )
 SELECT CAST(SUM(t.n_tok) AS BIGINT) AS total_tokens,
-       CAST(SUM(CASE WHEN ek.doc_id IS NOT NULL THEN t.n_tok ELSE 0 END)
+       CAST(SUM(CASE WHEN t.rn = 1 THEN t.n_tok ELSE 0 END)
             AS BIGINT) AS exact_kept_tokens,
-       CAST(SUM(CASE WHEN l.doc_id = l.cluster_id THEN t.n_tok ELSE 0 END)
+       CAST(SUM(CASE WHEN t.doc_id = l.cluster_id THEN t.n_tok ELSE 0 END)
             AS BIGINT) AS cluster_kept_tokens,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(CASE WHEN ek.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(SUM(CASE WHEN t.rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_exact_kept,
-       CAST(SUM(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(SUM(CASE WHEN t.doc_id = l.cluster_id THEN 1 ELSE 0 END) AS BIGINT)
          AS n_cluster_kept
 FROM tok t
-LEFT JOIN exact_keep ek ON ek.doc_id = t.doc_id
-JOIN labeled l ON l.doc_id = t.doc_id
+JOIN labeled l ON l.doc_id IS NOT DISTINCT FROM t.doc_id
 """,
 )
 def q150_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1250,7 +1253,6 @@ def q150_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     report is three flag-sums over one joined relation — output is ONE
     row however big the corpus."""
     from ..functions.text import fingerprint_t, token_count_t, tokens
-    from ..operators.graph import dedup_clusters
 
     d = t(spark, sf_dir, "documents")
     staged = d.select("doc_id", tokens("text").alias("_tok"))
@@ -1270,10 +1272,20 @@ def q150_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
         jaccard_threshold=_JACCARD,
     )
-    clusters = dedup_clusters(pairs, d).select(
-        "doc_id", (F.col("doc_id") == F.col("cluster_id")).alias("cluster_keep")
+    # PER-NODE labels joined null-safely: dedup_clusters' per-row output
+    # re-joined on doc_id would fan out m×n on duplicate ids and a plain
+    # equi-join would drop NULL-id rows (dup/NULL-id fixture finding)
+    from ..operators.graph import connected_components
+
+    comp = connected_components(
+        pairs, d.select(F.col("doc_id").alias("node")), src="id_a", dst="id_b"
     )
-    j = keep_flagged.join(clusters, "doc_id")
+    j = keep_flagged.join(
+        comp, keep_flagged["doc_id"].eqNullSafe(comp["node"]), "left"
+    ).withColumn(
+        "cluster_keep",
+        F.col("doc_id") == F.coalesce(F.col("component"), F.col("doc_id")),
+    )
     return j.agg(
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
         F.sum(F.when(F.col("exact_keep"), F.col("n_tok")).otherwise(0))
@@ -1887,12 +1899,26 @@ def q238_dup_cluster_source_purity(spark: SparkSession, sf_dir: str) -> DataFram
         bands=_BANDS,
         jaccard_threshold=_JACCARD,
     )
-    from ..operators.graph import dedup_clusters
+    from ..operators.graph import connected_components
 
-    clusters = dedup_clusters(pairs, docs).filter(F.col("cluster_size") >= 2)
+    # PER-NODE labels over EDGE NODES only (the oracle's comp relation:
+    # a node is in a real cluster iff it has an edge), then ONE join to
+    # per-row documents — dedup_clusters' per-row output re-joined on
+    # doc_id would fan out m×n on duplicate ids, and its row-counted
+    # cluster_size would promote an edgeless twice-repeated row to a
+    # fake "cluster" (dup/NULL-id fixture finding)
+    ends = (
+        pairs.select(F.col("id_a").alias("node"))
+        .unionByName(pairs.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    comp = connected_components(pairs, ends, src="id_a", dst="id_b")
     by_src = (
-        clusters.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("cluster_id", "source")
+        comp.join(
+            docs.select("doc_id", "source"),
+            comp["node"] == F.col("doc_id"),
+        )
+        .groupBy(F.col("component").alias("cluster_id"), "source")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     return by_src.groupBy("cluster_id").agg(

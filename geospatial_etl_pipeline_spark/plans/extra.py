@@ -1209,9 +1209,14 @@ _COMPACT_TARGET = 2000  # target chars per compaction group
     tags=("maintenance", "window", "documents"),
     oracle=f"""
 WITH f AS (
+  -- NULLS FIRST + size tie-break pinned: duplicate ids with different
+  -- sizes tie on doc_id alone (order-dependent running sum), and a
+  -- NULL id orders first in Spark windows, last in DuckDB
+  -- (dup/NULL-id fixture)
   SELECT source, doc_id, COALESCE(n_chars, 0) AS sz,
          COALESCE(SUM(COALESCE(n_chars, 0)) OVER (
-           PARTITION BY source ORDER BY doc_id
+           PARTITION BY source
+           ORDER BY doc_id ASC NULLS FIRST, COALESCE(n_chars, 0) ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
   FROM documents
 )
@@ -1242,9 +1247,10 @@ def q211_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delta/Iceberg OPTIMIZE schedules bin-packing per partition."""
     d = t(spark, sf_dir, "documents")
     sz = F.coalesce(F.col("n_chars"), F.lit(0))
+    # NULLS FIRST + size tie-break: see oracle comment
     w = (
         Window.partitionBy("source")
-        .orderBy("doc_id")
+        .orderBy(F.col("doc_id").asc_nulls_first(), sz.asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     f = d.select(

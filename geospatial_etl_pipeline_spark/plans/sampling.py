@@ -87,14 +87,18 @@ _CTX_BUDGET = 512  # tokens per packed context window
     tags=("llm-data", "sampling", "packing", "window"),
     oracle=rf"""
 WITH toks AS (
-  SELECT doc_id,
+  SELECT doc_id, md5(coalesce(text, '')) AS tkey,
          CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
            AS n_tok
   FROM documents
 ),
 run AS (
+  -- NULLS FIRST + content tie-break pinned: Spark windows order NULL
+  -- ids first where DuckDB orders them last, and duplicate ids with
+  -- different texts tie on doc_id alone, making the running total
+  -- order-dependent (dup/NULL-id fixture)
   SELECT doc_id, n_tok,
-         SUM(n_tok) OVER (ORDER BY doc_id
+         SUM(n_tok) OVER (ORDER BY doc_id ASC NULLS FIRST, tkey ASC
                           ROWS UNBOUNDED PRECEDING) AS run_total
   FROM toks
 )
@@ -119,11 +123,15 @@ def q66_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("tkey"),
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast(
             "bigint"
         ).alias("n_tok"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    # NULLS FIRST + content tie-break: see oracle comment
+    w = Window.orderBy(
+        F.col("doc_id").asc_nulls_first(), F.col("tkey").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
     run = toks.withColumn("run_total", F.sum("n_tok").over(w))
     start = F.col("run_total") - F.col("n_tok")
     return run.select(
@@ -252,7 +260,9 @@ FROM (
   SELECT doc_id, lang,
          row_number() OVER (
            PARTITION BY lang
-           ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           ORDER BY md5('samp:' ||
+                        COALESCE(CAST(doc_id AS VARCHAR), '<null>')),
+                    doc_id ASC NULLS FIRST) AS rn
   FROM documents
 )
 WHERE rn <= {_STRATUM_K}
@@ -268,8 +278,17 @@ def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a heavy-stratum top-k can swap in the groupBy + min_by(k)
     partial-aggregate form without changing semantics."""
     d = t(spark, sf_dir, "documents")
-    h = F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
-    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    # coalesced hash input + pinned NULL tiebreak: an un-coalesced
+    # md5(NULL) sorts NULLS FIRST in Spark windows and NULLS LAST in
+    # DuckDB, shifting every rank below it (dup/NULL-id fixture);
+    # remaining ties are only between output-identical rows
+    h = F.md5(
+        F.concat(
+            F.lit("samp:"),
+            F.coalesce(F.col("doc_id").cast("string"), F.lit("<null>")),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id").asc_nulls_first())
     return (
         d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= _STRATUM_K)
@@ -720,7 +739,9 @@ ranked AS (
   SELECT d.doc_id, d.lang,
          row_number() OVER (
            PARTITION BY d.lang
-           ORDER BY md5('mix:' || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+           ORDER BY md5('mix:' ||
+                        COALESCE(CAST(d.doc_id AS VARCHAR), '<null>')),
+                    d.doc_id ASC NULLS FIRST)
            AS rk
   FROM documents d JOIN tgt ON tgt.lang = d.lang
 )
@@ -770,9 +791,15 @@ def q147_target_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.floor(F.col("share") * F.col("n_star")).cast("bigint").alias("k_l"),
     )
+    # coalesced hash + pinned NULL tiebreak (q69's dup/NULL-id lesson)
     w = Window.partitionBy("lang").orderBy(
-        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
-        F.col("doc_id"),
+        F.md5(
+            F.concat(
+                F.lit("mix:"),
+                F.coalesce(F.col("doc_id").cast("string"), F.lit("<null>")),
+            )
+        ),
+        F.col("doc_id").asc_nulls_first(),
     )
     ranked = (
         d.join(F.broadcast(tgt.select("lang")), "lang")

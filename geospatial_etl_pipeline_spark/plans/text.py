@@ -383,16 +383,27 @@ _SQL_RH_HASH = (
     tags=("text", "llm-data", "fingerprint"),
     oracle=f"""
 WITH grams AS (
-  SELECT doc_id, unnest({_SQL_RH_GRAMS}) AS g FROM documents
+  SELECT doc_id, md5(coalesce(text, '')) AS tkey,
+         unnest({_SQL_RH_GRAMS}) AS g
+  FROM documents
 ),
 hashes AS (
-  SELECT doc_id, {_SQL_RH_HASH} AS h FROM grams
+  SELECT doc_id, tkey, {_SQL_RH_HASH} AS h FROM grams
+),
+fp AS (
+  SELECT doc_id, tkey,
+         CAST(MIN(h) AS BIGINT) AS fp_min,
+         CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_grams
+  FROM hashes
+  GROUP BY doc_id, tkey
 )
-SELECT doc_id,
-       CAST(MIN(h) AS BIGINT) AS fp_min,
-       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_grams
-FROM hashes
-GROUP BY doc_id
+-- re-expand onto DOCUMENT ROWS (the q44 dup/NULL-id lesson): a bare
+-- GROUP BY doc_id would merge duplicate-id rows' gram sets into one
+-- fingerprint where the engine fingerprints each row
+SELECT d.doc_id, f.fp_min, f.n_distinct_grams
+FROM documents d
+JOIN fp f ON f.doc_id IS NOT DISTINCT FROM d.doc_id
+         AND f.tkey = md5(coalesce(d.text, ''))
 """,
 )
 def q38_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,27 +568,26 @@ WITH staged AS (
   FROM documents
 ),
 bg AS (
-  SELECT doc_id,
+  -- lines carried THROUGH (no doc_id re-join: a self-join on doc_id
+  -- fans out on duplicate ids and drops NULL ids — the dup/NULL-id
+  -- fixture caught the old shape emitting 515 rows for 505 documents)
+  SELECT doc_id, lines,
          list_transform(range(1, greatest(len(tok), 2)),
                         i -> concat_ws(' ', tok[i::INT], tok[i::INT + 1])) AS bgs
   FROM staged
-),
-top_bg AS (
-  SELECT doc_id,
-         CAST(len(bgs) AS BIGINT) AS n_bigrams,
-         CAST((SELECT MAX(cnt) FROM (
-            SELECT COUNT(*) AS cnt FROM unnest(bgs) AS t(g) GROUP BY g))
-           AS BIGINT) AS top_bigram_n
-  FROM bg
 )
-SELECT s.doc_id,
-       CAST(len(s.lines) AS BIGINT) AS n_lines,
-       CAST(len(s.lines) - len(list_distinct(s.lines)) AS BIGINT) AS n_dup_lines,
-       CAST(len(s.lines) - len(list_distinct(s.lines)) AS DOUBLE)
-         / len(s.lines) AS dup_line_frac,
-       t.top_bigram_n,
-       CAST(t.top_bigram_n AS DOUBLE) / t.n_bigrams AS top_bigram_frac
-FROM staged s JOIN top_bg t ON t.doc_id = s.doc_id
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+       CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+         / len(lines) AS dup_line_frac,
+       CAST((SELECT MAX(cnt) FROM (
+          SELECT COUNT(*) AS cnt FROM unnest(bgs) AS t(g) GROUP BY g))
+         AS BIGINT) AS top_bigram_n,
+       CAST((SELECT MAX(cnt) FROM (
+          SELECT COUNT(*) AS cnt FROM unnest(bgs) AS t(g) GROUP BY g))
+         AS DOUBLE) / len(bgs) AS top_bigram_frac
+FROM bg
 """,
 )
 def q107_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1015,7 +1025,11 @@ bucketed AS (
   FROM first_seen GROUP BY 1
 )
 SELECT CAST(bucket AS BIGINT) AS bucket, new_terms,
-       CAST(SUM(new_terms) OVER (ORDER BY bucket) AS BIGINT) AS vocab_size
+       -- NULLS FIRST pinned: terms first seen only in NULL-id docs
+       -- land in a NULL bucket, which Spark's window orders first and
+       -- DuckDB last (dup/NULL-id fixture finding)
+       CAST(SUM(new_terms) OVER (ORDER BY bucket ASC NULLS FIRST)
+            AS BIGINT) AS vocab_size
 FROM bucketed
 """,
 )
@@ -1531,10 +1545,14 @@ WITH m AS (
   FROM documents GROUP BY source, lang
 ),
 ranked AS (
+  -- NULLS FIRST pinned on the majority tie-break: a NULL-lang group is
+  -- real data, and Spark's ASC orders it first where DuckDB's orders
+  -- it last, flipping the winner on ties (dup/NULL-id fixture)
   SELECT source, lang, c,
          CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_source,
          row_number() OVER (
-           PARTITION BY source ORDER BY c DESC, lang ASC) AS rn
+           PARTITION BY source
+           ORDER BY c DESC, lang ASC NULLS FIRST) AS rn
   FROM m
 )
 SELECT source, n_source,
@@ -2615,16 +2633,21 @@ _CDC_DIV = 16  # expected chunk length in tokens (boundary probability 1/16)
     tags=("text", "dedup", "llm-data", "cdc", "window"),
     oracle=f"""
 WITH tok AS (
-  SELECT doc_id, source, t.i AS pos, ({_SQL_TOKENS})[t.i::INT] AS tk
+  SELECT doc_id, source, md5(text) AS tkey,
+         t.i AS pos, ({_SQL_TOKENS})[t.i::INT] AS tk
   FROM documents, unnest(range(1, len({_SQL_TOKENS}) + 1)) t(i)
   WHERE text IS NOT NULL
 ),
 marked AS (
-  SELECT doc_id, source, pos, tk,
+  -- the running boundary count partitions on (doc_id, source, tkey):
+  -- partitioning on doc_id alone interleaves duplicate-id rows' token
+  -- streams into one garbage chunk sequence whose tie order differs
+  -- between engines (dup/NULL-id fixture)
+  SELECT doc_id, source, tkey, pos, tk,
          SUM(CASE WHEN ('0x' || substr(md5(tk), 1, 8))::BIGINT
                        % {_CDC_DIV} = 0
                   THEN 1 ELSE 0 END)
-           OVER (PARTITION BY doc_id ORDER BY pos ASC
+           OVER (PARTITION BY doc_id, source, tkey ORDER BY pos ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS chunk_id
   FROM tok
@@ -2633,7 +2656,7 @@ chunks AS (
   SELECT doc_id, source, chunk_id,
          string_agg(tk, ' ' ORDER BY pos) AS chunk,
          CAST(COUNT(*) AS BIGINT) AS n_tok
-  FROM marked GROUP BY doc_id, source, chunk_id
+  FROM marked GROUP BY doc_id, source, tkey, chunk_id
 ),
 stats AS (
   SELECT chunk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
@@ -2675,17 +2698,20 @@ def q254_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id",
         "source",
+        F.md5(F.col("text")).alias("tkey"),
         F.posexplode(tokens("text")).alias("pos0", "tk"),
     ).select(
-        "doc_id", "source", (F.col("pos0") + 1).alias("pos"), "tk"
+        "doc_id", "source", "tkey", (F.col("pos0") + 1).alias("pos"), "tk"
     )
     is_boundary = (
         F.conv(F.substring(F.md5(F.col("tk")), 1, 8), 16, 10).cast("bigint")
         % _CDC_DIV
         == 0
     )
+    # (doc_id, source, tkey) partition: see oracle comment — doc_id
+    # alone interleaves duplicate-id rows' token streams
     wpos = (
-        Window.partitionBy("doc_id")
+        Window.partitionBy("doc_id", "source", "tkey")
         .orderBy(F.col("pos").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -2693,7 +2719,7 @@ def q254_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_id", F.sum(is_boundary.cast("int")).over(wpos)
     )
     chunks = (
-        marked.groupBy("doc_id", "source", "chunk_id")
+        marked.groupBy("doc_id", "source", "tkey", "chunk_id")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("pos"), F.col("tk")))

@@ -100,21 +100,45 @@ AUGMENTS = {
         UNION ALL SELECT 900005, TIMESTAMP '2024-01-05 12:04:00', 9,
                          'click', 2.0, '{{"k": 1.5}}'
     """,
+    # duplicate / NULL / repeated-row doc_ids — the identity-assumption
+    # probe (r7): two DIFFERENT texts sharing doc_id 42, one IDENTICAL
+    # full row repeated, and two NULL-id rows differing in every other
+    # column. Every red this fixture ever produced was an oracle or
+    # engine silently assuming doc_id uniqueness (q44's chimera
+    # signature, dedup_clusters' dropped NULL row, the q231/q249
+    # tie-break advice finding).
+    "documents_dupid": """
+        SELECT * FROM read_parquet('{src}/documents.parquet')
+        UNION ALL SELECT 42, 'duplicate id alpha text. twice. twice.',
+                         'en', 'webcrawl', 140
+        UNION ALL SELECT 42, 'duplicate id beta, longer and different!',
+                         'de', 'books', 990
+        UNION ALL SELECT 42, 'duplicate id alpha text. twice. twice.',
+                         'en', 'webcrawl', 140
+        UNION ALL SELECT NULL, 'null id doc one. one again. one again.',
+                         'en', 'wiki', 77
+        UNION ALL SELECT NULL, 'null id doc two', NULL, 'books', 3210
+    """,
 }
 
+# fixture name → the table it augments (defaults to the name itself;
+# variants like documents_dupid write documents.parquet)
+FIXTURE_TABLE = {name: name.split("_dupid")[0] for name in AUGMENTS}
 
-def build_fixture(root: str, hostile_table: str) -> str:
-    d = os.path.join(root, f"hostile_{hostile_table}")
+
+def build_fixture(root: str, fixture: str) -> str:
+    table = FIXTURE_TABLE[fixture]
+    d = os.path.join(root, f"hostile_{fixture}")
     os.makedirs(d, exist_ok=True)
     for t in TABLES:
-        if t != hostile_table:
+        if t != table:
             dst = os.path.join(d, f"{t}.parquet")
             if not os.path.exists(dst):
                 os.symlink(f"{SRC}/{t}.parquet", dst)
     con = duckdb.connect()
     con.execute(
-        f"COPY ({AUGMENTS[hostile_table].format(src=SRC)}) TO "
-        f"'{d}/{hostile_table}.parquet' (FORMAT PARQUET)"
+        f"COPY ({AUGMENTS[fixture].format(src=SRC)}) TO "
+        f"'{d}/{table}.parquet' (FORMAT PARQUET)"
     )
     con.close()
     return d
@@ -155,7 +179,7 @@ def main() -> None:
             # be affected; everything else reads identical inputs. The
             # rows-only set runs on EVERY fixture — a hostile row must
             # not kill the plan even with no oracle to diff against.
-            names, rows_only = select_queries(table)
+            names, rows_only = select_queries(FIXTURE_TABLE[table])
             fails: dict[str, str] = {}
             for name in names:
                 spec = catalog.QUERIES[name]
