@@ -1884,7 +1884,13 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
                  AND len(list_filter(embedding, x -> x <> 0)) > 0
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
        CAST(COUNT(DISTINCT CASE WHEN embedding IS NOT NULL
-                 THEN len(embedding) END) AS BIGINT) AS n_distinct_dims
+                 THEN len(embedding) END) AS BIGINT) AS n_distinct_dims,
+       CAST(SUM(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_ids,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+          SELECT vec_id FROM embeddings
+          WHERE vec_id IS NOT NULL GROUP BY vec_id HAVING COUNT(*) > 1))
+         AS n_dup_ids
 FROM embeddings
 """,
 )
@@ -1897,7 +1903,14 @@ def q202_embedding_validation_audit(
     vector — next to the
     valid count and the distinct-dimension census (a second model's
     vectors landing in the same table show up here as n_distinct_dims
-    > 1 before they shear a zip_with downstream).
+    > 1 before they shear a zip_with downstream), plus the IDENTITY
+    census: NULL vec_ids and ids carried by more than one row. The
+    similarity family addresses vectors BY id (norm lookups, IVF
+    cells, pair relations), so unique non-null vec_id is its ingest
+    precondition — this audit is where a violated contract surfaces,
+    and the hostile embeddings_dupid fixture hash-checks exactly these
+    two columns while the id-keyed family runs crash-coverage-only
+    there (tools/hostile_sweep.py CONTRACT_EXEMPT).
 
     This query intentionally reads the RAW table (the only similarity
     query that does): validation that can't report what it dropped is
@@ -1934,6 +1947,17 @@ def q202_embedding_validation_audit(
         F.countDistinct(F.when(v.isNotNull(), F.size(v)))
         .cast("bigint")
         .alias("n_distinct_dims"),
+        cnt(F.col("vec_id").isNull()).alias("n_null_ids"),
+    ).crossJoin(
+        # ids carried by >1 row need their own (vec_id-keyed) agg pass;
+        # the result is one broadcast row joined onto the scalar audit
+        F.broadcast(
+            e.filter(F.col("vec_id").isNotNull())
+            .groupBy("vec_id")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_ids"))
+        )
     )
 
 
