@@ -157,6 +157,30 @@ def test_q255_knn_ivf_reuses_cell_join(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_r7_new_query_plan_budgets(spark):
+    """Exchange budgets for the r7 additions. q256/q257: banded-Hamming
+    candidates are ONE band-keyed exchange (no nested loop, no SMJ).
+    q259: the cumulative window's SinglePartition exchange runs over
+    the ≤21-row quality-bin histogram (bin-bounded by construction);
+    the corpus only crosses the bin-keyed agg. q260: sentence arrays
+    die inside the row projection — one |sources|-key rollup. q261:
+    histogram build + broadcast join back, no corpus rank sort."""
+    budgets = {
+        "q256_media_ahash_near_dup": 1,
+        "q257_simhash_hamming_pairs": 1,
+        "q259_token_budget_frontier": 1,
+        "q260_intra_doc_repetition": 1,
+        "q261_lang_quality_percentile": 2,
+    }
+    for name, budget in budgets.items():
+        p = plan_text(catalog.QUERIES[name].fn(spark, SF))
+        assert n_shuffles(p) <= budget, (name, n_shuffles(p))
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "SortMergeJoin" not in p, name
+    p = plan_text(catalog.QUERIES["q259_token_budget_frontier"].fn(spark, SF))
+    assert p.count("Arguments: SinglePartition") <= 1
+
+
 def test_q56_ivf_centroid_pick_is_partial_topk(spark):
     """The sampled centroid pick (md5-ranked smallest ncells) must
     compile to TakeOrderedAndProject — a per-partition partial top-k —
