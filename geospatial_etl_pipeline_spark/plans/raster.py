@@ -572,6 +572,54 @@ _SQL_D8_DIR_IDX = (
 )
 
 
+def _d8_drain_cells(cells: DataFrame) -> DataFrame:
+    """(i, j, tcell) for every DRAINING interior cell — tcell is the
+    packed (row-major j*W+i) id of the steepest-descent neighbor, ties
+    broken by the pinned compass priority (first max in _D8_DIRS
+    order == the oracle's CASE chain).
+
+    Form chosen for CODEGEN SIZE, after two failed shapes (bench
+    stderr: "Code grows beyond 64 KB", whole stage falling back to
+    interpreted eval — q221 was the slowest extra at 34× sentinel):
+    per-direction when-chains comparing against GREATEST-of-8 subtrees
+    re-inline ~80 ops per branch per reference, and even a staged
+    dir_idx column explodes because consecutive projections fuse into
+    one whole-stage method where every reference re-expands its
+    operand tree twice (isNull + value) PER NESTING LEVEL — the 8
+    neighbor-drop expressions appeared 1400+ times in the generated
+    method. Here the drain is ONE expression referenced once: the
+    drops build a single array, array_position(drops,
+    array_max(drops)) picks the first max (1-based), and a literal
+    offset table maps it straight to the packed target id. Consumers
+    join on the single tcell key."""
+
+    def val(di: int, dj: int):
+        return ((F.col("i") + di) * 31 + (F.col("j") + dj) * 17) % 101
+
+    drops = F.array(
+        *[
+            (val(0, 0) - val(di, dj)).cast("int")
+            for _, di, dj in _D8_DIRS
+        ]
+    )
+    offs = F.lit([dj * _W + di for _, di, dj in _D8_DIRS])
+    staged = cells.select("i", "j", drops.alias("_drops")).filter(
+        # sink test on the array directly: cheap to push down, and it
+        # guarantees array_position below always finds a match
+        F.array_max(F.col("_drops")) > 0
+    )
+    pos = F.array_position(
+        F.col("_drops"), F.array_max(F.col("_drops"))
+    ).cast("int")
+    return staged.select(
+        "i",
+        "j",
+        (
+            (F.col("j") * _W + F.col("i")) + F.element_at(offs, pos)
+        ).cast("bigint").alias("tcell"),
+    )
+
+
 @register(
     "q221_d8_inflow_census",
     tags=("raster", "focal", "hydrology", "graph", "agg"),
@@ -618,51 +666,30 @@ def q221_d8_inflow_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checkable core.
 
     Unlike q220 (pure in-row algebra) this materializes the flow EDGE
-    RELATION and equi-joins it back to the cell relation on the target
-    coordinate — the graph-on-raster join shape: one shuffle of the
-    edge list keyed by (ti,tj), left join to keep zero-inflow cells,
-    then a ≤9-key census agg. At scale the join is grid-partitioned
-    (tile-local edges stay within a tile except the 1-cell halo)."""
+    RELATION, pre-aggregates inflow counts per packed target id
+    (partial-combinable, so the shuffle carries one row per RECEIVING
+    cell, not one per edge), and left-joins back to the cell relation
+    on the single tcell key to keep zero-inflow cells — then a ≤9-key
+    census agg. At scale the join is grid-partitioned (tile-local
+    edges stay within a tile except the 1-cell halo)."""
     g = _grid(spark).select("i", "j")
-
-    def val(di: int, dj: int):
-        return ((F.col("i") + di) * 31 + (F.col("j") + dj) * 17) % 101
-
     interior = (
         (F.col("i") > 0) & (F.col("i") < _W - 1)
         & (F.col("j") > 0) & (F.col("j") < _H - 1)
     )
     cells = g.filter(interior)
-    drops = cells.select(
-        "i",
-        "j",
-        *[
-            (val(0, 0) - val(di, dj)).alias(f"d_{n.lower()}")
-            for n, di, dj in _D8_DIRS
-        ],
-    ).withColumn(
-        "maxdrop", F.greatest(*[F.col(f"d_{n.lower()}") for n, _, _ in _D8_DIRS])
+    inflows = (
+        _d8_drain_cells(cells)
+        .groupBy("tcell")
+        .agg(F.count(F.lit(1)).alias("n_in_raw"))
     )
-    # build the drain target via the same first-max-wins priority chain
-    ti_expr = F.when(F.col("maxdrop") <= 0, F.lit(None).cast("int"))
-    tj_expr = F.when(F.col("maxdrop") <= 0, F.lit(None).cast("int"))
-    for n, di, dj in _D8_DIRS:
-        hit = F.col(f"d_{n.lower()}") == F.col("maxdrop")
-        ti_expr = ti_expr.when(hit, F.col("i") + di)
-        tj_expr = tj_expr.when(hit, F.col("j") + dj)
-    edges = (
-        drops.select(ti_expr.alias("ti"), tj_expr.alias("tj"))
-        .filter(F.col("ti").isNotNull())
-    )
+    cell_key = (F.col("j") * _W + F.col("i")).cast("bigint")
     indeg = (
-        cells.alias("g")
-        .join(
-            edges.alias("e"),
-            (F.col("e.ti") == F.col("g.i")) & (F.col("e.tj") == F.col("g.j")),
-            "left",
+        cells.select("i", "j", cell_key.alias("cell"))
+        .join(inflows, F.col("cell") == F.col("tcell"), "left")
+        .select(
+            "i", "j", F.coalesce(F.col("n_in_raw"), F.lit(0)).alias("n_in")
         )
-        .groupBy("g.i", "g.j")
-        .agg(F.count(F.col("e.ti")).alias("n_in"))
     )
     cell_id = (F.col("i") + F.col("j") * _W).cast("bigint")
     return indeg.groupBy("n_in").agg(
@@ -758,34 +785,12 @@ def q232_d8_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i") > 0) & (F.col("i") < _W - 1)
         & (F.col("j") > 0) & (F.col("j") < _H - 1)
     )
-
-    def val(di: int, dj: int):
-        return ((F.col("i") + di) * 31 + (F.col("j") + dj) * 17) % 101
-
-    d8 = g.filter(interior).select(
-        "i",
-        "j",
-        *[
-            (val(0, 0) - val(di, dj)).alias(f"d_{n.lower()}")
-            for n, di, dj in _D8_DIRS
-        ],
-    ).withColumn(
-        "maxdrop",
-        F.greatest(*[F.col(f"d_{n.lower()}") for n, _, _ in _D8_DIRS]),
-    )
-    # chained whens evaluate in order → first-max compass priority,
-    # the same tie-break the oracle's CASE encodes
-    dst_expr = None
-    for n, di, dj in _D8_DIRS:
-        cond = F.col(f"d_{n.lower()}") == F.col("maxdrop")
-        branch = ((F.col("j") + dj) * _W + (F.col("i") + di)).cast("bigint")
-        dst_expr = (
-            F.when(cond, branch) if dst_expr is None
-            else dst_expr.when(cond, branch)
-        )
-    edges = d8.filter(F.col("maxdrop") > 0).select(
+    # packed drain edges — same first-max compass priority as the
+    # oracle's CASE, without the >64 KB codegen method the when-chain
+    # forms produced (see _d8_drain_cells)
+    edges = _d8_drain_cells(g.filter(interior)).select(
         (F.col("j") * _W + F.col("i")).cast("bigint").alias("src"),
-        dst_expr.alias("dst"),
+        F.col("tcell").alias("dst"),
     )
     # adaptive doubling with convergence counts: the structural bound
     # (val strictly decreases => path <= 101 => 7 rounds) is a worst

@@ -650,15 +650,17 @@ def test_q201_sketch_plan_shape(spark):
 
 
 def test_q202_audit_is_one_pass(spark):
-    """The validation audit is a single-scan, single-reduction plan:
-    every defect-class counter folds in-row; the only exchanges are the
-    1-row final aggregation (SinglePartition) plus the distinct-dims
-    count — no joins, no Python, no corpus-sized shuffle."""
+    """The validation audit: every defect-class counter folds in-row
+    into the 1-row reduction; the r7 identity census (n_dup_ids) adds
+    ONE vec_id-keyed partial agg whose 1-row result broadcast-joins
+    onto the scalar audit — still no corpus-sized join side, no
+    Python."""
     from geospatial_etl_pipeline_spark.plans import catalog as cat
 
     p = plan_text(cat.QUERIES["q202_embedding_validation_audit"].fn(spark, SF))
-    assert n_shuffles(p) <= 1  # countDistinct's keyed partial
-    assert "Join" not in p
+    assert n_shuffles(p) <= 2  # countDistinct partial + dup-id agg
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row census side
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
