@@ -2025,3 +2025,201 @@ def q239_core_peel_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda x, y: x.unionByName(y), stats)
+
+
+# --------------------------------------------------------------------------
+# q264 — quality-argmax cluster keeper (keep the BEST, not the first)
+# --------------------------------------------------------------------------
+
+from .text import _SQL_QUALITY as _KQ_SQL_QUALITY  # noqa: E402
+from .text import _quality_t as _kq_quality_t  # noqa: E402
+
+_KQ_Q = 1_000_000
+
+
+@register(
+    "q264_cluster_quality_keeper",
+    tags=("dedup", "llm-data", "graph", "quality", "iterative"),
+    oracle=f"""
+{_SQL_CLUSTER_CTES},
+scored AS (
+  SELECT l.doc_id, l.cluster_id,
+         CAST(FLOOR({_KQ_SQL_QUALITY.replace("documents", "d")}
+                    * {_KQ_Q}) AS BIGINT) AS quality_q
+  FROM labeled l
+  JOIN documents d ON d.doc_id IS NOT DISTINCT FROM l.doc_id
+  WHERE d.text IS NOT NULL
+),
+ranked AS (
+  SELECT doc_id, cluster_id, quality_q,
+         row_number() OVER (
+           PARTITION BY cluster_id
+           ORDER BY quality_q DESC, doc_id ASC NULLS FIRST) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_docs
+  FROM scored
+)
+SELECT cluster_id, doc_id AS keeper_doc_id, quality_q AS keeper_quality_q,
+       n_docs
+FROM ranked WHERE rn = 1
+""",
+)
+def q264_cluster_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection UPGRADED: q49 keeps each duplicate cluster's
+    MIN-id doc — the deterministic default — but a curation pass wants
+    the cluster's BEST copy (the crawl with the least boilerplate, the
+    fullest text). Per q49 cluster: the member with the HIGHEST q31
+    quality score (quantized; ties → smallest id, NULLS FIRST pinned),
+    its score, and the cluster size. Reading this beside q49 prices
+    the survivor-policy upgrade: every row where keeper_doc_id differs
+    from the cluster id is a better document the min-id rule would
+    have thrown away.
+
+    Oracle reuses q49's sliced recursive-closure CTEs (the q258
+    discipline) with the q31 quality builder applied to the SAME
+    document rows — policy provably evaluated on the clusters the
+    dedup pass ships. NULL-text docs drop (no scoreable content) in
+    both engines.
+
+    Scale shape: the cluster build is q49's (edge-node-sized iterative
+    rounds); scoring is one in-row projection; the keeper pick is one
+    cluster-keyed window (rank + size share the exchange)."""
+    from ..functions.text import tokens as _tok_fn
+    from ..operators.graph import dedup_clusters
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs,
+        num_hashes=_NUM_HASHES,
+        shingle_k=_SHINGLE_K,
+        bands=_BANDS,
+        jaccard_threshold=_JACCARD,
+    )
+    clusters = dedup_clusters(pairs, docs).select("doc_id", "cluster_id")
+    scored_docs = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").alias("d_id"),
+            "text",
+            _tok_fn("text").alias("_tok"),
+        )
+        .select(
+            "d_id",
+            F.floor(_kq_quality_t(F.col("_tok")) * _KQ_Q)
+            .cast("bigint")
+            .alias("quality_q"),
+        )
+    )
+    scored = clusters.join(
+        scored_docs, clusters["doc_id"].eqNullSafe(scored_docs["d_id"])
+    ).select("doc_id", "cluster_id", "quality_q")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_q").desc(), F.col("doc_id").asc_nulls_first()
+    )
+    ws = Window.partitionBy("cluster_id")
+    ranked = scored.select(
+        "doc_id",
+        "cluster_id",
+        "quality_q",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(ws).cast("bigint").alias("n_docs"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("keeper_doc_id"),
+        F.col("quality_q").alias("keeper_quality_q"),
+        "n_docs",
+    )
+
+
+# --------------------------------------------------------------------------
+# q265 — rare-trigram link pairs (related-doc discovery, df-bounded)
+# --------------------------------------------------------------------------
+
+_RTL_MAX_DF = 3      # a trigram is "rare" if <= this many docs carry it
+_RTL_MIN_SHARED = 3  # pairs must share at least this many rare trigrams
+
+
+@register(
+    "q265_rare_trigram_link_pairs",
+    tags=("dedup", "llm-data", "text", "linking"),
+    oracle=rf"""
+WITH tg AS (
+  -- NULL ids excluded explicitly (they could never form an a<b pair,
+  -- but they would inflate df); duplicate-id rows collapse via the
+  -- DISTINCT so a repeated row cannot double a posting (dup/NULL-id
+  -- fixture)
+  SELECT doc_id, unnest({_SQL_TRIGRAMS}) AS g
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+),
+df_t AS (
+  SELECT g, list(doc_id ORDER BY doc_id) AS ids
+  FROM (SELECT DISTINCT g, doc_id FROM tg)
+  GROUP BY g
+  HAVING COUNT(*) BETWEEN 2 AND {_RTL_MAX_DF}
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM df_t, unnest(ids) a(doc_id), unnest(ids) b(doc_id)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM cand
+GROUP BY id_a, id_b
+HAVING COUNT(*) >= {_RTL_MIN_SHARED}
+""",
+)
+def q265_rare_trigram_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-document DISCOVERY — the retrieval neighbor of dedup:
+    two docs sharing ≥{_RTL_MIN_SHARED} RARE word trigrams (document
+    frequency ≤ {_RTL_MAX_DF}) are about the same entity/event even
+    when their bigram Jaccard is nowhere near the q48 duplicate
+    threshold — the citation/coverage clusters a corpus map surfaces.
+    (Single rare TOKENS don't exist in a closed synthetic vocabulary —
+    measured df-min 177 — which is itself the real-world lesson: the
+    rarity signal lives in n-gram order, and trigrams are the first
+    order with a long tail here.)
+
+    The df cap is the whole scale story: rare-trigram posting lists
+    hold ≤{_RTL_MAX_DF} docs BY DEFINITION, so per-term pair fan-out
+    is ≤{_RTL_MAX_DF * (_RTL_MAX_DF - 1) // 2} and total candidates
+    are bounded by the rare-trigram count — an inverted index whose
+    quadratic term is structurally capped (q48 needs an explicit
+    stop-list cap; here the rarity predicate IS the cap).
+
+    Shape: explode distinct trigrams (q127's builder) → gram-keyed agg
+    keeping 2..{_RTL_MAX_DF}-doc grams with SORTED posting arrays →
+    in-row pair expansion → (id_a, id_b) count agg. Two keyed
+    exchanges, no corpus self-join."""
+    from ..functions.text import tokens as _rtl_tokens
+    from ..functions.text import word_ngrams_t as _rtl_ngrams
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    tg = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_rtl_ngrams(_rtl_tokens("text"), 3))
+        ).alias("g"),
+    )
+    # collect_set, not collect_list: duplicate-id rows collapse inside
+    # the gram agg (the oracle's DISTINCT), keeping ONE exchange
+    postings = (
+        tg.groupBy("g")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .withColumn("df", F.size("ids"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _RTL_MAX_DF))
+    )
+    pair = postings.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), b -> struct(a, b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+    return (
+        pair.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _RTL_MIN_SHARED)
+    )

@@ -2420,3 +2420,97 @@ def q247_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q247_rrf_fusion"].oracle = QUERIES["q247_rrf_fusion"].oracle.replace(
     "{Q56_ORACLE}", QUERIES["q56_ivf_topk"].oracle
 )
+
+
+# --------------------------------------------------------------------------
+# q263 — embedding-space decontamination (cross-set semantic leakage)
+# --------------------------------------------------------------------------
+
+_SDC_NEVAL = 20   # eval sample: vec_id < 20 (the q237 anchor split)
+_SDC_TAU = 0.35   # cosine at/above which a corpus vector "leaks" (q121's τ)
+_SDC_Q = 1_000_000
+
+
+@register(
+    "q263_semantic_decontamination",
+    tags=("similarity", "llm-data", "dedup", "decontamination", "eval"),
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS eval_id, embedding AS qv
+  FROM {_SQL_EMB} embeddings WHERE vec_id < {_SDC_NEVAL}
+),
+e AS (SELECT vec_id, embedding FROM {_SQL_EMB} embeddings
+      WHERE vec_id >= {_SDC_NEVAL}),
+prod AS (
+  SELECT q.eval_id, e.vec_id,
+         e.embedding[i::INT]::DOUBLE AS x, qv[i::INT]::DOUBLE AS y
+  FROM e, q, unnest(range(1, len(e.embedding) + 1)) t(i)
+),
+agg AS (
+  SELECT eval_id, vec_id,
+         CAST({sql_qsum('x * y')} AS DOUBLE) / {_S!r} AS dot,
+         CAST({sql_qsum('x * x')} AS DOUBLE) / {_S!r} AS na,
+         CAST({sql_qsum('y * y')} AS DOUBLE) / {_S!r} AS nq
+  FROM prod GROUP BY eval_id, vec_id
+),
+cos AS (
+  SELECT eval_id, vec_id,
+         dot / (sqrt(na) * sqrt(nq)) AS c
+  FROM agg
+)
+SELECT eval_id,
+       CAST(SUM(CASE WHEN c >= {_SDC_TAU!r} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaks,
+       CAST(FLOOR(MAX(c) * {_SDC_Q}) AS BIGINT) AS max_cos_q,
+       CAST(MIN(CASE WHEN c >= {_SDC_TAU!r} THEN vec_id END) AS BIGINT)
+         AS first_leak_id
+FROM cos
+GROUP BY eval_id
+""",
+)
+def q263_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — q79's benchmark-leak detector moved
+    from n-gram space to embedding space: for each eval vector, how
+    many corpus vectors sit at cosine ≥ {_SDC_TAU} (paraphrase-level
+    leakage that exact or n-gram matching misses entirely), the
+    hottest match (quantized), and the smallest leaking corpus id as
+    a deterministic exhibit. An eval set whose items all report
+    n_leaks = 0 is clean AT THIS THRESHOLD; τ comes from the same
+    dial q121's SemDeDup prune uses, and q187's histogram is where
+    it gets read off.
+
+    Exactness: quantized integer dots rescaled to double (the q53
+    machinery) — bit-identical across engines; max/count/min are
+    order-free.
+
+    Scale shape: broadcast eval sample × one corpus scan (linear, the
+    q237 shape) with an {_SDC_NEVAL}-row build side and a per-eval-id
+    rollup; at real scale the candidate set comes from q56's IVF cells
+    instead (the q255 pattern — probe the eval vector's nprobe cells
+    and only re-rank those), same tail."""
+    e = temb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < _SDC_NEVAL).select(
+        F.col("vec_id").alias("eval_id"), F.col("v").alias("qv")
+    )
+    corpus = e.filter(F.col("vec_id") >= _SDC_NEVAL)
+    cos = (
+        (_qdot(F.col("v"), F.col("qv")).cast("double") / F.lit(_S))
+        / (
+            F.sqrt(_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(_S))
+            * F.sqrt(_qdot(F.col("qv"), F.col("qv")).cast("double") / F.lit(_S))
+        )
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "eval_id", "vec_id", cos.alias("c")
+    )
+    return scored.groupBy("eval_id").agg(
+        F.sum(F.when(F.col("c") >= _SDC_TAU, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_leaks"),
+        F.floor(F.max("c") * _SDC_Q).cast("bigint").alias("max_cos_q"),
+        F.min(F.when(F.col("c") >= _SDC_TAU, F.col("vec_id")))
+        .cast("bigint")
+        .alias("first_leak_id"),
+    )

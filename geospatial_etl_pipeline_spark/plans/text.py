@@ -26,7 +26,7 @@ from ..functions.text import (
     tokens,
     word_ngrams_t,
 )
-from ._util import qsum, sql_qsum, t
+from ._util import literal_df, qsum, sql_qsum, t
 from .catalog import register
 
 # SQL fragments mirroring functions.text builders exactly.
@@ -2999,4 +2999,106 @@ def q261_lang_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(((2 * below + cnt + 1) * {_LQP_Q}) div (2 * n_lang)"
             " AS BIGINT)"
         ).alias("pct_q"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q262 — curation-filter overlap matrix (which gates are redundant?)
+# --------------------------------------------------------------------------
+
+_FOV_Q = 1_000_000
+# (flag_id, name) in pinned order; the flag array below must match
+_FOV_FLAGS = ["low_quality", "too_short", "has_brace", "dup_lines"]
+_FOV_PAIRS = [
+    (a, b) for a in range(len(_FOV_FLAGS)) for b in range(len(_FOV_FLAGS))
+    if a <= b
+]
+_SQL_FOV_PAIRS = ", ".join(f"({a}, {b})" for a, b in _FOV_PAIRS)
+
+_SQL_FOV_ARR = f"""[
+  CASE WHEN {_SQL_QUALITY} < 0.3 THEN 1 ELSE 0 END,
+  CASE WHEN len({_SQL_TOKENS}) < 10 THEN 1 ELSE 0 END,
+  CASE WHEN contains(text, '{{') OR contains(text, '}}') THEN 1 ELSE 0 END,
+  CASE WHEN len(string_split(text, chr(10)))
+            - len(list_distinct(string_split(text, chr(10))))
+          > 0.3 * len(string_split(text, chr(10))) THEN 1 ELSE 0 END
+]"""
+
+
+@register(
+    "q262_filter_overlap_matrix",
+    tags=("text", "llm-data", "quality", "curation", "audit"),
+    oracle=f"""
+WITH flagged AS (
+  SELECT {_SQL_FOV_ARR} AS fl FROM documents WHERE text IS NOT NULL
+),
+pairs AS (SELECT * FROM (VALUES {_SQL_FOV_PAIRS}) p(fa, fb))
+SELECT p.fa, p.fb,
+       CAST(SUM(f.fl[p.fa + 1] * f.fl[p.fb + 1]) AS BIGINT) AS n_both,
+       CAST(SUM(f.fl[p.fa + 1]) AS BIGINT) AS n_a,
+       CAST(SUM(f.fl[p.fb + 1]) AS BIGINT) AS n_b,
+       CAST(CASE WHEN SUM(f.fl[p.fa + 1]) + SUM(f.fl[p.fb + 1])
+                      - SUM(f.fl[p.fa + 1] * f.fl[p.fb + 1]) = 0 THEN 0
+            ELSE ({_FOV_Q} * SUM(f.fl[p.fa + 1] * f.fl[p.fb + 1]))
+                 // (SUM(f.fl[p.fa + 1]) + SUM(f.fl[p.fb + 1])
+                     - SUM(f.fl[p.fa + 1] * f.fl[p.fb + 1]))
+            END AS BIGINT) AS jaccard_q
+FROM flagged f, pairs p
+GROUP BY p.fa, p.fb
+""",
+)
+def q262_filter_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-filter REDUNDANCY audit: the pairwise overlap matrix of
+    four rejection gates ({', '.join(_FOV_FLAGS)}) — co-rejection
+    counts and rejection-set Jaccard per gate pair (diagonal = each
+    gate's own rate). A pair at Jaccard ~1 means one gate is dead
+    weight; near 0 means the gates catch DIFFERENT garbage and both
+    earn their compute. This is the measurement that decides a filter
+    cascade's ORDER and membership at 100 TB, where every extra gate
+    is a full-corpus pass.
+
+    Exactness: flags are exact integer predicates on the shared quality
+    /token/line builders; the Jaccard is integer floor-division,
+    quantized. Shape: ONE scan computes the 4-flag array in-row, the
+    10 gate pairs come from an 10-row broadcast cross join, and the
+    only exchange is the 10-key rollup — corpus cost is one pass
+    regardless of how many gates the matrix compares."""
+    tok = F.col("_tok")
+    lines = F.split(F.col("text"), "\n")
+    flags = F.array(
+        F.when(_quality_t(tok) < 0.3, 1).otherwise(0),
+        F.when(token_count_t(tok) < 10, 1).otherwise(0),
+        F.when(
+            F.col("text").contains("{") | F.col("text").contains("}"), 1
+        ).otherwise(0),
+        F.when(
+            (F.size(lines) - F.size(F.array_distinct(lines)))
+            > 0.3 * F.size(lines),
+            1,
+        ).otherwise(0),
+    )
+    flagged = (
+        _staged(spark, sf_dir, "text")
+        .filter(F.col("text").isNotNull())
+        .select(flags.alias("fl"))
+    )
+    pairs = literal_df(spark, _FOV_PAIRS, ["fa", "fb"])
+    j = flagged.crossJoin(F.broadcast(pairs))
+    va = F.element_at(F.col("fl"), F.col("fa") + 1)
+    vb = F.element_at(F.col("fl"), F.col("fb") + 1)
+    agg = j.groupBy("fa", "fb").agg(
+        F.sum(va * vb).cast("bigint").alias("n_both"),
+        F.sum(va).cast("bigint").alias("n_a"),
+        F.sum(vb).cast("bigint").alias("n_b"),
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return agg.select(
+        "fa",
+        "fb",
+        "n_both",
+        "n_a",
+        "n_b",
+        F.when(union == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr(f"CAST(({_FOV_Q} * n_both) div (n_a + n_b - n_both) AS BIGINT)"))
+        .alias("jaccard_q"),
     )
