@@ -136,6 +136,8 @@ EXTRA = [
     "q250_corpus_release_manifest",  # the ship-it composite
     # round-7 additions
     "q255_knn_consistency_ivf",   # IVF-backed q224 arm (cell-join candidates)
+    "q263_semantic_decontamination",  # broadcast-eval embedding leak census
+    "q265_rare_trigram_link_pairs",   # df-capped inverted-index linking
 ]
 
 _SENTINEL_N = 200_000_000

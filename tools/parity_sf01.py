@@ -39,6 +39,8 @@ HEAVY_ORACLES = {
     "q150_dedup_savings_report",  # rides the same recursive-CTE closure
     "q238_dup_cluster_source_purity",  # same recursive-CTE closure
     "q239_core_peel_census",  # unrolled peel rounds over the LSH CTEs
+    "q258_cluster_aware_split",  # r7: sliced q49 recursive closure
+    "q264_cluster_quality_keeper",  # r7: same sliced closure + scoring
     "q55_embedding_near_dup",
     "q84_lsh_ann_oracle",
     "q111_dup_graph_degrees",
