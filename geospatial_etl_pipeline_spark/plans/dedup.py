@@ -2196,14 +2196,23 @@ def q265_rare_trigram_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & F.col("doc_id").isNotNull()
     )
-    tg = d.select(
+    # token array STAGED as its own projection before the trigram
+    # fan-out — the 13× tokens() re-evaluation trap (plans/text.py
+    # header): unstaged, every try_element_at inside the n-gram lambda
+    # re-split the text per element (measured 9 s → staged at sf0.1)
+    staged = d.select("doc_id", _rtl_tokens("text").alias("_tok"))
+    tg = staged.select(
         "doc_id",
         F.explode(
-            F.array_distinct(_rtl_ngrams(_rtl_tokens("text"), 3))
+            F.array_distinct(_rtl_ngrams(F.col("_tok"), 3))
         ).alias("g"),
     )
     # collect_set, not collect_list: duplicate-id rows collapse inside
-    # the gram agg (the oracle's DISTINCT), keeping ONE exchange
+    # the gram agg (the oracle's DISTINCT), keeping ONE exchange. A
+    # count-first + semi-join variant was measured SLOWER here: the
+    # trigram explode dominates and it would run twice; posting lists
+    # are bounded at this df anyway because df>cap lists are dropped
+    # immediately after the agg.
     postings = (
         tg.groupBy("g")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
