@@ -2633,9 +2633,14 @@ def q186_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "streaming", "quality", "watermark"),
     oracle="""
 WITH seq AS (
+  -- arrival order pinned NULLS FIRST + ts tie-break: a NULL event_id
+  -- orders first in Spark windows and last in DuckDB, and duplicate
+  -- ids with different timestamps would make the running max
+  -- order-dependent (events identity probe, r7)
   SELECT event_type,
          epoch_us(ts) - MAX(epoch_us(ts)) OVER (
-           PARTITION BY user_id ORDER BY event_id
+           PARTITION BY user_id
+           ORDER BY event_id ASC NULLS FIRST, ts ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS skew_us
   FROM events
 )
@@ -2666,9 +2671,10 @@ def q190_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — since files carry no kafka offset); final agg is |types|
     rows."""
     e = t(spark, sf_dir, "events")
+    # NULLS FIRST + ts tie-break pinned: see oracle comment
     w = (
         Window.partitionBy("user_id")
-        .orderBy("event_id")
+        .orderBy(F.col("event_id").asc_nulls_first(), F.col("ts").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     us = F.unix_micros("ts")
