@@ -136,6 +136,18 @@ AUGMENTS = {
         UNION ALL SELECT NULL, list_transform(range(64),
                            i -> (((i * 3) % 23) / 23.0)::FLOAT), 2
     """,
+    # identity probe for the event log: an identical full row repeated
+    # (at-least-once delivery) and a NULL event_id (offset-less arrival).
+    # First run caught q190's arrival-order NULL flip.
+    "events_dupid": """
+        SELECT * FROM read_parquet('{src}/events.parquet')
+        UNION ALL SELECT 5, TIMESTAMP '2024-01-03 09:00:00', 11,
+                         'click', 2.5, '{{"k": 3}}'
+        UNION ALL SELECT 5, TIMESTAMP '2024-01-03 09:00:00', 11,
+                         'click', 2.5, '{{"k": 3}}'
+        UNION ALL SELECT NULL, TIMESTAMP '2024-01-03 09:05:00', 11,
+                         'purchase', 9.0, NULL
+    """,
 }
 
 # fixture name → the table it augments (defaults to the name itself;
