@@ -1,7 +1,7 @@
 # Developer entry points (mirrors the reference repo's Makefile role).
 
 .PHONY: test test-fast parity parity-all parity-sf01 parity-hostile bench smoke \
-        fetch-grid close
+        fetch-grid ulp-canary close
 
 fetch-grid:      ## best-effort: pull the real LINZ NTv2 grid when network exists
 	-python tools/fetch_linz_grid.py
@@ -9,7 +9,10 @@ fetch-grid:      ## best-effort: pull the real LINZ NTv2 grid when network exist
 	# test auto-unskips (tests pick up data/ntv2_tolerance_report.json);
 	# without network this is a no-op failure, ignored by the leading -
 
-close: fetch-grid parity-all parity-hostile parity-sf01 test bench  ## full round-close gate sequence
+close: fetch-grid ulp-canary parity-all parity-hostile parity-sf01 test bench  ## full round-close gate sequence
+
+ulp-canary:      ## interpolated-percentile allowlist + engine bit-parity probe
+	python tools/ulp_canary.py ULP_CANARY.json
 
 test:            ## full suite, no -x (the pre-commit gate)
 	python -m pytest tests/ -q

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
 
@@ -217,3 +218,112 @@ def mqsum(col: Column | str, scale: int = 6) -> Column:
     format and oracle mirror (sql_msum); ANSI mode turns any
     miscalibrated overflow into a loud error, never a wrap."""
     return F.sum(mq(col, scale)).cast("double") / F.lit(float(10**scale))
+
+
+# ---- integer-exact rank statistics (round 8) ------------------------------
+#
+# Round 7's one driver red (q166) was an interpolated-percentile ULP:
+# Spark's percentile() and DuckDB's quantile_cont() agree bit-for-bit
+# in THIS environment, but the interpolation formula
+# (lo + (hi-lo)*f vs lo*(1-f) + hi*f) is engine-VERSION-dependent in
+# its last ulp, and one flipped ulp moves a row across a bucket edge.
+# The fix is categorical, not numeric: no interpolated double may feed
+# a bucket assignment or a hashed output column. Every quantile-ish
+# statistic in the catalog instead derives from exact integer ranks
+# over a quantized-value histogram:
+#
+#   1. quantize the pinned double expression per row:
+#      FLOOR(x * 10^k) -> BIGINT. The multiply and floor are single
+#      IEEE ops on identical operands — bit-identical across engines
+#      and versions even when x is NOT on a 10^-k lattice.
+#   2. histogram: GROUP BY (keys, v) with cnt / below / cum / n rank
+#      columns (int_hist / sql_int_hist below, q261's midrank
+#      machinery generalized).
+#   3. derive the statistic as integer arithmetic on ranks:
+#      bucket  = (B * below) DIV n              (equi-depth bucket)
+#      p_q     = MIN(v) WHERE cum >= ceil(q*n)  (discrete quantile,
+#                ceil(a/b) = (a + b - 1) DIV b — sql_at_rank below)
+#      median2 = at_rank(1,2) + at_rank via n DIV 2 + 1  (midrank PAIR
+#                SUM: median = median2/2, exact — no /2 emitted)
+#
+# Scale: the histogram is |distinct quantized v| per group — bounded
+# by the quantized VALUE DOMAIN, independent of corpus size for
+# physical quantities (money cents, [0,1]-scores on a 1e-6 lattice,
+# integer days). The per-group window sorts that histogram once; when
+# the domain is itself corpus-sized (per-entity aggregates on a fine
+# lattice) SCALING.md documents the coarse/fine two-pass split, and
+# approx_percentile remains the 100 TB swap for non-parity paths.
+
+def int_hist(
+    df: DataFrame,
+    vcol: str,
+    *keys: str,
+    extra: dict[str, Column] | None = None,
+) -> DataFrame:
+    """(keys, vcol) value histogram with exact integer rank columns:
+    ``cnt`` (rows at this value), ``below`` (rows strictly less),
+    ``cum`` (rows <= value), ``n`` (group total). Window ordering is
+    pinned asc_nulls_first — the oracle twin (sql_int_hist) pins
+    ``ASC NULLS FIRST`` so a NULL value group ranks identically.
+    ``extra`` carries per-value payload aggregates (e.g. an order
+    count to sum per bucket downstream) through the histogram."""
+    extra = extra or {}
+    w = Window.partitionBy(*keys).orderBy(F.col(vcol).asc_nulls_first())
+    wb = w.rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.partitionBy(*keys)
+    below = F.coalesce(F.sum("cnt").over(wb), F.lit(0).cast("bigint"))
+    return (
+        df.groupBy(*keys, vcol)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            *[c.alias(a) for a, c in extra.items()],
+        )
+        .select(
+            *keys,
+            vcol,
+            "cnt",
+            *extra.keys(),
+            below.alias("below"),
+            (below + F.col("cnt")).alias("cum"),
+            F.sum("cnt").over(wt).alias("n"),
+        )
+    )
+
+
+def sql_int_hist(
+    src: str, vcol: str, *keys: str, extra: dict[str, str] | None = None
+) -> str:
+    """DuckDB twin of int_hist: a SELECT body (wrap in a CTE). below /
+    cum / n come out HUGEINT (SUM over BIGINT) — cast at the emit."""
+    extra = extra or {}
+    ksel = (", ".join(keys) + ", ") if keys else ""
+    esel = "".join(f"         {e} AS {a},\n" for a, e in extra.items())
+    part = ("PARTITION BY " + ", ".join(keys) + " ") if keys else ""
+    wpart = ("PARTITION BY " + ", ".join(keys)) if keys else ""
+    below = (
+        f"COALESCE(SUM(COUNT(*)) OVER ({part}ORDER BY {vcol} ASC NULLS FIRST"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    )
+    return (
+        f"SELECT {ksel}{vcol}, CAST(COUNT(*) AS BIGINT) AS cnt,\n"
+        f"{esel}"
+        f"         {below} AS below,\n"
+        f"         {below} + COUNT(*) AS cum,\n"
+        f"         SUM(COUNT(*)) OVER ({wpart}) AS n\n"
+        f"  FROM {src} GROUP BY {ksel}{vcol}"
+    )
+
+
+def at_rank(vcol: str, num: int, den: int) -> Column:
+    """Aggregate over an int_hist: the smallest value whose cumulative
+    count reaches rank ceil(num*n/den) — the exact type-1 discrete
+    quantile at q = num/den, as pure integer arithmetic."""
+    thresh = F.expr(f"({num} * n + {den - 1}) div {den}")
+    return F.min(F.when(F.col("cum") >= thresh, F.col(vcol)))
+
+
+def sql_at_rank(vcol: str, num: int, den: int) -> str:
+    return (
+        f"MIN(CASE WHEN cum >= ({num} * n + {den - 1}) // {den}"
+        f" THEN {vcol} END)"
+    )

@@ -13,7 +13,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.asof import asof_join
-from ._util import DEC, dsum, qsum, sql_dsum, sql_qsum, t
+from ._util import (
+    DEC,
+    at_rank,
+    dsum,
+    int_hist,
+    qsum,
+    sql_at_rank,
+    sql_dsum,
+    sql_int_hist,
+    sql_qsum,
+    t,
+)
 from .catalog import QUERIES, register
 
 
@@ -732,22 +743,37 @@ def q102_user_event_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q106_iqr_outliers",
     tags=("events", "quality", "percentile", "outliers"),
-    oracle="""
-WITH bounds AS (
+    oracle=f"""
+WITH e2 AS (
   SELECT event_type,
-         quantile_cont(value, 0.25) AS q1,
-         quantile_cont(value, 0.75) AS q3
-  FROM events GROUP BY event_type
+         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS vq
+  FROM events WHERE event_type IS NOT NULL
+),
+vh AS (
+  {sql_int_hist('(SELECT * FROM e2 WHERE vq IS NOT NULL)', 'vq',
+                'event_type')}
+),
+bounds AS (
+  SELECT event_type,
+         {sql_at_rank('vq', 1, 4)} AS q1,
+         {sql_at_rank('vq', 3, 4)} AS q3
+  FROM vh GROUP BY event_type
+),
+fences AS (
+  SELECT event_type,
+         CAST(5 * q1 - 3 * q3 AS BIGINT) AS lower_fence2_q,
+         CAST(5 * q3 - 3 * q1 AS BIGINT) AS upper_fence2_q
+  FROM bounds
 )
 SELECT e.event_type,
        COUNT(*) AS n_total,
-       CAST(SUM(CASE WHEN e.value < b.q1 - 1.5 * (b.q3 - b.q1)
-                       OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+       CAST(SUM(CASE WHEN 2 * e.vq < b.lower_fence2_q
+                       OR 2 * e.vq > b.upper_fence2_q
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-       b.q1 - 1.5 * (b.q3 - b.q1) AS lower_fence,
-       b.q3 + 1.5 * (b.q3 - b.q1) AS upper_fence
-FROM events e JOIN bounds b ON b.event_type = e.event_type
-GROUP BY e.event_type, lower_fence, upper_fence
+       MIN(b.lower_fence2_q) AS lower_fence2_q,
+       MIN(b.upper_fence2_q) AS upper_fence2_q
+FROM e2 e LEFT JOIN fences b ON b.event_type = e.event_type
+GROUP BY e.event_type
 """,
 )
 def q106_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -755,38 +781,69 @@ def q106_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-quality gate (flag readings outside [q1−1.5·IQR, q3+1.5·IQR])
     run before a metrics column is trusted for training.
 
-    Determinism: both engines implement the same linear-interpolated
-    exact percentile (q28's contract) and the fence arithmetic is
-    per-row IEEE double — identical everywhere, so the boundary
-    comparisons cannot flip. Shape: the per-type bounds are a tiny
-    holistic aggregate (5 rows) that BROADCASTS back onto the event
+    r8 rewrite (q166's de-float): the quartiles were interpolated
+    percentiles — engine-version ulp-fragile in both the emitted
+    fences and the fence comparisons. Now integer-exact: values
+    quantize by FLOOR(v·1e6); q1/q3 are discrete rank statistics
+    (at_rank over the per-type int_hist); and the 1.5·IQR fences are
+    carried at 2× scale so they stay integers — lower2 = 5q1 − 3q3,
+    upper2 = 5q3 − 3q1 (2·(q ∓ 1.5·(q3−q1))), compared against 2·vq.
+    A type whose values are all NULL keeps its row (NULL fences,
+    0 outliers) via LEFT joins in both engines.
+
+    Shape unchanged: per-type bounds are a tiny aggregate over the
+    value-domain-bounded histogram, BROADCAST back onto the event
     scan; the final count is one partial-agg exchange. At 100 TB swap
-    the exact percentile for approx_percentile (q29's sketch contract)
-    without touching the fence logic."""
-    e = t(spark, sf_dir, "events")
-    bounds = e.groupBy("event_type").agg(
-        F.percentile("value", 0.25).alias("q1"),
-        F.percentile("value", 0.75).alias("q3"),
+    approx_percentile (q29's sketch contract) for the audit-exact
+    ranks without touching the fence logic."""
+    e2 = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * F.lit(1_000_000.0))
+            .cast("bigint")
+            .alias("vq"),
+        )
     )
-    iqr = F.col("q3") - F.col("q1")
-    b = bounds.select(
-        "event_type",
-        (F.col("q1") - 1.5 * iqr).alias("lower_fence"),
-        (F.col("q3") + 1.5 * iqr).alias("upper_fence"),
+    vh = int_hist(e2.filter(F.col("vq").isNotNull()), "vq", "event_type")
+    bounds = vh.groupBy("event_type").agg(
+        at_rank("vq", 1, 4).alias("q1"), at_rank("vq", 3, 4).alias("q3")
     )
-    out_flag = (
-        (F.col("value") < F.col("lower_fence"))
-        | (F.col("value") > F.col("upper_fence"))
-    ).cast("int")
+    fences = bounds.select(
+        F.col("event_type").alias("_et"),
+        (F.lit(5) * F.col("q1") - F.lit(3) * F.col("q3"))
+        .cast("bigint")
+        .alias("lower_fence2_q"),
+        (F.lit(5) * F.col("q3") - F.lit(3) * F.col("q1"))
+        .cast("bigint")
+        .alias("upper_fence2_q"),
+    )
+    # when/otherwise, not a boolean cast: a NULL vq must contribute 0
+    # (the oracle's CASE ... ELSE 0), never a NULL the SUM would skip —
+    # an all-NULL type would emit SUM()=NULL in Spark but 0 in DuckDB.
+    out_flag = F.when(
+        (F.lit(2) * F.col("vq") < F.col("lower_fence2_q"))
+        | (F.lit(2) * F.col("vq") > F.col("upper_fence2_q")),
+        1,
+    ).otherwise(0)
     return (
-        e.join(F.broadcast(b), "event_type")
-        .groupBy("event_type", "lower_fence", "upper_fence")
+        e2.join(
+            F.broadcast(fences), e2["event_type"] == F.col("_et"), "left"
+        )
+        .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_total"),
             F.sum(out_flag).cast("bigint").alias("n_outliers"),
+            F.min("lower_fence2_q").alias("lower_fence2_q"),
+            F.min("upper_fence2_q").alias("upper_fence2_q"),
         )
         .select(
-            "event_type", "n_total", "n_outliers", "lower_fence", "upper_fence"
+            "event_type",
+            "n_total",
+            "n_outliers",
+            "lower_fence2_q",
+            "upper_fence2_q",
         )
     )
 
@@ -2033,27 +2090,43 @@ def q157_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q159_value_mad_outliers",
     tags=("events", "quality", "percentile", "outliers"),
-    oracle="""
-WITH med AS (
-  SELECT event_type, quantile_cont(value, 5e-1) AS med
-  FROM events GROUP BY event_type
+    oracle=f"""
+WITH e2 AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS vq
+  FROM events WHERE event_type IS NOT NULL
+),
+vh AS (
+  {sql_int_hist('(SELECT * FROM e2 WHERE vq IS NOT NULL)', 'vq',
+                'event_type')}
+),
+med AS (
+  SELECT event_type,
+         {sql_at_rank('vq', 1, 2)}
+         + MIN(CASE WHEN cum >= n // 2 + 1 THEN vq END) AS m2
+  FROM vh GROUP BY event_type
 ),
 dev AS (
-  SELECT e.event_type, e.value, m.med,
-         ABS(e.value - m.med) AS adev
-  FROM events e JOIN med m ON m.event_type = e.event_type
+  SELECT e.event_type, e.vq, m.m2, ABS(2 * e.vq - m.m2) AS a2
+  FROM e2 e LEFT JOIN med m ON m.event_type = e.event_type
+),
+ah AS (
+  {sql_int_hist('(SELECT event_type, a2 FROM dev WHERE a2 IS NOT NULL)',
+                'a2', 'event_type')}
 ),
 mad AS (
-  SELECT event_type, quantile_cont(adev, 5e-1) AS mad
-  FROM dev GROUP BY event_type
+  SELECT event_type,
+         {sql_at_rank('a2', 1, 2)}
+         + MIN(CASE WHEN cum >= n // 2 + 1 THEN a2 END) AS mad4
+  FROM ah GROUP BY event_type
 )
 SELECT d.event_type,
        CAST(COUNT(*) AS BIGINT) AS n_total,
-       MIN(d.med) AS median_value,
-       MIN(m.mad) AS mad,
-       CAST(SUM(CASE WHEN d.adev > (3.5e0 * m.mad) / 6.745e-1
+       CAST(MIN(d.m2) AS BIGINT) AS median2_q,
+       CAST(MIN(m.mad4) AS BIGINT) AS mad4_q,
+       CAST(SUM(CASE WHEN d.a2 * 1349 > 3500 * m.mad4
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-FROM dev d JOIN mad m ON m.event_type = d.event_type
+FROM dev d LEFT JOIN mad m ON m.event_type = d.event_type
 GROUP BY d.event_type
 """,
 )
@@ -2065,31 +2138,68 @@ def q159_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Flags |value - median| > 3.5·MAD/0.6745 (the standard 3.5-sigma
     consistency-scaled cut).
 
-    Determinism: medians are exact interpolated percentiles (q28's
-    contract), per-row fence arithmetic is IEEE-identical with pinned
-    parenthesization, and literals are e-notation so DuckDB parses
-    them as DOUBLE not DECIMAL (q144's lesson). Shape: two holistic
-    per-type medians (5-row aggregates) each BROADCAST back onto the
-    scan — two passes over events, zero corpus-sized shuffles; at
-    100 TB swap exact medians for approx_percentile sketches
-    unchanged."""
-    e = t(spark, sf_dir, "events")
-    med = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
-    dev = e.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "value",
-        "med",
-        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    r8 rewrite (q166's de-float): medians were interpolated
+    percentiles — the engine-version ulp hazard, and here they fed
+    BOTH hashed output columns and the fence comparison. Now exact
+    integer midranks end to end: values quantize by FLOOR(v·1e6);
+    median2_q = x_⌈n/2⌉ + x_⌊n/2⌋₊₁ (the midrank PAIR SUM — median is
+    median2_q/2, no division ever emitted); deviations double once
+    (a2 = |2·vq − median2_q|); mad4_q is the same pair sum over the
+    deviations (mad = mad4_q/4); and the 3.5σ cut becomes the exact
+    integer cross-multiplication a2·1349 > 3500·mad4 (3.5/0.6745 =
+    3500/1349·(1/2·1/4 scale-matched)). Headroom: |value| < 3e9 keeps
+    every product inside int64 — events.value is bounded by domain.
+
+    Shape unchanged: two per-type median aggregates (now over the
+    value-domain-bounded int_hist instead of a holistic percentile),
+    each broadcast back onto the scan — two corpus passes, zero
+    corpus-sized shuffles. A type whose values are all NULL keeps its
+    row (NULL medians, 0 outliers) via LEFT joins in both engines."""
+    e2 = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * F.lit(1_000_000.0))
+            .cast("bigint")
+            .alias("vq"),
+        )
     )
-    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
-    joined = dev.join(F.broadcast(mad), "event_type")
+
+    def pair_sum(hist: DataFrame, vcol: str, alias: str) -> DataFrame:
+        hi = F.min(
+            F.when(F.col("cum") >= F.expr("n div 2 + 1"), F.col(vcol))
+        )
+        return hist.groupBy("event_type").agg(
+            (at_rank(vcol, 1, 2) + hi).alias(alias)
+        )
+
+    vh = int_hist(e2.filter(F.col("vq").isNotNull()), "vq", "event_type")
+    med = pair_sum(vh, "vq", "m2").withColumnRenamed("event_type", "_et")
+    dev = e2.join(
+        F.broadcast(med), e2["event_type"] == F.col("_et"), "left"
+    ).select(
+        "event_type",
+        "vq",
+        "m2",
+        F.abs(F.lit(2) * F.col("vq") - F.col("m2")).alias("a2"),
+    )
+    ah = int_hist(
+        dev.filter(F.col("a2").isNotNull()).select("event_type", "a2"),
+        "a2",
+        "event_type",
+    )
+    mad = pair_sum(ah, "a2", "mad4").withColumnRenamed("event_type", "_et")
+    joined = dev.join(
+        F.broadcast(mad), dev["event_type"] == F.col("_et"), "left"
+    )
     return joined.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_total"),
-        F.min("med").alias("median_value"),
-        F.min("mad").alias("mad"),
+        F.min("m2").cast("bigint").alias("median2_q"),
+        F.min("mad4").cast("bigint").alias("mad4_q"),
         F.sum(
             F.when(
-                F.col("adev") > (F.lit(3.5) * F.col("mad")) / F.lit(0.6745), 1
+                F.col("a2") * F.lit(1349) > F.lit(3500) * F.col("mad4"), 1
             ).otherwise(0)
         )
         .cast("bigint")

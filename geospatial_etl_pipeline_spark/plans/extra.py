@@ -8,7 +8,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import tokens
-from ._util import _SQL_EMB, mq, msalt, qsum, sql_qsum, t, temb
+from ._util import (
+    _SQL_EMB,
+    at_rank,
+    int_hist,
+    mq,
+    msalt,
+    qsum,
+    sql_at_rank,
+    sql_int_hist,
+    sql_qsum,
+    t,
+    temb,
+)
 from .catalog import register
 
 _STATUSES = ["F", "O", "P"]
@@ -80,24 +92,50 @@ def q27_sql_api_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q28_exact_percentiles",
     tags=("relational", "agg", "percentile"),
-    oracle="""
+    oracle=f"""
+WITH pr AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS price_c
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+hist AS (
+  {sql_int_hist('pr', 'price_c', 'o_orderpriority')}
+)
 SELECT o_orderpriority,
-       quantile_cont(o_totalprice, 0.5) AS p50,
-       quantile_cont(o_totalprice, 0.9) AS p90,
-       quantile_cont(o_totalprice, 0.99) AS p99
-FROM orders
+       {sql_at_rank('price_c', 1, 2)} AS p50_c,
+       {sql_at_rank('price_c', 9, 10)} AS p90_c,
+       {sql_at_rank('price_c', 99, 100)} AS p99_c
+FROM hist
 GROUP BY o_orderpriority
 """,
 )
 def q28_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (both engines implement the same
-    linear-interpolation definition). Holistic aggregate: requires the
-    group's values together — at 100 TB prefer q29's sketch variant."""
-    o = t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.percentile("o_totalprice", 0.5).alias("p50"),
-        F.percentile("o_totalprice", 0.9).alias("p90"),
-        F.percentile("o_totalprice", 0.99).alias("p99"),
+    """Exact per-priority price percentiles as DISCRETE order
+    statistics on the integer cents lattice: p_q is the smallest value
+    whose cumulative count reaches rank ceil(q·n) — an element of the
+    data, never an interpolation.
+
+    r8 rewrite: the original emitted quantile_cont/percentile() doubles
+    whose interpolation arithmetic is engine-version-dependent in the
+    last ulp (the q166 driver red was exactly this class). Discrete
+    rank selection over the (priority, price_c) int_hist is integer-
+    exact end to end and — unlike interpolated percentile() — has a
+    direct distributed form: the histogram agg partial-aggregates
+    map-side, and the rank window runs per priority over the
+    domain-bounded histogram, not the corpus. At 100 TB prefer q29's
+    sketch variant for non-audit paths."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    pr = o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * F.lit(100.0))
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    hist = int_hist(pr, "price_c", "o_orderpriority")
+    return hist.groupBy("o_orderpriority").agg(
+        at_rank("price_c", 1, 2).alias("p50_c"),
+        at_rank("price_c", 9, 10).alias("p90_c"),
+        at_rank("price_c", 99, 100).alias("p99_c"),
     )
 
 
@@ -1081,62 +1119,61 @@ _EQUIDEPTH_BUCKETS = 16
     "q158_equidepth_histogram",
     tags=("relational", "agg", "percentile", "histogram"),
     oracle=f"""
-WITH bounds AS (
-  SELECT quantile_cont(o_totalprice,
-           [x / {float(_EQUIDEPTH_BUCKETS)!r} FOR x IN range(1, {_EQUIDEPTH_BUCKETS})]
-         ) AS bs
-  FROM orders
+WITH pr AS (
+  SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS price_c
+  FROM orders WHERE o_totalprice IS NOT NULL
 ),
-bucketed AS (
-  SELECT o.o_totalprice,
-         CAST(len(list_filter(b.bs, x -> x < o.o_totalprice)) AS INT) AS bucket
-  FROM orders o, bounds b
+hist AS (
+  {sql_int_hist('pr', 'price_c')}
 )
-SELECT bucket,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       MIN(o_totalprice) AS lo,
-       MAX(o_totalprice) AS hi,
-       {sql_qsum('o_totalprice', 6)} AS sum_price_q6
-FROM bucketed
-GROUP BY bucket
+SELECT CAST(({_EQUIDEPTH_BUCKETS} * below) // n AS INT) AS bucket,
+       CAST(SUM(cnt) AS BIGINT) AS n_orders,
+       MIN(price_c) AS lo_c,
+       MAX(price_c) AS hi_c,
+       CAST(SUM(price_c * cnt) AS BIGINT) AS sum_price_c
+FROM hist
+GROUP BY CAST(({_EQUIDEPTH_BUCKETS} * below) // n AS INT)
 """,
 )
 def q158_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (equal-frequency) histogram of order totals — the
     optimizer-statistics primitive (selectivity estimation, skew
     detection) and the binning step before quantile-bucketed feature
-    encoding. {_EQUIDEPTH_BUCKETS} buckets bounded by exact interior
-    percentiles.
+    encoding. {_EQUIDEPTH_BUCKETS} buckets on the integer cents
+    lattice.
 
-    Deliberately NOT ntile(): a global ntile is a single-partition
-    total sort of the corpus — dead at 100 TB. Instead the boundary
-    vector is one holistic percentile aggregate ({_EQUIDEPTH_BUCKETS - 1}
-    doubles), BROADCAST onto the scan, and each row's bucket is the
-    count of boundaries strictly below its value (in-row array_filter
-    over 15 elements — no join, no sort). Rows equal to a boundary
-    land deterministically in the lower bucket in both engines (same
-    strict-< on identical doubles), so bucket populations can deviate
-    from n/{_EQUIDEPTH_BUCKETS} exactly at ties — the documented,
-    deterministic semantics. At 100 TB swap the exact percentile for
-    approx_percentile and the plan shape is unchanged."""
-    o = t(spark, sf_dir, "orders")
-    fracs = [x / float(_EQUIDEPTH_BUCKETS) for x in range(1, _EQUIDEPTH_BUCKETS)]
-    bounds = o.agg(
-        F.expr(
-            f"percentile(o_totalprice, array({', '.join(map(repr, fracs))}))"
-        ).alias("bs")
+    r8 rewrite (q166's de-float applied to the whole family): the old
+    form bucketed on interpolated percentile() boundaries — the
+    engine-version ulp hazard. Now prices quantize by FLOOR(x·100)
+    (one IEEE multiply + floor, bit-identical across engines even for
+    off-lattice doubles), the bucket is the exact rank expression
+    ({_EQUIDEPTH_BUCKETS}·below) DIV n over the price int_hist, and
+    all outputs (populations, cents range, cents mass) come from the
+    histogram itself. Rows tied on price share `below`, so they land
+    in one bucket deterministically — populations deviate from
+    n/{_EQUIDEPTH_BUCKETS} exactly at ties, the documented semantics.
+
+    Still deliberately NOT ntile() on the corpus: the only corpus-
+    sized stage is the map-side-combined histogram agg; the global
+    rank window then sorts the HISTOGRAM — bounded by the cents
+    DOMAIN (~5e7 rows for any corpus), not the row count. At 100 TB
+    the same histogram feeds approx boundaries if even that sort is
+    unwanted (SCALING.md)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    pr = o.select(
+        F.floor(F.col("o_totalprice") * F.lit(100.0))
+        .cast("bigint")
+        .alias("price_c")
     )
-    bucketed = o.crossJoin(F.broadcast(bounds)).select(
-        "o_totalprice",
-        F.size(
-            F.filter(F.col("bs"), lambda x: x < F.col("o_totalprice"))
-        ).cast("int").alias("bucket"),
-    )
-    return bucketed.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.min("o_totalprice").alias("lo"),
-        F.max("o_totalprice").alias("hi"),
-        qsum(F.col("o_totalprice"), 6).alias("sum_price_q6"),
+    hist = int_hist(pr, "price_c")
+    bucket = F.expr(f"CAST(({_EQUIDEPTH_BUCKETS} * below) div n AS INT)")
+    return hist.groupBy(bucket.alias("bucket")).agg(
+        F.sum("cnt").cast("bigint").alias("n_orders"),
+        F.min("price_c").alias("lo_c"),
+        F.max("price_c").alias("hi_c"),
+        F.sum(F.col("price_c") * F.col("cnt"))
+        .cast("bigint")
+        .alias("sum_price_c"),
     )
 
 

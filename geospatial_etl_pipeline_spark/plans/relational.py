@@ -23,14 +23,18 @@ from pyspark.sql.window import Window
 
 from ._util import (
     DEC,
+    at_rank,
     davg,
     dsum,
+    int_hist,
     mq,
     mqsum,
     msalt,
     munscale,
+    sql_at_rank,
     sql_davg,
     sql_dsum,
+    sql_int_hist,
     sql_msum,
     t,
 )
@@ -1124,78 +1128,73 @@ def q113_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dist") <= _FUZZ_MAX_DIST)
 
 
-_LTV_FRACS = [x / 10.0 for x in range(1, 10)]
-
-
 @register(
     "q168_customer_ltv_deciles",
-    tags=("relational", "agg", "percentile", "two-level"),
+    tags=("relational", "agg", "percentile", "two-level", "histogram"),
     oracle=f"""
 WITH ltv AS (
   SELECT o_custkey,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+         SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS total_c,
          CAST(COUNT(*) AS BIGINT) AS n_orders
   FROM orders GROUP BY o_custkey
 ),
-bounds AS (
-  SELECT quantile_cont(total,
-           [{', '.join(repr(x) for x in _LTV_FRACS)}]) AS bs
-  FROM ltv
-),
-bucketed AS (
-  SELECT l.o_custkey, l.total, l.n_orders,
-         CAST(len(list_filter(b.bs, x -> x < l.total)) AS INT) AS decile
-  FROM ltv l, bounds b
+hist AS (
+  {sql_int_hist('ltv', 'total_c',
+                extra={'sum_orders': 'CAST(SUM(n_orders) AS BIGINT)'})}
 )
-SELECT decile,
-       CAST(COUNT(*) AS BIGINT) AS n_customers,
-       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
-       MIN(total) AS ltv_min,
-       MAX(total) AS ltv_max,
-       CAST(SUM(CAST(total AS DECIMAL(38,6))) AS DOUBLE) AS ltv_sum
-FROM bucketed
-GROUP BY decile
+SELECT CAST((10 * below) // n AS INT) AS decile,
+       CAST(SUM(cnt) AS BIGINT) AS n_customers,
+       CAST(SUM(sum_orders) AS BIGINT) AS n_orders,
+       MIN(total_c) AS ltv_min_c,
+       MAX(total_c) AS ltv_max_c,
+       CAST(SUM(total_c * cnt) AS BIGINT) AS ltv_sum_c
+FROM hist
+GROUP BY CAST((10 * below) // n AS INT)
 """,
 )
 def q168_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer lifetime-value decile table: who the top 10% are and
     how much of total revenue they carry — the reduce-THEN-analyze
     two-level shape. Level 1 collapses the 100 TB order stream to one
-    row per customer (partial-agg exchange, money through exact
-    DECIMAL). Level 2 treats that customer-sized relation (orders/
-    customer ≈ constant, so ~1000× smaller) as the analysis input:
-    holistic decile boundaries on the AGGREGATE, broadcast back,
-    in-row bucket lookup, 10-key agg. The holistic percentile only
-    ever sees level-1 output — that ordering discipline is the whole
-    100 TB story, and the reason this is not q158 on a raw column.
+    row per customer (partial-agg exchange; money through mq's exact
+    FLOOR-cents int64 — engine-identical per row, exactly summable).
+    Level 2 treats that customer-sized relation (orders/customer ≈
+    constant, so ~1000× smaller) as the analysis input.
 
-    LTV doubles come from the SAME decimal-sum expression in both
-    engines (clean money values — dsum's contract), so the boundary
-    compares and the decile sums are engine-exact."""
+    r8 rewrite (q166's de-float): deciles were interpolated-percentile
+    boundaries — the engine-version ulp hazard. Now level 2 is the
+    integer rank machinery: an int_hist over the distinct LTV cents
+    values (carrying each value's order count as histogram payload),
+    decile = (10·below) DIV n, and every output an integer derived
+    from the histogram. The holistic stage still only ever sees
+    level-1 output — that ordering discipline is the whole 100 TB
+    story, and the reason this is not q158 on a raw column. The
+    histogram window is one sort of |distinct customer LTVs| ≤
+    |customers| rows; SCALING.md's coarse/fine split or approx
+    boundaries is the swap if that single sort ever binds."""
     o = t(spark, sf_dir, "orders")
     ltv = o.groupBy("o_custkey").agg(
-        dsum("o_totalprice").alias("total"),
+        F.sum(mq("o_totalprice", 2)).alias("total_c"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    fr = ", ".join(repr(x) for x in _LTV_FRACS)
-    bounds = ltv.agg(F.expr(f"percentile(total, array({fr}))").alias("bs"))
-    bucketed = ltv.crossJoin(F.broadcast(bounds)).select(
-        "total",
-        "n_orders",
-        F.size(F.filter(F.col("bs"), lambda x: x < F.col("total")))
-        .cast("int")
-        .alias("decile"),
+    hist = int_hist(
+        ltv,
+        "total_c",
+        extra={"sum_orders": F.sum("n_orders").cast("bigint")},
     )
-    return bucketed.groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.sum("n_orders").cast("bigint").alias("n_orders"),
-        F.min("total").alias("ltv_min"),
-        F.max("total").alias("ltv_max"),
-        dsum("total").alias("ltv_sum"),
+    decile = F.expr("CAST((10 * below) div n AS INT)")
+    return hist.groupBy(decile.alias("decile")).agg(
+        F.sum("cnt").cast("bigint").alias("n_customers"),
+        F.sum("sum_orders").cast("bigint").alias("n_orders"),
+        F.min("total_c").alias("ltv_min_c"),
+        F.max("total_c").alias("ltv_max_c"),
+        F.sum(F.col("total_c") * F.col("cnt"))
+        .cast("bigint")
+        .alias("ltv_sum_c"),
     )
 
 
-_RFM_FRACS = [0.2, 0.4, 0.6, 0.8]
+_RFM_CUTS = ", ".join(sql_at_rank("v", d, 5) for d in (1, 2, 3, 4))
 
 
 @register(
@@ -1206,43 +1205,70 @@ WITH rfm AS (
   SELECT o_custkey,
          CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS r_day,
          CAST(COUNT(*) AS BIGINT) AS f,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS m
+         SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS m_c
   FROM orders GROUP BY o_custkey
 ),
+long AS (
+  SELECT dim, v FROM (
+    SELECT 'r' AS dim, r_day AS v FROM rfm
+    UNION ALL SELECT 'f', f FROM rfm
+    UNION ALL SELECT 'm', m_c FROM rfm
+  ) WHERE v IS NOT NULL
+),
+hist AS (
+  {sql_int_hist('long', 'v', 'dim')}
+),
+cuts AS (
+  SELECT dim, [{_RFM_CUTS}] AS cs FROM hist GROUP BY dim
+),
 bounds AS (
-  SELECT quantile_cont(CAST(r_day AS DOUBLE), [{', '.join(map(repr, _RFM_FRACS))}]) AS rb,
-         quantile_cont(CAST(f AS DOUBLE), [{', '.join(map(repr, _RFM_FRACS))}]) AS fb,
-         quantile_cont(m, [{', '.join(map(repr, _RFM_FRACS))}]) AS mb
-  FROM rfm
+  SELECT MIN(CASE WHEN dim = 'r' THEN cs END) AS rb,
+         MIN(CASE WHEN dim = 'f' THEN cs END) AS fb,
+         MIN(CASE WHEN dim = 'm' THEN cs END) AS mb
+  FROM cuts
 ),
 scored AS (
-  SELECT c.o_custkey, c.m,
-         CAST(len(list_filter(b.rb, x -> x < CAST(c.r_day AS DOUBLE))) AS INT) AS r_score,
-         CAST(len(list_filter(b.fb, x -> x < CAST(c.f AS DOUBLE))) AS INT) AS f_score,
-         CAST(len(list_filter(b.mb, x -> x < c.m)) AS INT) AS m_score
+  SELECT c.o_custkey, c.m_c,
+         CAST(len(list_filter(b.rb, x -> x <= c.r_day)) AS INT) AS r_score,
+         CAST(len(list_filter(b.fb, x -> x <= c.f)) AS INT) AS f_score,
+         CAST(len(list_filter(b.mb, x -> x <= c.m_c)) AS INT) AS m_score
   FROM rfm c, bounds b
 )
 SELECT r_score, f_score, m_score,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       CAST(SUM(CAST(m AS DECIMAL(38,6))) AS DOUBLE) AS monetary_sum
+       CAST(SUM(m_c) AS BIGINT) AS monetary_sum_c
 FROM scored
 GROUP BY r_score, f_score, m_score
 """,
 )
 def q171_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: every customer scored 0–4 on Recency (last
-    order day), Frequency (order count) and Monetary (decimal-exact
+    order day), Frequency (order count) and Monetary (exact cents
     spend) against GLOBAL quintile boundaries, then the 125-cell
     census with revenue per cell — the classic churn/VIP targeting
     grid ('445 lapsing whales' is r_score=0, f/m=4).
 
     Same two-level discipline as q168: the corpus collapses to one
     row per customer FIRST (one partial-agg exchange; recency as
-    integer epoch-days, money through DECIMAL), then three holistic
-    quintile vectors on the customer-sized aggregate broadcast back
-    for in-row strict-< scoring. Boundary compares run on doubles
-    that are bit-identical by construction (integer-derived or
-    decimal-sum-derived)."""
+    integer epoch-days, money through mq's exact FLOOR-cents int64),
+    then three quintile cut vectors on the customer-sized aggregate
+    broadcast back for in-row scoring — 12 integers against the scan,
+    the shape that survives 100 TB.
+
+    r8 rewrite (q166's de-float): the cuts were interpolated-
+    percentile doubles — the engine-version ulp hazard. Now each cut
+    is a discrete rank statistic (at_rank over the dimension's
+    int_hist: smallest value reaching rank ceil(d·n/5)), the score is
+    the count of cuts <= the customer's INTEGER value, and the cell
+    revenue is an exact cents sum. All three dimensions and all
+    comparisons are integers end to end.
+
+    The three dimension histograms deliberately share ONE relation:
+    rfm unpivots to (dim, value) long form, so one (dim, v) hash agg
+    and one dim-partitioned window serve all three cut vectors —
+    three separate per-column histograms would each re-derive the
+    customer aggregate and re-scan orders (measured: 8 scans vs this
+    form's 2, same as the pre-r8 plan)."""
     o = t(spark, sf_dir, "orders")
     # o_orderdate loads as TIMESTAMP_NTZ: unix_micros rejects it, but
     # the date cast is wall-clock-faithful and unix_date gives exact
@@ -1253,27 +1279,47 @@ def q171_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("r_day"),
         F.count(F.lit(1)).alias("f"),
-        dsum("o_totalprice").alias("m"),
+        F.sum(mq("o_totalprice", 2)).alias("m_c"),
     )
-    fr = ", ".join(map(repr, _RFM_FRACS))
-    bounds = rfm.agg(
-        F.expr(f"percentile(CAST(r_day AS DOUBLE), array({fr}))").alias("rb"),
-        F.expr(f"percentile(CAST(f AS DOUBLE), array({fr}))").alias("fb"),
-        F.expr(f"percentile(m, array({fr}))").alias("mb"),
-    )
-    def score(bs: str, val) -> F.Column:
-        return (
-            F.size(F.filter(F.col(bs), lambda x: x < val)).cast("int")
+    long = (
+        rfm.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("r").alias("dim"), F.col("r_day").alias("v")
+                    ),
+                    F.struct(F.lit("f").alias("dim"), F.col("f").alias("v")),
+                    F.struct(
+                        F.lit("m").alias("dim"), F.col("m_c").alias("v")
+                    ),
+                )
+            ).alias("dv")
         )
+        .select("dv.dim", "dv.v")
+        .filter(F.col("v").isNotNull())
+    )
+    hist = int_hist(long, "v", "dim")
+    cuts = hist.groupBy("dim").agg(
+        F.array(*[at_rank("v", d, 5) for d in (1, 2, 3, 4)]).alias("cs")
+    )
+    bounds = cuts.agg(
+        F.min(F.when(F.col("dim") == "r", F.col("cs"))).alias("rb"),
+        F.min(F.when(F.col("dim") == "f", F.col("cs"))).alias("fb"),
+        F.min(F.when(F.col("dim") == "m", F.col("cs"))).alias("mb"),
+    )
+
+    def score(bs: str, val) -> F.Column:
+        return F.size(F.filter(F.col(bs), lambda x: x <= val)).cast("int")
+
     scored = rfm.crossJoin(F.broadcast(bounds)).select(
-        "m",
-        score("rb", F.col("r_day").cast("double")).alias("r_score"),
-        score("fb", F.col("f").cast("double")).alias("f_score"),
-        score("mb", F.col("m")).alias("m_score"),
+        "m_c",
+        score("rb", F.col("r_day")).alias("r_score"),
+        score("fb", F.col("f")).alias("f_score"),
+        score("mb", F.col("m_c")).alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        dsum("m").alias("monetary_sum"),
+        F.sum("m_c").cast("bigint").alias("monetary_sum_c"),
     )
 
 
@@ -1401,23 +1447,35 @@ def q184_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q192_fulfillment_sla",
     tags=("relational", "join", "percentile", "sla"),
-    oracle="""
+    oracle=f"""
 WITH lat AS (
   SELECT o.o_orderpriority,
          CAST(epoch_us(l.l_shipdate) // 86400000000
               - epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS days
   FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+nn AS (SELECT o_orderpriority, days FROM lat WHERE days IS NOT NULL),
+hist AS (
+  {sql_int_hist('nn', 'days', 'o_orderpriority')}
+),
+pct AS (
+  SELECT o_orderpriority,
+         {sql_at_rank('days', 1, 2)} AS p50_days,
+         {sql_at_rank('days', 9, 10)} AS p90_days,
+         {sql_at_rank('days', 99, 100)} AS p99_days
+  FROM hist GROUP BY o_orderpriority
 )
-SELECT o_orderpriority,
+SELECT l.o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
-       quantile_cont(CAST(days AS DOUBLE), 5e-1) AS p50_days,
-       quantile_cont(CAST(days AS DOUBLE), 9e-1) AS p90_days,
-       quantile_cont(CAST(days AS DOUBLE), 9.9e-1) AS p99_days,
-       CAST(MAX(days) AS BIGINT) AS max_days,
-       CAST(SUM(CASE WHEN days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+       MIN(p.p50_days) AS p50_days,
+       MIN(p.p90_days) AS p90_days,
+       MIN(p.p99_days) AS p99_days,
+       CAST(MAX(l.days) AS BIGINT) AS max_days,
+       CAST(SUM(CASE WHEN l.days > 90 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_over_90d
-FROM lat
-GROUP BY o_orderpriority
+FROM lat l LEFT JOIN pct p
+  ON p.o_orderpriority IS NOT DISTINCT FROM l.o_orderpriority
+GROUP BY l.o_orderpriority
 """,
 )
 def q192_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1427,11 +1485,19 @@ def q192_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard query that says whether '1-URGENT' actually ships
     faster, with the p99/max tail that averages hide.
 
+    r8 rewrite (q166's de-float): the percentiles were interpolated
+    quantile_cont doubles — the engine-version ulp hazard — and are
+    now discrete order statistics (at_rank over the per-priority
+    integer-day int_hist: smallest day count reaching rank ceil(q·n)),
+    emitted as exact integer days. A priority whose latencies are all
+    NULL keeps its row via the null-safe LEFT join (NULL percentiles,
+    breach count 0) — presence semantics pinned in both engines.
+
     Shape: the orders side projects to (key, priority, date) before
-    the fact join (shuffle on orderkey, AQE-skew-safe); latencies are
-    exact integer days; percentiles are q28's holistic contract per
-    ≤5 groups. At 100 TB swap approx_percentile, breach count
-    unchanged."""
+    the fact join (shuffle on orderkey, AQE-skew-safe); the day
+    histogram is ≤5 priorities × the day DOMAIN (a few hundred values)
+    — broadcast-sized at any corpus scale. At 100 TB swap
+    approx_percentile, breach count unchanged."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
@@ -1443,12 +1509,24 @@ def q192_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "o_orderpriority", days.alias("days")
     )
-    d = F.col("days").cast("double")
-    return lat.groupBy("o_orderpriority").agg(
+    hist = int_hist(
+        lat.filter(F.col("days").isNotNull()), "days", "o_orderpriority"
+    )
+    pct = hist.groupBy("o_orderpriority").agg(
+        at_rank("days", 1, 2).alias("p50_days"),
+        at_rank("days", 9, 10).alias("p90_days"),
+        at_rank("days", 99, 100).alias("p99_days"),
+    )
+    joined = lat.join(
+        F.broadcast(pct.withColumnRenamed("o_orderpriority", "_prio")),
+        lat["o_orderpriority"].eqNullSafe(F.col("_prio")),
+        "left",
+    )
+    return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.percentile(d, 0.5).alias("p50_days"),
-        F.percentile(d, 0.9).alias("p90_days"),
-        F.percentile(d, 0.99).alias("p99_days"),
+        F.min("p50_days").alias("p50_days"),
+        F.min("p90_days").alias("p90_days"),
+        F.min("p99_days").alias("p99_days"),
         F.max("days").cast("bigint").alias("max_days"),
         F.sum(F.when(F.col("days") > 90, 1).otherwise(0))
         .cast("bigint")

@@ -28,7 +28,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ._util import DEC, literal_df, t
+from ._util import (
+    DEC,
+    at_rank,
+    int_hist,
+    literal_df,
+    sql_at_rank,
+    sql_int_hist,
+    t,
+)
 from .catalog import register
 
 _TRAIN, _VAL = 0.8, 0.1  # remaining 0.1 = test
@@ -901,14 +909,20 @@ reps AS (
            / SUM({_sql_boot_weight('bucket')}) AS rep_mean
   FROM expanded
   GROUP BY b
+),
+rq AS (
+  SELECT CAST(FLOOR(rep_mean * 1000000.0) AS BIGINT) AS rmq FROM reps
+),
+hist AS (
+  {sql_int_hist('rq', 'rmq')}
 )
 SELECT CAST({_BOOT_B} AS INT) AS n_replicates,
-       MIN(rep_mean) AS boot_min,
-       MAX(rep_mean) AS boot_max,
-       quantile_cont(rep_mean, 2.5e-2) AS boot_p025,
-       quantile_cont(rep_mean, 5e-1) AS boot_p50,
-       quantile_cont(rep_mean, 9.75e-1) AS boot_p975
-FROM reps
+       (SELECT MIN(rep_mean) FROM reps) AS boot_min,
+       (SELECT MAX(rep_mean) FROM reps) AS boot_max,
+       {sql_at_rank('rmq', 1, 40)} AS boot_p025_q,
+       {sql_at_rank('rmq', 1, 2)} AS boot_p50_q,
+       {sql_at_rank('rmq', 39, 40)} AS boot_p975_q
+FROM hist
 """,
 )
 def q172_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -922,8 +936,13 @@ def q172_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the Poisson draw is inverse-CDF on the 32-bit
     md5('boot{{b}}:' || orderkey) bucket against PRECOMPUTED integer
     thresholds (q39's discipline — no doubles, no rand()); replicate
-    means are decimal-sum ratios; the final CI is an exact percentile
-    (q28's contract) over 32 identical doubles.
+    means are decimal-sum ratios. r8 de-float: the CI endpoints were
+    interpolated percentiles over the replicate means — the
+    engine-version ulp hazard (q166's class) — and are now discrete
+    rank statistics on the FLOOR(·1e6)-quantized means (at_rank over
+    the replicate int_hist, ranks ceil(B/40)/ceil(B/2)/ceil(39B/40)).
+    boot_min/max stay raw doubles: selections of a pinned expression,
+    no arithmetic.
 
     Shape: one scan exploded ×32 — partial aggregation collapses each
     partition's fan-out to 32 (b, sums) rows before the exchange, so
@@ -963,14 +982,25 @@ def q172_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(w)
         ).alias("rep_mean")
     )
-    return reps.agg(
+    minmax = reps.agg(
         F.lit(_BOOT_B).cast("int").alias("n_replicates"),
         F.min("rep_mean").alias("boot_min"),
         F.max("rep_mean").alias("boot_max"),
-        F.percentile("rep_mean", 0.025).alias("boot_p025"),
-        F.percentile("rep_mean", 0.5).alias("boot_p50"),
-        F.percentile("rep_mean", 0.975).alias("boot_p975"),
     )
+    hist = int_hist(
+        reps.select(
+            F.floor(F.col("rep_mean") * F.lit(1_000_000.0))
+            .cast("bigint")
+            .alias("rmq")
+        ),
+        "rmq",
+    )
+    ci = hist.agg(
+        at_rank("rmq", 1, 40).alias("boot_p025_q"),
+        at_rank("rmq", 1, 2).alias("boot_p50_q"),
+        at_rank("rmq", 39, 40).alias("boot_p975_q"),
+    )
+    return minmax.crossJoin(F.broadcast(ci))
 
 
 # --------------------------------------------------------------------------

@@ -26,7 +26,16 @@ from ..functions.text import (
     tokens,
     word_ngrams_t,
 )
-from ._util import literal_df, qsum, sql_qsum, t
+from ._util import (
+    at_rank,
+    int_hist,
+    literal_df,
+    qsum,
+    sql_at_rank,
+    sql_int_hist,
+    sql_qsum,
+    t,
+)
 from .catalog import register
 
 # SQL fragments mirroring functions.text builders exactly.
@@ -1133,34 +1142,28 @@ def q156_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QDEC_FRACS = [x / 10.0 for x in range(1, 10)]
+_QDEC_Q = 1_000_000  # quality lattice — same grain as q261's _LQP_Q
 
 
 @register(
     "q166_quality_decile_profile",
-    tags=("text", "llm-data", "quality", "percentile"),
+    tags=("text", "llm-data", "quality", "percentile", "histogram"),
     oracle=f"""
-WITH q AS (
-  SELECT lang, {_SQL_QUALITY} AS quality FROM documents
-),
-bounds AS (
+WITH scored AS (
   SELECT lang,
-         quantile_cont(quality,
-           [{', '.join(repr(x) for x in _QDEC_FRACS)}]) AS bs
-  FROM q GROUP BY lang
+         CAST(FLOOR({_SQL_QUALITY} * {_QDEC_Q}) AS BIGINT) AS quality_q
+  FROM documents WHERE text IS NOT NULL
 ),
-bucketed AS (
-  SELECT q.lang, q.quality,
-         CAST(len(list_filter(b.bs, x -> x < q.quality)) AS INT) AS decile
-  FROM q JOIN bounds b ON b.lang = q.lang
+hist AS (
+  {sql_int_hist('scored', 'quality_q', 'lang')}
 )
-SELECT lang, decile,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       MIN(quality) AS q_min,
-       MAX(quality) AS q_max,
-       {sql_qsum('quality')} AS q_sum_q12
-FROM bucketed
-GROUP BY lang, decile
+SELECT lang, CAST((10 * below) // n AS INT) AS decile,
+       CAST(SUM(cnt) AS BIGINT) AS n_docs,
+       MIN(quality_q) AS q_min_q,
+       MAX(quality_q) AS q_max_q,
+       CAST(SUM(quality_q * cnt) AS BIGINT) AS q_sum_q
+FROM hist
+GROUP BY lang, CAST((10 * below) // n AS INT)
 """,
 )
 def q166_quality_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1169,39 +1172,45 @@ def q166_quality_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality thresholds are meaningless raw — a 0.6 in en and a 0.6 in
     fr sit at different percentiles; training-mix gates cut at
     deciles, not absolute scores). The profile reports each decile's
-    population and quality range — the gate-calibration table.
+    population, quality range and quality mass — the gate-calibration
+    table, on the _QDEC_Q integer lattice.
 
-    Shape is q158's broadcast-boundaries pattern PER GROUP: one
-    holistic per-lang percentile aggregate (|langs|×9 doubles)
-    broadcast-joined back onto the scan, bucket assignment in-row
-    (strict-< count over 9 elements), then a |langs|×10-key agg.
-    Deliberately no percent_rank window — that would globally sort
-    the corpus within each lang partition; boundaries + in-row lookup
-    is the shape that survives 100 TB (swap exact percentile for
-    approx_percentile unchanged). The quality double is the identical
-    pinned expression in both engines, reduced via qsum only."""
+    r8 rewrite (the round-7 driver red): the old form bucketed on
+    interpolated percentile() boundaries — doubles whose last ulp is
+    engine-version-dependent, so one flipped ulp moved a document
+    across a decile edge (rows/schema green, hash red). Now integer-
+    exact end to end: quality quantized by FLOOR (bit-identical IEEE
+    multiply+floor in both engines), deciles assigned as rank
+    thresholds (10·below) DIV n over the (lang, quality_q) int_hist,
+    and every output column derived from the histogram itself —
+    no interpolated double exists anywhere in the plan.
+
+    Scale: ONE corpus pass and ONE corpus-sized exchange (the
+    map-side-combined histogram agg); everything after runs on the
+    histogram, bounded by |langs| × the 1e6-point quality lattice
+    regardless of corpus size. The old broadcast-back-to-scan pass is
+    gone — the histogram already carries the per-decile populations
+    and quality mass."""
     tok = F.col("_tok")
-    quality = _quality_t(tok)
-    q = _staged(spark, sf_dir, "lang", "text").select(
-        "lang", quality.alias("quality")
+    scored = (
+        _staged(spark, sf_dir, "lang", "text")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "lang",
+            F.floor(_quality_t(tok) * _QDEC_Q).cast("bigint").alias(
+                "quality_q"
+            ),
+        )
     )
-    bounds = q.groupBy("lang").agg(
-        F.expr(
-            f"percentile(quality, array({', '.join(repr(x) for x in _QDEC_FRACS)}))"
-        ).alias("bs")
-    )
-    bucketed = q.join(F.broadcast(bounds), "lang").select(
-        "lang",
-        "quality",
-        F.size(F.filter(F.col("bs"), lambda x: x < F.col("quality")))
-        .cast("int")
-        .alias("decile"),
-    )
-    return bucketed.groupBy("lang", "decile").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("quality").alias("q_min"),
-        F.max("quality").alias("q_max"),
-        qsum(F.col("quality")).alias("q_sum_q12"),
+    hist = int_hist(scored, "quality_q", "lang")
+    decile = F.expr("CAST((10 * below) div n AS INT)")
+    return hist.groupBy("lang", decile.alias("decile")).agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.min("quality_q").alias("q_min_q"),
+        F.max("quality_q").alias("q_max_q"),
+        F.sum(F.col("quality_q") * F.col("cnt"))
+        .cast("bigint")
+        .alias("q_sum_q"),
     )
 
 
@@ -1280,16 +1289,29 @@ WITH per_doc AS (
          CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS DOUBLE)
            / len({_SQL_TOKENS}) AS fertility
   FROM documents
+),
+fq AS (
+  SELECT lang, CAST(FLOOR(fertility * 1000000.0) AS BIGINT) AS fqv
+  FROM per_doc WHERE fertility IS NOT NULL
+),
+fh AS (
+  {sql_int_hist('fq', 'fqv', 'lang')}
+),
+med AS (
+  SELECT lang,
+         {sql_at_rank('fqv', 1, 2)}
+         + MIN(CASE WHEN cum >= n // 2 + 1 THEN fqv END) AS fert2
+  FROM fh GROUP BY lang
 )
-SELECT lang,
+SELECT p.lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_words) AS BIGINT) AS total_words,
-       CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
-       CAST(SUM(n_pieces) AS DOUBLE) / SUM(n_words) AS corpus_fertility,
-       quantile_cont(fertility, 5e-1) AS p50_fertility,
-       MAX(fertility) AS max_fertility
-FROM per_doc
-GROUP BY lang
+       CAST(SUM(p.n_words) AS BIGINT) AS total_words,
+       CAST(SUM(p.n_pieces) AS BIGINT) AS total_pieces,
+       CAST(SUM(p.n_pieces) AS DOUBLE) / SUM(p.n_words) AS corpus_fertility,
+       CAST(MIN(m.fert2) AS BIGINT) AS p50_fertility2_q,
+       MAX(p.fertility) AS max_fertility
+FROM per_doc p LEFT JOIN med m ON m.lang IS NOT DISTINCT FROM p.lang
+GROUP BY p.lang
 """,
 )
 def q176_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1301,10 +1323,15 @@ def q176_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighting languages by raw document counts.
 
     Per-doc fertility is an integer-ratio double (engine-exact); the
-    corpus ratio is a ratio of exact integer sums; p50 is the exact
-    interpolated percentile (q28's contract). Shape: in-row counts,
-    one |langs| hash agg (the percentile is holistic per lang —
-    |langs| groups, never corpus-wide state)."""
+    corpus ratio is a ratio of exact integer sums. r8 de-float
+    (q166's class): the fertility median was an interpolated
+    percentile over arbitrary doubles — engine-version ulp-fragile —
+    and is now the exact integer midrank pair sum over the
+    FLOOR(·1e6)-quantized fertility (p50_fertility2_q; median =
+    value/2e6). max_fertility stays a raw double: a selection of a
+    pinned expression, no arithmetic. Shape: in-row counts, one
+    |langs| hash agg + a |langs|×lattice histogram median — never
+    corpus-wide state."""
     d = t(spark, sf_dir, "documents")
     staged = d.select("lang", "text", tokens("text").alias("_tok"))
     bpe = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
@@ -1314,15 +1341,41 @@ def q176_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(bpe).cast("bigint").alias("n_pieces"),
         (F.size(bpe).cast("double") / F.size(F.col("_tok"))).alias("fertility"),
     )
-    return per_doc.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_words").cast("bigint").alias("total_words"),
-        F.sum("n_pieces").cast("bigint").alias("total_pieces"),
-        (F.sum("n_pieces").cast("double") / F.sum("n_words")).alias(
-            "corpus_fertility"
+    fh = int_hist(
+        per_doc.filter(F.col("fertility").isNotNull()).select(
+            "lang",
+            F.floor(F.col("fertility") * F.lit(1_000_000.0))
+            .cast("bigint")
+            .alias("fqv"),
         ),
-        F.percentile("fertility", 0.5).alias("p50_fertility"),
-        F.max("fertility").alias("max_fertility"),
+        "fqv",
+        "lang",
+    )
+    med = fh.groupBy("lang").agg(
+        (
+            at_rank("fqv", 1, 2)
+            + F.min(
+                F.when(F.col("cum") >= F.expr("n div 2 + 1"), F.col("fqv"))
+            )
+        ).alias("fert2")
+    ).withColumnRenamed("lang", "_lang")
+    return (
+        per_doc.join(
+            F.broadcast(med),
+            per_doc["lang"].eqNullSafe(F.col("_lang")),
+            "left",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.sum("n_pieces").cast("bigint").alias("total_pieces"),
+            (F.sum("n_pieces").cast("double") / F.sum("n_words")).alias(
+                "corpus_fertility"
+            ),
+            F.min("fert2").cast("bigint").alias("p50_fertility2_q"),
+            F.max("fertility").alias("max_fertility"),
+        )
     )
 
 
@@ -1641,8 +1694,17 @@ def q200_corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fingerprints, token count, quality), then a handful of
     driver-sized aggregates over it — two distinct-counts on 16-byte
     keys are the only exchanges that grow with the corpus. Quality
-    reduces through the qsum ladder; the token median is the exact
-    percentile contract."""
+    reduces through the qsum ladder.
+
+    p50_tokens is the ONE interpolated percentile the r8 de-float
+    (q166's class) deliberately kept: at f = 1/2 over INTEGER-valued
+    doubles below 2^52, every intermediate of every linear-
+    interpolation formula — (n−1)·0.5, hi−lo, ·0.5, +lo, or
+    (lo+hi)·0.5 — is exactly representable, so any correct
+    implementation returns the identical bit pattern regardless of
+    engine version. The hazard the de-float removed only exists for
+    non-dyadic fractions or non-integer values. tools/ulp_canary.py
+    allowlists exactly this expression."""
     d = t(spark, sf_dir, "documents")
     # token array staged ONCE (module-docstring rule: unstaged, the
     # regex split re-evaluates per referencing column — 4x here)

@@ -149,14 +149,19 @@ def test_q172_bootstrap_ci_brackets_the_mean(spark):
 
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         row = catalog.QUERIES["q172_bootstrap_ci"].fn(spark, sf).collect()[0]
-        assert row["boot_min"] <= row["boot_p025"] <= row["boot_p50"], (sf, row)
-        assert row["boot_p50"] <= row["boot_p975"] <= row["boot_max"], (sf, row)
+        # r8: CI endpoints are FLOOR(·1e6)-quantized rank statistics
+        p025 = row["boot_p025_q"] / 1e6
+        p50 = row["boot_p50_q"] / 1e6
+        p975 = row["boot_p975_q"] / 1e6
+        eps = 1e-6  # one quantization step
+        assert row["boot_min"] - eps <= p025 <= p50, (sf, row)
+        assert p50 <= p975 <= row["boot_max"] + eps, (sf, row)
         full_mean = (
             spark.read.parquet(f"{sf}/orders.parquet")
             .agg(F.avg("o_totalprice"))
             .collect()[0][0]
         )
-        assert row["boot_p025"] <= full_mean <= row["boot_p975"], (sf, row, full_mean)
+        assert p025 - eps <= full_mean <= p975 + eps, (sf, row, full_mean)
 
 
 def test_morton_encode_matches_python_reference():

@@ -540,16 +540,21 @@ def test_q157_trigrams_one_exchange_plus_agg(spark):
 
 
 def test_q158_equidepth_no_global_sort(spark):
-    """equi-depth histogram must NOT be an ntile (single-partition
-    global sort): boundaries are one holistic aggregate broadcast onto
-    the scan, bucket assignment is in-row, and the only hash exchange
-    is the 16-key bucket aggregate."""
+    """equi-depth histogram must NOT be an ntile over the CORPUS: the
+    only corpus-sized stage is the map-side-combined (price_c) value
+    histogram agg — ONE hash exchange, with partial aggregation before
+    it; the rank window and the bucket rollup then run on the
+    domain-bounded histogram (the single SinglePartition exchange).
+    r8: bucket boundaries are integer rank thresholds from int_hist
+    (no interpolated-percentile doubles), so the plan gained the
+    histogram window and lost the boundary broadcast."""
     from geospatial_etl_pipeline_spark.plans import catalog as cat
 
     p = plan_text(cat.QUERIES["q158_equidepth_histogram"].fn(spark, SF))
-    assert n_shuffles(p) == 1, p
-    assert "BroadcastExchange" in p, p
-    assert "Window" not in p, p  # ntile would appear as a Window node
+    assert n_shuffles(p) == 1, p  # the histogram agg — corpus-sized
+    assert p.count("Arguments: SinglePartition") == 1, p  # hist window
+    # partial agg before the exchange: two HashAggregate nodes around it
+    assert p.count("HashAggregate") >= 2, p
 
 
 def test_new_census_queries_exchange_budgets(spark):
@@ -564,12 +569,17 @@ def test_new_census_queries_exchange_budgets(spark):
         "q160_standardized_centroids": 2,  # (label,dim) + (dim) aggs
         "q162_lsh_band_skew": 2,      # bucket agg + histogram agg
         "q165_source_diversity": 2,   # (lang,source) + lang aggs
-        "q166_quality_decile_profile": 2,  # lang bounds agg + cell agg
+        # r8 de-float: q166/q168 derive everything from the int_hist —
+        # ONE corpus-sized exchange (the histogram agg), the rest run
+        # on histogram-sized relations (lang/global window + rollup)
+        "q166_quality_decile_profile": 2,  # (lang,q) hist + cell agg
         "q167_source_boilerplate": 2,  # (source,bigram) + source aggs
-        "q168_customer_ltv_deciles": 3,  # custkey agg + bounds + cells
+        "q168_customer_ltv_deciles": 2,  # custkey agg + LTV hist
         "q169_growth_accounting": 3,  # distinct + user windows + wk agg
         "q170_dow_uniformity_chi2": 2,  # (type,dow) + type aggs
-        "q171_rfm_segments": 3,       # custkey agg + bounds + cells
+        # 2 custkey aggs + (dim,v) hist + cuts + 125-cell agg; all but
+        # the custkey pair are histogram-sized (docstring, r8)
+        "q171_rfm_segments": 5,
     }
     from geospatial_etl_pipeline_spark.plans import catalog as cat
 
@@ -577,14 +587,11 @@ def test_new_census_queries_exchange_budgets(spark):
         p = plan_text(cat.QUERIES[name].fn(spark, SF))
         assert n_shuffles(p) <= budget, (name, n_shuffles(p), p[:2000])
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
-    # the decile/RFM families must broadcast their boundary vectors
-    for name in (
-        "q166_quality_decile_profile",
-        "q168_customer_ltv_deciles",
-        "q171_rfm_segments",
-    ):
-        p = plan_text(cat.QUERIES[name].fn(spark, SF))
-        assert "BroadcastExchange" in p, name
+    # q171 still scores in-row against broadcast integer cut vectors;
+    # q166/q168 no longer broadcast anything — their outputs derive
+    # from the histogram itself (r8), so no assertion for them.
+    p = plan_text(cat.QUERIES["q171_rfm_segments"].fn(spark, SF))
+    assert "BroadcastExchange" in p, "q171 cut vectors must broadcast"
 
 
 def test_late_r4_queries_exchange_budgets(spark):
@@ -594,11 +601,11 @@ def test_late_r4_queries_exchange_budgets(spark):
     (e.g. a lost partial agg doubling a scan-side exchange) shows up
     as a count jump."""
     budgets = {
-        "q172_bootstrap_ci": 1,        # ×B explode collapses to B rows
+        "q172_bootstrap_ci": 3,        # ×B explode -> B rows + CI hist (r8)
         "q173_dow_seasonal_index": 3,  # daily agg + per_dow agg + type window
         "q174_supplier_concentration": 2,
         "q175_ivf_cell_census": 2,     # assignment is map-side broadcast
-        "q176_tokenizer_fertility": 1,
+        "q176_tokenizer_fertility": 3,  # lang agg + fertility hist (r8)
         "q177_srm_check": 1,
         "q178_bow_duplicate_groups": 2,
         "q179_dedup_cascade_agreement": 6,  # two pair relations + audit
@@ -614,7 +621,7 @@ def test_late_r4_queries_exchange_budgets(spark):
         "q189_zorder_pruning_report": 1,
         "q190_out_of_order_audit": 2,
         "q191_asof_staleness": 2,      # asof union-window + histogram
-        "q192_fulfillment_sla": 1,
+        "q192_fulfillment_sla": 3,     # fact join + day hist (r8)
         "q193_bipartite_degrees": 6,   # distinct + 2 rollup/hist branches
         "q194_order_cadence_cv": 2,
         "q195_linear_attribution": 3,  # range join + counts + hour agg
