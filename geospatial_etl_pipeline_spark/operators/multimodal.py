@@ -587,11 +587,24 @@ def phash_near_dup_pairs(
     ``bit_count(xor)`` verifies exactly. Never an all-pairs comparison:
     cost is bounded by band-bucket occupancy — q162's audit shape
     applies verbatim. ``sig_bits`` serves non-64-bit fingerprints (the
-    32-bit q44 SimHash rides the same dataflow in q257)."""
+    32-bit q44 SimHash rides the same dataflow in q257); input hashes
+    MUST fit in ``sig_bits`` bits — wider hashes leave their high bits
+    out of every band, silently voiding the pigeonhole recall
+    guarantee."""
     if max_hamming > bands - 1:
         raise ValueError(
             f"banded join guarantees recall only for max_hamming <= "
             f"bands - 1 ({bands - 1}); got {max_hamming}"
+        )
+    if sig_bits % bands != 0:
+        # a remainder would band only width*bands low bits and leave the
+        # top sig_bits % bands bits out of every band — pairs differing
+        # only there would LOOK like candidates everywhere yet the
+        # recall proof no longer covers them (r7 advice finding)
+        raise ValueError(
+            f"sig_bits ({sig_bits}) must be divisible by bands ({bands}):"
+            " every bit must belong to exactly one band for the"
+            " pigeonhole recall guarantee"
         )
     width = sig_bits // bands
     mask = (1 << width) - 1

@@ -2042,12 +2042,17 @@ _KQ_Q = 1_000_000
     tags=("dedup", "llm-data", "graph", "quality", "iterative"),
     oracle=f"""
 {_SQL_CLUSTER_CTES},
+-- PER-NODE labels (comp is one row per node) joined ONCE to per-row
+-- scored documents — the q150/q238 discipline. Joining the per-row
+-- `labeled` relation back to per-row documents fans out m×n on
+-- duplicate doc_ids (a tripled id yields 9 scored rows) and inflates
+-- n_docs relative to q49's cluster_size (r7 advice finding).
 scored AS (
-  SELECT l.doc_id, l.cluster_id,
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
          CAST(FLOOR({_KQ_SQL_QUALITY.replace("documents", "d")}
                     * {_KQ_Q}) AS BIGINT) AS quality_q
-  FROM labeled l
-  JOIN documents d ON d.doc_id IS NOT DISTINCT FROM l.doc_id
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
   WHERE d.text IS NOT NULL
 ),
 ranked AS (
@@ -2078,13 +2083,17 @@ def q264_cluster_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline) with the q31 quality builder applied to the SAME
     document rows — policy provably evaluated on the clusters the
     dedup pass ships. NULL-text docs drop (no scoreable content) in
-    both engines.
+    both engines. Labels are PER NODE (connected_components output,
+    one row per distinct doc_id) left-joined once onto the per-row
+    scored documents — the q150/q238 discipline: a per-row label
+    relation re-joined by id fans out m×n on duplicate doc_ids and
+    inflates n_docs against q49's cluster_size (r7 advice finding).
 
     Scale shape: the cluster build is q49's (edge-node-sized iterative
     rounds); scoring is one in-row projection; the keeper pick is one
     cluster-keyed window (rank + size share the exchange)."""
     from ..functions.text import tokens as _tok_fn
-    from ..operators.graph import dedup_clusters
+    from ..operators.graph import connected_components
 
     docs = t(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(
@@ -2094,7 +2103,9 @@ def q264_cluster_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
         jaccard_threshold=_JACCARD,
     )
-    clusters = dedup_clusters(pairs, docs).select("doc_id", "cluster_id")
+    comp = connected_components(
+        pairs, docs.select(F.col("doc_id").alias("node")), src="id_a", dst="id_b"
+    )
     scored_docs = (
         docs.filter(F.col("text").isNotNull())
         .select(
@@ -2109,9 +2120,13 @@ def q264_cluster_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("quality_q"),
         )
     )
-    scored = clusters.join(
-        scored_docs, clusters["doc_id"].eqNullSafe(scored_docs["d_id"])
-    ).select("doc_id", "cluster_id", "quality_q")
+    scored = scored_docs.join(
+        comp, scored_docs["d_id"].eqNullSafe(comp["node"]), "left"
+    ).select(
+        F.col("d_id").alias("doc_id"),
+        F.coalesce(F.col("component"), F.col("d_id")).alias("cluster_id"),
+        "quality_q",
+    )
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality_q").desc(), F.col("doc_id").asc_nulls_first()
     )

@@ -28,6 +28,32 @@ from ._util import (
 from .catalog import QUERIES, register
 
 
+# ---- event-time boundary (round 8) ----------------------------------------
+#
+# Event-time operators (tumbling/sliding windows, sessions, as-of,
+# lag/lead sequences, SCD2 versioning, daily/weekly buckets, EWMA) are
+# undefined for rows with no timestamp, and the engines disagree about
+# them exactly where clean data can't show it: Spark's F.window()
+# silently DROPS a NULL ts while DuckDB's date_trunc/time_bucket groups
+# it as a NULL bucket, and window ORDER BY ts puts NULLs first in Spark
+# but last in DuckDB — 15 event-time queries diverged on the r8 NULL-ts
+# identity probe (events_dupid fixture) until this boundary was pinned.
+# The contract mirrors _util.temb's for vectors: each of those queries
+# reads THIS relation (ts IS NOT NULL) and the _SQL-twin appears in its
+# oracle, so both engines see the same rows. A streaming deployment
+# enforces the same boundary mechanically — a NULL event time can never
+# pass a watermark. Queries keyed on arrival order rather than event
+# time (q190) instead PIN the NULL ordering on both sides.
+
+
+def te(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table behind the event-time boundary (ts non-NULL).
+    SQL twin inlined in oracles as
+    ``(SELECT * FROM events WHERE ts IS NOT NULL)``."""
+    return t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+
+
+
 @register(
     "q60_tumbling_window_counts",
     tags=("events", "window", "streaming-twin"),
@@ -36,14 +62,14 @@ SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS window_start,
        event_type,
        COUNT(*) AS n_events,
        {sql_dsum('value')} AS sum_value
-FROM events
+FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
 GROUP BY 1, 2
 """,
 )
 def q60_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling window aggregate — the batch twin of the
     streaming windowed count (streaming/events.py)."""
-    e = t(spark, sf_dir, "events")
+    e = te(spark, sf_dir)
     return (
         e.groupBy(
             F.window("ts", "5 minutes").start.alias("window_start"), "event_type"
@@ -64,7 +90,7 @@ SELECT CAST(time_bucket(INTERVAL '5 minutes', ts)
        event_type,
        COUNT(*) AS n_events,
        {sql_dsum('value')} AS sum_value
-FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
+FROM (SELECT * FROM events WHERE ts IS NOT NULL) events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
 GROUP BY 1, 2
 """,
 )
@@ -75,7 +101,7 @@ def q65_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one shuffle, partial-agg'd); the oracle states the same expansion
     relationally as a cross join against the offset set {0, 1}. Batch
     twin of streaming windowed_counts(slide=...)."""
-    e = t(spark, sf_dir, "events")
+    e = te(spark, sf_dir)
     return e.groupBy(
         F.window("ts", "10 minutes", "5 minutes").start.alias("window_start"),
         "event_type",
@@ -92,8 +118,8 @@ def q65_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p.event_id, p.user_id, p.ts,
        MAX(c.ts) AS asof_click_ts,
        COUNT(c.event_id) AS n_clicks_before
-FROM events p
-LEFT JOIN events c
+FROM (SELECT * FROM events WHERE ts IS NOT NULL) p
+LEFT JOIN (SELECT * FROM events WHERE ts IS NOT NULL) c
   ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id, p.user_id, p.ts
@@ -105,7 +131,7 @@ def q61_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the quadratic relational spec (join + MAX); the engine
     runs operators.asof.asof_join — union + single window, O(n log n),
     one shuffle on user_id."""
-    e = t(spark, sf_dir, "events")
+    e = te(spark, sf_dir)
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
@@ -137,7 +163,7 @@ def q61_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH x AS (
   SELECT user_id, epoch_us(ts) AS us,
          LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-  FROM events
+  FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
 )
 SELECT user_id,
        CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
@@ -151,7 +177,7 @@ def q62_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute inactivity gap via lag + flag-sum.
     Integer microsecond arithmetic — engine-exact. One shuffle on
     user_id shared by the window and the aggregate."""
-    e = t(spark, sf_dir, "events")
+    e = te(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros("ts")
     flagged = e.select(
@@ -225,7 +251,7 @@ SELECT event_id, user_id,
        LAG(event_id)  OVER w AS prev_event_id,
        LEAD(event_id) OVER w AS next_event_id,
        epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
-FROM events
+FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
 )
@@ -233,7 +259,7 @@ def q47_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead analytics: neighbor event ids and the inter-event gap in
     integer microseconds (engine-exact). One shuffle on user_id serves
     both window functions."""
-    e = t(spark, sf_dir, "events")
+    e = te(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros("ts")
     return e.select(
@@ -481,7 +507,7 @@ SELECT user_id, event_id, value,
        ts AS valid_from,
        lead(ts) OVER w AS valid_to,
        (lead(ts) OVER w IS NULL) AS is_current
-FROM events
+FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
 )
@@ -496,7 +522,7 @@ def q88_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: ONE window keyed on user_id — a single shuffle regardless of
     history depth; the same plan incrementalizes per partition (merge
     new changes, re-window only affected keys)."""
-    e = t(spark, sf_dir, "events")
+    e = te(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "user_id",
@@ -553,7 +579,7 @@ WITH x AS (
   SELECT user_id, event_id, value, epoch_us(ts) AS us,
          LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev_us
-  FROM events
+  FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
 ),
 flagged AS (
   SELECT user_id, event_id, value, us,
@@ -587,7 +613,7 @@ def q94_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregate (asserted in tests/test_plan_shapes.py). The cumsum
     window orders by (us, event_id) — unique per user — so the default
     RANGE frame has no tie peers and both engines agree row-for-row."""
-    e = t(spark, sf_dir, "events")
+    e = te(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros("ts")
     flagged = e.select(
@@ -705,7 +731,7 @@ FROM (
          last_value(event_id) OVER w AS last_event_id,
          CAST(COUNT(*) OVER w AS BIGINT) AS n_events,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events
+  FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 ) WHERE rn = 1
@@ -719,7 +745,7 @@ def q102_user_event_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-dependent. All four window functions plus the row_number
     emitter share ONE user_id exchange; nth_value of a missing
     position is NULL in both engines."""
-    e = t(spark, sf_dir, "events")
+    e = te(spark, sf_dir)
     full = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -945,7 +971,7 @@ WITH seq AS (
   SELECT user_id, event_type,
          LAG(event_type) OVER (
            PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-  FROM events
+  FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
 )
 SELECT prev_type, event_type AS next_type,
        COUNT(*) AS n_transitions,
@@ -966,7 +992,7 @@ def q116_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator is a SUM of already-aggregated counts (5x5 rows), so
     the second window is trivial. p_next is exact-integer division in
     double: engine-identical."""
-    e = t(spark, sf_dir, "events")
+    e = te(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
@@ -1116,7 +1142,7 @@ WITH lagged AS (
          lag(event_type, 3) OVER w AS c1,
          lag(event_type, 2) OVER w AS c2,
          lag(event_type, 1) OVER w AS c3
-  FROM events
+  FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id, event_id,
@@ -1137,7 +1163,7 @@ def q130_next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     the context concat + completeness filter run map-side on the
     windowed output. No joins, no second shuffle, regardless of
     corpus size."""
-    e = t(spark, sf_dir, "events")
+    e = te(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lagged = e.select(
         "user_id",
@@ -1343,7 +1369,7 @@ _EWMA_LOOKBACK = 10  # events; weight 2^-j halves per step back
 WITH q AS (
   SELECT user_id, event_id, ts,
          CAST(FLOOR(value * 1000000.0) AS BIGINT) AS qy
-  FROM events
+  FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
 ),
 l AS (
   SELECT user_id, event_id,
@@ -1373,7 +1399,7 @@ def q137_ewma_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: all {_EWMA_LOOKBACK} lags share ONE user_id window
     exchange (same partitioning + ordering); everything after is a
     map-side scalar chain."""
-    e = t(spark, sf_dir, "events")
+    e = te(spark, sf_dir)
     qy = F.floor(F.col("value") * F.lit(1e6)).cast("bigint")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     q = e.select("user_id", "event_id", "ts", qy.alias("qy"))
@@ -2233,7 +2259,7 @@ def _sql_corr(x: str, y: str, flt: str) -> str:
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(COUNT(*) AS BIGINT) AS n
-  FROM events GROUP BY event_type, day
+  FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY event_type, day
 ),
 lagged AS (
   SELECT event_type, n,
@@ -2270,7 +2296,7 @@ def q164_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg exchange; the lag windows and the final per-type agg
     run on that tiny relation (window partitions by event_type —
     satisfied by the agg's own exchange, no second shuffle)."""
-    e = t(spark, sf_dir, "events")
+    e = te(spark, sf_dir)
     daily = e.groupBy(
         "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -2320,7 +2346,7 @@ _SQL_WEEK_IDX = "CAST((epoch_us(ts) // 86400000000 + 3) // 7 AS BIGINT)"
     tags=("events", "product-analytics", "retention"),
     oracle=f"""
 WITH weekly AS (
-  SELECT DISTINCT user_id, {_SQL_WEEK_IDX} AS wk FROM events
+  SELECT DISTINCT user_id, {_SQL_WEEK_IDX} AS wk FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
 ),
 seq AS (
   SELECT user_id, wk,
@@ -2358,7 +2384,7 @@ def q169_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     date_trunc('week')/locale drift. Shape: corpus → distinct
     (user, week) partial agg, lag/lead/min windows all on ONE user_id
     exchange, final per-week agg on the tiny weekly relation."""
-    e = t(spark, sf_dir, "events")
+    e = te(spark, sf_dir)
     day = F.floor(F.unix_micros("ts") / 86_400_000_000)
     wk = F.floor((day + 3) / 7).cast("bigint")
     weekly = e.select("user_id", wk.alias("wk")).distinct()
@@ -2743,14 +2769,15 @@ def q186_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "streaming", "quality", "watermark"),
     oracle="""
 WITH seq AS (
-  -- arrival order pinned NULLS FIRST + ts tie-break: a NULL event_id
-  -- orders first in Spark windows and last in DuckDB, and duplicate
-  -- ids with different timestamps would make the running max
-  -- order-dependent (events identity probe, r7)
+  -- arrival order pinned NULLS FIRST on BOTH keys: a NULL event_id
+  -- (and a NULL ts on the tie-break) orders first in Spark windows
+  -- and last in DuckDB, and duplicate ids with different timestamps
+  -- would make the running max order-dependent (events identity
+  -- probe r7; NULL-ts pin r8 advice)
   SELECT event_type,
          epoch_us(ts) - MAX(epoch_us(ts)) OVER (
            PARTITION BY user_id
-           ORDER BY event_id ASC NULLS FIRST, ts ASC
+           ORDER BY event_id ASC NULLS FIRST, ts ASC NULLS FIRST
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS skew_us
   FROM events
 )
@@ -2784,7 +2811,10 @@ def q190_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULLS FIRST + ts tie-break pinned: see oracle comment
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("event_id").asc_nulls_first(), F.col("ts").asc())
+        .orderBy(
+            F.col("event_id").asc_nulls_first(),
+            F.col("ts").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     us = F.unix_micros("ts")
@@ -2958,7 +2988,7 @@ WITH daily AS (
          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
          CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS INT) AS dow,
          CAST(COUNT(*) AS BIGINT) AS c
-  FROM events GROUP BY event_type, day, dow
+  FROM (SELECT * FROM events WHERE ts IS NOT NULL) events GROUP BY event_type, day, dow
 ),
 dow_tot AS (
   SELECT event_type, dow,
@@ -3017,7 +3047,7 @@ def q197_deseasonalized_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Shape: one (type, day) corpus exchange, then joins/aggregates on
     day-level relations only."""
-    e = t(spark, sf_dir, "events")
+    e = te(spark, sf_dir)
     day = F.floor(F.unix_micros("ts") / 86_400_000_000).cast("bigint")
     daily = e.groupBy(
         "event_type", day.alias("day"), ((day + 3) % 7).cast("int").alias("dow")
@@ -3391,7 +3421,7 @@ WITH seq AS (
   SELECT user_id, event_type,
          LAG(event_type) OVER (
            PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-  FROM events
+  FROM (SELECT * FROM events WHERE ts IS NOT NULL) events
 ),
 cnt AS (
   SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS c
@@ -3427,7 +3457,7 @@ def q223_transition_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup of the transition counts (never a second pass over events);
     the impurity agg runs on the |event types|² matrix — dimension-
     sized, trivially small at any corpus scale."""
-    e = t(spark, sf_dir, "events")
+    e = te(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")

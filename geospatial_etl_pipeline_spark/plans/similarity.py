@@ -1004,6 +1004,19 @@ def q121_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if m <= 1:
             out["keep"] = np.ones(m, dtype=np.int32)
             return out
+        # temb guarantees non-null/non-empty/finite/nonzero vectors but
+        # NOT uniform dimensionality (q202 audits n_distinct_dims > 1 as
+        # a real ingest defect); np.stack on ragged input would die with
+        # an opaque shape error mid-kernel, so fail with the contract
+        # named instead (r7 advice finding)
+        dims = {len(v) for v in pdf["_v"]}
+        if len(dims) > 1:
+            raise ValueError(
+                f"q121 SemDeDup kernel requires uniform embedding"
+                f" dimensionality per corpus; cluster"
+                f" {int(pdf['cluster'].iloc[0])} has dims {sorted(dims)}"
+                " — run q202_embedding_validation_audit and fix ingest"
+            )
         V = np.stack(pdf["_v"].to_numpy())  # m × dim float64
         qn = np.floor(V * V * scale).astype(np.int64).sum(axis=1)
         norm = np.sqrt(qn.astype(np.float64) / scale)

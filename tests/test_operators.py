@@ -560,6 +560,23 @@ def test_phash_rejects_unguaranteed_threshold(spark):
         phash_near_dup_pairs(df, max_hamming=4, bands=4)
 
 
+def test_phash_rejects_indivisible_sig_bits(spark):
+    """sig_bits % bands != 0 would band only width*bands low bits and
+    silently void the pigeonhole recall guarantee — must refuse loudly
+    (r7 advice finding)."""
+    import pytest as _pytest
+
+    from geospatial_etl_pipeline_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image", 0)], "media_id long, kind string, ahash long"
+    )
+    with _pytest.raises(ValueError, match="divisible"):
+        phash_near_dup_pairs(df, max_hamming=3, bands=4, sig_bits=30)
+
+
 def test_transitive_closure_chain_tree_and_cycle(spark):
     from geospatial_etl_pipeline_spark.operators.graph import (
         transitive_closure,

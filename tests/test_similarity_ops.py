@@ -144,3 +144,37 @@ def test_embedding_near_dup_threshold_below_topk(spark, corpus):
     hi_pairs = {(r["id_a"], r["id_b"]) for r in hi}
     lo_top = {(r["id_a"], r["id_b"]) for r in lo if r["cosine_sim"] >= 0.3}
     assert hi_pairs.issuperset(lo_top)
+
+
+def test_q121_kernel_rejects_ragged_dims(spark, tmp_path):
+    """temb validates elements but not uniform dimensionality (q202
+    audits n_distinct_dims > 1 as an ingest defect); the SemDeDup
+    applyInPandas kernel must name that precondition instead of dying
+    in np.stack with an opaque shape error (r7 advice finding)."""
+    import duckdb as _duck
+
+    from geospatial_etl_pipeline_spark.plans import catalog
+
+    catalog.load_all_plans()
+    d = str(tmp_path / "ragged")
+    import os as _os
+    _os.makedirs(d, exist_ok=True)
+    con = _duck.connect()
+    con.execute(
+        f"""COPY (
+          SELECT unnest(range(40)) AS vec_id,
+                 list_transform(range(8), i -> 0.1::FLOAT * (i + 1)) AS embedding,
+                 0 AS label
+          UNION ALL
+          SELECT 98, list_transform(range(5), i -> 0.2::FLOAT * (i + 1)), 1
+          UNION ALL
+          SELECT 99, list_transform(range(6), i -> 0.3::FLOAT * (i + 1)), 1
+        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError)) as ei:
+        catalog.QUERIES["q121_semantic_dedup"].fn(spark, d).collect()
+    assert "uniform embedding dimensionality" in str(ei.value)

@@ -137,7 +137,9 @@ AUGMENTS = {
                            i -> (((i * 3) % 23) / 23.0)::FLOAT), 2
     """,
     # identity probe for the event log: an identical full row repeated
-    # (at-least-once delivery) and a NULL event_id (offset-less arrival).
+    # (at-least-once delivery), a NULL event_id (offset-less arrival),
+    # and (r8) a duplicate event_id with NULL ts — the tie-break/NULL
+    # ordering case the r7 fixture couldn't reach (q190 advice).
     # First run caught q190's arrival-order NULL flip.
     "events_dupid": """
         SELECT * FROM read_parquet('{src}/events.parquet')
@@ -145,6 +147,7 @@ AUGMENTS = {
                          'click', 2.5, '{{"k": 3}}'
         UNION ALL SELECT 5, TIMESTAMP '2024-01-03 09:00:00', 11,
                          'click', 2.5, '{{"k": 3}}'
+        UNION ALL SELECT 5, NULL, 11, 'click', 1.5, '{{"k": 4}}'
         UNION ALL SELECT NULL, TIMESTAMP '2024-01-03 09:05:00', 11,
                          'purchase', 9.0, NULL
     """,
