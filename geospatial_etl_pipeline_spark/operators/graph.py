@@ -32,6 +32,7 @@ def connected_components(
     dst: str = "dst",
     node_col: str = "node",
     max_rounds: int = 25,
+    mode: str = "minlabel",
 ) -> DataFrame:
     """(node, component): component = MIN node id reachable from node
     (deterministic canonical labels; singletons label themselves).
@@ -40,10 +41,30 @@ def connected_components(
     symmetrized here); ``nodes`` supplies the full vertex set so
     isolated nodes appear in the output.
 
-    Raises RuntimeError if not converged within ``max_rounds`` (a
-    pathological chain longer than max_rounds — raise the cap for
-    long-diameter graphs; near-dup graphs never get close).
+    ``mode``:
+
+    - ``"minlabel"`` (default): one-hop label propagation — converges
+      in O(diameter) rounds. Right for near-dup graphs (dense clusters,
+      diameter 3–6) where the extra per-round join below costs more
+      than it saves.
+    - ``"doubling"``: each round ALSO pointer-jumps every label through
+      the label table (component := min(component, label(component)) —
+      q232/transitive_closure's doubling idea applied to labels), so
+      label information travels 2^r hops after r rounds and a
+      diameter-L chain converges in O(log L) rounds instead of L. Right
+      for adversarial chain/path-shaped graphs (q248-style forget
+      sweeps) where min-label would hit the round cap. Identical output
+      by construction: both modes stop at the same fixpoint (labels
+      constant across every edge ⇒ uniform per component ⇒ the
+      component minimum), property-tested equal in
+      tests/test_operators.py.
+
+    Raises RuntimeError if not converged within ``max_rounds`` (under
+    ``minlabel`` a chain longer than max_rounds — switch mode or raise
+    the cap; ``doubling`` needs ~log2(diameter) + 2).
     """
+    if mode not in ("minlabel", "doubling"):
+        raise ValueError(f"unknown mode {mode!r}: minlabel | doubling")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Materialize the (symmetrized) edge list ONCE before the loop:
     # ``edges`` may sit on an arbitrarily expensive upstream DAG (for
@@ -79,6 +100,29 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
+        if mode == "doubling":
+            # pointer jump: component := min(component, label(component)).
+            # Every component value is itself an edge-endpoint node id
+            # (labels start as self and only ever adopt other endpoint
+            # ids via min), so the self-join hits; left+coalesce guards
+            # the invariant anyway. One labels-sized exchange per round
+            # buys O(log diameter) total rounds.
+            jump = new_labels.select(
+                F.col("node").alias("j_node"),
+                F.col("component").alias("j_comp"),
+            )
+            new_labels = (
+                new_labels.join(
+                    jump, new_labels["component"] == jump["j_node"], "left"
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("j_comp"), F.col("component")),
+                    ).alias("component"),
+                )
+            )
         # cut lineage every round; eager so the convergence check below
         # doesn't recompute the whole history
         new_labels = new_labels.localCheckpoint(eager=True)

@@ -276,6 +276,40 @@ def test_connected_components_random_graphs(spark):
             for r in connected_components(e_df, n_df).collect()
         }
         assert got == want, f"trial {trial}"
+        # doubling mode: identical fixpoint, property-tested per graph
+        got_d = {
+            r["node"]: r["component"]
+            for r in connected_components(e_df, n_df, mode="doubling").collect()
+        }
+        assert got_d == want, f"trial {trial} (doubling)"
+
+
+def test_connected_components_doubling_beats_diameter(spark):
+    """A 60-node chain has diameter 59: min-label needs 59 rounds (so
+    it must FAIL a 12-round cap), while pointer doubling moves label
+    information 2^r hops by round r and converges well inside the same
+    cap — the q248-style adversarial-chain case the doubling mode
+    exists for."""
+    import pytest as _pytest
+
+    from geospatial_etl_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 60
+    e_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
+    )
+    n_df = spark.createDataFrame([(i,) for i in range(n)], ["node"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e_df, n_df, max_rounds=12)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            e_df, n_df, max_rounds=12, mode="doubling"
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
 
 
 def test_spatial_bin_join_equals_quadratic(spark):
