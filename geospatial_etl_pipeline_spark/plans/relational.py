@@ -2438,3 +2438,103 @@ def q252_privacy_risk_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_classes_below_l"),
         F.min("class_size").cast("bigint").alias("min_class_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# q267 — trimmed & winsorized price stats per priority (rank-exact)
+# --------------------------------------------------------------------------
+
+_TRIM_PCT = 5  # percent trimmed from EACH tail
+
+
+@register(
+    "q267_trimmed_price_stats",
+    tags=("relational", "agg", "percentile", "robust", "histogram"),
+    oracle=f"""
+WITH pr AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS price_c
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+hist AS (
+  {sql_int_hist('pr', 'price_c', 'o_orderpriority')}
+),
+ranked AS (
+  SELECT *,
+         ({_TRIM_PCT} * n) // 100 AS lo,
+         n - ({_TRIM_PCT} * n) // 100 AS hi
+  FROM hist
+)
+SELECT o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(MAX(hi - lo) AS BIGINT) AS n_kept,
+       CAST(SUM(price_c * GREATEST(0, LEAST(cum, hi) - GREATEST(below, lo)))
+            AS BIGINT) AS trimmed_sum_c,
+       CAST(MIN(CASE WHEN cum >= lo + 1 THEN price_c END) AS BIGINT)
+         AS v_lo_c,
+       CAST(MIN(CASE WHEN cum >= hi THEN price_c END) AS BIGINT) AS v_hi_c,
+       CAST(SUM(price_c * GREATEST(0, LEAST(cum, hi) - GREATEST(below, lo)))
+            + MAX(lo) * MIN(CASE WHEN cum >= lo + 1 THEN price_c END)
+            + MAX(n - hi) * MIN(CASE WHEN cum >= hi THEN price_c END)
+            AS BIGINT) AS winsor_sum_c
+FROM ranked
+GROUP BY o_orderpriority
+""",
+)
+def q267_trimmed_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust order-value accounting per priority: the {_TRIM_PCT}%-
+    trimmed sum (drop the cheapest and dearest {_TRIM_PCT}% of orders —
+    the mean a few mega-orders can't drag) and the winsorized sum
+    (clamp the tails to the cut values instead of dropping them — the
+    revenue-preserving variant), plus the cut prices themselves. The
+    robust-stats sibling of q159's MAD and q106's Tukey fences.
+
+    Rank-exact on the cents lattice (r8 int_hist discipline, never an
+    interpolated double): kept ranks are (lo, hi] with lo = ⌊p·n/100⌋,
+    hi = n − lo; a histogram row whose occupants span ranks
+    (below, cum] contributes max(0, min(cum,hi) − max(below,lo))
+    occupants to the trimmed sum — tie-runs split EXACTLY at the rank
+    boundary, which no filter-by-value formulation can do. Cut values
+    are at_rank order statistics; winsorized sum adds lo·v_lo +
+    (n−hi)·v_hi. All integers end to end.
+
+    Scale shape: one corpus-sized (priority, price_c) histogram
+    exchange with map-side combine; the rank window and this aggregate
+    run on the cents-domain-bounded histogram."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    pr = o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * F.lit(100.0))
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    hist = int_hist(pr, "price_c", "o_orderpriority")
+    ranked = hist.select(
+        "*",
+        F.expr(f"({_TRIM_PCT} * n) div 100").alias("lo"),
+        F.expr(f"n - ({_TRIM_PCT} * n) div 100").alias("hi"),
+    )
+    kept = F.greatest(
+        F.lit(0),
+        F.least(F.col("cum"), F.col("hi"))
+        - F.greatest(F.col("below"), F.col("lo")),
+    )
+    v_lo = F.min(
+        F.when(F.col("cum") >= F.col("lo") + 1, F.col("price_c"))
+    )
+    v_hi = F.min(F.when(F.col("cum") >= F.col("hi"), F.col("price_c")))
+    tsum = F.sum(F.col("price_c") * kept)
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.max(F.col("hi") - F.col("lo")).cast("bigint").alias("n_kept"),
+        tsum.cast("bigint").alias("trimmed_sum_c"),
+        v_lo.cast("bigint").alias("v_lo_c"),
+        v_hi.cast("bigint").alias("v_hi_c"),
+        (
+            tsum
+            + F.max("lo") * v_lo
+            + F.max(F.col("n") - F.col("hi")) * v_hi
+        )
+        .cast("bigint")
+        .alias("winsor_sum_c"),
+    )

@@ -3164,3 +3164,220 @@ def q262_filter_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr(f"CAST(({_FOV_Q} * n_both) div (n_a + n_b - n_both) AS BIGINT)"))
         .alias("jaccard_q"),
     )
+
+
+# --------------------------------------------------------------------------
+# q266 — per-source quality-distribution drift (integer two-sample KS)
+# --------------------------------------------------------------------------
+
+_KS_Q = 1_000_000
+
+
+@register(
+    "q266_source_quality_drift",
+    tags=("text", "llm-data", "quality", "drift", "histogram"),
+    oracle=f"""
+WITH scored AS (
+  SELECT source,
+         CAST(FLOOR({_SQL_QUALITY} * {_QDEC_Q}) AS BIGINT) AS qq
+  FROM documents WHERE text IS NOT NULL
+),
+h AS (
+  SELECT source, qq, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM scored GROUP BY source, qq
+),
+g AS (
+  SELECT qq,
+         COALESCE(SUM(COUNT(*)) OVER (ORDER BY qq ASC NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS gcum,
+         SUM(COUNT(*)) OVER () AS n
+  FROM scored GROUP BY qq
+),
+srcs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM scored GROUP BY source
+),
+filled AS (
+  SELECT s.source, s.n_s, g.qq, g.gcum, g.n,
+         SUM(COALESCE(h.cnt, 0)) OVER (PARTITION BY s.source
+           ORDER BY g.qq ASC NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+  FROM srcs s CROSS JOIN g
+  LEFT JOIN h ON h.source IS NOT DISTINCT FROM s.source AND h.qq = g.qq
+)
+SELECT source,
+       CAST(MIN(n_s) AS BIGINT) AS n_docs,
+       CAST(MAX(CASE WHEN n > n_s THEN
+         ABS((cum_s * {_KS_Q}) // n_s
+             - ((gcum - cum_s) * {_KS_Q}) // (n - n_s)) END) AS BIGINT)
+         AS ks_q
+FROM filled
+GROUP BY source
+""",
+)
+def q266_source_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources' quality DISTRIBUTIONS deviate from the rest of
+    the corpus — the mix-rebalance trigger a mean (q165) can't give:
+    a source whose mean matches but whose mass sits in both tails
+    passes every average gate while skewing the training mix. ks_q is
+    the two-sample Kolmogorov–Smirnov statistic between the source and
+    the REST of the corpus (leave-one-out, so a dominant source can't
+    mask its own drift), quantized to the {_KS_Q} lattice.
+
+    Integer-exact by the r8 discipline: quality quantizes by FLOOR to
+    the q166 lattice; both CDFs evaluate as floored integer ratios
+    (cum·K div n) at every observed lattice value — the sup of a
+    difference of step functions is attained at a jump point, and all
+    jump points are in the global distinct-value set, so scanning that
+    grid is exact (to one K-quantum from the floored division, the
+    pinned definition). Headroom: cum·K ≤ n·1e6 < 2^63 to ~9e12 docs.
+
+    Scale shape: ONE corpus-sized exchange (the (source, qq) histogram
+    agg with map-side combine); the grid is |sources| × |distinct
+    lattice values| ≤ |sources|·1e6 regardless of corpus size, and the
+    fill windows run per source over that grid."""
+    tok = F.col("_tok")
+    scored = (
+        _staged(spark, sf_dir, "source", "text")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.floor(_quality_t(tok) * _QDEC_Q).cast("bigint").alias("qq"),
+        )
+    )
+    h = scored.groupBy("source", "qq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wg = (
+        Window.orderBy(F.col("qq").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = (
+        scored.groupBy("qq")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("gcnt"))
+        .select(
+            "qq",
+            F.coalesce(F.sum("gcnt").over(wg), F.lit(0)).alias("gcum"),
+            F.sum("gcnt").over(Window.partitionBy()).alias("n"),
+        )
+    )
+    srcs = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    grid = srcs.crossJoin(F.broadcast(g))
+    filled = grid.join(
+        h.select(
+            F.col("source").alias("h_source"),
+            F.col("qq").alias("h_qq"),
+            "cnt",
+        ),
+        grid["source"].eqNullSafe(F.col("h_source"))
+        & (grid["qq"] == F.col("h_qq")),
+        "left",
+    ).select(
+        "source",
+        "n_s",
+        "qq",
+        "gcum",
+        "n",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt0"),
+    )
+    ws = Window.partitionBy("source").orderBy(
+        F.col("qq").asc_nulls_first()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cdf = filled.select(
+        "source",
+        "n_s",
+        "gcum",
+        "n",
+        F.sum("cnt0").over(ws).alias("cum_s"),
+    )
+    d = F.expr(
+        f"CASE WHEN n > n_s THEN"
+        f" ABS((cum_s * {_KS_Q}) div n_s"
+        f" - ((gcum - cum_s) * {_KS_Q}) div (n - n_s)) END"
+    )
+    return cdf.groupBy("source").agg(
+        F.min("n_s").cast("bigint").alias("n_docs"),
+        F.max(d).cast("bigint").alias("ks_q"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q268 — token-count Gini per language (exact, histogram-ranked)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q268_token_count_gini",
+    tags=("text", "llm-data", "composition", "inequality", "histogram"),
+    oracle=f"""
+WITH tc AS (
+  SELECT lang, CAST(len({_SQL_TOKENS}) AS BIGINT) AS x
+  FROM documents WHERE text IS NOT NULL
+),
+hist AS (
+  {sql_int_hist('tc', 'x', 'lang')}
+),
+agg AS (
+  SELECT lang,
+         CAST(MAX(n) AS HUGEINT) AS n,
+         SUM(CAST(x AS HUGEINT) * cnt) AS s1,
+         SUM(CAST(x AS HUGEINT) * cnt * (below + 1 + cum)) AS sxr2
+  FROM hist GROUP BY lang
+)
+SELECT lang,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(s1 AS BIGINT) AS total_tokens,
+       CASE WHEN n > 1 AND s1 > 0 THEN
+         CAST(sxr2 - (n + 1) * s1 AS DOUBLE) / CAST(n * s1 AS DOUBLE)
+       END AS gini
+FROM agg
+""",
+)
+def q268_token_count_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length inequality per language: the Gini coefficient of
+    token counts — the one-number answer to 'is this language's corpus
+    a few giant documents plus dust?' (high Gini starves batch packing
+    (q130/q249) and biases any per-document sampling toward boilerplate
+    dust; q184's revenue Lorenz is the same economics for money).
+
+    Exact with ties, no sort of the corpus: from the (lang, n_tokens)
+    int_hist, a tie-run at value x occupying ranks [below+1, cum] has
+    rank-sum cnt·(below+1+cum)/2, so 2·Σ rank·x = Σ x·cnt·(below+1+cum)
+    — exact integer sufficient statistics (q174's discipline).
+    Products ride DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): identical
+    exact integers, each cast to DOUBLE once (round-half-even on the
+    same operand — the msum wire-format argument), one IEEE division.
+    gini = (2·Σrx − (n+1)·Σx) / (n·Σx) ∈ [0, 1); NULL for degenerate
+    groups (n ≤ 1 or zero mass), pinned in both engines.
+
+    Scale shape: one corpus-sized (lang, x) histogram exchange; the
+    rank windows and the Gini aggregate run on the histogram, bounded
+    by |langs| × the document-length domain."""
+    tc = (
+        _staged(spark, sf_dir, "lang", "text")
+        .filter(F.col("text").isNotNull())
+        .select("lang", F.size(F.col("_tok")).cast("bigint").alias("x"))
+    )
+    hist = int_hist(tc, "x", "lang")
+    dec = "decimal(38,0)"
+    agg = hist.groupBy("lang").agg(
+        F.max("n").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec) * F.col("cnt")).alias("s1"),
+        F.sum(
+            F.col("x").cast(dec)
+            * F.col("cnt")
+            * (F.col("below") + 1 + F.col("cum"))
+        ).alias("sxr2"),
+    )
+    gini = F.when(
+        (F.col("n") > 1) & (F.col("s1") > 0),
+        (F.col("sxr2") - (F.col("n") + 1) * F.col("s1")).cast("double")
+        / (F.col("n") * F.col("s1")).cast("double"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("s1").cast("bigint").alias("total_tokens"),
+        gini.alias("gini"),
+    )

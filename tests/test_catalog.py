@@ -329,3 +329,75 @@ def test_q195_credits_sum_to_purchases(spark):
         )
         assert abs(credited - attributed) < n_touches * 1e-11, (
             sf, credited, attributed)
+
+
+def test_q266_ks_drift_bounds(spark):
+    """KS is a [0,1] statistic: every ks_q must sit inside the lattice,
+    and the per-source doc counts must partition the corpus."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = catalog.QUERIES["q266_source_quality_drift"].fn(spark, sf).collect()
+        assert rows, sf
+        n = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter("text IS NOT NULL")
+            .count()
+        )
+        assert sum(r["n_docs"] for r in rows) == n
+        for r in rows:
+            assert 0 <= r["ks_q"] <= 1_000_000, (sf, r)
+
+
+def test_q267_trimmed_stats_invariants(spark):
+    """Trim accounting: n_kept = n - 2*floor(5n/100); the winsorized
+    sum brackets between n*v_lo and n*v_hi; cut values are ordered."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = catalog.QUERIES["q267_trimmed_price_stats"].fn(spark, sf).collect()
+        assert rows, sf
+        for r in rows:
+            lo = (5 * r["n_orders"]) // 100
+            assert r["n_kept"] == r["n_orders"] - 2 * lo, (sf, r)
+            assert r["v_lo_c"] <= r["v_hi_c"], (sf, r)
+            assert (
+                r["n_orders"] * r["v_lo_c"]
+                <= r["winsor_sum_c"]
+                <= r["n_orders"] * r["v_hi_c"]
+            ), (sf, r)
+            assert r["trimmed_sum_c"] <= r["winsor_sum_c"], (sf, r)
+
+
+def test_q268_gini_bounds_and_known_case(spark):
+    """Gini ∈ [0, 1) for real groups; and the exact formula on a tiny
+    hand corpus: x = [1, 1, 2] ascending has ranks 1..3,
+    G = (2*(1*1+1*2+2*3) - 4*4) / (3*4) = 2/12."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = catalog.QUERIES["q268_token_count_gini"].fn(spark, sf).collect()
+        assert rows, sf
+        for r in rows:
+            if r["gini"] is not None:
+                assert 0.0 <= r["gini"] < 1.0, (sf, r)
+    import duckdb as _duck
+
+    con = _duck.connect()
+    got = con.execute(
+        """
+        WITH tc AS (
+          SELECT 'xx' AS lang, unnest([1, 1, 2]) AS x
+        ),
+        hist AS (
+          SELECT lang, x, COUNT(*) AS cnt,
+                 COALESCE(SUM(COUNT(*)) OVER (PARTITION BY lang ORDER BY x ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+                 COALESCE(SUM(COUNT(*)) OVER (PARTITION BY lang ORDER BY x ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + COUNT(*) AS cum,
+                 SUM(COUNT(*)) OVER (PARTITION BY lang) AS n
+          FROM tc GROUP BY lang, x
+        )
+        SELECT CAST(SUM(x * cnt * (below + 1 + cum))
+                    - (MAX(n) + 1) * SUM(x * cnt) AS DOUBLE)
+               / CAST(MAX(n) * SUM(x * cnt) AS DOUBLE)
+        FROM hist
+        """
+    ).fetchone()[0]
+    con.close()
+    assert abs(got - 2.0 / 12.0) < 1e-12
