@@ -4,7 +4,9 @@ against fixtures carrying the malformed rows the generated datasets
 never contain, and record a machine-readable artifact the rounds can
 diff (HOSTILE_PARITY.json).
 
-Three fixtures, each sf0.001 with ONE table augmented:
+Fixtures (each sf0.001 with ONE table augmented) — malformed-row
+variants plus the *_dupid identity probes (duplicate keys, repeated
+full rows, NULL keys, and r8's NULL event-time):
 
 - documents + (NULL text, '' text, whitespace-only text)
 - embeddings + (NULL vector, empty vector, all-zero vector,
@@ -135,6 +137,21 @@ AUGMENTS = {
                            i -> (((i * 5) % 19) / 19.0 - 0.2)::FLOAT), 0
         UNION ALL SELECT NULL, list_transform(range(64),
                            i -> (((i * 3) % 23) / 23.0)::FLOAT), 2
+    """,
+    # identity probe for the fact spine: duplicate o_orderkey rows with
+    # DIFFERENT attributes (order 42 exists in the base data — joins
+    # through l_orderkey=42 must fan out identically in both engines),
+    # one identical repeated row (at-least-once CDC), and a NULL key.
+    "orders_dupid": """
+        SELECT * FROM read_parquet('{src}/orders.parquet')
+        UNION ALL SELECT 42, 7, 'O', 111.11,
+                         TIMESTAMP '1995-06-01 00:00:00', '1-URGENT'
+        UNION ALL SELECT 42, 7, 'O', 111.11,
+                         TIMESTAMP '1995-06-01 00:00:00', '1-URGENT'
+        UNION ALL SELECT 42, 9, 'F', 222.22,
+                         TIMESTAMP '1997-03-02 00:00:00', '5-LOW'
+        UNION ALL SELECT NULL, 8, 'F', 50.0,
+                         TIMESTAMP '1996-01-01 00:00:00', '2-HIGH'
     """,
     # identity probe for the event log: an identical full row repeated
     # (at-least-once delivery), a NULL event_id (offset-less arrival),
