@@ -2247,3 +2247,232 @@ def q265_rare_trigram_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= _RTL_MIN_SHARED)
     )
+
+
+# --------------------------------------------------------------------------
+# q269 / q270 — dup-graph structure: triangle census & degree assortativity
+# --------------------------------------------------------------------------
+
+_TRI_Q = 1_000_000
+
+
+@register(
+    "q269_dup_graph_triangles",
+    tags=("dedup", "llm-data", "graph", "triangles"),
+    oracle=f"""
+WITH {_SQL_LSH_CTES},
+e AS (
+  SELECT DISTINCT id_a AS a, id_b AS b FROM lsh_pairs
+),
+sym AS (SELECT a AS v FROM e UNION ALL SELECT b FROM e),
+deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY v),
+o AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+              THEN e.a ELSE e.b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+              THEN e.b ELSE e.a END AS w
+  FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM o e1 JOIN o e2 ON e2.u = e1.w
+            JOIN o e3 ON e3.u = e1.u AND e3.w = e2.w
+),
+base AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+         (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) FROM deg)
+           AS n_wedges
+)
+SELECT b.n_nodes, b.n_edges, b.n_wedges, t.n_triangles,
+       CASE WHEN b.n_wedges > 0
+            THEN CAST(({_TRI_Q} * 3 * t.n_triangles) // b.n_wedges
+                      AS BIGINT) END AS closure_q
+FROM base b, tri t
+""",
+)
+def q269_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-duplicate graph plus the global
+    clustering (transitivity) ratio 3·triangles/wedges — the structure
+    probe that tells dedup policy WHAT the dup graph is: high closure
+    means tight cliques of mutual near-copies (transitive-closure
+    clustering like q49 is safe — members really are alike), low
+    closure with high degree (q111's fat tail) means hub/boilerplate
+    chaining, where min-label closure would glue unrelated documents
+    through a shared template and a stop-list pass must run first.
+
+    Exact, never all-pairs: edges orient from the (degree, id)-smaller
+    endpoint to the larger — every triangle x<y<z in that total order
+    is counted exactly once as (x→y)(y→z)(x→z) — so wedge enumeration
+    is bounded by Σ out-deg², and out-degree under degree orientation
+    is bounded by the graph's degeneracy (the standard distributed
+    triangle bound), not by the max hub degree. Built ON the same LSH
+    pair operator q42 hash-checks; all emitted values integers
+    (closure quantized to the 1e6 lattice).
+
+    Shape: one pair pipeline + two node-keyed joins to orient + the
+    e1.dst=e2.src wedge join probed against oriented edges — every
+    exchange keyed, no driver state beyond the final scalar row."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs,
+        num_hashes=_NUM_HASHES,
+        shingle_k=_SHINGLE_K,
+        bands=_BANDS,
+        jaccard_threshold=_JACCARD,
+    )
+    e = pairs.select("id_a", "id_b").distinct().localCheckpoint(eager=True)
+    sym = e.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("v")
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    da = deg.select(F.col("v").alias("_va"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("_vb"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("id_a") < F.col("id_b"))
+    )
+    o = (
+        e.join(da, e["id_a"] == F.col("_va"))
+        .join(db, e["id_b"] == F.col("_vb"))
+        .select(
+            F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias("u"),
+            F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = o.select(F.col("u").alias("u1"), F.col("w").alias("w1"))
+    e2 = o.select(F.col("u").alias("u2"), F.col("w").alias("w2"))
+    e3 = o.select(F.col("u").alias("u3"), F.col("w").alias("w3"))
+    tri = (
+        e1.join(e2, F.col("w1") == F.col("u2"))
+        .join(e3, (F.col("u1") == F.col("u3")) & (F.col("w2") == F.col("w3")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    base = (
+        deg.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum(F.expr("(d * (d - 1)) div 2")).cast("bigint").alias(
+                "n_wedges"
+            ),
+        )
+        .crossJoin(
+            F.broadcast(e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
+        )
+    )
+    return base.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.expr(f"CAST(({_TRI_Q} * 3 * n_triangles) div n_wedges AS BIGINT)"),
+        ).alias("closure_q"),
+    )
+
+
+@register(
+    "q270_dup_graph_assortativity",
+    tags=("dedup", "llm-data", "graph", "assortativity"),
+    oracle=f"""
+WITH {_SQL_LSH_CTES},
+e AS (
+  SELECT DISTINCT id_a AS a, id_b AS b FROM lsh_pairs
+),
+sym AS (
+  SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+),
+deg AS (
+  SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a
+),
+dp AS (
+  SELECT da.d AS x, db.d AS y
+  FROM sym s JOIN deg da ON da.v = s.a JOIN deg db ON db.v = s.b
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM dp
+)
+SELECT k AS n_directed_edges,
+       CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST(({_TRI_Q} * sx) // k AS BIGINT) AS mean_end_degree_q,
+       CASE WHEN CAST(k * sxx - sx * sx AS DOUBLE) > 0e0
+             AND CAST(k * syy - sy * sy AS DOUBLE) > 0e0
+            THEN CAST(k * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(k * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(k * syy - sy * sy AS DOUBLE)))
+       END AS assortativity
+FROM st
+""",
+)
+def q270_dup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-duplicate graph: the Pearson
+    correlation of endpoint degrees over every directed edge — the
+    one-number hub diagnosis that complements q269's closure.
+    Disassortative (r < 0, hubs linking to leaves) is the boilerplate-
+    template signature — a stop-list candidate BEFORE clustering;
+    assortative (r > 0) means dup clusters of similar multiplicity,
+    where q49's transitive closure behaves.
+
+    Determinism: degrees are exact integers; the correlation reduces
+    through exact BIGINT sufficient statistics (k, Σx, Σy, Σxy, Σx²,
+    Σy² — the q164 _sql_corr discipline) and the final expression is
+    pinned per-symbol IEEE, identical in both engines. NULL when a
+    side is degree-constant (r undefined), pinned both sides.
+
+    Shape: one pair pipeline + a node-keyed degree agg + two degree
+    lookups per directed edge + one scalar aggregate — every exchange
+    keyed on node ids; overflow headroom: Σd² over directed edges ≤
+    max_deg²·2|E| stays inside int64 to ~1e6-degree hubs on 1e6-edge
+    graphs (far beyond any df-capped LSH pair relation)."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs,
+        num_hashes=_NUM_HASHES,
+        shingle_k=_SHINGLE_K,
+        bands=_BANDS,
+        jaccard_threshold=_JACCARD,
+    )
+    e = pairs.select("id_a", "id_b").distinct().localCheckpoint(eager=True)
+    sym = e.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).unionByName(e.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+    deg = (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .select(F.col("a").alias("v"), "d")
+    )
+    da = deg.select(F.col("v").alias("_va"), F.col("d").alias("x"))
+    db = deg.select(F.col("v").alias("_vb"), F.col("d").alias("y"))
+    dp = (
+        sym.join(da, sym["a"] == F.col("_va"))
+        .join(db, sym["b"] == F.col("_vb"))
+        .select("x", "y")
+    )
+    st = dp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    dx = F.expr("CAST(k * sxx - sx * sx AS DOUBLE)")
+    dy = F.expr("CAST(k * syy - sy * sy AS DOUBLE)")
+    return st.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("k").alias("n_directed_edges"),
+        "n_nodes",
+        F.expr(f"CAST(({_TRI_Q} * sx) div k AS BIGINT)").alias(
+            "mean_end_degree_q"
+        ),
+        F.when(
+            (dx > 0.0) & (dy > 0.0),
+            F.expr("CAST(k * sxy - sx * sy AS DOUBLE)")
+            / (F.sqrt(dx) * F.sqrt(dy)),
+        ).alias("assortativity"),
+    )

@@ -401,3 +401,18 @@ def test_q268_gini_bounds_and_known_case(spark):
     ).fetchone()[0]
     con.close()
     assert abs(got - 2.0 / 12.0) < 1e-12
+
+
+def test_q269_q270_graph_structure_invariants(spark):
+    """Triangle census: 3·triangles ≤ wedges (each triangle closes
+    exactly three), closure on the [0, 1e6] lattice; assortativity is
+    a correlation, |r| ≤ 1."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        t9 = catalog.QUERIES["q269_dup_graph_triangles"].fn(spark, sf).collect()[0]
+        assert 3 * t9["n_triangles"] <= max(t9["n_wedges"], 1), (sf, t9)
+        if t9["closure_q"] is not None:
+            assert 0 <= t9["closure_q"] <= 1_000_000, (sf, t9)
+        a0 = catalog.QUERIES["q270_dup_graph_assortativity"].fn(spark, sf).collect()[0]
+        assert a0["n_directed_edges"] == 2 * t9["n_edges"], (sf, a0, t9)
+        if a0["assortativity"] is not None:
+            assert -1.0 - 1e-9 <= a0["assortativity"] <= 1.0 + 1e-9, (sf, a0)
