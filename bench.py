@@ -138,6 +138,12 @@ EXTRA = [
     "q255_knn_consistency_ivf",   # IVF-backed q224 arm (cell-join candidates)
     "q263_semantic_decontamination",  # broadcast-eval embedding leak census
     "q265_rare_trigram_link_pairs",   # df-capped inverted-index linking
+    # round-8 additions (the integer-rank + graph-structure families)
+    "q266_source_quality_drift",  # leave-one-out KS over CDF grids
+    "q267_trimmed_price_stats",   # rank-exact trim/winsorize
+    "q268_token_count_gini",      # histogram-ranked exact Gini
+    "q269_dup_graph_triangles",   # degree-oriented triangle census
+    "q270_dup_graph_assortativity",  # BIGINT-sufficient-stat Pearson
 ]
 
 _SENTINEL_N = 200_000_000

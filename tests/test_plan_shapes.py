@@ -1014,3 +1014,25 @@ def test_cdc_chunk_plan_shape(spark):
     assert "Generate" in p  # the posexplode
     assert "Arguments: SinglePartition" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_r8_new_query_plan_budgets(spark):
+    """Exchange budgets for the r8 additions. q266: ONE corpus-sized
+    exchange (the (source,qq) histogram agg) + grid-sized window/final
+    aggs; its BroadcastNestedLoopJoin is the |sources| × |lattice| grid
+    cross — broadcast-sized by construction, never corpus². q267/q268:
+    one corpus histogram exchange + histogram-sized rank window and
+    rollup, no broadcast needed at all. q269/q270: the pair pipeline's
+    exchanges + node-keyed degree joins; their BNLJs are the final
+    1×1-row scalar crossJoins. All Python-free."""
+    budgets = {
+        "q266_source_quality_drift": 3,
+        "q267_trimmed_price_stats": 2,
+        "q268_token_count_gini": 2,
+        "q269_dup_graph_triangles": 5,
+        "q270_dup_graph_assortativity": 5,
+    }
+    for name, budget in budgets.items():
+        p = plan_text(catalog.QUERIES[name].fn(spark, SF))
+        assert n_shuffles(p) <= budget, (name, n_shuffles(p))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
