@@ -327,3 +327,22 @@ def sql_at_rank(vcol: str, num: int, den: int) -> str:
         f"MIN(CASE WHEN cum >= ({num} * n + {den - 1}) // {den}"
         f" THEN {vcol} END)"
     )
+
+
+def med2(vcol: str) -> Column:
+    """Aggregate over an int_hist: the exact median as a midrank PAIR
+    SUM — x_⌈n/2⌉ + x_⌊n/2⌋₊₁ (for odd n both ranks coincide, so the
+    sum is 2× the middle element; median = med2/2, never emitted as a
+    division). ONE definition for every median-family query — the
+    two-private-copies hazard bad_embedding_element's docstring warns
+    about applies verbatim to this rank arithmetic."""
+    hi = F.min(F.when(F.col("cum") >= F.expr("n div 2 + 1"), F.col(vcol)))
+    return at_rank(vcol, 1, 2) + hi
+
+
+def sql_med2(vcol: str) -> str:
+    """DuckDB twin of med2 (same pair-sum, same rank thresholds)."""
+    return (
+        f"{sql_at_rank(vcol, 1, 2)}"
+        f" + MIN(CASE WHEN cum >= n // 2 + 1 THEN {vcol} END)"
+    )

@@ -2390,14 +2390,14 @@ dp AS (
   FROM sym s JOIN deg da ON da.v = s.a JOIN deg db ON db.v = s.b
 ),
 st AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS k,
-         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x * y) AS BIGINT) AS sxy,
-         CAST(SUM(x * x) AS BIGINT) AS sxx,
-         CAST(SUM(y * y) AS BIGINT) AS syy
+  SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
   FROM dp
 )
-SELECT k AS n_directed_edges,
+SELECT CAST(k AS BIGINT) AS n_directed_edges,
        CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
        CAST(({_TRI_Q} * sx) // k AS BIGINT) AS mean_end_degree_q,
        CASE WHEN CAST(k * sxx - sx * sx AS DOUBLE) > 0e0
@@ -2419,16 +2419,21 @@ def q270_dup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     where q49's transitive closure behaves.
 
     Determinism: degrees are exact integers; the correlation reduces
-    through exact BIGINT sufficient statistics (k, Σx, Σy, Σxy, Σx²,
-    Σy² — the q164 _sql_corr discipline) and the final expression is
-    pinned per-symbol IEEE, identical in both engines. NULL when a
-    side is degree-constant (r undefined), pinned both sides.
+    through exact integer sufficient statistics (k, Σx, Σy, Σxy, Σx²,
+    Σy² — the q164 _sql_corr discipline) carried in DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB) — identical exact integers, q268's
+    width discipline — because the FINAL cross-products (k·Σxy, Σx·Σy,
+    k·Σx²) square the sums: a single hub of degree d contributes d³ to
+    Σx², so int64 dies near d ≈ 5e4 — exactly the boilerplate-hub
+    input this query exists to diagnose. 128-bit integers hold to
+    d ≈ 1e9. Each exact integer casts to DOUBLE once (round-half-even
+    on identical operands) and the final expression is pinned
+    per-symbol IEEE, identical in both engines. NULL when a side is
+    degree-constant (r undefined), pinned both sides.
 
     Shape: one pair pipeline + a node-keyed degree agg + two degree
     lookups per directed edge + one scalar aggregate — every exchange
-    keyed on node ids; overflow headroom: Σd² over directed edges ≤
-    max_deg²·2|E| stays inside int64 to ~1e6-degree hubs on 1e6-edge
-    graphs (far beyond any df-capped LSH pair relation)."""
+    keyed on node ids."""
     docs = t(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(
         docs,
@@ -2453,26 +2458,36 @@ def q270_dup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(db, sym["b"] == F.col("_vb"))
         .select("x", "y")
     )
+    dec = "decimal(38,0)"
     st = dp.agg(
-        F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.count(F.lit(1)).cast(dec).alias("k"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
     )
     n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-    dx = F.expr("CAST(k * sxx - sx * sx AS DOUBLE)")
-    dy = F.expr("CAST(k * syy - sy * sy AS DOUBLE)")
+    dx = (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dy = (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
     return st.crossJoin(F.broadcast(n_nodes)).select(
-        F.col("k").alias("n_directed_edges"),
+        F.col("k").cast("bigint").alias("n_directed_edges"),
         "n_nodes",
+        # div, not `/`: decimal division rounds at its result scale
+        # before any cast, which can bump a .999999 ratio past the
+        # floor the oracle's `//` takes
         F.expr(f"CAST(({_TRI_Q} * sx) div k AS BIGINT)").alias(
             "mean_end_degree_q"
         ),
         F.when(
             (dx > 0.0) & (dy > 0.0),
-            F.expr("CAST(k * sxy - sx * sy AS DOUBLE)")
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
             / (F.sqrt(dx) * F.sqrt(dy)),
         ).alias("assortativity"),
     )

@@ -18,10 +18,12 @@ from ._util import (
     at_rank,
     dsum,
     int_hist,
+    med2,
     qsum,
     sql_at_rank,
     sql_dsum,
     sql_int_hist,
+    sql_med2,
     sql_qsum,
     t,
 )
@@ -2127,9 +2129,7 @@ vh AS (
                 'event_type')}
 ),
 med AS (
-  SELECT event_type,
-         {sql_at_rank('vq', 1, 2)}
-         + MIN(CASE WHEN cum >= n // 2 + 1 THEN vq END) AS m2
+  SELECT event_type, {sql_med2('vq')} AS m2
   FROM vh GROUP BY event_type
 ),
 dev AS (
@@ -2141,9 +2141,7 @@ ah AS (
                 'a2', 'event_type')}
 ),
 mad AS (
-  SELECT event_type,
-         {sql_at_rank('a2', 1, 2)}
-         + MIN(CASE WHEN cum >= n // 2 + 1 THEN a2 END) AS mad4
+  SELECT event_type, {sql_med2('a2')} AS mad4
   FROM ah GROUP BY event_type
 )
 SELECT d.event_type,
@@ -2173,8 +2171,11 @@ def q159_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a2 = |2·vq − median2_q|); mad4_q is the same pair sum over the
     deviations (mad = mad4_q/4); and the 3.5σ cut becomes the exact
     integer cross-multiplication a2·1349 > 3500·mad4 (3.5/0.6745 =
-    3500/1349·(1/2·1/4 scale-matched)). Headroom: |value| < 3e9 keeps
-    every product inside int64 — events.value is bounded by domain.
+    3500/1349·(1/2·1/4 scale-matched)). Headroom: |value| < 3e8 keeps
+    every product inside int64 (vq ≤ |v|·1e6, a2 ≤ 4·|v|·1e6, mad4 ≤
+    8·|v|·1e6, so 3500·mad4 ≤ 2.8e10·|v| < 2^63 ⇔ |v| < 3.3e8) —
+    events.value is bounded by domain; ANSI mode makes any excursion a
+    loud error, never a wrap.
 
     Shape unchanged: two per-type median aggregates (now over the
     value-domain-bounded int_hist instead of a holistic percentile),
@@ -2193,12 +2194,7 @@ def q159_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def pair_sum(hist: DataFrame, vcol: str, alias: str) -> DataFrame:
-        hi = F.min(
-            F.when(F.col("cum") >= F.expr("n div 2 + 1"), F.col(vcol))
-        )
-        return hist.groupBy("event_type").agg(
-            (at_rank(vcol, 1, 2) + hi).alias(alias)
-        )
+        return hist.groupBy("event_type").agg(med2(vcol).alias(alias))
 
     vh = int_hist(e2.filter(F.col("vq").isNotNull()), "vq", "event_type")
     med = pair_sum(vh, "vq", "m2").withColumnRenamed("event_type", "_et")

@@ -100,13 +100,19 @@ WITH pr AS (
 ),
 hist AS (
   {sql_int_hist('pr', 'price_c', 'o_orderpriority')}
+),
+pct AS (
+  SELECT o_orderpriority,
+         {sql_at_rank('price_c', 1, 2)} AS p50_c,
+         {sql_at_rank('price_c', 9, 10)} AS p90_c,
+         {sql_at_rank('price_c', 99, 100)} AS p99_c
+  FROM hist
+  GROUP BY o_orderpriority
 )
-SELECT o_orderpriority,
-       {sql_at_rank('price_c', 1, 2)} AS p50_c,
-       {sql_at_rank('price_c', 9, 10)} AS p90_c,
-       {sql_at_rank('price_c', 99, 100)} AS p99_c
-FROM hist
-GROUP BY o_orderpriority
+SELECT g.o_orderpriority, p.p50_c, p.p90_c, p.p99_c
+FROM (SELECT DISTINCT o_orderpriority FROM orders) g
+LEFT JOIN pct p
+  ON p.o_orderpriority IS NOT DISTINCT FROM g.o_orderpriority
 """,
 )
 def q28_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,21 +128,30 @@ def q28_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact end to end and — unlike interpolated percentile() — has a
     direct distributed form: the histogram agg partial-aggregates
     map-side, and the rank window runs per priority over the
-    domain-bounded histogram, not the corpus. At 100 TB prefer q29's
-    sketch variant for non-audit paths."""
-    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
-    pr = o.select(
+    domain-bounded histogram, not the corpus. Presence semantics: a
+    priority whose prices are all NULL keeps its row (NULL
+    percentiles) via the null-safe LEFT join from the distinct
+    priority set — the q106/q159/q192 contract. At 100 TB prefer
+    q29's sketch variant for non-audit paths."""
+    o = t(spark, sf_dir, "orders")
+    pr = o.filter(F.col("o_totalprice").isNotNull()).select(
         "o_orderpriority",
         F.floor(F.col("o_totalprice") * F.lit(100.0))
         .cast("bigint")
         .alias("price_c"),
     )
     hist = int_hist(pr, "price_c", "o_orderpriority")
-    return hist.groupBy("o_orderpriority").agg(
+    pct = hist.groupBy("o_orderpriority").agg(
         at_rank("price_c", 1, 2).alias("p50_c"),
         at_rank("price_c", 9, 10).alias("p90_c"),
         at_rank("price_c", 99, 100).alias("p99_c"),
     )
+    groups = o.select("o_orderpriority").distinct()
+    return groups.join(
+        F.broadcast(pct.withColumnRenamed("o_orderpriority", "_prio")),
+        groups["o_orderpriority"].eqNullSafe(F.col("_prio")),
+        "left",
+    ).select("o_orderpriority", "p50_c", "p90_c", "p99_c")
 
 
 @register(

@@ -2464,21 +2464,28 @@ ranked AS (
          ({_TRIM_PCT} * n) // 100 AS lo,
          n - ({_TRIM_PCT} * n) // 100 AS hi
   FROM hist
+),
+stats AS (
+  SELECT o_orderpriority,
+         CAST(MAX(n) AS BIGINT) AS n_orders,
+         CAST(MAX(hi - lo) AS BIGINT) AS n_kept,
+         CAST(SUM(price_c * GREATEST(0, LEAST(cum, hi) - GREATEST(below, lo)))
+              AS BIGINT) AS trimmed_sum_c,
+         CAST(MIN(CASE WHEN cum >= lo + 1 THEN price_c END) AS BIGINT)
+           AS v_lo_c,
+         CAST(MIN(CASE WHEN cum >= hi THEN price_c END) AS BIGINT) AS v_hi_c,
+         CAST(SUM(price_c * GREATEST(0, LEAST(cum, hi) - GREATEST(below, lo)))
+              + MAX(lo) * MIN(CASE WHEN cum >= lo + 1 THEN price_c END)
+              + MAX(n - hi) * MIN(CASE WHEN cum >= hi THEN price_c END)
+              AS BIGINT) AS winsor_sum_c
+  FROM ranked
+  GROUP BY o_orderpriority
 )
-SELECT o_orderpriority,
-       CAST(MAX(n) AS BIGINT) AS n_orders,
-       CAST(MAX(hi - lo) AS BIGINT) AS n_kept,
-       CAST(SUM(price_c * GREATEST(0, LEAST(cum, hi) - GREATEST(below, lo)))
-            AS BIGINT) AS trimmed_sum_c,
-       CAST(MIN(CASE WHEN cum >= lo + 1 THEN price_c END) AS BIGINT)
-         AS v_lo_c,
-       CAST(MIN(CASE WHEN cum >= hi THEN price_c END) AS BIGINT) AS v_hi_c,
-       CAST(SUM(price_c * GREATEST(0, LEAST(cum, hi) - GREATEST(below, lo)))
-            + MAX(lo) * MIN(CASE WHEN cum >= lo + 1 THEN price_c END)
-            + MAX(n - hi) * MIN(CASE WHEN cum >= hi THEN price_c END)
-            AS BIGINT) AS winsor_sum_c
-FROM ranked
-GROUP BY o_orderpriority
+SELECT g.o_orderpriority, s.n_orders, s.n_kept, s.trimmed_sum_c,
+       s.v_lo_c, s.v_hi_c, s.winsor_sum_c
+FROM (SELECT DISTINCT o_orderpriority FROM orders) g
+LEFT JOIN stats s
+  ON s.o_orderpriority IS NOT DISTINCT FROM g.o_orderpriority
 """,
 )
 def q267_trimmed_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2500,9 +2507,12 @@ def q267_trimmed_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one corpus-sized (priority, price_c) histogram
     exchange with map-side combine; the rank window and this aggregate
-    run on the cents-domain-bounded histogram."""
-    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
-    pr = o.select(
+    run on the cents-domain-bounded histogram. Presence semantics: a
+    priority whose prices are all NULL keeps its row (NULL stats) via
+    the null-safe LEFT join from the distinct priority set — the
+    q106/q159/q192 contract."""
+    o = t(spark, sf_dir, "orders")
+    pr = o.filter(F.col("o_totalprice").isNotNull()).select(
         "o_orderpriority",
         F.floor(F.col("o_totalprice") * F.lit(100.0))
         .cast("bigint")
@@ -2524,7 +2534,7 @@ def q267_trimmed_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v_hi = F.min(F.when(F.col("cum") >= F.col("hi"), F.col("price_c")))
     tsum = F.sum(F.col("price_c") * kept)
-    return ranked.groupBy("o_orderpriority").agg(
+    stats = ranked.groupBy("o_orderpriority").agg(
         F.max("n").cast("bigint").alias("n_orders"),
         F.max(F.col("hi") - F.col("lo")).cast("bigint").alias("n_kept"),
         tsum.cast("bigint").alias("trimmed_sum_c"),
@@ -2537,4 +2547,18 @@ def q267_trimmed_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("winsor_sum_c"),
+    )
+    groups = o.select("o_orderpriority").distinct()
+    return groups.join(
+        F.broadcast(stats.withColumnRenamed("o_orderpriority", "_prio")),
+        groups["o_orderpriority"].eqNullSafe(F.col("_prio")),
+        "left",
+    ).select(
+        "o_orderpriority",
+        "n_orders",
+        "n_kept",
+        "trimmed_sum_c",
+        "v_lo_c",
+        "v_hi_c",
+        "winsor_sum_c",
     )

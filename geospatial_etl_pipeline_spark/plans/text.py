@@ -30,9 +30,11 @@ from ._util import (
     at_rank,
     int_hist,
     literal_df,
+    med2,
     qsum,
     sql_at_rank,
     sql_int_hist,
+    sql_med2,
     sql_qsum,
     t,
 )
@@ -1298,9 +1300,7 @@ fh AS (
   {sql_int_hist('fq', 'fqv', 'lang')}
 ),
 med AS (
-  SELECT lang,
-         {sql_at_rank('fqv', 1, 2)}
-         + MIN(CASE WHEN cum >= n // 2 + 1 THEN fqv END) AS fert2
+  SELECT lang, {sql_med2('fqv')} AS fert2
   FROM fh GROUP BY lang
 )
 SELECT p.lang,
@@ -1351,14 +1351,11 @@ def q176_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fqv",
         "lang",
     )
-    med = fh.groupBy("lang").agg(
-        (
-            at_rank("fqv", 1, 2)
-            + F.min(
-                F.when(F.col("cum") >= F.expr("n div 2 + 1"), F.col("fqv"))
-            )
-        ).alias("fert2")
-    ).withColumnRenamed("lang", "_lang")
+    med = (
+        fh.groupBy("lang")
+        .agg(med2("fqv").alias("fert2"))
+        .withColumnRenamed("lang", "_lang")
+    )
     return (
         per_doc.join(
             F.broadcast(med),

@@ -1027,7 +1027,9 @@ def test_r8_new_query_plan_budgets(spark):
     1×1-row scalar crossJoins. All Python-free."""
     budgets = {
         "q266_source_quality_drift": 3,
-        "q267_trimmed_price_stats": 2,
+        # +1: the presence-semantics distinct over priorities (review
+        # fix — an all-NULL-price priority keeps its row)
+        "q267_trimmed_price_stats": 3,
         "q268_token_count_gini": 2,
         "q269_dup_graph_triangles": 5,
         "q270_dup_graph_assortativity": 5,
