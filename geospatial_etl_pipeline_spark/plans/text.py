@@ -3175,9 +3175,11 @@ _KS_Q = 1_000_000
     tags=("text", "llm-data", "quality", "drift", "histogram"),
     oracle=f"""
 WITH scored AS (
-  SELECT source,
-         CAST(FLOOR({_SQL_QUALITY} * {_QDEC_Q}) AS BIGINT) AS qq
-  FROM documents WHERE text IS NOT NULL
+  SELECT * FROM (
+    SELECT source,
+           CAST(FLOOR({_SQL_QUALITY} * {_QDEC_Q}) AS BIGINT) AS qq
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE qq IS NOT NULL
 ),
 h AS (
   SELECT source, qq, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -3240,6 +3242,12 @@ def q266_source_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.floor(_quality_t(tok) * _QDEC_Q).cast("bigint").alias("qq"),
         )
+        # r9 (ADVICE r8): NULL-quality docs were counted in n_s and n but,
+        # via the null-unsafe h.qq = g.qq join, never entered cum_s — so a
+        # source's CDF could not reach 1 and ks_q was biased whenever NULL
+        # qualities exist. Exclude them outright (mirrored in the oracle),
+        # matching the q106/q159 convention.
+        .filter(F.col("qq").isNotNull())
     )
     h = scored.groupBy("source", "qq").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")

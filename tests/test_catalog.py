@@ -344,7 +344,9 @@ def test_q266_ks_drift_bounds(spark):
         )
         assert sum(r["n_docs"] for r in rows) == n
         for r in rows:
-            assert 0 <= r["ks_q"] <= 1_000_000, (sf, r)
+            # ks_q is NULL for a single-source corpus (n > n_s never holds)
+            if r["ks_q"] is not None:
+                assert 0 <= r["ks_q"] <= 1_000_000, (sf, r)
 
 
 def test_q267_trimmed_stats_invariants(spark):
@@ -356,6 +358,11 @@ def test_q267_trimmed_stats_invariants(spark):
         for r in rows:
             lo = (5 * r["n_orders"]) // 100
             assert r["n_kept"] == r["n_orders"] - 2 * lo, (sf, r)
+            # v_lo_c/v_hi_c are NULL for an all-NULL-price priority group;
+            # degrade to a clean assert instead of a None-comparison crash
+            if r["v_lo_c"] is None or r["v_hi_c"] is None:
+                assert r["v_lo_c"] is None and r["v_hi_c"] is None, (sf, r)
+                continue
             assert r["v_lo_c"] <= r["v_hi_c"], (sf, r)
             assert (
                 r["n_orders"] * r["v_lo_c"]
@@ -409,7 +416,9 @@ def test_q269_q270_graph_structure_invariants(spark):
     a correlation, |r| ≤ 1."""
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         t9 = catalog.QUERIES["q269_dup_graph_triangles"].fn(spark, sf).collect()[0]
-        assert 3 * t9["n_triangles"] <= max(t9["n_wedges"], 1), (sf, t9)
+        # an edgeless graph yields NULL triangle/wedge counts
+        if t9["n_triangles"] is not None and t9["n_wedges"] is not None:
+            assert 3 * t9["n_triangles"] <= max(t9["n_wedges"], 1), (sf, t9)
         if t9["closure_q"] is not None:
             assert 0 <= t9["closure_q"] <= 1_000_000, (sf, t9)
         a0 = catalog.QUERIES["q270_dup_graph_assortativity"].fn(spark, sf).collect()[0]

@@ -133,13 +133,16 @@ def bit_parity(spark) -> dict:
     sdf = spark.sql(
         f"SELECT event_type, percentile(value, array({fr})) AS ps "
         f"FROM parquet.`{SF}/events.parquet` GROUP BY event_type "
-        "ORDER BY event_type"
+        # r9 (ADVICE r8): Spark sorts NULLs first ascending, DuckDB last —
+        # pin NULLS FIRST on both sides so a NULL event_type group can't
+        # misalign the zip below.
+        "ORDER BY event_type ASC NULLS FIRST"
     ).collect()
     con = duckdb.connect()
     ddf = con.execute(
         f"SELECT event_type, quantile_cont(value, [{fr}]) AS ps "
         f"FROM read_parquet('{SF}/events.parquet') GROUP BY event_type "
-        "ORDER BY event_type"
+        "ORDER BY event_type ASC NULLS FIRST"
     ).fetchall()
     con.close()
     per_frac = {repr(f): True for f in FRACS}
