@@ -1,7 +1,7 @@
 # Developer entry points (mirrors the reference repo's Makefile role).
 
 .PHONY: test test-fast parity parity-all parity-sf01 parity-hostile bench smoke \
-        fetch-grid ulp-canary close
+        fetch-grid ulp-canary close scale-data scale-curve parity-scale
 
 fetch-grid:      ## best-effort: pull the real LINZ NTv2 grid when network exists
 	-python tools/fetch_linz_grid.py
@@ -31,8 +31,19 @@ parity-all:      ## every catalog query vs DuckDB -> PARITY_ALL.json
 parity-sf01:     ## 10x scale-drift sweep -> PARITY_SF01.json
 	python tools/parity_sf01.py PARITY_SF01.json
 
-parity-hostile:  ## NULL/malformed-row sweep -> HOSTILE_PARITY.json
+parity-hostile:  ## NULL/malformed-row + zero-row sweep -> HOSTILE_PARITY.json
 	python tools/hostile_sweep.py HOSTILE_PARITY.json
+
+scale-data:      ## seed-deterministic sf0.1/0.3/1 clones -> .scaledata/
+	python tools/gen_scale_data.py 0.1
+	python tools/gen_scale_data.py 0.3
+	python tools/gen_scale_data.py 1.0
+
+scale-curve:     ## per-query scaling exponents over the clones (r9)
+	python tools/scale_curve.py --out SCALE_CURVE_r09.json
+
+parity-scale:    ## full oracle sweep at the sf1 clone (r9) — 10x sf0.1
+	python tools/parity_sf01.py PARITY_SCALE_r09.json /root/repo/.scaledata/sf1
 
 bench:           ## headline queries at sf0.1, one JSON line
 	python bench.py

@@ -42,8 +42,8 @@ def qwavg_pandas(v: pd.Series, w: pd.Series) -> float:  # -> float = GROUPED_AGG
     """GROUPED_AGG pandas UDAF: weighted average with floor-quantized
     integer accumulation — sum(floor(v*1e12)*w) / sum(w) / 1e12.
 
-    int64 sums are associative, so the result is identical for ANY
-    partial-aggregation order and bit-identical to the SQL spec
+    Integer sums are associative, so the result is identical for ANY
+    aggregation order and bit-identical to the SQL spec
     ``SUM(CAST(FLOOR(v*1e12) AS BIGINT)*w) / SUM(w) / 1e12`` over the
     non-NULL pairs.
 
@@ -64,7 +64,11 @@ def qwavg_pandas(v: pd.Series, w: pd.Series) -> float:  # -> float = GROUPED_AGG
     floor(v·1e12) overflows int64 — past it Spark's astype wraps while
     DuckDB's CAST errors, so the pair is excluded by contract in both
     engines (the q63/q197-style scale dial: drop the 1e12 scale to
-    admit larger values)."""
+    admit larger values).  The ACCUMULATION, by contrast, has no bound:
+    products and the group total are summed in arbitrary-precision
+    Python ints (r9 — the previous numpy int64 sum wrapped past ~18k
+    mean-magnitude rows per group, i.e. above sf0.1, while the oracle's
+    SUM(BIGINT) promotes to HUGEINT), mirroring DuckDB exactly."""
     import numpy as np
 
     mask = (
@@ -76,10 +80,19 @@ def qwavg_pandas(v: pd.Series, w: pd.Series) -> float:  # -> float = GROUPED_AGG
         return None
     qv = np.floor(v[mask].to_numpy(dtype="float64") * _S).astype("int64")
     wi = w[mask].to_numpy(dtype="float64").astype("int64")
-    ws = wi.sum()
+    ws = int(wi.sum())
     if ws == 0:
         return None
-    return float((qv * wi).sum()) / float(ws) / _S
+    # Accumulate in arbitrary-precision Python ints (r9): the per-row
+    # product already reaches ~5e14 at mean event magnitudes, so a
+    # group's int64 sum wraps past ~18k rows/group-partial — silently,
+    # while the oracle's HUGEINT SUM(BIGINT) stays exact. math.fsum-
+    # style float tricks would lose the bit-exactness contract; the
+    # Python-int sum is exact at any corpus size and this is already
+    # the Python path.  float(total) then rounds the exact integer once
+    # (round-half-even), matching DuckDB's CAST(HUGEINT AS DOUBLE).
+    total = sum((int(a) * int(b) for a, b in zip(qv.tolist(), wi.tolist())), 0)
+    return float(total) / float(ws) / _S
 
 
 def register_udfs(spark: SparkSession) -> None:

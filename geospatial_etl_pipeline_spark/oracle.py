@@ -36,10 +36,19 @@ class CompareResult:
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for name in TABLES:
+        path = f"{sf_dir}/{name}.parquet"
+        # Spark-written tables are DIRECTORIES of part files (the
+        # r9 scale clones); the driver testdata is single files.
+        # DuckDB needs the glob for the former — row semantics are
+        # identical, and Spark's reader accepts both natively.
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 

@@ -147,6 +147,37 @@ def sql_qsum(expr: str, scale: int = 12) -> str:
     return f"SUM(CAST(FLOOR(({expr}) * {float(10 ** scale)!r}) AS BIGINT))"
 
 
+def qsum_big(col: Column, scale: int = 12) -> Column:
+    """qsum for UNBOUNDED group cardinality (r9 scale audit).
+
+    qsum's int64 accumulator is exact only while the GROUP's sum stays
+    under 2^63 — a horizon of ~9.2e18 / (|x| * 10^scale) rows per
+    group.  That is fine for domain-bounded groups (64-dim dot
+    products, k-capped neighbor lists) but sites whose rows-per-group
+    grows with the corpus (per-dimension stats over ALL vectors, global
+    calibration means, per-day value sums) cross it long before 100 TB,
+    and Spark's non-ANSI SUM(BIGINT) wraps SILENTLY while the DuckDB
+    oracle's SUM(BIGINT) promotes to HUGEINT and stays exact — a parity
+    break that only manifests at scale.  This variant keeps the
+    identical per-row quantization (so the value contract and the
+    sql_qsum oracle are unchanged) and accumulates in DECIMAL(38,0):
+    exact to 1e38, i.e. 1e12 rows/group at the worst per-row magnitude
+    the 2^53 row contract admits.  Partial aggregation still applies —
+    the decimal accumulator merges associatively across executors; it
+    is ~3.5x slower per row than int64 (measured on q01, r6), which is
+    why qsum remains the choice for bounded groups on hot paths.
+
+    Returns DECIMAL(38,0); call sites cast to double (round-half-even
+    of the exact integer — bit-identical to DuckDB's HUGEINT->DOUBLE)
+    or to string for exact-integer wire columns.
+    """
+    return F.sum(
+        F.floor(col * F.lit(float(10**scale)))
+        .cast("bigint")
+        .cast("decimal(38,0)")
+    )
+
+
 # ---- salted mergeable money sums (round 6) -------------------------------
 #
 # dsum's DECIMAL(38,6) accumulator is exact at any scale but ~0.45 s per

@@ -19,7 +19,7 @@ from ..operators.dedup import (
     minhash_signatures,
     shingle_sets,
 )
-from ._util import qsum, sql_qsum, t
+from ._util import qsum, qsum_big, sql_qsum, t
 from .catalog import QUERIES, register
 
 _NUM_HASHES = 8
@@ -1466,11 +1466,15 @@ def q163_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = F.col("n_match").cast("double") / F.lit(float(_NUM_HASHES))
     return scored.groupBy("n_match").agg(
         n.alias("n_pairs"),
-        (qsum(F.col("jaccard")).cast("double") / F.lit(1e12) / n).alias(
+        # qsum_big: pairs per n_match stratum grow with the corpus —
+        # the int64 form wraps past ~9.2e6 pairs/stratum (r9 scale
+        # audit, SCALING.md); value contract unchanged
+        (qsum_big(F.col("jaccard")).cast("double") / F.lit(1e12) / n).alias(
             "mean_jaccard"
         ),
         (
-            qsum(F.abs(est - F.col("jaccard"))).cast("double") / F.lit(1e12) / n
+            qsum_big(F.abs(est - F.col("jaccard"))).cast("double")
+            / F.lit(1e12) / n
         ).alias("mean_abs_err"),
     )
 

@@ -20,6 +20,7 @@ from ._util import (
     int_hist,
     med2,
     qsum,
+    qsum_big,
     sql_at_rank,
     sql_dsum,
     sql_int_hist,
@@ -3103,6 +3104,12 @@ def q197_deseasonalized_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
 # index (< ~40) and y < 5e11, n*Sxy < 30*40*5e11*30 ~ 2e16 << 2^63.
 # Only the final two divisions touch doubles (BIGINT/BIGINT -> the same
 # IEEE op in both engines).
+# r9 scale audit: q205/q233 deliberately KEEP int64 qsum (unlike
+# q100/q230's qsum_big migration) because their downstream power-sum
+# arithmetic and wire columns (sy/sxy; x2-x1 slopes) are int64 by
+# contract — the documented horizon is ~9.2e9 mean-magnitude value
+# rows per (type, day) at scale 6, and the wire format caps the
+# design scale before the accumulator does (SCALING.md, Aggregations).
 
 
 @register(
@@ -3343,7 +3350,11 @@ def q213_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     hr = F.date_trunc("hour", F.col("ts"))
     hourly = e.groupBy("event_type", hr.alias("hr")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        qsum(F.col("value"), 6).alias("v_q"),
+        # qsum_big: rows per (type, hour) grows with the corpus — the
+        # int64 form wraps past ~9.2e9 mean-magnitude rows/group (r9
+        # scale audit, SCALING.md); the decimal merge is exact and the
+        # wire value (one double rounding at the end) is unchanged
+        qsum_big(F.col("value"), 6).alias("v_q"),
     )
     bounds = e.groupBy("event_type").agg(
         F.date_trunc("hour", F.min("ts")).alias("hr_min"),
@@ -3658,7 +3669,11 @@ def q230_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = base.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(
-        qsum(F.col("value"), 6).alias("dq"),
+        # qsum_big: per-(type, day) cardinality is corpus-sized (r9
+        # scale audit) — and the second-level F.sum("dq") + the
+        # dev/cusum products inherit the exact decimal type, mirroring
+        # the oracle's HUGEINT chain
+        qsum_big(F.col("value"), 6).alias("dq"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
     tot = daily.groupBy("event_type").agg(

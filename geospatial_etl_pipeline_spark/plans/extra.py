@@ -466,26 +466,42 @@ def q19_array_agg_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_custkey, c.c_acctbal, c.c_nationkey
 FROM customer c
-WHERE c.c_acctbal > (
-  SELECT AVG(c2.c_acctbal) FROM customer c2
-  WHERE c2.c_nationkey = c.c_nationkey
-) * 1.5
+WHERE 2 * CAST(FLOOR(c.c_acctbal * 100.0) AS BIGINT)
+        * (SELECT COUNT(*) FROM customer c2
+           WHERE c2.c_nationkey = c.c_nationkey)
+    > 3 * (SELECT SUM(CAST(FLOOR(c2.c_acctbal * 100.0) AS BIGINT))
+           FROM customer c2
+           WHERE c2.c_nationkey = c.c_nationkey)
 """,
 )
 def q45_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subquery (decorrelated by Catalyst into an
+    """Correlated scalar subqueries (decorrelated by Catalyst into an
     aggregate + join): customers 1.5x above their nation's mean balance.
-    avg appears only in the predicate (never emitted), so raw-double avg
-    determinism is a non-issue for the output values."""
+
+    The predicate is INTEGER-exact (r9 ULP-canary audit): the textbook
+    ``bal > AVG(bal) * 1.5`` compares against a raw-double average whose
+    summation order differs between engines — a balance within a few
+    ulps of the boundary could flip membership under a different engine
+    version (the q166 lesson, applied to predicates). Rewritten as
+    ``2 * cents(bal) * n > 3 * SUM(cents(bal))`` — the same inequality
+    cleared of the division and the 1.5 literal, all int64 cents
+    (|cents| <= 1e6, n per nation <= ~4e10 before the product nears
+    2^63; the oracle's SUM side promotes to HUGEINT and is exact
+    regardless). Two correlated scalar subqueries instead of one —
+    Catalyst decorrelates both into the same aggregate-join shape
+    (TPC-H Q17/Q22 style), so the surface this query exists to cover
+    widens rather than narrows."""
     t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v2")
     return spark.sql(
         """
         SELECT c.c_custkey, c.c_acctbal, c.c_nationkey
         FROM customer_v2 c
-        WHERE c.c_acctbal > (
-          SELECT AVG(c2.c_acctbal) FROM customer_v2 c2
-          WHERE c2.c_nationkey = c.c_nationkey
-        ) * 1.5
+        WHERE 2 * CAST(FLOOR(c.c_acctbal * 100.0) AS BIGINT)
+                * (SELECT COUNT(*) FROM customer_v2 c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+            > 3 * (SELECT SUM(CAST(FLOOR(c2.c_acctbal * 100.0) AS BIGINT))
+                   FROM customer_v2 c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
         """
     )
 

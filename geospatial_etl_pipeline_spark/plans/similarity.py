@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ._util import _SQL_EMB, qsum, sql_qsum, t, temb
+from ._util import _SQL_EMB, qsum, qsum_big, sql_qsum, t, temb
 from .catalog import QUERIES, register
 
 _QUERY_VEC_ID = 0
@@ -99,9 +99,11 @@ def q51_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = e.select("label", F.posexplode("v").alias("i", "x"))
     return ex.groupBy("label", (F.col("i") + 1).cast("int").alias("dim")).agg(
-        (qsum(F.col("x")).cast("double") / F.lit(_S) / F.count(F.lit(1))).alias(
-            "centroid"
-        )
+        # qsum_big: rows per (label, dim) = vectors per label — corpus-
+        # sized, so the int64 form wraps past ~9.2e6 vectors/label (r9
+        # scale audit, SCALING.md); value contract unchanged
+        (qsum_big(F.col("x")).cast("double") / F.lit(_S) / F.count(F.lit(1)))
+        .alias("centroid")
     )
 
 
@@ -141,7 +143,8 @@ def q52_norm_stats_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return norms.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         (
-            qsum(F.col("l2"), scale=9).cast("double")
+            # qsum_big: rows/label are corpus-sized (r9 scale audit)
+            qsum_big(F.col("l2"), scale=9).cast("double")
             / F.lit(1e9)
             / F.count(F.lit(1))
         ).alias("avg_norm"),

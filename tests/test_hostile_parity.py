@@ -235,6 +235,29 @@ def test_qwavg_kernel_null_contract(spark):
     assert rows["b"] is None
 
 
+def test_qwavg_kernel_no_int64_overflow(spark):
+    """r9 scale audit: the kernel accumulates quantized-value x weight
+    products in arbitrary-precision Python ints. Near the 9e6 value
+    cap a SINGLE row's product (floor(v*1e12) * w ~ 1.8e19) exceeds
+    int64 — the old numpy int64 sum wrapped silently (negative
+    garbage), while DuckDB's HUGEINT oracle stayed exact."""
+    from pyspark.sql import functions as F
+
+    from geospatial_etl_pipeline_spark.functions.udfs import qwavg_pandas
+
+    rows = [("a", 8.9e6, 2), ("a", 1.0e6, 1)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    got = df.groupBy("g").agg(
+        qwavg_pandas(F.col("v"), F.col("w")).alias("wavg")
+    ).collect()[0]["wavg"]
+    import math
+
+    total = sum(math.floor(v * 1e12) * w for _, v, w in rows)
+    expected = float(total) / 3.0 / 1e12
+    assert got == expected  # bit-exact, and positive (no wrap)
+    assert got > 0
+
+
 def test_fingerprint_builders_null_contract(spark):
     """The shared builders themselves: NULL-in → NULL-out, and the
     empty document keeps its own (non-NULL) fingerprint — NULL must

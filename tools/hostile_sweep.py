@@ -17,6 +17,7 @@ full rows, NULL keys, and r8's NULL event-time):
   nation keys, balances, brands, sizes)
 - orders     + (orphan NULL o_custkey; NULL status/price/date)
 - lineitem   + (NULL part/supp keys and measures)
+- all_empty  : EVERY table truncated to 0 rows (r9; full catalog)
 
 Rationale: Spark and DuckDB disagree about NULL exactly where clean
 data can't show it (concat_ws vs md5(NULL), explode_outer vs
@@ -174,6 +175,17 @@ AUGMENTS = {
 # variants like documents_dupid write documents.parquet)
 FIXTURE_TABLE = {name: name.split("_dupid")[0] for name in AUGMENTS}
 
+# The r9 zero-row fixture: EVERY table truncated to 0 rows (schema
+# preserved).  Empty-input divergence is its own class — global
+# aggregates (one NULL row vs zero rows), literal spines LEFT-joined
+# against nothing, driver-side scalar pulls (.first() on an empty
+# frame), iterative loops whose first frontier is empty — and the
+# engine hand-pins it in places (q06's coalesce(sum,0), q267's
+# priority-spine LEFT JOIN) without a fixture proving the rest of the
+# catalog.  Unlike the augment fixtures this one runs the FULL catalog:
+# with all inputs empty, every query is "affected".
+EMPTY_FIXTURE = "all_empty"
+
 
 def contract_exempt(fixture: str, name: str, spec) -> bool:
     """Identity-contract exemptions: the similarity family addresses
@@ -213,6 +225,20 @@ def build_fixture(root: str, fixture: str) -> str:
     return d
 
 
+def build_empty_fixture(root: str) -> str:
+    """Every table as a zero-row parquet with the source schema."""
+    d = os.path.join(root, "hostile_all_empty")
+    os.makedirs(d, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet') "
+            f"LIMIT 0) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return d
+
+
 def select_queries(table: str) -> tuple[list[str], list[str]]:
     """(oracled, rows_only) query names to sweep for a hostile table.
 
@@ -233,6 +259,48 @@ def select_queries(table: str) -> tuple[list[str], list[str]]:
     return oracled, rows_only
 
 
+def sweep_fixture(spark, fixture: str, sf_dir: str,
+                  names: list[str], rows_only: list[str]) -> dict:
+    """Run the oracled compares + rows-only crash coverage for one
+    fixture and return its artifact entry."""
+    fails: dict[str, str] = {}
+    n_exempt = 0
+    for name in names:
+        spec = catalog.QUERIES[name]
+        try:
+            if contract_exempt(fixture, name, spec):
+                # identity-contract exemption: crash coverage only (see
+                # contract_exempt docstring); the contract itself is
+                # hash-checked via q202
+                spec.fn(spark, sf_dir).count()
+                n_exempt += 1
+            else:
+                r = compare(name, spark, sf_dir, spec.fn, spec.oracle)
+                if not r.ok:
+                    fails[name] = str(r)[:300]
+        except Exception as exc:  # noqa: BLE001 — record and go on
+            fails[name] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# {fixture}/{name}: {'FAIL' if name in fails else 'ok'}",
+              file=sys.stderr, flush=True)
+    for name in rows_only:
+        spec = catalog.QUERIES[name]
+        try:
+            spec.fn(spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — record and go on
+            fails[name] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# {fixture}/{name} (rows-only): "
+              f"{'FAIL' if name in fails else 'ok'}",
+              file=sys.stderr, flush=True)
+    return {
+        "checked": len(names) + len(rows_only),
+        "oracled": len(names) - n_exempt,
+        "contract_exempt": n_exempt,
+        "rows_only": len(rows_only),
+        "failed": len(fails),
+        "fails": fails,
+    }
+
+
 def main() -> None:
     out_json = sys.argv[1] if len(sys.argv) > 1 else "HOSTILE_PARITY.json"
     catalog.load_all_plans()
@@ -249,43 +317,20 @@ def main() -> None:
             # rows-only set runs on EVERY fixture — a hostile row must
             # not kill the plan even with no oracle to diff against.
             names, rows_only = select_queries(FIXTURE_TABLE[table])
-            fails: dict[str, str] = {}
-            n_exempt = 0
-            for name in names:
-                spec = catalog.QUERIES[name]
-                try:
-                    if contract_exempt(table, name, spec):
-                        # identity-contract exemption: crash coverage
-                        # only (see contract_exempt docstring); the
-                        # contract itself is hash-checked via q202
-                        spec.fn(spark, sf_dir).count()
-                        n_exempt += 1
-                    else:
-                        r = compare(name, spark, sf_dir, spec.fn, spec.oracle)
-                        if not r.ok:
-                            fails[name] = str(r)[:300]
-                except Exception as exc:  # noqa: BLE001 — record and go on
-                    fails[name] = f"{type(exc).__name__}: {exc}"[:300]
-                print(f"# {table}/{name}: "
-                      f"{'FAIL' if name in fails else 'ok'}",
-                      file=sys.stderr, flush=True)
-            for name in rows_only:
-                spec = catalog.QUERIES[name]
-                try:
-                    spec.fn(spark, sf_dir).count()
-                except Exception as exc:  # noqa: BLE001 — record and go on
-                    fails[name] = f"{type(exc).__name__}: {exc}"[:300]
-                print(f"# {table}/{name} (rows-only): "
-                      f"{'FAIL' if name in fails else 'ok'}",
-                      file=sys.stderr, flush=True)
-            out["fixtures"][table] = {
-                "checked": len(names) + len(rows_only),
-                "oracled": len(names) - n_exempt,
-                "contract_exempt": n_exempt,
-                "rows_only": len(rows_only),
-                "failed": len(fails),
-                "fails": fails,
-            }
+            out["fixtures"][table] = sweep_fixture(
+                spark, table, sf_dir, names, rows_only
+            )
+        # zero-row fixture: full catalog (see EMPTY_FIXTURE rationale)
+        sf_dir = build_empty_fixture(root)
+        all_oracled = sorted(
+            n for n, s in catalog.QUERIES.items() if s.oracle
+        )
+        all_rows_only = sorted(
+            n for n, s in catalog.QUERIES.items() if not s.oracle
+        )
+        out["fixtures"][EMPTY_FIXTURE] = sweep_fixture(
+            spark, EMPTY_FIXTURE, sf_dir, all_oracled, all_rows_only
+        )
     out["elapsed_sec"] = round(time.time() - t_start, 1)
     out["all_green"] = all(
         f["failed"] == 0 for f in out["fixtures"].values()

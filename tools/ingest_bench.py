@@ -21,7 +21,12 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from _bench_util import (  # noqa: E402
+    cpu_sentinel_median,
+    microbatch_sentinel_series,
+)
 from geospatial_etl_pipeline_spark.session import get_spark  # noqa: E402
 from geospatial_etl_pipeline_spark.streaming.events import (  # noqa: E402
     stream_to_partitioned_parquet,
@@ -62,6 +67,11 @@ def main() -> None:
         )
         survivors = incremental_dedup_stream(stream, fps)
 
+        # Sentinels BEFORE the timed run (r8 verdict item 2) — see
+        # tools/_bench_util.py for the normalization rationale.
+        mb_sentinel = microbatch_sentinel_series(spark)
+        cpu_sentinel = cpu_sentinel_median(spark)
+
         t0 = time.perf_counter()
         stream_to_partitioned_parquet(survivors, sink_dir, ["lang"], ckpt_dir)
         elapsed = time.perf_counter() - t0
@@ -88,6 +98,11 @@ def main() -> None:
             "pipeline": "file source -> fingerprint -> dropDuplicates(fp) "
             "-> stream-static anti probe -> exactly-once partitioned landing",
             "sf_dir": sf_dir,
+            "microbatch_sentinel": mb_sentinel,
+            "cpu_sentinel_median_sec": cpu_sentinel,
+            "normalized_value": round(
+                n_rows / elapsed * mb_sentinel["median_sec"], 1
+            ),
         }
         line = json.dumps(out)
         print(line)

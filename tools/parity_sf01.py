@@ -10,7 +10,12 @@ pairwise joins, recursive CTE closure) — those are validated at sf0.01
 where the spec is tractable; their ENGINE side is benchmarked at sf0.1
 by bench.py.
 
-Usage: python tools/parity_sf01.py [out_json]
+Usage: python tools/parity_sf01.py [out_json] [sf_dir]
+
+r9: sf_dir is overridable so the same sweep runs against the
+seed-deterministic scale clones (tools/gen_scale_data.py) — the sf1
+run is the engine's first correctness evidence at 10x the driver's
+largest scale (PARITY_SCALE_r09.json).
 """
 
 from __future__ import annotations
@@ -61,7 +66,10 @@ TARGETS = sorted(
 
 
 def main() -> None:
+    global SF_DIR
     out_json = sys.argv[1] if len(sys.argv) > 1 else "PARITY_SF01.json"
+    if len(sys.argv) > 2:
+        SF_DIR = sys.argv[2]
     catalog.load_all_plans()
     spark = get_spark("parity-sf01")
     spark.sparkContext.setLogLevel("ERROR")

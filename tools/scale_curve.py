@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Empirical scaling curve: run the headline + heavy + scale-risk query
+families at several scale factors and fit a per-query scaling exponent.
+
+Purpose (r8 verdict, next-round item 1): every plan shape is pinned by
+assertion (tests/test_plan_shapes.py) but the engine had never RUN above
+sf0.1 (17 MB).  A hidden super-linearity — LSH bucket occupancy growth,
+posting-list cap interactions, iterative-closure round growth — is
+invisible to exchange-budget tests and only shows up in measured
+sec-vs-sf.  This tool measures it.
+
+Method:
+  * Data: seed-deterministic clones from tools/gen_scale_data.py at
+    sf0.1 / sf0.3 / sf1.0 (SAME generator at every scale, so the curve
+    is not confounded by driver-vs-clone distribution differences).
+  * Timing: min-of-N end-to-end noop-sink executions per (query, sf),
+    exactly like bench.py; a CPU sentinel runs before every query and
+    each scale's times are normalized by that scale's sentinel median,
+    cancelling multi-minute host phases that would otherwise masquerade
+    as scaling effects across a ~30-minute sweep.
+  * Fit: OLS slope of log(normalized_sec) vs log(sf) over all scales
+    ("exponent"), plus the last-segment slope sf0.3→sf1.0
+    ("exponent_tail") which is the sensitive detector: fixed per-query
+    overhead (~0.2 s scheduling + codegen) dominates small-sf points and
+    biases the full fit DOWN, so a tail slope meaningfully above 1 is a
+    real super-linearity, not noise.  Flag threshold 1.30 allows
+    n log n shuffle factors (log(10x)/log(10) ~ +0.1..0.15) plus jitter.
+
+Scale design note: at 100 TB you would run the same sweep with sf as
+cluster-scale dataset copies; nothing here is local-mode-specific — the
+harness only needs a SparkSession and parquet dirs.
+
+Usage:
+    python tools/scale_curve.py [--sfs 0.1,0.3,1] [--root .scaledata]
+        [--reps 3] [--out SCALE_CURVE_r09.json] [--families headline,heavy,risk]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402 — reuse HEADLINE/HEAVY, sentinel, min-of-N runner
+
+from geospatial_etl_pipeline_spark.plans import catalog  # noqa: E402
+from geospatial_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+# Queries with the scale-risk shapes the r8 verdict named: inverted-index
+# posting lists (df caps), LSH band occupancy, iterative pointer-doubling
+# closure, graph wedge joins.  HEADLINE already covers q42/q48/q54/q56.
+RISK = [
+    "q127_ngram_containment_pairs",
+    "q206_corpus_containment",
+    "q265_rare_trigram_link_pairs",
+    "q162_lsh_band_skew",
+    "q216_two_hop_reach",
+    "q232_d8_flow_accumulation",
+    "q269_dup_graph_triangles",
+    "q270_dup_graph_assortativity",
+]
+
+
+def _slope(xs: list[float], ys: list[float]) -> float:
+    """OLS slope of ys on xs (both already in log space)."""
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    den = sum((x - mx) ** 2 for x in xs)
+    return num / den if den else float("nan")
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+
+    def _opt(flag: str, default: str) -> str:
+        return argv[argv.index(flag) + 1] if flag in argv else default
+
+    sfs = [float(s) for s in _opt("--sfs", "0.1,0.3,1").split(",")]
+    root = _opt("--root", "/root/repo/.scaledata")
+    reps = int(_opt("--reps", "3"))
+    out_path = _opt("--out", "/root/repo/SCALE_CURVE_r09.json")
+    fams = _opt("--families", "headline,heavy,risk").split(",")
+    names: list[str] = []
+    if "headline" in fams:
+        names += bench.HEADLINE
+    if "heavy" in fams:
+        names += bench.HEAVY
+    if "risk" in fams:
+        names += RISK
+
+    catalog.load_all_plans()
+    spark = get_spark("scale-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    raw: dict[str, dict[str, float]] = {n: {} for n in names}
+    norm: dict[str, dict[str, float]] = {n: {} for n in names}
+    sent_med: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    for sf in sfs:
+        sf_dir = os.path.join(root, f"sf{sf:g}")
+        if not os.path.isdir(sf_dir):
+            print(f"# missing {sf_dir}; run tools/gen_scale_data.py {sf}",
+                  file=sys.stderr)
+            continue
+        key = f"{sf:g}"
+        # fresh warmup per scale: footer caches + codegen for new paths
+        try:
+            bench.run_sentinel(spark)
+            bench.run_once(
+                spark, catalog.QUERIES["q01_pricing_summary"].fn, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# warmup@{key} failed: {exc}", file=sys.stderr)
+        sentinels: list[float] = []
+        for name in names:
+            try:
+                sentinels.append(bench.run_sentinel(spark))
+            except Exception:  # noqa: BLE001
+                pass
+            try:
+                t = bench.run_query(
+                    spark, catalog.QUERIES[name].fn, sf_dir, reps=reps)
+                raw[name][key] = round(t, 3)
+                print(f"# sf{key} {name}: {t:.3f}s", file=sys.stderr,
+                      flush=True)
+            except Exception as exc:  # noqa: BLE001
+                errors[f"{name}@{key}"] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"# sf{key} {name}: FAILED {errors[f'{name}@{key}']}",
+                      file=sys.stderr, flush=True)
+        med = statistics.median(sentinels) if sentinels else None
+        sent_med[key] = round(med, 4) if med else None
+        if med:
+            for name in names:
+                if key in raw[name]:
+                    norm[name][key] = round(raw[name][key] / med, 3)
+
+    queries: dict[str, dict] = {}
+    flagged: list[str] = []
+    for name in names:
+        pts = sorted((float(k), v) for k, v in norm[name].items())
+        entry: dict = {"raw_sec": raw[name], "normalized": norm[name]}
+        if len(pts) >= 2:
+            xs = [math.log(p[0]) for p in pts]
+            ys = [math.log(max(p[1], 1e-6)) for p in pts]
+            entry["exponent"] = round(_slope(xs, ys), 3)
+            entry["exponent_tail"] = round(
+                (ys[-1] - ys[-2]) / (xs[-1] - xs[-2]), 3)
+            entry["super_linear"] = entry["exponent_tail"] > 1.30
+            if entry["super_linear"]:
+                flagged.append(name)
+        queries[name] = entry
+
+    out = {
+        "metric": "scaling_exponents",
+        "sfs": [f"{s:g}" for s in sfs],
+        "reps": reps,
+        "data_root": root,
+        "sentinel_median_sec": sent_med,
+        "queries": queries,
+        "flagged_super_linear": flagged,
+        "errors": errors,
+        "threshold": "exponent_tail > 1.30 (n log n + jitter allowance)",
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps({
+        "metric": "scaling_exponents",
+        "n_queries": len(queries),
+        "flagged_super_linear": flagged,
+        "out": out_path,
+    }))
+
+
+if __name__ == "__main__":
+    main()

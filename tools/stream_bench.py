@@ -33,7 +33,12 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from _bench_util import (  # noqa: E402
+    cpu_sentinel_median,
+    microbatch_sentinel_series,
+)
 from geospatial_etl_pipeline_spark.session import get_spark  # noqa: E402
 from geospatial_etl_pipeline_spark.sources.tables import (  # noqa: E402
     load_table,
@@ -80,6 +85,14 @@ def main() -> None:
         stream = normalize_event_ts(raw)
         agg = windowed_counts(stream)
 
+        # Sentinels BEFORE the timed run (r8 verdict item 2): the
+        # micro-batch sentinel measures the host's per-batch fixed-cost
+        # capacity today; the CPU sentinel separates "CPUs busy" from
+        # "small-file/checkpoint IO degraded".  normalized_value
+        # (rows per sentinel-unit) is the cross-round comparable.
+        mb_sentinel = microbatch_sentinel_series(spark)
+        cpu_sentinel = cpu_sentinel_median(spark)
+
         t0 = time.perf_counter()
         stream_to_partitioned_parquet(
             agg, sink_dir, ["event_type"], ckpt_dir
@@ -107,6 +120,12 @@ def main() -> None:
             "pipeline": "file source -> watermark 10m -> tumbling 5m agg "
             "-> exactly-once partitioned parquet sink",
             "sf_dir": sf_dir,
+            "microbatch_sentinel": mb_sentinel,
+            "cpu_sentinel_median_sec": cpu_sentinel,
+            # rows/sec x sentinel sec: host micro-batch capacity cancels
+            "normalized_value": round(
+                n_rows / elapsed * mb_sentinel["median_sec"], 1
+            ),
         }
         line = json.dumps(out)
         print(line)
