@@ -513,3 +513,55 @@ def test_variant_triage_adversarial_keys_parity(spark, adversarial_props_dir):
         spec.fn, spec.oracle,
     )
     assert res.ok, res.issues[:3]
+
+
+# --------------------------------------------------------------------------
+# r9: zero-row inputs (the all_empty fixture class, pinned)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def all_empty_dir(tmp_path_factory):
+    """Every table truncated to 0 rows, schema preserved — the
+    empty-input divergence class (r8 verdict item 5). The full-catalog
+    sweep runs in tools/hostile_sweep.py at round close; this pins the
+    representatives whose first run FAILED."""
+    d = tmp_path_factory.mktemp("all_empty")
+    from geospatial_etl_pipeline_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t_ in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM '{_SRC}/{t_}.parquet' LIMIT 0) "
+            f"TO '{d}/{t_}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return str(d)
+
+
+# the queries whose first all_empty run crashed or diverged (now fixed):
+# the k-means family's empty-centroid guard and the grouping-sets
+# grand-total-row pinning (HAVING COUNT(*) > 0 in the oracles)
+EMPTY_PINNED = [
+    "q15_rollup_status_priority",
+    "q16_cube_returnflag_status",
+    "q17_grouping_sets",
+    "q118_kmeans_assign_iter1",
+    "q236_simplified_silhouette",
+]
+
+
+@pytest.mark.parametrize("name", EMPTY_PINNED)
+def test_all_empty_parity(spark, all_empty_dir, name):
+    spec = catalog.QUERIES[name]
+    res = compare(name, spark, all_empty_dir, spec.fn, spec.oracle)
+    assert res.ok, str(res)
+
+
+def test_all_empty_kmeans_rows_only(spark, all_empty_dir):
+    """q114 (rows-only): the Lloyd's loop itself must survive an empty
+    corpus — empty centroid init, empty assignment, zero iterations of
+    meaningful recompute — and return an empty result, not crash."""
+    assert catalog.QUERIES["q114_kmeans_clusters"].fn(
+        spark, all_empty_dir
+    ).count() == 0
