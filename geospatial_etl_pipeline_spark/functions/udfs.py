@@ -44,7 +44,8 @@ def qwavg_pandas(v: pd.Series, w: pd.Series) -> float:  # -> float = GROUPED_AGG
 
     Integer sums are associative, so the result is identical for ANY
     aggregation order and bit-identical to the SQL spec
-    ``SUM(CAST(FLOOR(v*1e12) AS BIGINT)*w) / SUM(w) / 1e12`` over the
+    ``(SUM(CAST(FLOOR(v*1e12) AS BIGINT)*w) // SUM(w)) / 1e12`` (a
+    truncating integer quotient — see the in-body note) over the
     non-NULL pairs.
 
     NULL contract (standard SQL aggregate semantics, pinned by the
@@ -89,10 +90,23 @@ def qwavg_pandas(v: pd.Series, w: pd.Series) -> float:  # -> float = GROUPED_AGG
     # while the oracle's HUGEINT SUM(BIGINT) stays exact. math.fsum-
     # style float tricks would lose the bit-exactness contract; the
     # Python-int sum is exact at any corpus size and this is already
-    # the Python path.  float(total) then rounds the exact integer once
-    # (round-half-even), matching DuckDB's CAST(HUGEINT AS DOUBLE).
+    # the Python path.
     total = sum((int(a) * int(b) for a, b in zip(qv.tolist(), wi.tolist())), 0)
-    return float(total) / float(ws) / _S
+    # The wire double derives from the TRUNCATING integer quotient, not
+    # from float(total)/float(ws): the r9 sf1 scale run caught DuckDB's
+    # CAST(HUGEINT AS DOUBLE) rounding a >2^53 total 1 ulp differently
+    # from Python's correctly-rounded float(int) (DuckDB converts
+    # upper/lower words separately — the q166 engine-version class,
+    # latent at EVERY sf since totals pass 2^53 already at sf0.01).
+    # total // ws is bounded by max|quantized value| < 9.0e6 * 1e12
+    # < 2^63, so BOTH engines make ONE correctly-rounded int64->double
+    # conversion of the same integer (oracle mirrors with
+    # CAST(CAST(SUM(..) // SUM(..) AS BIGINT) AS DOUBLE)); the value is
+    # the weighted mean truncated at the 1e-12 lattice.  DuckDB's //
+    # TRUNCATES toward zero while Python's floors, so negative totals
+    # (legal: the guard admits negative values) trunc-divide explicitly.
+    q = -((-total) // ws) if total < 0 else total // ws
+    return float(q) / _S
 
 
 def register_udfs(spark: SparkSession) -> None:

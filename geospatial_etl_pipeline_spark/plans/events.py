@@ -332,13 +332,15 @@ def q63_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "udf", "pandas-udaf"),
     oracle="""
 SELECT event_type,
-       CAST(SUM(CASE WHEN isfinite(value) AND abs(value) < 9.0e6
+       CAST(CAST(
+         SUM(CASE WHEN isfinite(value) AND abs(value) < 9.0e6
+                   AND user_id IS NOT NULL
+             THEN CAST(FLOOR(value * 1000000000000.0) AS BIGINT)
+                  * (1 + user_id % 10) END)
+         // SUM(CASE WHEN isfinite(value) AND abs(value) < 9.0e6
                       AND user_id IS NOT NULL
-                THEN CAST(FLOOR(value * 1000000000000.0) AS BIGINT)
-                     * (1 + user_id % 10) END) AS DOUBLE)
-         / CAST(SUM(CASE WHEN isfinite(value) AND abs(value) < 9.0e6
-                      AND user_id IS NOT NULL
-                  THEN 1 + user_id % 10 END) AS DOUBLE)
+                THEN 1 + user_id % 10 END)
+       AS BIGINT) AS DOUBLE)
          / 1000000000000.0 AS wavg_value
 FROM events
 GROUP BY event_type
@@ -1338,12 +1340,18 @@ def q136_event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qy = F.floor(F.col("value") * F.lit(1e6)).cast("bigint")
     base = e.select("event_type", x.alias("x"), qy.alias("qy"))
+    # ALL power sums accumulate in DECIMAL(38,0) (r9: the sf1 scale run
+    # errored ARITHMETIC_OVERFLOW on the long qsxy sum at 200k
+    # rows/group — per-row x*qy ~ 2.6e15 is fine in long, the GROUP sum
+    # is not; the oracle's SUM(BIGINT) was already HUGEINT-exact).
+    # Wire values are unchanged: each emitted double rounds the same
+    # exact integer either way.
     m = base.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
-        F.sum("qy").alias("qsy"),
-        F.sum(F.col("x") * F.col("qy")).alias("qsxy"),
+        F.sum(F.col("qy").cast("decimal(38,0)")).alias("qsy"),
+        F.sum((F.col("x") * F.col("qy")).cast("decimal(38,0)")).alias("qsxy"),
     )
     det = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast(
         "double"

@@ -253,7 +253,7 @@ def test_qwavg_kernel_no_int64_overflow(spark):
     import math
 
     total = sum(math.floor(v * 1e12) * w for _, v, w in rows)
-    expected = float(total) / 3.0 / 1e12
+    expected = float(total // 3) / 1e12  # truncating integer quotient
     assert got == expected  # bit-exact, and positive (no wrap)
     assert got > 0
 

@@ -58,10 +58,21 @@ HEAVY_ORACLES = {
     "q52_norm_stats_per_label",
 }
 
+# Additional exclusions for a specific run (r9): oracles that are
+# tractable at sf0.1 but pathological at the sf1 clone — set
+# PARITY_EXTRA_EXCLUDE=q121_semantic_dedup,... before invoking.
+# The excluded queries' ENGINE side is still timed at sf1 by
+# tools/scale_curve.py; their oracle check stands at sf0.01/sf0.1.
+EXTRA_EXCLUDE = {
+    n for n in os.environ.get("PARITY_EXTRA_EXCLUDE", "").split(",") if n
+}
+
 catalog.load_all_plans()
 TARGETS = sorted(
     name for name, spec in catalog.QUERIES.items()
-    if spec.oracle is not None and name not in HEAVY_ORACLES
+    if spec.oracle is not None
+    and name not in HEAVY_ORACLES
+    and name not in EXTRA_EXCLUDE
 )
 
 
