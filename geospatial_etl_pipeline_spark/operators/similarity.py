@@ -358,6 +358,96 @@ def embedding_near_dup(
     return scored
 
 
+def ivf_cell_near_dup(
+    corpus: DataFrame,
+    ncells: int | None = None,
+    threshold: float = 0.85,
+    topk: int | None = None,
+    nassign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_rows: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs blocked by IVF coarse cells — the scale
+    path for CLUSTERED corpora, where sign-bit blocking degenerates.
+
+    The r9 scale curve measured both dials of
+    :func:`embedding_near_dup` on a 10-centroid clustered corpus:
+    fixed 6-bit sign blocks scale ~quadratically (the bucket count is
+    capped), and auto_block_bits makes it WORSE (2.75 -> 175 s over a
+    10x corpus, tail exponent ~1.9): clustered vectors share their
+    centroid's sign pattern, so adding bits does not split the giant
+    buckets — sign-LSH only equalizes ~uniform sign distributions.
+    Voronoi cells around sampled centroids split exactly what sign
+    bits cannot: expected cell occupancy is n/ncells REGARDLESS of how
+    the corpus clusters. The dial obeys the FLAT-IVF LAW (measured in
+    the r9 scale curve): assignment is an in-row argmax scan over ALL
+    ncells centroids (O(n*ncells*d)) while candidate pairs cost
+    O(ncells * (n/ncells)^2) — ncells ~ n/16 makes the ASSIGNMENT the
+    quadratic term (319 s at the sf1 clone), and the balanced optimum
+    is ncells ~ sqrt(n) (:func:`auto_ncells`), where both terms are
+    O(n^1.5). That is the best any flat coarse quantizer can do on a
+    self-join; sub-n^1.5 requires a hierarchical quantizer (fixed fan-
+    out per level, log depth) — documented as the 100 TB path in
+    SCALING.md, not implemented here. Same assignment machinery as
+    :func:`ivf_topk` (one broadcast struct-array row + in-row argmax
+    fold, map-side only); the self-join shuffles on cent_id (~sqrt(n)
+    distinct keys — never a handful of partitions).
+
+    ``nassign > 1`` assigns each vector to its ``nassign`` nearest
+    cells (the standard boundary-recall mitigation; pairs sharing two
+    cells are deduped by the id-pair key). Recall caveat mirrors
+    embedding_near_dup's: near-dups whose cells all differ are missed.
+    """
+    if ncells is None:
+        n = corpus_rows if corpus_rows is not None else corpus.count()
+        ncells = auto_ncells(n)  # sqrt(n): the flat-IVF balanced dial
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    cents = sampled_centroids(c, ncells, id_col, "_v", seed=seed)
+    carr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "_c"))).alias("_cents")
+    )
+    scored_cells = F.transform(
+        F.col("_cents"),
+        lambda ct: F.struct(
+            (-(_dot(F.col("_v"), ct["_c"]) / _norm(ct["_c"]))).alias(
+                "negscore"
+            ),
+            ct["cent_id"].alias("cent_id"),
+        ),
+    )
+    top = F.slice(F.array_sort(scored_cells), 1, nassign)
+    assigned = (
+        c.crossJoin(F.broadcast(carr))
+        .select(F.col(id_col), "_v", F.explode(top).alias("_t"))
+        .select(id_col, "_v", F.col("_t.cent_id").alias("cent_id"))
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "cent_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "cent_id"
+    )
+    pairs = a.join(b, "cent_id").filter(F.col("id_a") < F.col("id_b"))
+    if nassign > 1:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        (_dot(F.col("_va"), F.col("_vb"))
+         / (_norm(F.col("_va")) * _norm(F.col("_vb")))).alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") >= threshold)
+    if topk is not None:
+        scored = scored.orderBy(
+            F.col("cosine_sim").desc(), F.col("id_a").asc(),
+            F.col("id_b").asc(),
+        ).limit(topk)
+    return scored
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

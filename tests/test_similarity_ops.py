@@ -178,3 +178,60 @@ def test_q121_kernel_rejects_ragged_dims(spark, tmp_path):
     with pytest.raises((PythonException, Py4JJavaError)) as ei:
         catalog.QUERIES["q121_semantic_dedup"].fn(spark, d).collect()
     assert "uniform embedding dimensionality" in str(ei.value)
+
+
+def test_ivf_cell_near_dup_one_cell_is_exact(spark, corpus):
+    """With ncells=1 every pair is a candidate, so the IVF-cell blocked
+    near-dup must EQUAL the exact quadratic pair set — the blocking can
+    only ever remove candidates, never alter a surviving pair's cosine."""
+    import math
+
+    from geospatial_etl_pipeline_spark.operators.similarity import (
+        ivf_cell_near_dup,
+    )
+
+    df = corpus.limit(30)
+    rows = [(r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in df.collect()]
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ivf_cell_near_dup(df, ncells=1, threshold=0.3).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return (d / math.sqrt(sum(x * x for x in a))
+                / math.sqrt(sum(x * x for x in b)))
+
+    want = {
+        (min(a[0], b[0]), max(a[0], b[0]))
+        for i, a in enumerate(rows) for b in rows[i + 1:]
+        if cos(a[1], b[1]) >= 0.3
+    }
+    assert got == want and len(want) > 0
+
+
+def test_ivf_cell_near_dup_subset_of_exact_and_multiassign_recall(
+    spark, corpus
+):
+    """Blocked pairs are always a SUBSET of the exact threshold set,
+    and nassign=2 can only add pairs (boundary-recall mitigation),
+    each reported once despite shared cells."""
+    from geospatial_etl_pipeline_spark.operators.similarity import (
+        ivf_cell_near_dup,
+    )
+
+    df = corpus.limit(60)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ivf_cell_near_dup(df, ncells=1, threshold=0.3).collect()
+    }
+    one = [(r["id_a"], r["id_b"])
+           for r in ivf_cell_near_dup(df, ncells=8, threshold=0.3).collect()]
+    two = [(r["id_a"], r["id_b"])
+           for r in ivf_cell_near_dup(df, ncells=8, threshold=0.3,
+                                      nassign=2).collect()]
+    assert set(one) <= exact
+    assert set(two) <= exact
+    assert set(one) <= set(two)
+    assert len(two) == len(set(two))  # deduped despite 2 assignments
