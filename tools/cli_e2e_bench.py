@@ -72,7 +72,10 @@ def build_regions(path: str) -> int:
 
 
 def main() -> None:
-    out_json = sys.argv[1] if len(sys.argv) > 1 else "CLI_E2E_r04.json"
+    # r9: default became a NON-round-stamped working file — the r4
+    # default silently overwrote the historical CLI_E2E_r04.json
+    # artifact on every later-round run.
+    out_json = sys.argv[1] if len(sys.argv) > 1 else "CLI_E2E.json"
     spark = get_spark("cli-e2e-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
