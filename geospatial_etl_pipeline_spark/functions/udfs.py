@@ -103,9 +103,13 @@ def qwavg_pandas(v: pd.Series, w: pd.Series) -> float:  # -> float = GROUPED_AGG
     # conversion of the same integer (oracle mirrors with
     # CAST(CAST(SUM(..) // SUM(..) AS BIGINT) AS DOUBLE)); the value is
     # the weighted mean truncated at the 1e-12 lattice.  DuckDB's //
-    # TRUNCATES toward zero while Python's floors, so negative totals
-    # (legal: the guard admits negative values) trunc-divide explicitly.
-    q = -((-total) // ws) if total < 0 else total // ws
+    # TRUNCATES toward zero while Python's floors, so the quotient is
+    # formed sign-aware on BOTH operands (r10: negative totals AND
+    # negative weight sums are legal — a negative user_id makes
+    # 1 + user_id % 10 negative in both engines, so assuming ws > 0
+    # left a floor-vs-trunc 1e-12-lattice divergence on mixed signs).
+    sign = -1 if (total < 0) != (ws < 0) else 1
+    q = sign * (abs(total) // abs(ws))
     return float(q) / _S
 
 

@@ -119,12 +119,39 @@ def davg(col: Column | str) -> Column:
     return F.sum(c.cast(DEC)).cast("double") / F.count(c)
 
 
+def sql_big_to_double(expr: str) -> str:
+    """Correctly-rounded wide-integer/decimal -> DOUBLE for DuckDB oracles.
+
+    DuckDB's direct ``CAST(HUGEINT AS DOUBLE)`` (and the
+    DECIMAL(38,*) cast that rides on it) converts the upper and lower
+    64-bit words separately, so it is NOT correctly rounded above 2^64
+    — measured r10: ~1.3% of random 70-bit integers land 1 ulp away
+    from Python's float(int).  Spark's DECIMAL(38,0)->DOUBLE goes
+    through BigDecimal.doubleValue and IS correctly rounded (measured
+    r10: 0/500 mismatches on the same integers).  Routing the oracle's
+    conversion through VARCHAR (exact digits, then DuckDB's
+    correctly-rounded strtod) makes both engines perform ONE correct
+    rounding of the same exact value at ANY magnitude.  Use this for
+    every oracle conversion of an unbounded (HUGEINT / DECIMAL(38,0)
+    qsum_big-class) aggregate to DOUBLE; below 2^64 it is
+    value-identical to the direct cast, so parity hashes don't move."""
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
 def sql_dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+    """Oracle twin of dsum. The DOUBLE conversion routes through
+    VARCHAR (see sql_big_to_double): DuckDB's direct DECIMAL->DOUBLE
+    double-rounds (hugeint->double, then the scale division) and its
+    hugeint conversion is not correctly rounded above 2^64, while
+    Spark's decimal->double is a single correct rounding — the VARCHAR
+    route gives DuckDB the same single correct rounding, value-
+    identical below the 2^53 internal-unit range where both paths were
+    already exact."""
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
 
 
 def sql_davg(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr})"
+    return f"{sql_dsum(expr)} / COUNT({expr})"
 
 
 def qsum(col: Column, scale: int = 12) -> Column:
@@ -167,9 +194,15 @@ def qsum_big(col: Column, scale: int = 12) -> Column:
     is ~3.5x slower per row than int64 (measured on q01, r6), which is
     why qsum remains the choice for bounded groups on hot paths.
 
-    Returns DECIMAL(38,0); call sites cast to double (round-half-even
-    of the exact integer — bit-identical to DuckDB's HUGEINT->DOUBLE)
-    or to string for exact-integer wire columns.
+    Returns DECIMAL(38,0); call sites cast to double or to string for
+    exact-integer wire columns.  WIRE-CONVERSION CONTRACT (r10): Spark's
+    DECIMAL(38,0)->DOUBLE is correctly rounded, but DuckDB's
+    HUGEINT->DOUBLE is NOT above 2^64 (it converts the two 64-bit words
+    separately — ~1.3% of values 1 ulp off, measured) — only ~2x past
+    the int64 horizon this helper exists to cross.  Every oracle that
+    converts the matching SUM to DOUBLE must therefore route through
+    VARCHAR (sql_big_to_double), which is value-identical below 2^64
+    and correctly rounded above it.
     """
     return F.sum(
         F.floor(col * F.lit(float(10**scale)))

@@ -1388,9 +1388,12 @@ scored AS (
 )
 SELECT n_match,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       CAST({sql_qsum('jaccard')} AS DOUBLE) / 1e12 / COUNT(*) AS mean_jaccard,
-       CAST({sql_qsum(f'ABS(CAST(n_match AS DOUBLE) / {float(_NUM_HASHES)!r} - jaccard)')}
-            AS DOUBLE) / 1e12 / COUNT(*) AS mean_abs_err
+       -- VARCHAR route: corpus-sized HUGEINT sums (qsum_big class) —
+       -- DuckDB's direct HUGEINT->DOUBLE mis-rounds above 2^64
+       CAST(CAST({sql_qsum('jaccard')} AS VARCHAR) AS DOUBLE)
+            / 1e12 / COUNT(*) AS mean_jaccard,
+       CAST(CAST({sql_qsum(f'ABS(CAST(n_match AS DOUBLE) / {float(_NUM_HASHES)!r} - jaccard)')}
+            AS VARCHAR) AS DOUBLE) / 1e12 / COUNT(*) AS mean_abs_err
 FROM scored
 GROUP BY n_match
 """,

@@ -545,7 +545,7 @@ def q88_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, user_id,
        CAST(COUNT(*) OVER w AS BIGINT) AS n_last_10m,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_last_10m
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS VARCHAR) AS DOUBLE) AS sum_last_10m
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
@@ -601,7 +601,7 @@ numbered AS (
 SELECT user_id, session_id,
        COUNT(*) AS n_events,
        CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM numbered
 GROUP BY user_id, session_id
 """,
@@ -654,7 +654,7 @@ def q94_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS hr,
          COUNT(*) AS n_events,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS hour_value
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS hour_value
   FROM events GROUP BY user_id, hr
 ),
 bounds AS (
@@ -1293,22 +1293,36 @@ WITH base AS (
   FROM events
 ),
 m AS (
+  -- exact wide-integer sufficient statistics: every per-row product is
+  -- formed in HUGEINT (mirrors Spark's per-row DECIMAL(38,0) operand
+  -- cast — BIGINT*BIGINT would error loudly once a row's x*qy passes
+  -- 2^63), and the group sums stay HUGEINT
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(x) AS BIGINT) AS sx,
-         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
-         SUM(CAST(FLOOR(y * 1000000.0) AS BIGINT)) AS qsy,
-         SUM(x * CAST(FLOOR(y * 1000000.0) AS BIGINT)) AS qsxy
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(CAST(FLOOR(y * 1000000.0) AS BIGINT) AS HUGEINT)) AS qsy,
+         SUM(CAST(x AS HUGEINT)
+             * CAST(FLOOR(y * 1000000.0) AS BIGINT)) AS qsxy
   FROM base GROUP BY event_type
+),
+-- HUGEINT -> DOUBLE routes through VARCHAR: DuckDB's direct cast is not
+-- correctly rounded above 2^64 (r10, sql_big_to_double)
+d AS (
+  SELECT event_type, n,
+         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dsx,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dsxx,
+         CAST(CAST(qsy AS VARCHAR) AS DOUBLE) AS dqsy,
+         CAST(CAST(qsxy AS VARCHAR) AS DOUBLE) AS dqsxy
+  FROM m
 )
 SELECT event_type, n,
-       CASE WHEN n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx > 0
-            THEN (n * (CAST(qsxy AS DOUBLE) / 1000000.0)
-                  - CAST(sx AS DOUBLE) * (CAST(qsy AS DOUBLE) / 1000000.0))
-                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+       CASE WHEN n * dsxx - dsx * dsx > 0
+            THEN (n * (dqsxy / 1000000.0) - dsx * (dqsy / 1000000.0))
+                 / (n * dsxx - dsx * dsx)
             ELSE 0.0 END AS slope,
-       (CAST(qsy AS DOUBLE) / 1000000.0) / n AS mean_value
-FROM m
+       (dqsy / 1000000.0) / n AS mean_value
+FROM d
 """,
 )
 def q136_event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1321,12 +1335,16 @@ def q136_event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     small and slope scale-free; the oracle floors epoch() BEFORE the
     BIGINT cast because DuckDB's double→BIGINT cast ROUNDS sub-second
     timestamps where Spark's unix_timestamp floors — the half-second
-    x shift moved the slope's 7th digit), Σx stays BIGINT, Σx² goes through
-    DECIMAL(38,0) (exact integer arithmetic with 1e38 headroom — a
-    BIGINT Σx² overflows once group time-spans pass ~2^63), y-moments
-    floor-quantize at 1e6, and the closed-form slope is one scalar
-    IEEE chain from those exact values. Degenerate groups (single
-    instant) emit slope 0 instead of 0/0.
+    x shift moved the slope's 7th digit), ALL four moments accumulate
+    in DECIMAL(38,0) with every per-row product formed on a decimal
+    OPERAND (r10: the previous long x*qy wrapped silently before its
+    decimal cast; the oracle mirrors with HUGEINT operands), y-moments
+    floor-quantize at 1e6, each moment reaches its wire double through
+    ONE correct rounding (Spark decimal→double; oracle VARCHAR route —
+    DuckDB's direct HUGEINT cast mis-rounds above 2^64), and the
+    closed-form slope is one scalar IEEE chain from those exact
+    values. Degenerate groups (single instant) emit slope 0 instead
+    of 0/0.
 
     Scale shape: one event_type window for the re-base min shares its
     exchange with the moments aggregate (same key), so the whole query
@@ -1351,7 +1369,10 @@ def q136_event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
         F.sum(F.col("qy").cast("decimal(38,0)")).alias("qsy"),
-        F.sum((F.col("x") * F.col("qy")).cast("decimal(38,0)")).alias("qsxy"),
+        # the operand (not the product) casts to decimal so the per-row
+        # x*qy is exact like sxx one line up — a long*long product wraps
+        # silently past 2^63 before the decimal cast ever sees it
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("qy")).alias("qsxy"),
     )
     det = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast(
         "double"
@@ -3330,8 +3351,12 @@ nb AS (
 SELECT event_type, hr AS hour_start,
        CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
        CAST(v_q IS NOT NULL AS INT) AS observed,
-       CASE WHEN v_q IS NOT NULL THEN v_q * 1e-6
-            ELSE ((v0 * (t1 - hn) + v1 * (hn - t0))
+       -- HUGEINT -> DOUBLE routes through VARCHAR: DuckDB's direct cast
+       -- is not correctly rounded above 2^64 (r10, sql_big_to_double)
+       CASE WHEN v_q IS NOT NULL
+            THEN CAST(CAST(v_q AS VARCHAR) AS DOUBLE) * 1e-6
+            ELSE (CAST(CAST(v0 * (t1 - hn) + v1 * (hn - t0) AS VARCHAR)
+                       AS DOUBLE)
                   / CAST(t1 - t0 AS DOUBLE)) * 1e-6
        END AS value_interp
 FROM nb

@@ -325,7 +325,7 @@ def q10_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_custkey, c.c_name,
        COUNT(o.o_orderkey) AS order_count,
-       COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS total_spend
+       COALESCE(CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE), 0.0) AS total_spend
 FROM customer c
 LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey, c.c_name
@@ -425,7 +425,7 @@ def q14_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_price,
        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
        CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
 FROM orders
@@ -459,7 +459,7 @@ def q15_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n_rows,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 HAVING COUNT(*) > 0
@@ -829,9 +829,9 @@ WITH vol AS (
   JOIN nation n1 ON n1.n_nationkey = s_nationkey
 )
 SELECT o_year,
-       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
-                     ELSE CAST(0.0 AS DECIMAL(38,6)) END) AS DOUBLE)
-         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                     ELSE CAST(0.0 AS DECIMAL(38,6)) END) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS mkt_share
 FROM vol
 GROUP BY o_year
 """,
@@ -1011,7 +1011,7 @@ def q58_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "join", "having"),
     oracle="""
 WITH big AS (
-  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+  SELECT l_orderkey, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_qty
   FROM lineitem GROUP BY l_orderkey
   HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 210.0
 )
@@ -1341,18 +1341,18 @@ def q171_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH vol AS (
   SELECT p.p_type, l.l_suppkey,
-         CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+         CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS qty
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
   GROUP BY p.p_type, l.l_suppkey
 )
 SELECT p_type,
        CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-       CAST(SUM(CAST(qty AS DECIMAL(38,6))) AS DOUBLE) AS total_qty,
+       CAST(CAST(SUM(CAST(qty AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_qty,
        CAST(SUM(CAST(FLOOR(qty * qty) AS BIGINT)) AS DOUBLE)
-         / (CAST(SUM(CAST(qty AS DECIMAL(38,6))) AS DOUBLE)
-            * CAST(SUM(CAST(qty AS DECIMAL(38,6))) AS DOUBLE)) AS hhi,
+         / (CAST(CAST(SUM(CAST(qty AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+            * CAST(CAST(SUM(CAST(qty AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)) AS hhi,
        CAST(MAX(qty) AS DOUBLE)
-         / CAST(SUM(CAST(qty AS DECIMAL(38,6))) AS DOUBLE) AS top_share
+         / CAST(CAST(SUM(CAST(qty AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS top_share
 FROM vol
 GROUP BY p_type
 """,
@@ -1399,7 +1399,7 @@ _LORENZ_BUCKETS = 20
     oracle=f"""
 WITH ltv AS (
   SELECT o_custkey,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total
   FROM orders GROUP BY o_custkey
 ),
 ranked AS (
@@ -1410,10 +1410,11 @@ ranked AS (
 )
 SELECT vigintile,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       CAST(SUM(CAST(total AS DECIMAL(38,6))) AS DOUBLE) AS bucket_revenue,
+       CAST(CAST(SUM(CAST(total AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS bucket_revenue,
        CAST(SUM(SUM(CAST(total AS DECIMAL(38,6)))) OVER
               (ORDER BY vigintile ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-         / CAST(SUM(SUM(CAST(total AS DECIMAL(38,6)))) OVER () AS DOUBLE)
+         / CAST(CAST(SUM(SUM(CAST(total AS DECIMAL(38,6)))) OVER () AS VARCHAR)
+                AS DOUBLE)
          AS cum_revenue_share
 FROM ranked
 GROUP BY vigintile

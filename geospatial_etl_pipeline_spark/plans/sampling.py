@@ -904,8 +904,8 @@ WITH expanded AS (
 ),
 reps AS (
   SELECT b,
-         CAST(SUM(CAST({_sql_boot_weight('bucket')} * o_totalprice
-                       AS DECIMAL(38,6))) AS DOUBLE)
+         CAST(CAST(SUM(CAST({_sql_boot_weight('bucket')} * o_totalprice
+                       AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
            / SUM({_sql_boot_weight('bucket')}) AS rep_mean
   FROM expanded
   GROUP BY b

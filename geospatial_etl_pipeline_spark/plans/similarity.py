@@ -84,7 +84,10 @@ def q50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "llm-data", "agg"),
     oracle=f"""
 SELECT label, i::INT AS dim,
-       CAST({sql_qsum('embedding[i::INT]::DOUBLE')} AS DOUBLE) / {_S!r} / COUNT(*)
+       -- VARCHAR route: this HUGEINT sum is corpus-sized (qsum_big),
+       -- and DuckDB's direct HUGEINT->DOUBLE mis-rounds above 2^64
+       CAST(CAST({sql_qsum('embedding[i::INT]::DOUBLE')} AS VARCHAR) AS DOUBLE)
+         / {_S!r} / COUNT(*)
          AS centroid
 FROM {_SQL_EMB} embeddings, unnest(range(1, len(embedding) + 1)) t(i)
 GROUP BY label, i
@@ -120,7 +123,8 @@ WITH norms AS (
 )
 SELECT label,
        COUNT(*) AS n_vecs,
-       CAST({sql_qsum('l2', 9)} AS DOUBLE) / 1000000000.0 / COUNT(*) AS avg_norm,
+       CAST(CAST({sql_qsum('l2', 9)} AS VARCHAR) AS DOUBLE)
+         / 1000000000.0 / COUNT(*) AS avg_norm,
        MIN(l2) AS min_norm,
        MAX(l2) AS max_norm
 FROM norms GROUP BY label

@@ -258,6 +258,49 @@ def test_qwavg_kernel_no_int64_overflow(spark):
     assert got > 0
 
 
+def test_qwavg_kernel_trunc_divide_mixed_signs(spark):
+    """r10 (advisor): the wire quotient must TRUNCATE toward zero for
+    every sign combination, matching DuckDB's ``//`` — Python's bare
+    ``//`` floors, which diverges by one 1e-12 lattice step whenever
+    total and weight-sum have opposite signs (legal inputs: a negative
+    user_id makes the 1 + user_id % 10 weight negative in both
+    engines)."""
+    from pyspark.sql import functions as F
+
+    from geospatial_etl_pipeline_spark.functions.udfs import qwavg_pandas
+
+    import math
+
+    cases = {
+        # group -> rows of (v, w); weight sums negative / mixed
+        "pos_neg": [(10.7, -3)],                 # total>0 via -? v*w<0
+        "neg_pos": [(-10.7, 3)],
+        "neg_neg": [(-10.7, -3)],
+        "mix": [(5.0, -3), (16.999999999999, 1)],  # ws=-2, total odd>0
+    }
+    rows = [(g, v, w) for g, vw in cases.items() for v, w in vw]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    got = {
+        r["g"]: r["wavg"]
+        for r in df.groupBy("g")
+        .agg(qwavg_pandas(F.col("v"), F.col("w")).alias("wavg"))
+        .collect()
+    }
+    for g, vw in cases.items():
+        total = sum(math.floor(v * 1e12) * w for v, w in vw)
+        ws = sum(w for _, w in vw)
+        sign = -1 if (total < 0) != (ws < 0) else 1
+        expected = float(sign * (abs(total) // abs(ws))) / 1e12
+        assert got[g] == expected, (g, got[g], expected)
+    # the test has teeth: on the mixed-sign case Python's floor
+    # division disagrees with the trunc quotient by one lattice step
+    t_ = sum(math.floor(v * 1e12) * w for v, w in cases["mix"])
+    ws_ = sum(w for _, w in cases["mix"])
+    assert (t_ // ws_) != (-1 if (t_ < 0) != (ws_ < 0) else 1) * (
+        abs(t_) // abs(ws_)
+    )
+
+
 def test_fingerprint_builders_null_contract(spark):
     """The shared builders themselves: NULL-in → NULL-out, and the
     empty document keeps its own (non-NULL) fingerprint — NULL must
