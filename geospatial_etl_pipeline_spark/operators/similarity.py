@@ -40,6 +40,27 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+_QSCALE = 1e12  # shared with plans/similarity._S — the oracle quantizer
+
+
+def quantized_dot(a, b):
+    """Order-independent ENGINE-EXACT dot product: per-element
+    floor((x*y)*1e12) -> BIGINT, exact integer sum — associative, so
+    any reduction order (and any engine) gives the same bits. Twin of
+    plans/similarity._qdot (defined here too because plans import
+    operators, never the reverse). Overflow contract: |x*y|*1e12 per
+    element and the per-vector sum must stay under 2^63 — unit-ish
+    embeddings at any dimensionality < 1e6 are orders of magnitude
+    inside it (bounded-group qsum class, SCALING.md)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: F.floor(x * y * F.lit(_QSCALE)).cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -399,37 +420,62 @@ def ivf_cell_near_dup(
     cells (the standard boundary-recall mitigation; pairs sharing two
     cells are deduped by the id-pair key). Recall caveat mirrors
     embedding_near_dup's: near-dups whose cells all differ are missed.
+
+    All similarity math — the cell-assignment argmax AND the final
+    cosine — runs on floor-quantized integer dots (r10:
+    :func:`quantized_dot`), so the operator is bit-identical to its
+    DuckDB oracle (catalog entry q271) at every magnitude; the
+    per-vector quantized self-norm is computed ONCE at the scan and
+    carried through the assignment as payload, never re-joined
+    (the q55/q56 vnorm discipline).
     """
     if ncells is None:
         n = corpus_rows if corpus_rows is not None else corpus.count()
         ncells = auto_ncells(n)  # sqrt(n): the flat-IVF balanced dial
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    )
+    ).withColumn("_qn", quantized_dot(F.col("_v"), F.col("_v")))
     cents = sampled_centroids(c, ncells, id_col, "_v", seed=seed)
-    carr = cents.agg(
-        F.array_sort(F.collect_list(F.struct("cent_id", "_c"))).alias("_cents")
+    carr = cents.select(
+        "cent_id", "_c", quantized_dot(F.col("_c"), F.col("_c")).alias("_qnc")
+    ).agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "_c", "_qnc"))).alias(
+            "_cents"
+        )
     )
+    # struct(-score, cent_id): ascending struct order == (score DESC,
+    # cent_id ASC) — the same comparator/tiebreak as q56's assignment
+    # and the oracle's row_number window
     scored_cells = F.transform(
         F.col("_cents"),
         lambda ct: F.struct(
-            (-(_dot(F.col("_v"), ct["_c"]) / _norm(ct["_c"]))).alias(
-                "negscore"
-            ),
+            (
+                -(
+                    (quantized_dot(F.col("_v"), ct["_c"]).cast("double")
+                     / F.lit(_QSCALE))
+                    / F.sqrt(ct["_qnc"].cast("double") / F.lit(_QSCALE))
+                )
+            ).alias("negscore"),
             ct["cent_id"].alias("cent_id"),
         ),
     )
     top = F.slice(F.array_sort(scored_cells), 1, nassign)
     assigned = (
         c.crossJoin(F.broadcast(carr))
-        .select(F.col(id_col), "_v", F.explode(top).alias("_t"))
-        .select(id_col, "_v", F.col("_t.cent_id").alias("cent_id"))
+        .select(F.col(id_col), "_v", "_qn", F.explode(top).alias("_t"))
+        .select(id_col, "_v", "_qn", F.col("_t.cent_id").alias("cent_id"))
     )
     a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "cent_id"
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_qn").alias("_qna"),
+        "cent_id",
     )
     b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "cent_id"
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_qn").alias("_qnb"),
+        "cent_id",
     )
     pairs = a.join(b, "cent_id").filter(F.col("id_a") < F.col("id_b"))
     if nassign > 1:
@@ -437,8 +483,14 @@ def ivf_cell_near_dup(
     scored = pairs.select(
         "id_a",
         "id_b",
-        (_dot(F.col("_va"), F.col("_vb"))
-         / (_norm(F.col("_va")) * _norm(F.col("_vb")))).alias("cosine_sim"),
+        (
+            (quantized_dot(F.col("_va"), F.col("_vb")).cast("double")
+             / F.lit(_QSCALE))
+            / (
+                F.sqrt(F.col("_qna").cast("double") / F.lit(_QSCALE))
+                * F.sqrt(F.col("_qnb").cast("double") / F.lit(_QSCALE))
+            )
+        ).alias("cosine_sim"),
     ).filter(F.col("cosine_sim") >= threshold)
     if topk is not None:
         scored = scored.orderBy(

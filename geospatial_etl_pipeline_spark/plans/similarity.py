@@ -270,12 +270,19 @@ def q55_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The blocking key (sign bits of the first {_ND_BITS} components)
     turns the O(n²) pair space into per-bucket self-joins — shuffle
-    keyed on the block. {_ND_BITS} bits fit this test corpus; the
-    production dial is operators.similarity.auto_block_bits
-    (2^nbits ≈ n/16, keeping candidate pairs O(n)) via
-    operators.similarity.embedding_near_dup, which also takes the real
-    dedup threshold (this corpus is near-orthogonal, max pairwise
-    cosine ≈ 0.51, so τ={_ND_TAU} keeps the result non-trivial).
+    keyed on the block. {_ND_BITS} bits fit this test corpus. THE
+    PRODUCTION PATH IS q271 (operators.similarity.ivf_cell_near_dup),
+    NOT a bigger sign-bit dial: the r9 scale curve measured sign-LSH
+    blocking degenerating ~quadratically on clustered corpora — and
+    auto_block_bits making it WORSE (tail exponent ~1.9), because
+    clustered vectors share their centroid's sign pattern, so more
+    bits never split the giant buckets — while IVF Voronoi-cell
+    blocking holds expected occupancy n/ncells regardless of
+    clustering (measured tail 0.95, 4.7x faster at the sf1 clone).
+    This entry stays registered as the flat-corpus/legacy dial and the
+    family's simplest oracle shape (this corpus is near-orthogonal,
+    max pairwise cosine ≈ 0.51, so τ={_ND_TAU} keeps the result
+    non-trivial).
 
     Cosine is computed from per-element floor-quantized integer dots
     (order-free integer sums), so Spark and DuckDB agree bit-for-bit.
@@ -526,6 +533,135 @@ def q56_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= _IVF_TOPK)
     )
+
+
+_IVFND_TOPK = 25
+_IVFND_TAU = 0.0  # cosine threshold, applied BELOW the global top-k
+_IVFND_NCELLS_FLOOR = 16  # auto_ncells' 4*nprobe floor, mirrored in SQL
+
+
+@register(
+    "q271_ivf_cell_near_dup",
+    tags=("similarity", "dedup", "llm-data", "ann", "ivf", "topk"),
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM {_SQL_EMB} embeddings
+),
+nc AS (
+  -- auto_ncells' sqrt(n) production dial, computed FROM the corpus:
+  -- the oracle sizes the quantizer exactly like the operator does at
+  -- any scale factor (floor 16 = 4*nprobe)
+  SELECT GREATEST({_IVFND_NCELLS_FLOOR},
+                  CAST(FLOOR(SQRT(COUNT(*))) AS INT)) AS ncells
+  FROM e
+),
+ranked AS (
+  SELECT row_number() OVER (
+           ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cent_id,
+         embedding AS cv
+  FROM e
+),
+cents AS (
+  SELECT cent_id, cv FROM ranked WHERE cent_id < (SELECT ncells FROM nc)
+),
+cnorm AS (
+  SELECT cent_id, {sql_qsum('cv[i::INT]::DOUBLE * cv[i::INT]::DOUBLE')} AS qnc
+  FROM cents, unnest(range(1, len(cv) + 1)) t(i) GROUP BY cent_id
+),
+vnorm AS (
+  SELECT vec_id,
+         {sql_qsum('embedding[i::INT]::DOUBLE * embedding[i::INT]::DOUBLE')} AS qn
+  FROM e, unnest(range(1, len(embedding) + 1)) t(i) GROUP BY vec_id
+),
+vass AS (
+  SELECT v.vec_id, k.cent_id,
+         {sql_qsum('v.embedding[i::INT]::DOUBLE * k.cv[i::INT]::DOUBLE')} AS qd
+  FROM e v, cents k, unnest(range(1, len(v.embedding) + 1)) t(i)
+  GROUP BY v.vec_id, k.cent_id
+),
+cells AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT v.vec_id, v.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY (CAST(v.qd AS DOUBLE) / {_S!r})
+                        / sqrt(CAST(n.qnc AS DOUBLE) / {_S!r}) DESC,
+                      v.cent_id ASC) AS arn
+    FROM vass v JOIN cnorm n USING (cent_id)
+  ) WHERE arn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+),
+pdot AS (
+  SELECT p.id_a, p.id_b,
+         {sql_qsum('ea.embedding[i::INT]::DOUBLE * eb.embedding[i::INT]::DOUBLE')} AS qd
+  FROM pairs p
+  JOIN e ea ON ea.vec_id = p.id_a
+  JOIN e eb ON eb.vec_id = p.id_b,
+  unnest(range(1, len(ea.embedding) + 1)) t(i)
+  GROUP BY p.id_a, p.id_b
+)
+SELECT * FROM (
+  SELECT d.id_a, d.id_b,
+         (CAST(d.qd AS DOUBLE) / {_S!r})
+           / (sqrt(CAST(na.qn AS DOUBLE) / {_S!r})
+              * sqrt(CAST(nb.qn AS DOUBLE) / {_S!r})) AS cosine_sim
+  FROM pdot d
+  JOIN vnorm na ON na.vec_id = d.id_a
+  JOIN vnorm nb ON nb.vec_id = d.id_b
+)
+WHERE cosine_sim >= {_IVFND_TAU!r}
+ORDER BY cosine_sim DESC, id_a ASC, id_b ASC
+LIMIT {_IVFND_TOPK}
+""",
+)
+def q271_ivf_cell_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by IVF Voronoi cells — the
+    q55-family PRODUCTION dial, registered so the driver's correctness
+    gate exercises the operator a 100 TB user would actually run
+    (r9 verdict item 1).
+
+    Why this is the production path: the r9 scale curve measured q55's
+    sign-LSH blocking degenerating ~quadratically on CLUSTERED
+    embedding corpora (the realistic shape — auto_block_bits tail
+    exponent ~1.9, because clustered vectors share their centroid's
+    sign pattern and more bits never split the giant buckets), while
+    cell blocking keeps expected occupancy n/ncells REGARDLESS of
+    clustering: measured tail 0.95 and 4.7x faster at the sf1 clone
+    (SCALE_CURVE_r09.json). The √n ncells dial balances the flat-IVF
+    cost law — assignment O(n·ncells·d) vs pairs O(ncells·(n/ncells)²)
+    — and is computed from the corpus in BOTH engines (oracle CTE
+    ``nc``), so the catalog entry runs the true dial at every scale
+    factor, not a parity-pinned constant.
+
+    This entry calls operators.similarity.ivf_cell_near_dup DIRECTLY
+    (no plan-side reimplementation): r10 moved the operator's
+    assignment argmax and final cosine onto floor-quantized integer
+    dots, so the operator itself is bit-identical to this oracle. One
+    corpus count() sizes the index (sanctioned driver action: index
+    sizing). τ={_IVFND_TAU} below a global top-{_IVFND_TOPK} mirrors
+    q55's dial on this near-orthogonal test corpus.
+
+    Plan shape (asserted in tests/test_plan_shapes.py): ONE broadcast
+    centroid-array row (map-side assignment — the corpus is never
+    exchanged to be assigned), the pair self-join shuffles on cent_id
+    (~√n distinct keys), and no BroadcastNestedLoop/CartesianProduct
+    anywhere."""
+    from ..operators.similarity import auto_ncells, ivf_cell_near_dup
+
+    e = temb(spark, sf_dir)
+    n = e.count()  # index sizing — the one sanctioned driver action here
+    out = ivf_cell_near_dup(
+        e,
+        ncells=auto_ncells(n),
+        threshold=_IVFND_TAU,
+        topk=_IVFND_TOPK,
+        corpus_rows=n,
+    )
+    return out.select("id_a", "id_b", "cosine_sim")
 
 
 @register(

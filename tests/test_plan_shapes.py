@@ -201,6 +201,38 @@ def test_ivf_operator_auto_ncells_sqrt_dial():
     assert auto_ncells(10_000_000_000) == 100_000
 
 
+def test_q271_ivf_cell_near_dup_plan_shape(spark):
+    """The q55-family production dial (r10 catalog entry): centroid
+    assignment must ride ONE broadcast single-row centroid array (the
+    corpus is never exchanged to be assigned — BroadcastExchange +
+    in-row argmax fold), the pair self-join must shuffle on cent_id
+    (an equi-join — never BroadcastNestedLoop/Cartesian), the sampled
+    centroid pick must stay a partial top-k (TakeOrderedAndProject,
+    no global Sort of the corpus), and the whole query stays
+    Python-free."""
+    p = plan_text(catalog.QUERIES["q271_ivf_cell_near_dup"].fn(spark, SF))
+    assert "BroadcastExchange" in p                      # centroid array
+    # every nested-loop join must be the sanctioned broadcast
+    # single-row centroid-array CROSS (formatted explain prints each
+    # node once in the tree — where the join type shows — and once in
+    # the details list); the PAIR join itself must never be one
+    assert p.count("BroadcastNestedLoopJoin Cross BuildRight") * 2 == p.count(
+        "BroadcastNestedLoopJoin"
+    )
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p                  # centroid pick
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the pair self-join is a hash EQUI-join keyed on cent_id (at test
+    # scale AQE may broadcast one side — fine; what may never appear is
+    # a nested-loop/cartesian pair join, asserted above)
+    assert "cent_id" in p
+    assert (
+        "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p
+    )
+
+
 def test_q39_split_is_map_side_only(spark):
     """The train/val/test split must be a pure scan projection — zero
     exchanges: a split that shuffles 100 TB to label rows is broken."""
