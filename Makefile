@@ -39,11 +39,11 @@ scale-data:      ## seed-deterministic sf0.1/0.3/1 clones -> .scaledata/
 	python tools/gen_scale_data.py 0.3
 	python tools/gen_scale_data.py 1.0
 
-scale-curve:     ## per-query scaling exponents over the clones (r9)
-	python tools/scale_curve.py --out SCALE_CURVE_r09.json
+scale-curve:     ## per-query scaling exponents over the clones (r10)
+	python tools/scale_curve.py --out SCALE_CURVE_r10.json
 
-parity-scale:    ## full oracle sweep at the sf1 clone (r9) — 10x sf0.1
-	python tools/parity_sf01.py PARITY_SCALE_r09.json /root/repo/.scaledata/sf1
+parity-scale:    ## full oracle sweep at the sf1 clone (r10) — 10x sf0.1
+	python tools/parity_sf01.py PARITY_SCALE_r10.json /root/repo/.scaledata/sf1
 
 bench:           ## headline queries at sf0.1, one JSON line
 	python bench.py

@@ -1123,13 +1123,24 @@ def q121_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_KM_K} only to stay in lockstep with the q118/q114 oracle
     family), and group parallelism = k, so the dial also sets how many
     executor cores the prune can use."""
+    return semdedup_prune(spark, sf_dir, _KM_K)
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """q121's full SemDeDup pipeline with the cluster count as the
+    dial: the registered entry pins k=_KM_K to stay in lockstep with
+    the q118/q114 oracle family; the scale curve probes the production
+    dial (k = √n, the flat-quantizer balanced law — assignment
+    O(n·k·d) vs per-cluster pairs O(n²/k) meet at k≈√n, exactly the
+    ivf_cell_near_dup cost law) through this same code path so the
+    measured exponent is the registered kernel's, not a shadow's."""
     import numpy as np
     import pandas as pd
 
     from ..operators.clustering import assign_clusters, init_centroids
 
     e = temb(spark, sf_dir)
-    cents = init_centroids(e, _KM_K)
+    cents = init_centroids(e, k)
     a = assign_clusters(e, cents).select("vec_id", "cluster", "_v")
 
     tau, scale = float(_SD_TAU), float(_S)

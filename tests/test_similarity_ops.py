@@ -235,3 +235,72 @@ def test_ivf_cell_near_dup_subset_of_exact_and_multiassign_recall(
     assert set(two) <= exact
     assert set(one) <= set(two)
     assert len(two) == len(set(two))  # deduped despite 2 assignments
+
+
+def test_hierarchical_cell_near_dup_fanout1_is_exact(spark, corpus):
+    """fanout=1 collapses both levels to a single leaf, so the
+    two-level blocked near-dup must EQUAL the exact quadratic pair set
+    — and because both operators quantize identically, the surviving
+    pairs' cosines must be bit-identical to the flat path's."""
+    from geospatial_etl_pipeline_spark.operators.similarity import (
+        hierarchical_cell_near_dup,
+        ivf_cell_near_dup,
+    )
+
+    df = corpus.limit(30)
+    flat = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in ivf_cell_near_dup(df, ncells=1, threshold=0.3).collect()
+    }
+    hier = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in hierarchical_cell_near_dup(
+            df, fanout=1, threshold=0.3
+        ).collect()
+    }
+    assert hier == flat and len(flat) > 0  # sets AND bit-equal cosines
+
+
+def test_hierarchical_cell_near_dup_subset_and_recall(spark, corpus):
+    """Two-level blocked pairs are a SUBSET of the exact threshold set;
+    nassign=2 (applied at both levels) can only add pairs, each
+    reported once; and the leaf blocking is at least as fine as its
+    own level-1 blocking (a pair sharing a leaf shares the L1 cell by
+    construction)."""
+    from geospatial_etl_pipeline_spark.operators.similarity import (
+        hierarchical_cell_near_dup,
+        ivf_cell_near_dup,
+    )
+
+    df = corpus.limit(60)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ivf_cell_near_dup(df, ncells=1, threshold=0.3).collect()
+    }
+    one = [
+        (r["id_a"], r["id_b"])
+        for r in hierarchical_cell_near_dup(
+            df, fanout=3, threshold=0.3
+        ).collect()
+    ]
+    two = [
+        (r["id_a"], r["id_b"])
+        for r in hierarchical_cell_near_dup(
+            df, fanout=3, threshold=0.3, nassign=2
+        ).collect()
+    ]
+    assert set(one) <= exact
+    assert set(two) <= exact
+    assert set(one) <= set(two)
+    assert len(one) == len(set(one))
+    assert len(two) == len(set(two))
+
+
+def test_hierarchical_auto_fanout_cube_root_dial():
+    from geospatial_etl_pipeline_spark.operators.similarity import (
+        auto_fanout,
+    )
+
+    assert auto_fanout(10) == 4              # floor
+    assert auto_fanout(1_000_000) == 100     # n^(1/3)
+    assert auto_fanout(1_000_000_000) == 1000

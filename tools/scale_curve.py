@@ -43,7 +43,7 @@ harness only needs a SparkSession and parquet dirs.
 
 Usage:
     python tools/scale_curve.py [--sfs 0.1,0.3,1] [--root .scaledata]
-        [--reps 3] [--out SCALE_CURVE_r09.json] [--families headline,heavy,risk]
+        [--reps 3] [--out SCALE_CURVE_r10.json] [--families headline,heavy,risk]
 """
 
 from __future__ import annotations
@@ -79,10 +79,9 @@ def _q55_production(spark, sf_dir):
 
 
 def _q55_ivf_cells(spark, sf_dir):
-    """q55 re-blocked on IVF coarse cells (operators.similarity.
-    ivf_cell_near_dup): cells ~ n/16 keep expected occupancy ~16 on ANY
-    cluster structure, where sign-bit blocking degenerates on clustered
-    corpora (see the operator docstring for the measured comparison)."""
+    """q55 re-blocked on IVF coarse cells — since r10 this is the
+    REGISTERED q271 production path (√n cells, quantized scoring);
+    kept as a variant row so the r9→r10 series stays comparable."""
     from geospatial_etl_pipeline_spark.operators.similarity import (
         ivf_cell_near_dup,
     )
@@ -91,9 +90,44 @@ def _q55_ivf_cells(spark, sf_dir):
     return ivf_cell_near_dup(temb(spark, sf_dir), threshold=0.0, topk=25)
 
 
+def _q55_hier_cells(spark, sf_dir):
+    """The two-level hierarchical quantizer (r10): fanout = n^(1/3)
+    per level balances two assignment passes and within-leaf pairs at
+    O(n^(4/3)·d) — the named sub-n^1.5 path past the flat-IVF law.
+    This probe measures where the extra corpus exchange (level-2
+    window + sub-centroid join) stops paying for the smaller leaves."""
+    from geospatial_etl_pipeline_spark.operators.similarity import (
+        hierarchical_cell_near_dup,
+    )
+    from geospatial_etl_pipeline_spark.plans._util import temb
+
+    return hierarchical_cell_near_dup(
+        temb(spark, sf_dir), threshold=0.0, topk=25
+    )
+
+
+def _q121_production(spark, sf_dir):
+    """q121 SemDeDup with the production cluster dial k = √n (the
+    flat-quantizer balanced law — the registered entry pins k=8 for
+    oracle lockstep with q118/q114, which makes per-cluster pair work
+    n²/8, super-linear by construction). Runs the SAME registered
+    kernel via plans.similarity.semdedup_prune, so the exponent is the
+    production path's, not a reimplementation's (r9 verdict item 5)."""
+    from geospatial_etl_pipeline_spark.operators.similarity import (
+        auto_ncells,
+    )
+    from geospatial_etl_pipeline_spark.plans._util import temb
+    from geospatial_etl_pipeline_spark.plans.similarity import semdedup_prune
+
+    n = temb(spark, sf_dir).count()
+    return semdedup_prune(spark, sf_dir, auto_ncells(n))
+
+
 VARIANTS = {
     "q55_production_dial": _q55_production,
     "q55_ivf_cells": _q55_ivf_cells,
+    "q55_hier_cells": _q55_hier_cells,
+    "q121_production_dial": _q121_production,
 }
 
 RISK = [
@@ -105,6 +139,30 @@ RISK = [
     "q232_d8_flow_accumulation",
     "q269_dup_graph_triangles",
     "q270_dup_graph_assortativity",
+    # r10 extension (r9 verdict item 4): the corpus-exchange-heavy
+    # families the first sweep skipped
+    "q271_ivf_cell_near_dup",          # the new registered production dial
+    "q151_rolling_weekly_actives",     # rolling distinct (exact)
+    "q201_rolling_weekly_actives_sketch",  # its HLL swap — scale is the point
+    "q217_bigram_lm_score",            # bigram-SMJ LM family
+    "q218_source_divergence",
+    "q219_dsir_importance",
+    "q155_vocab_growth",               # Heaps (documented vocab-sort hot part)
+    "q156_zipf_curve",                 # Zipf
+    "q195_linear_attribution",         # window-heavy event composites
+    "q197_deseasonalized_anomalies",
+    "q199_repeat_purchase_cohorts",
+    # corpus-sized aggregation / gap-fill / calibration shapes
+    "q100_hourly_gap_fill",
+    "q213_linear_interpolation",
+    "q230_cusum_changepoint",
+    "q136_event_value_trend",
+    "q163_minhash_calibration",
+    "q51_label_centroids",
+    "q52_norm_stats_per_label",
+    "q77_incremental_dedup",
+    "q78_canonical_doc_selection",
+    "q94_session_stats",
 ]
 
 
@@ -126,7 +184,7 @@ def main() -> None:
     sfs = [float(s) for s in _opt("--sfs", "0.1,0.3,1").split(",")]
     root = _opt("--root", "/root/repo/.scaledata")
     reps = int(_opt("--reps", "3"))
-    out_path = _opt("--out", "/root/repo/SCALE_CURVE_r09.json")
+    out_path = _opt("--out", "/root/repo/SCALE_CURVE_r10.json")
     fams = _opt("--families", "headline,heavy,risk").split(",")
     names: list[str] = []
     if "headline" in fams:
