@@ -507,8 +507,22 @@ def auto_fanout(corpus_rows: int, floor: int = 4) -> int:
     O(f²·(n/f²)²) = O(n²/f²).  f = n^(1/3) balances assignment and
     pair work at O(n^(4/3)·d) — strictly below the flat quantizer's
     measured-optimal O(n^(3/2)) (the r9 flat-IVF law).  Floor keeps
-    tiny corpora from degenerate 1-cell levels."""
-    return max(floor, round(corpus_rows ** (1.0 / 3.0)))
+    tiny corpora from degenerate 1-cell levels.
+
+    EXACT integer cube root (largest f with f³ ≤ n), not a float
+    round: libm pow is not correctly rounded, so a float cube root
+    could disagree by 1 ulp with the SQL oracle's computation of the
+    same dial — integer arithmetic is the only form both engines
+    reproduce bit-identically at every corpus size (the q272
+    contract; same reason the √n dial uses IEEE sqrt, which IS
+    correctly rounded)."""
+    n = max(corpus_rows, 1)
+    f = round(n ** (1.0 / 3.0)) or 1
+    while f**3 > n:
+        f -= 1
+    while (f + 1) ** 3 <= n:
+        f += 1
+    return max(floor, f)
 
 
 def hierarchical_cell_near_dup(

@@ -665,6 +665,155 @@ def q271_ivf_cell_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q272_hierarchical_near_dup",
+    tags=("similarity", "dedup", "llm-data", "ann", "ivf", "topk",
+          "hierarchical"),
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM {_SQL_EMB} embeddings
+),
+fc AS (
+  -- auto_fanout's EXACT integer cube root (largest f with f^3 <= n,
+  -- floor 4): integer arithmetic is the only cube-root form both
+  -- engines reproduce bit-identically (libm pow is not correctly
+  -- rounded); range bound 1e5 covers corpora to 1e15 rows
+  SELECT GREATEST(4, (SELECT MAX(t.f)
+                      FROM (SELECT unnest(range(1, 100001)) AS f) t
+                      WHERE t.f * t.f * t.f <= (SELECT COUNT(*) FROM e)))
+         AS f
+),
+r1 AS (
+  SELECT row_number() OVER (
+           ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cent_id,
+         embedding AS cv
+  FROM e
+),
+c1 AS (SELECT cent_id, cv FROM r1 WHERE cent_id < (SELECT f FROM fc)),
+n1 AS (
+  SELECT cent_id, {sql_qsum('cv[i::INT]::DOUBLE * cv[i::INT]::DOUBLE')} AS qnc
+  FROM c1, unnest(range(1, len(cv) + 1)) t(i) GROUP BY cent_id
+),
+v1 AS (
+  SELECT v.vec_id, k.cent_id,
+         {sql_qsum('v.embedding[i::INT]::DOUBLE * k.cv[i::INT]::DOUBLE')} AS qd
+  FROM e v, c1 k, unnest(range(1, len(v.embedding) + 1)) t(i)
+  GROUP BY v.vec_id, k.cent_id
+),
+a1 AS (
+  SELECT vec_id, cent_id AS cell1 FROM (
+    SELECT v.vec_id, v.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY (CAST(v.qd AS DOUBLE) / {_S!r})
+                        / sqrt(CAST(n.qnc AS DOUBLE) / {_S!r}) DESC,
+                      v.cent_id ASC) AS arn
+    FROM v1 v JOIN n1 n USING (cent_id)
+  ) WHERE arn = 1
+),
+subs AS (
+  SELECT a.cell1, a.vec_id, e.embedding,
+         row_number() OVER (PARTITION BY a.cell1
+           ORDER BY md5('42b:' || CAST(a.vec_id AS VARCHAR)), a.vec_id) - 1
+           AS srn
+  FROM a1 a JOIN e ON e.vec_id = a.vec_id
+),
+c2 AS (
+  SELECT cell1, srn AS cent_id, embedding AS cv
+  FROM subs WHERE srn < (SELECT f FROM fc)
+),
+n2 AS (
+  SELECT cell1, cent_id,
+         {sql_qsum('cv[i::INT]::DOUBLE * cv[i::INT]::DOUBLE')} AS qnc
+  FROM c2, unnest(range(1, len(cv) + 1)) t(i) GROUP BY cell1, cent_id
+),
+v2 AS (
+  SELECT s.vec_id, s.cell1, k.cent_id,
+         {sql_qsum('s.embedding[i::INT]::DOUBLE * k.cv[i::INT]::DOUBLE')} AS qd
+  FROM subs s JOIN c2 k ON k.cell1 = s.cell1,
+       unnest(range(1, len(s.embedding) + 1)) t(i)
+  GROUP BY s.vec_id, s.cell1, k.cent_id
+),
+a2 AS (
+  SELECT vec_id, cell1, cent_id AS cell2 FROM (
+    SELECT v.vec_id, v.cell1, v.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY (CAST(v.qd AS DOUBLE) / {_S!r})
+                        / sqrt(CAST(n.qnc AS DOUBLE) / {_S!r}) DESC,
+                      v.cent_id ASC) AS arn
+    FROM v2 v JOIN n2 n ON n.cell1 = v.cell1 AND n.cent_id = v.cent_id
+  ) WHERE arn = 1
+),
+vnorm AS (
+  SELECT vec_id,
+         {sql_qsum('embedding[i::INT]::DOUBLE * embedding[i::INT]::DOUBLE')} AS qn
+  FROM e, unnest(range(1, len(embedding) + 1)) t(i) GROUP BY vec_id
+),
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM a2 x JOIN a2 y
+    ON x.cell1 = y.cell1 AND x.cell2 = y.cell2 AND x.vec_id < y.vec_id
+),
+pdot AS (
+  SELECT p.id_a, p.id_b,
+         {sql_qsum('ea.embedding[i::INT]::DOUBLE * eb.embedding[i::INT]::DOUBLE')} AS qd
+  FROM pairs p
+  JOIN e ea ON ea.vec_id = p.id_a
+  JOIN e eb ON eb.vec_id = p.id_b,
+  unnest(range(1, len(ea.embedding) + 1)) t(i)
+  GROUP BY p.id_a, p.id_b
+)
+SELECT * FROM (
+  SELECT d.id_a, d.id_b,
+         (CAST(d.qd AS DOUBLE) / {_S!r})
+           / (sqrt(CAST(na.qn AS DOUBLE) / {_S!r})
+              * sqrt(CAST(nb.qn AS DOUBLE) / {_S!r})) AS cosine_sim
+  FROM pdot d
+  JOIN vnorm na ON na.vec_id = d.id_a
+  JOIN vnorm nb ON nb.vec_id = d.id_b
+)
+WHERE cosine_sim >= {_IVFND_TAU!r}
+ORDER BY cosine_sim DESC, id_a ASC, id_b ASC
+LIMIT {_IVFND_TOPK}
+""",
+)
+def q272_hierarchical_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by the TWO-LEVEL hierarchical
+    quantizer — the sub-n^1.5 scale path past flat IVF (q271),
+    registered r10 so the driver gates the operator rather than a
+    property-tested shadow.
+
+    Level 1 is q271's machinery verbatim (md5-sampled centroids,
+    broadcast struct-array, in-row quantized argmax); level 2 refines
+    within each cell via a per-cell md5-ranked sub-centroid draw and a
+    second argmax; pairs join on the composite (cell, subcell) key —
+    f² leaves of expected occupancy n/f².  auto_fanout's EXACT integer
+    cube root (f³ ≤ n, mirrored in the oracle's integer MAX — libm pow
+    is not correctly rounded, so a float cube root could 1-ulp-split
+    the dial across engines) balances both assignment passes and
+    within-leaf pair work at O(n^(4/3)·d), below the flat path's
+    measured-optimal O(n^1.5); the crossover against flat IVF's lower
+    constant is measured in SCALE_CURVE_r10 (q55_hier_cells), not
+    asserted.
+
+    All scoring is floor-quantized integer dots — the operator itself
+    (operators.similarity.hierarchical_cell_near_dup) is called
+    directly and is bit-identical to this oracle.  One corpus count()
+    sizes the fan-out (sanctioned driver action: index sizing)."""
+    from ..operators.similarity import auto_fanout, hierarchical_cell_near_dup
+
+    e = temb(spark, sf_dir)
+    n = e.count()  # index sizing — the one sanctioned driver action here
+    out = hierarchical_cell_near_dup(
+        e,
+        fanout=auto_fanout(n),
+        threshold=_IVFND_TAU,
+        topk=_IVFND_TOPK,
+        corpus_rows=n,
+    )
+    return out.select("id_a", "id_b", "cosine_sim")
+
+
+@register(
     "q54_ann_lsh_topk",
     tags=("similarity", "llm-data", "ann", "lsh", "topk"),
     oracle=None,  # the Gaussian-plane float-matmul path is not

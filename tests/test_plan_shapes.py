@@ -233,6 +233,27 @@ def test_q271_ivf_cell_near_dup_plan_shape(spark):
     )
 
 
+def test_q272_hierarchical_near_dup_plan_shape(spark):
+    """The two-level quantizer (r10): level 1 rides the broadcast
+    centroid array; every nested-loop join is a sanctioned single-row
+    cross; the level-2 sub-centroid draw's rank filter must be pruned
+    map-side (WindowGroupLimit — a full per-cell sort materializing
+    the corpus would be the scale-killer); pairs block on the
+    composite (cell1, cell2) equi-key; Python-free."""
+    p = plan_text(
+        catalog.QUERIES["q272_hierarchical_near_dup"].fn(spark, SF)
+    )
+    assert "BroadcastExchange" in p
+    assert p.count("BroadcastNestedLoopJoin Cross BuildRight") * 2 == p.count(
+        "BroadcastNestedLoopJoin"
+    )
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p                  # L1 centroid pick
+    assert "WindowGroupLimit" in p                       # L2 rank pruning
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "cell1" in p and "cell2" in p
+
+
 def test_q39_split_is_map_side_only(spark):
     """The train/val/test split must be a pure scan projection — zero
     exchanges: a split that shuffles 100 TB to label rows is broken."""

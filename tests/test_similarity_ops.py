@@ -302,5 +302,11 @@ def test_hierarchical_auto_fanout_cube_root_dial():
     )
 
     assert auto_fanout(10) == 4              # floor
-    assert auto_fanout(1_000_000) == 100     # n^(1/3)
+    assert auto_fanout(1_000_000) == 100     # n^(1/3), exact
     assert auto_fanout(1_000_000_000) == 1000
+    # exact integer cube root, never a float round-up: 500^(1/3) ≈ 7.94
+    # rounds to 8 but 8³ = 512 > 500 — the dial must say 7 (what the
+    # SQL oracle's MAX(f) WHERE f*f*f <= n computes)
+    assert auto_fanout(500) == 7
+    assert auto_fanout(512) == 8
+    assert auto_fanout(511) == 7
