@@ -142,6 +142,7 @@ RISK = [
     # r10 extension (r9 verdict item 4): the corpus-exchange-heavy
     # families the first sweep skipped
     "q271_ivf_cell_near_dup",          # the new registered production dial
+    "q272_hierarchical_near_dup",      # the registered sub-n^1.5 path
     "q151_rolling_weekly_actives",     # rolling distinct (exact)
     "q201_rolling_weekly_actives_sketch",  # its HLL swap — scale is the point
     "q217_bigram_lm_score",            # bigram-SMJ LM family
