@@ -521,11 +521,11 @@ def q20_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "window"),
     oracle="""
 SELECT o_custkey, o_orderkey, o_orderdate,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
          PARTITION BY o_custkey
          ORDER BY o_orderdate ASC NULLS LAST, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS DOUBLE) AS running_spend,
+       ) AS VARCHAR) AS DOUBLE) AS running_spend,
        CAST(LAG(o_totalprice) OVER (
          PARTITION BY o_custkey
          ORDER BY o_orderdate ASC NULLS LAST, o_orderkey
