@@ -389,6 +389,61 @@ def embedding_near_dup(
     return scored
 
 
+def ivf_cell_assignments(
+    corpus: DataFrame,
+    ncells: int | None = None,
+    nassign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_rows: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """The flat-IVF blocking relation: (id, _v, _qn, cent_id) — each
+    vector with its quantized self-norm and its (top-``nassign``)
+    Voronoi cell(s) around the md5-sampled centroids.  Extracted from
+    :func:`ivf_cell_near_dup` (r10) so the recall census (q273) audits
+    EXACTLY the assignment the registered near-dup pairs on — a
+    re-derivation could drift.  Map-side only: one broadcast
+    struct-array row + an in-row quantized argmax; the corpus is never
+    exchanged to be assigned."""
+    if ncells is None:
+        n = corpus_rows if corpus_rows is not None else corpus.count()
+        ncells = auto_ncells(n)  # sqrt(n): the flat-IVF balanced dial
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("_qn", quantized_dot(F.col("_v"), F.col("_v")))
+    cents = sampled_centroids(c, ncells, id_col, "_v", seed=seed)
+    carr = cents.select(
+        "cent_id", "_c", quantized_dot(F.col("_c"), F.col("_c")).alias("_qnc")
+    ).agg(
+        F.array_sort(F.collect_list(F.struct("cent_id", "_c", "_qnc"))).alias(
+            "_cents"
+        )
+    )
+    # struct(-score, cent_id): ascending struct order == (score DESC,
+    # cent_id ASC) — the same comparator/tiebreak as q56's assignment
+    # and the oracle's row_number window
+    scored_cells = F.transform(
+        F.col("_cents"),
+        lambda ct: F.struct(
+            (
+                -(
+                    (quantized_dot(F.col("_v"), ct["_c"]).cast("double")
+                     / F.lit(_QSCALE))
+                    / F.sqrt(ct["_qnc"].cast("double") / F.lit(_QSCALE))
+                )
+            ).alias("negscore"),
+            ct["cent_id"].alias("cent_id"),
+        ),
+    )
+    top = F.slice(F.array_sort(scored_cells), 1, nassign)
+    return (
+        c.crossJoin(F.broadcast(carr))
+        .select(F.col(id_col), "_v", "_qn", F.explode(top).alias("_t"))
+        .select(id_col, "_v", "_qn", F.col("_t.cent_id").alias("cent_id"))
+    )
+
+
 def ivf_cell_near_dup(
     corpus: DataFrame,
     ncells: int | None = None,
@@ -439,41 +494,14 @@ def ivf_cell_near_dup(
     carried through the assignment as payload, never re-joined
     (the q55/q56 vnorm discipline).
     """
-    if ncells is None:
-        n = corpus_rows if corpus_rows is not None else corpus.count()
-        ncells = auto_ncells(n)  # sqrt(n): the flat-IVF balanced dial
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).withColumn("_qn", quantized_dot(F.col("_v"), F.col("_v")))
-    cents = sampled_centroids(c, ncells, id_col, "_v", seed=seed)
-    carr = cents.select(
-        "cent_id", "_c", quantized_dot(F.col("_c"), F.col("_c")).alias("_qnc")
-    ).agg(
-        F.array_sort(F.collect_list(F.struct("cent_id", "_c", "_qnc"))).alias(
-            "_cents"
-        )
-    )
-    # struct(-score, cent_id): ascending struct order == (score DESC,
-    # cent_id ASC) — the same comparator/tiebreak as q56's assignment
-    # and the oracle's row_number window
-    scored_cells = F.transform(
-        F.col("_cents"),
-        lambda ct: F.struct(
-            (
-                -(
-                    (quantized_dot(F.col("_v"), ct["_c"]).cast("double")
-                     / F.lit(_QSCALE))
-                    / F.sqrt(ct["_qnc"].cast("double") / F.lit(_QSCALE))
-                )
-            ).alias("negscore"),
-            ct["cent_id"].alias("cent_id"),
-        ),
-    )
-    top = F.slice(F.array_sort(scored_cells), 1, nassign)
-    assigned = (
-        c.crossJoin(F.broadcast(carr))
-        .select(F.col(id_col), "_v", "_qn", F.explode(top).alias("_t"))
-        .select(id_col, "_v", "_qn", F.col("_t.cent_id").alias("cent_id"))
+    assigned = ivf_cell_assignments(
+        corpus,
+        ncells=ncells,
+        nassign=nassign,
+        id_col=id_col,
+        vec_col=vec_col,
+        corpus_rows=corpus_rows,
+        seed=seed,
     )
     a = assigned.select(
         F.col(id_col).alias("id_a"),
@@ -535,49 +563,24 @@ def auto_fanout(corpus_rows: int, floor: int = 4) -> int:
     return max(floor, f)
 
 
-def hierarchical_cell_near_dup(
+def hierarchical_cell_assignments(
     corpus: DataFrame,
     fanout: int | None = None,
-    threshold: float = 0.85,
-    topk: int | None = None,
     nassign: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_rows: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-dup pairs blocked by a TWO-LEVEL hierarchical
-    coarse quantizer — the named sub-n^1.5 path beyond flat IVF
-    (:func:`ivf_cell_near_dup`), built exactly as SCALING.md specified:
-    fixed fan-out per level, log depth (2 levels here — the first
-    rung of the ladder; each further level multiplies cells by f and
-    divides the pair exponent's distance to linear).
-
-    Level 1 is the flat machinery verbatim: ``fanout`` md5-sampled
-    centroids broadcast as one struct-array row, in-row quantized
-    argmax, map-side only.  Level 2 then REFINES within each L1 cell:
-    the ``fanout`` members of the cell ranking smallest under
-    md5(seed||'b:'||id) become the cell's sub-centroids (one window
-    per cell — WindowGroupLimit prunes the rank filter map-side, so
-    the sort never materializes more than f rows per cell), the
-    per-cell sub-centroid array joins back on the L1 key, and a second
-    in-row argmax assigns the leaf.  Pairs join on the composite
-    (cell, subcell) key — f² distinct keys, expected occupancy n/f².
-
-    Cost law (:func:`auto_fanout`): f = n^(1/3) makes both assignment
-    passes and the within-leaf pair work O(n^(4/3)·d) — below the flat
-    path's O(n^(3/2)).  The constant is higher (a corpus exchange on
-    the L1 key for the level-2 window + sub-centroid join, where flat
-    IVF's assignment is exchange-free), so flat wins until the
-    occupancy term dominates — the crossover is measured in the r10
-    scale curve rather than asserted.
-
-    All scoring is floor-quantized integer dots (engine-exact, same
-    contract as the flat operator).  ``nassign > 1`` takes the top-n
-    cells at BOTH levels (boundary-recall mitigation squared; pairs
-    dedup on the id-pair key).  Determinism: both centroid draws are
-    md5-seeded rank picks — no RNG state anywhere.
-    """
+    """The two-level blocking relation: (id, _v, _qn, cell1, cell2) —
+    each vector with its quantized self-norm and its (top-``nassign``
+    per level) leaf.  Extracted from :func:`hierarchical_cell_near_dup`
+    (r10) so the recall census (q273) audits EXACTLY the assignment
+    the registered near-dup pairs on.  Level 1 is the flat machinery
+    verbatim (broadcast struct-array + in-row quantized argmax,
+    map-side); level 2 draws md5-ranked sub-centroids within each cell
+    (WindowGroupLimit prunes the rank filter map-side) and argmaxes
+    over the per-cell array joined back on the L1 key."""
     if fanout is None:
         n = corpus_rows if corpus_rows is not None else corpus.count()
         fanout = auto_fanout(n)
@@ -637,7 +640,61 @@ def hierarchical_cell_near_dup(
         .groupBy("cell1")
         .agg(F.array_sort(F.collect_list("_s")).alias("_c2"))
     )
-    l2 = _argmax_cells(l1.join(subs, "cell1"), "_c2", nassign, "cell2")
+    return _argmax_cells(l1.join(subs, "cell1"), "_c2", nassign, "cell2")
+
+
+def hierarchical_cell_near_dup(
+    corpus: DataFrame,
+    fanout: int | None = None,
+    threshold: float = 0.85,
+    topk: int | None = None,
+    nassign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_rows: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs blocked by a TWO-LEVEL hierarchical
+    coarse quantizer — the named sub-n^1.5 path beyond flat IVF
+    (:func:`ivf_cell_near_dup`), built exactly as SCALING.md specified:
+    fixed fan-out per level, log depth (2 levels here — the first
+    rung of the ladder; each further level multiplies cells by f and
+    divides the pair exponent's distance to linear).
+
+    Level 1 is the flat machinery verbatim: ``fanout`` md5-sampled
+    centroids broadcast as one struct-array row, in-row quantized
+    argmax, map-side only.  Level 2 then REFINES within each L1 cell:
+    the ``fanout`` members of the cell ranking smallest under
+    md5(seed||'b:'||id) become the cell's sub-centroids (one window
+    per cell — WindowGroupLimit prunes the rank filter map-side, so
+    the sort never materializes more than f rows per cell), the
+    per-cell sub-centroid array joins back on the L1 key, and a second
+    in-row argmax assigns the leaf.  Pairs join on the composite
+    (cell, subcell) key — f² distinct keys, expected occupancy n/f².
+
+    Cost law (:func:`auto_fanout`): f = n^(1/3) makes both assignment
+    passes and the within-leaf pair work O(n^(4/3)·d) — below the flat
+    path's O(n^(3/2)).  The constant is higher (a corpus exchange on
+    the L1 key for the level-2 window + sub-centroid join, where flat
+    IVF's assignment is exchange-free), so flat wins until the
+    occupancy term dominates — the crossover is measured in the r10
+    scale curve rather than asserted.
+
+    All scoring is floor-quantized integer dots (engine-exact, same
+    contract as the flat operator).  ``nassign > 1`` takes the top-n
+    cells at BOTH levels (boundary-recall mitigation squared; pairs
+    dedup on the id-pair key).  Determinism: both centroid draws are
+    md5-seeded rank picks — no RNG state anywhere.
+    """
+    l2 = hierarchical_cell_assignments(
+        corpus,
+        fanout=fanout,
+        nassign=nassign,
+        id_col=id_col,
+        vec_col=vec_col,
+        corpus_rows=corpus_rows,
+        seed=seed,
+    )
 
     a = l2.select(
         F.col(id_col).alias("id_a"),

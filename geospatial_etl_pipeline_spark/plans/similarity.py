@@ -813,6 +813,178 @@ def q272_hierarchical_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "cosine_sim")
 
 
+_NDR_NANCHOR = 20   # anchor split: vec_id < 20 (the q237 convention)
+_NDR_TAU = 0.25     # "true near-dup" cosine on this near-orthogonal corpus
+
+# q273's oracle composes the two registered blocking chains verbatim:
+# q272's CTE prefix (e, fc, r1..a2 — both hierarchical levels) and
+# q271's middle CTEs (nc, ranked, cents, cnorm, vnorm, vass, cells —
+# the flat √n assignment). Runtime-sliced from the REGISTERED oracle
+# texts (the q175/q187 discipline) so the census audits exactly the
+# assignments the near-dup entries pair on — a hand copy would drift.
+_hier_split = QUERIES["q272_hierarchical_near_dup"].oracle.split("vnorm AS (")
+assert len(_hier_split) == 2, "q272 oracle lost its vnorm CTE marker"
+_flat_mid = QUERIES["q271_ivf_cell_near_dup"].oracle.split("nc AS (")
+assert len(_flat_mid) == 2, "q271 oracle lost its nc CTE marker"
+_flat_mid2 = _flat_mid[1].split("pairs AS (")
+assert len(_flat_mid2) == 2, "q271 oracle lost its pairs CTE marker"
+_SQL_NDR_CTES = _hier_split[0] + "nc AS (" + _flat_mid2[0]
+
+
+@register(
+    "q273_near_dup_blocking_recall",
+    tags=("similarity", "dedup", "llm-data", "ann", "eval"),
+    oracle=f"""
+{_SQL_NDR_CTES}
+apairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {sql_qsum('a.embedding[i::INT]::DOUBLE * b.embedding[i::INT]::DOUBLE')} AS qd
+  FROM e a JOIN e b ON a.vec_id < {_NDR_NANCHOR} AND b.vec_id > a.vec_id,
+       unnest(range(1, len(a.embedding) + 1)) t(i)
+  GROUP BY a.vec_id, b.vec_id
+),
+truep AS (
+  SELECT p.id_a, p.id_b
+  FROM apairs p
+  JOIN vnorm na ON na.vec_id = p.id_a
+  JOIN vnorm nb ON nb.vec_id = p.id_b
+  WHERE (CAST(p.qd AS DOUBLE) / {_S!r})
+          / (sqrt(CAST(na.qn AS DOUBLE) / {_S!r})
+             * sqrt(CAST(nb.qn AS DOUBLE) / {_S!r})) >= {_NDR_TAU!r}
+),
+flags AS (
+  SELECT t.id_a, t.id_b,
+         CASE WHEN ca.cent_id = cb.cent_id THEN 1 ELSE 0 END AS ivf_hit,
+         CASE WHEN xa.cell1 = xb.cell1 AND xa.cell2 = xb.cell2
+              THEN 1 ELSE 0 END AS hier_hit
+  FROM truep t
+  JOIN cells ca ON ca.vec_id = t.id_a
+  JOIN cells cb ON cb.vec_id = t.id_b
+  JOIN a2 xa ON xa.vec_id = t.id_a
+  JOIN a2 xb ON xb.vec_id = t.id_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(SUM(ivf_hit) AS BIGINT) AS ivf_recalled,
+       CASE WHEN COUNT(*) > 0
+            THEN CAST(SUM(ivf_hit) AS DOUBLE) / COUNT(*) END AS ivf_recall,
+       CAST(SUM(hier_hit) AS BIGINT) AS hier_recalled,
+       CASE WHEN COUNT(*) > 0
+            THEN CAST(SUM(hier_hit) AS DOUBLE) / COUNT(*) END AS hier_recall
+FROM flags
+""",
+)
+def q273_near_dup_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-recall census for the q55-family production dials: of
+    the anchor pairs whose EXACT cosine clears τ={_NDR_TAU}, what
+    fraction would q271's flat √n cells and q272's two-level leaves
+    have blocked together?  This measures the recall caveat both
+    operator docstrings admit ("near-dups whose cells differ are
+    missed") — the number a 100 TB dedup owner needs BEFORE deleting
+    the losers, and the quantitative basis for the nassign dial
+    (boundary-recall mitigation).  Interpretation: τ={_NDR_TAU} sits
+    far below a production dedup threshold on this near-orthogonal
+    corpus (max pairwise cosine ≈ 0.5), so the census reads as a
+    LOWER bound — weakly-similar pairs scatter across cells by
+    design, while true near-identical pairs (cosine → 1) land in the
+    same Voronoi cell with probability → 1.  Measured at sf0.01:
+    flat cells recall 21% and the two-level leaves 8% of τ≥0.25
+    pairs with nassign=1 — the hierarchy's smaller leaves trade
+    exactly this recall for its n^(4/3) cost, which is why nassign
+    exists and why the dial belongs in a census, not a docstring.
+
+    Method: the standard SAMPLED ground truth — exact quantized
+    cosines for the {_NDR_NANCHOR}-anchor split (vec_id <
+    {_NDR_NANCHOR}, the q237 convention) against the whole corpus:
+    O(anchors·n·d), linear in the corpus, never all-pairs.  Both
+    assignment relations come from the extracted operators
+    (ivf_cell_assignments / hierarchical_cell_assignments), and the
+    oracle composes the REGISTERED q271/q272 CTE texts runtime-sliced
+    (the q175/q187 discipline), so census and production assignments
+    cannot drift apart.  A pair is recalled iff both ends share a
+    cell (flat) / both levels (hierarchical); with nassign=1 the
+    assignment is single-valued, so the equality test IS the blocked
+    predicate.
+
+    Scale shape: anchors broadcast (one sanctioned tiny-side cross),
+    assignments map-side (broadcast centroid arrays; the L2 window is
+    the one corpus exchange), flags are four broadcastable joins on
+    the tiny true-pair relation, output is ONE row."""
+    from ..operators.similarity import (
+        auto_fanout,
+        auto_ncells,
+        hierarchical_cell_assignments,
+        ivf_cell_assignments,
+    )
+
+    e = temb(spark, sf_dir)
+    n = e.count()  # index sizing — the one sanctioned driver action here
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("qn", _qdot(F.col("v"), F.col("v")))
+    anch = base.filter(F.col("vec_id") < _NDR_NANCHOR).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("qn").alias("qna"),
+    )
+    cos = (_qdot(F.col("va"), F.col("v")).cast("double") / F.lit(_S)) / (
+        F.sqrt(F.col("qna").cast("double") / F.lit(_S))
+        * F.sqrt(F.col("qn").cast("double") / F.lit(_S))
+    )
+    truep = (
+        base.crossJoin(F.broadcast(anch))
+        .filter(F.col("vec_id") > F.col("id_a"))
+        .select("id_a", F.col("vec_id").alias("id_b"), cos.alias("c"))
+        .filter(F.col("c") >= _NDR_TAU)
+        .select("id_a", "id_b")
+    )
+    ivf = ivf_cell_assignments(e, ncells=auto_ncells(n), corpus_rows=n)
+    hier = hierarchical_cell_assignments(
+        e, fanout=auto_fanout(n), corpus_rows=n
+    )
+    ca = ivf.select(F.col("vec_id").alias("id_a"), F.col("cent_id").alias("ka"))
+    cb = ivf.select(F.col("vec_id").alias("id_b"), F.col("cent_id").alias("kb"))
+    xa = hier.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cell1").alias("h1a"),
+        F.col("cell2").alias("h2a"),
+    )
+    xb = hier.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cell1").alias("h1b"),
+        F.col("cell2").alias("h2b"),
+    )
+    flags = (
+        truep.join(ca, "id_a")
+        .join(cb, "id_b")
+        .join(xa, "id_a")
+        .join(xb, "id_b")
+        .select(
+            F.when(F.col("ka") == F.col("kb"), 1).otherwise(0).alias("ivf_hit"),
+            F.when(
+                (F.col("h1a") == F.col("h1b")) & (F.col("h2a") == F.col("h2b")),
+                1,
+            ).otherwise(0).alias("hier_hit"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum("ivf_hit").cast("bigint").alias("ivf_recalled"),
+        F.sum("hier_hit").cast("bigint").alias("hier_recalled"),
+    )
+    nz = F.col("n_true_pairs") > 0
+    return agg.select(
+        "n_true_pairs",
+        "ivf_recalled",
+        F.when(
+            nz, F.col("ivf_recalled").cast("double") / F.col("n_true_pairs")
+        ).alias("ivf_recall"),
+        "hier_recalled",
+        F.when(
+            nz, F.col("hier_recalled").cast("double") / F.col("n_true_pairs")
+        ).alias("hier_recall"),
+    )
+
+
 @register(
     "q54_ann_lsh_topk",
     tags=("similarity", "llm-data", "ann", "lsh", "topk"),
