@@ -48,7 +48,10 @@ scale-curve:     ## per-query scaling exponents over the clones (r10)
 # specs, pairwise containment/calibration specs. Their oracle checks
 # stand at sf0.01/sf0.1; their ENGINE side is timed at sf1 by
 # tools/scale_curve.py.
-PARITY_SF1_EXCLUDE = q121_semantic_dedup,q125_pagerank_dup_graph,q127_ngram_containment_pairs,q141_triangle_count,q142_weighted_pagerank,q146_benchmark_leak_report,q163_minhash_calibration,q179_dedup_cascade_agreement,q196_dedup_threshold_sweep,q206_corpus_containment,q208_skyline_pareto,q210_spatial_nn_join,q216_two_hop_reach,q269_dup_graph_triangles,q270_dup_graph_assortativity,q79_benchmark_decontamination
+# r10 addition: q273 profiled 95.9s at sf1 (its oracle composes BOTH
+# registered blocking chains plus the anchor ground truth — ~q271's
+# 22s + q272's 59s + the exact pair scan); q271/q272 themselves stay IN.
+PARITY_SF1_EXCLUDE = q121_semantic_dedup,q125_pagerank_dup_graph,q127_ngram_containment_pairs,q141_triangle_count,q142_weighted_pagerank,q146_benchmark_leak_report,q163_minhash_calibration,q179_dedup_cascade_agreement,q196_dedup_threshold_sweep,q206_corpus_containment,q208_skyline_pareto,q210_spatial_nn_join,q216_two_hop_reach,q269_dup_graph_triangles,q270_dup_graph_assortativity,q79_benchmark_decontamination,q273_near_dup_blocking_recall
 
 parity-scale:    ## full oracle sweep at the sf1 clone (r10) — 10x sf0.1
 	PARITY_EXTRA_EXCLUDE=$(PARITY_SF1_EXCLUDE) \
