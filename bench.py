@@ -95,6 +95,10 @@ HEAVY = [
 
 # Additional plans worth timing — reported, not summed into any gate.
 EXTRA = [
+    # r10: the registered near-dup production dials (round-over-round
+    # series beside the frozen-headline q55 legacy dial)
+    "q271_ivf_cell_near_dup",
+    "q272_hierarchical_near_dup",
     "q100_hourly_gap_fill",
     "q111_dup_graph_degrees",
     "q127_ngram_containment_pairs",
