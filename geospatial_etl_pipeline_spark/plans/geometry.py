@@ -359,8 +359,12 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_total,
        CAST(SUM(n_points) AS BIGINT) AS n_points_total,
        CAST(SUM(touched * n_points) AS BIGINT) AS n_points_scanned,
        CAST(MIN(e.n_matched) AS BIGINT) AS n_points_matched,
-       CAST(SUM(touched * n_points) AS DOUBLE) / MIN(e.n_matched)
-         AS scan_amplification
+       -- amplification is undefined when the rectangle matches nothing:
+       -- NULL in both engines, never a /0 (Spark ANSI errors where
+       -- DuckDB does not — all_one fixture, r10)
+       CASE WHEN MIN(e.n_matched) > 0
+            THEN CAST(SUM(touched * n_points) AS DOUBLE) / MIN(e.n_matched)
+       END AS scan_amplification
 FROM flagged, exact e
 """,
 )
@@ -411,9 +415,11 @@ def q189_zorder_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_points_scanned"),
         F.min("n_matched").cast("bigint").alias("n_points_matched"),
-        (
+        # NULL when nothing matches — never a /0 (all_one fixture, r10)
+        F.when(
+            F.min("n_matched") > 0,
             F.sum(F.col("touched") * F.col("n_points")).cast("double")
-            / F.min("n_matched")
+            / F.min("n_matched"),
         ).alias("scan_amplification"),
     )
 

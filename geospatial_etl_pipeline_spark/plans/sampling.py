@@ -903,12 +903,17 @@ WITH expanded AS (
   FROM orders o, (SELECT unnest(range(0, {_BOOT_B})) AS b) b
 ),
 reps AS (
+  -- a replicate whose Poisson weights all drew 0 resampled NOTHING:
+  -- its mean is undefined, and the unguarded division is an engine
+  -- divergence (Spark ANSI errors, DuckDB does not) — drop it in both
+  -- engines (all_one fixture, r10; probability ~0 on real corpora)
   SELECT b,
          CAST(CAST(SUM(CAST({_sql_boot_weight('bucket')} * o_totalprice
                        AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
            / SUM({_sql_boot_weight('bucket')}) AS rep_mean
   FROM expanded
   GROUP BY b
+  HAVING SUM({_sql_boot_weight('bucket')}) > 0
 ),
 rq AS (
   SELECT CAST(FLOOR(rep_mean * 1000000.0) AS BIGINT) AS rmq FROM reps
@@ -976,11 +981,19 @@ def q172_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.lit(9)
     for k in range(len(_BOOT_CUTS) - 1, -1, -1):
         w = F.when(F.col("bucket") < _BOOT_CUTS[k], k).otherwise(w)
-    reps = expanded.groupBy("b").agg(
-        (
-            F.sum((w * F.col("o_totalprice")).cast(DEC)).cast("double")
-            / F.sum(w)
-        ).alias("rep_mean")
+    # zero-weight replicates resampled nothing — drop BEFORE the
+    # division (Spark ANSI errors on /0 where DuckDB does not; all_one
+    # fixture, r10). The filter is a no-op on any real corpus.
+    reps = (
+        expanded.groupBy("b")
+        .agg(
+            F.sum((w * F.col("o_totalprice")).cast(DEC)).alias("_num"),
+            F.sum(w).alias("_ws"),
+        )
+        .filter(F.col("_ws") > 0)
+        .select(
+            "b", (F.col("_num").cast("double") / F.col("_ws")).alias("rep_mean")
+        )
     )
     minmax = reps.agg(
         F.lit(_BOOT_B).cast("int").alias("n_replicates"),

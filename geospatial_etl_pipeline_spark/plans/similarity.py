@@ -1956,11 +1956,18 @@ WITH ex AS (
   FROM {_SQL_EMB} embeddings, unnest(range(1, len(embedding) + 1)) t(i)
 ),
 gstats AS (
+  -- GREATEST(.., 0): the quantized E[x2]-E[x]2 can round a hair
+  -- NEGATIVE on a zero-variance dimension (floor(x*x*S) <= x*x while
+  -- the squared mean doesn't floor twice) — DuckDB's sqrt ERRORS on
+  -- negatives where Spark yields NaN, so an unclamped variance is an
+  -- engine-divergence on any constant dim (all_one fixture, r10)
   SELECT dim,
          CAST({sql_qsum('x')} AS DOUBLE) / {_S!r} / COUNT(*) AS mu,
-         sqrt(CAST({sql_qsum('x * x')} AS DOUBLE) / {_S!r} / COUNT(*)
+         sqrt(GREATEST(
+              CAST({sql_qsum('x * x')} AS DOUBLE) / {_S!r} / COUNT(*)
               - (CAST({sql_qsum('x')} AS DOUBLE) / {_S!r} / COUNT(*))
-                * (CAST({sql_qsum('x')} AS DOUBLE) / {_S!r} / COUNT(*))
+                * (CAST({sql_qsum('x')} AS DOUBLE) / {_S!r} / COUNT(*)),
+              0e0)
          ) AS sigma
   FROM ex GROUP BY dim
 ),
@@ -2004,9 +2011,15 @@ def q160_standardized_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = qsum(F.col("x")).cast("double") / F.lit(_S) / n
     glob = ex.groupBy("dim").agg(
         mean.alias("mu"),
+        # clamp before sqrt: quantized E[x²]−E[x]² rounds a hair
+        # negative on zero-variance dims — DuckDB sqrt ERRORS there
+        # while Spark yields NaN (all_one fixture, r10)
         F.sqrt(
-            qsum(F.col("x") * F.col("x")).cast("double") / F.lit(_S) / n
-            - mean * mean
+            F.greatest(
+                qsum(F.col("x") * F.col("x")).cast("double") / F.lit(_S) / n
+                - mean * mean,
+                F.lit(0.0),
+            )
         ).alias("sigma"),
     )
     cent = ex.groupBy("label", "dim").agg(
@@ -2592,7 +2605,15 @@ def q236_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     ab = e.select(best2.alias("_b")).select(
         F.col("_b.cl1").alias("cluster"),
         F.col("_b.d1").alias("a"),
-        F.col("_b.d2nd").alias("b"),
+        # the fold's +inf "no second centroid" sentinel must surface as
+        # NULL: a k=1 clustering has no b by definition — the oracle's
+        # MIN(CASE WHEN rn=2 ...) is NULL there, while floor(inf) cast
+        # saturated to LONG_MAX in the non-ANSI cast (all_one fixture,
+        # r10). F.greatest and the NULL-propagating s arithmetic then
+        # match DuckDB's exactly.
+        F.when(
+            F.col("_b.d2nd") != F.lit(float("inf")), F.col("_b.d2nd")
+        ).alias("b"),
     )
     mx = F.greatest(F.col("a"), F.col("b"))
     s = F.when(mx == 0.0, F.lit(0.0)).otherwise(

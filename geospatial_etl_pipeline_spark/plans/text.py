@@ -2184,9 +2184,13 @@ def q219_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c")
     )
     raw = cnt.groupBy("b").agg(F.sum("c").alias("cr"))
-    rawtot = raw.agg(F.sum("cr").alias("tr"))
+    # COALESCE(.., 0): the oracle's totals are COUNT(*) — 0, never
+    # NULL, when the slice is empty — while SUM over an empty rollup
+    # is NULL; an all-non-target corpus made every weight NULL in
+    # Spark against real values in DuckDB (all_one fixture, r10)
+    rawtot = raw.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"))
     tgt = cnt.filter(F.col("_is_t")).select("b", F.col("c").alias("ct"))
-    tgttot = tgt.agg(F.sum("ct").alias("tt"))
+    tgttot = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
     wt = (
         raw.join(tgt, "b", "left")
         .crossJoin(F.broadcast(rawtot))

@@ -608,3 +608,53 @@ def test_all_empty_kmeans_rows_only(spark, all_empty_dir):
     assert catalog.QUERIES["q114_kmeans_clusters"].fn(
         spark, all_empty_dir
     ).count() == 0
+
+
+# --------------------------------------------------------------------------
+# r10: single-row inputs (the all_one fixture class, pinned)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def all_one_dir(tmp_path_factory):
+    """Every table truncated to exactly ONE row — the other degenerate
+    cardinality (r10). Its first full-catalog run found 5 real engine
+    divergences the malformed-row and zero-row sweeps could not see;
+    the full sweep runs in tools/hostile_sweep.py at round close, this
+    pins the representatives whose first run FAILED."""
+    d = tmp_path_factory.mktemp("all_one")
+    from geospatial_etl_pipeline_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t_ in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM '{_SRC}/{t_}.parquet' "
+            f"ORDER BY ALL LIMIT 1) TO '{d}/{t_}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return str(d)
+
+
+# the queries whose first all_one run crashed or diverged (now fixed):
+# q160 quantized variance rounding negative into DuckDB's erroring
+# sqrt (clamped >= 0 both engines); q172 zero-weight bootstrap
+# replicates dividing by zero under ANSI (dropped both engines); q189
+# scan-amplification /0 when the probe rectangle matches nothing
+# (NULL both engines); q219 SUM-over-empty NULL vs the oracle's
+# COUNT(*) 0 in the DSIR totals (coalesced); q236's +inf no-second-
+# centroid fold sentinel saturating to LONG_MAX in the non-ANSI cast
+# where the oracle said NULL (surfaced as NULL).
+ONE_PINNED = [
+    "q160_standardized_centroids",
+    "q172_bootstrap_ci",
+    "q189_zorder_pruning_report",
+    "q219_dsir_importance",
+    "q236_simplified_silhouette",
+]
+
+
+@pytest.mark.parametrize("name", ONE_PINNED)
+def test_all_one_parity(spark, all_one_dir, name):
+    spec = catalog.QUERIES[name]
+    res = compare(name, spark, all_one_dir, spec.fn, spec.oracle)
+    assert res.ok, str(res)

@@ -186,6 +186,19 @@ FIXTURE_TABLE = {name: name.split("_dupid")[0] for name in AUGMENTS}
 # with all inputs empty, every query is "affected".
 EMPTY_FIXTURE = "all_empty"
 
+# SINGLE-ROW fixture (r10): every table truncated to exactly one row —
+# the other degenerate cardinality. First run found 5 real engine
+# divergences invisible to both the malformed-row and zero-row sweeps:
+# quantized variance rounding NEGATIVE into DuckDB's erroring sqrt
+# (q160), zero-weight bootstrap replicates dividing by zero under
+# Spark ANSI (q172), scan-amplification /0 when the probe rectangle
+# matches nothing (q189), SUM-over-empty NULL vs COUNT(*) 0 in the
+# DSIR target totals (q219), and a +inf "no second centroid" fold
+# sentinel saturating to LONG_MAX in the non-ANSI bigint cast while
+# the oracle said NULL (q236). Like all_empty it runs the FULL
+# catalog: one row reaches every query.
+ONE_FIXTURE = "all_one"
+
 
 def contract_exempt(fixture: str, name: str, spec) -> bool:
     """Identity-contract exemptions: the similarity family addresses
@@ -234,6 +247,22 @@ def build_empty_fixture(root: str) -> str:
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet') "
             f"LIMIT 0) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return d
+
+
+def build_one_fixture(root: str) -> str:
+    """Every table truncated to exactly ONE row (ORDER BY ALL at build
+    time so the surviving row is deterministic across rebuilds; both
+    engines then read the same single-row file)."""
+    d = os.path.join(root, "hostile_all_one")
+    os.makedirs(d, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet') "
+            f"ORDER BY ALL LIMIT 1) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
         )
     con.close()
     return d
@@ -330,6 +359,11 @@ def main() -> None:
         )
         out["fixtures"][EMPTY_FIXTURE] = sweep_fixture(
             spark, EMPTY_FIXTURE, sf_dir, all_oracled, all_rows_only
+        )
+        # single-row fixture: full catalog (see ONE_FIXTURE rationale)
+        sf_dir = build_one_fixture(root)
+        out["fixtures"][ONE_FIXTURE] = sweep_fixture(
+            spark, ONE_FIXTURE, sf_dir, all_oracled, all_rows_only
         )
     out["elapsed_sec"] = round(time.time() - t_start, 1)
     out["all_green"] = all(
