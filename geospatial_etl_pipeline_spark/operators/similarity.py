@@ -185,10 +185,22 @@ def sampled_centroids(
     driver (O(rows·log ncells) map-side, ncells rows moved per
     partition), NOT a full sort/exchange of the corpus. cent_id
     numbering then windows over only the ncells survivors. Asserted in
-    tests/test_plan_shapes.py."""
+    tests/test_plan_shapes.py.
+
+    Draw eligibility (r11): zero-norm / NULL / empty / NULL-element
+    vectors are EXCLUDED from the draw (quantized self-dot must be a
+    positive integer).  A degenerate centroid scores 0/0 = NaN for
+    every vector, and Spark's struct sort places NaN last while the
+    SQL oracle's row_number ranks it first — the engines would assign
+    different cells.  The filter is map-side (inside the TakeOrdered
+    scan) and mirrored verbatim in every oracle's draw CTE (the
+    null-propagating ``dnorm``/``enz`` relations); the
+    embeddings_zero_centroid hostile fixture forces a degenerate
+    vector into md5-rank range to prove parity."""
     h = F.md5(F.concat(F.lit(f"{seed}:"), F.col("_cid").cast("string")))
     picked = (
         df.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_c"))
+        .filter(quantized_dot(F.col("_c"), F.col("_c")) > 0)
         .withColumn("_h", h)
         .orderBy("_h", "_cid")
         .limit(ncells)
@@ -623,10 +635,16 @@ def hierarchical_cell_assignments(
     )
 
     # ---- level 2: per-cell sub-centroid draw + in-row argmax ----------
+    # Draw eligibility mirrors sampled_centroids (r11): zero-norm /
+    # NULL-dot vectors never become sub-centroids (they'd score NaN /
+    # NULL for every cell member — the cross-engine divergence class);
+    # they are still ASSIGNED a leaf like any other vector, via the
+    # unfiltered l1 join below.
     h2 = F.md5(F.concat(F.lit(f"{seed}b:"), F.col(id_col).cast("string")))
     w2 = Window.partitionBy("cell1").orderBy("_h2", id_col)
     subs = (
-        l1.withColumn("_h2", h2)
+        l1.filter(F.col("_qn") > 0)
+        .withColumn("_h2", h2)
         .withColumn("_srn", F.row_number().over(w2))
         .filter(F.col("_srn") <= fanout)
         .select(

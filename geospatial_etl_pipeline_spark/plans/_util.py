@@ -29,11 +29,35 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # rows. q202_embedding_validation_audit accounts for the rejects
 # per defect class (validation must be observable, never silent).
 
+# The quantized-norm conjunct (r11): the similarity family's value
+# contract is the QUANTIZED cosine (floor(x*y*1e12) integer sums), so a
+# vector whose quantized self-norm is 0 — all |x| < ~1e-6, which PASSES
+# the element-level checks — is all-zero AT THE QUANTIZER'S RESOLUTION
+# and has no cosine direction: engine-side its cosines divide by zero
+# (a crash under ANSI), oracle-side they are ±Inf/NaN, and as a sampled
+# centroid it scores NaN for every vector (the embeddings_tiny_norm
+# hostile fixture forces all three).  Same rationale as the exact-zero
+# exclusion, one lattice step wider.
+#
+# Form: with every quantized term floor(x*x*1e12) >= 0, the integer sum
+# is positive IFF some term is >= 1, i.e. IFF some x*x*1e12 >= 1 — an
+# EXISTENCE predicate in pure double math.  Deliberately no FLOOR and
+# no BIGINT cast: the predicate must be TOTAL on rows the other
+# conjuncts reject (AND is not guaranteed to short-circuit in either
+# engine, and floor(Inf*Inf*1e12)::BIGINT is an ANSI overflow crash —
+# found by the Inf-element hostile vector the moment the summed form
+# shipped).
+_SQL_QNZ = (
+    "len(list_filter(embedding,"
+    " x -> (x::DOUBLE * x::DOUBLE) * 1000000000000.0 >= 1.0)) > 0"
+)
+
 _SQL_EMB = (
     "(SELECT * FROM embeddings WHERE embedding IS NOT NULL"
     " AND len(embedding) > 0"
     " AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0"
-    " AND len(list_filter(embedding, x -> x <> 0)) > 0)"
+    " AND len(list_filter(embedding, x -> x <> 0)) > 0"
+    f" AND {_SQL_QNZ})"
 )
 
 
@@ -47,19 +71,39 @@ def bad_embedding_element(x: Column) -> Column:
     return x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
 
 
+def has_quantizable_element(vec: Column) -> Column:
+    """Spark twin of :data:`_SQL_QNZ`: some element survives the
+    quantizer (x*x*1e12 >= 1, i.e. |x| >= 1e-6), which for the
+    non-negative squared terms is exactly "quantized self-norm > 0".
+    Pure double math — total on NULL/NaN/Inf elements (no FLOOR, no
+    BIGINT cast: conjuncts are not guaranteed to short-circuit, and
+    the cast form ANSI-overflows on the Inf hostile vector).  Elements
+    cast to DOUBLE before the square so both engines run the same
+    IEEE ops."""
+    return F.exists(
+        vec,
+        lambda x: x.cast("double") * x.cast("double") * F.lit(1e12)
+        >= F.lit(1.0),
+    )
+
+
 def valid_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Rows whose vector is usable: non-null, non-empty, every ELEMENT
     non-null and finite (NULL elements make Spark's fold NULL while
     SQL SUM skips them — silent divergence; NaN/±Inf poison quantized
-    sums and crash FLOOR casts), and at least one non-zero element
-    (zero-norm vectors have no cosine direction). Spark twin of
-    :data:`_SQL_EMB`."""
+    sums and crash FLOOR casts), at least one non-zero element
+    (zero-norm vectors have no cosine direction), and a POSITIVE
+    quantized self-norm (r11 — see :data:`_SQL_QNZ`: all-tiny
+    vectors are zero at the quantizer's resolution; engine cosines
+    would /0-crash under ANSI where the oracle says ±Inf). Spark twin
+    of :data:`_SQL_EMB`."""
     e = F.col(vec_col)
     return df.filter(
         e.isNotNull()
         & (F.size(e) > 0)
         & ~F.exists(e, bad_embedding_element)
         & F.exists(e, lambda x: x != F.lit(0.0))
+        & has_quantizable_element(e)
     )
 
 
@@ -172,6 +216,25 @@ def qsum(col: Column, scale: int = 12) -> Column:
 
 def sql_qsum(expr: str, scale: int = 12) -> str:
     return f"SUM(CAST(FLOOR(({expr}) * {float(10 ** scale)!r}) AS BIGINT))"
+
+
+def sql_qterm(expr: str, scale: int = 12) -> str:
+    """The per-row integer term inside :func:`sql_qsum` — for sites
+    that need the quantized value BEFORE aggregation (e.g. the
+    null-propagating draw-eligibility norm)."""
+    return f"CAST(FLOOR(({expr}) * {float(10 ** scale)!r}) AS BIGINT)"
+
+
+def sql_qsum_nullprop(expr: str, scale: int = 12) -> str:
+    """NULL-PROPAGATING qsum: the engine's quantized_dot folds
+    acc + x with F.aggregate, so ONE NULL element nulls the whole dot —
+    while SQL SUM silently SKIPS NULLs, yielding a partial (non-NULL)
+    sum for the same vector.  The CASE pins SUM to the engine's fold
+    semantics: NULL unless every element quantized to a non-NULL term.
+    Used wherever the oracle must reproduce quantized_dot on possibly
+    NULL-element inputs (the centroid-draw eligibility norm, r11)."""
+    t = sql_qterm(expr, scale)
+    return f"CASE WHEN COUNT(*) = COUNT({t}) THEN SUM({t}) END"
 
 
 def qsum_big(col: Column, scale: int = 12) -> Column:

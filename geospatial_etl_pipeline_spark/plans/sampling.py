@@ -921,7 +921,7 @@ rq AS (
 hist AS (
   {sql_int_hist('rq', 'rmq')}
 )
-SELECT CAST({_BOOT_B} AS INT) AS n_replicates,
+SELECT (SELECT CAST(COUNT(*) AS INT) FROM reps) AS n_replicates,
        (SELECT MIN(rep_mean) FROM reps) AS boot_min,
        (SELECT MAX(rep_mean) FROM reps) AS boot_max,
        {sql_at_rank('rmq', 1, 40)} AS boot_p025_q,
@@ -995,8 +995,11 @@ def q172_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b", (F.col("_num").cast("double") / F.col("_ws")).alias("rep_mean")
         )
     )
+    # n_replicates reports the SURVIVING count (ADVICE r10: the
+    # zero-weight HAVING can drop replicates, so the requested constant
+    # B would overstate what the rank statistics were computed over)
     minmax = reps.agg(
-        F.lit(_BOOT_B).cast("int").alias("n_replicates"),
+        F.count(F.lit(1)).cast("int").alias("n_replicates"),
         F.min("rep_mean").alias("boot_min"),
         F.max("rep_mean").alias("boot_max"),
     )

@@ -16,7 +16,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ._util import _SQL_EMB, qsum, qsum_big, sql_qsum, t, temb
+from ._util import (
+    _SQL_EMB,
+    _SQL_QNZ,
+    has_quantizable_element,
+    qsum,
+    qsum_big,
+    sql_qsum,
+    sql_qsum_nullprop,
+    t,
+    temb,
+)
 from .catalog import QUERIES, register
 
 _QUERY_VEC_ID = 0
@@ -348,8 +358,14 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
     corpus = e.filter(F.col("vec_id") >= 3)
     h = F.md5(F.concat(F.lit("42:"), F.col("vec_id").cast("string")))
     w_cent = Window.orderBy("_h", "vec_id")
+    # centroid-draw eligibility (r11, mirrors operators.sampled_centroids
+    # and the oracle's dnorm/WHERE dqn > 0): degenerate vectors
+    # (zero-norm / NULL / empty / NULL-element) never become centroids —
+    # a zero-norm centroid scores 0/0 = NaN for every vector and the
+    # engines rank NaN on opposite ends
     cents = (
-        corpus.withColumn("_h", h)
+        corpus.filter(_qdot(F.col("v"), F.col("v")) > 0)
+        .withColumn("_h", h)
         .orderBy("_h", "vec_id")
         .limit(_IVF_K)
         .select(
@@ -404,12 +420,22 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
     tags=("similarity", "llm-data", "ann", "ivf", "topk"),
     oracle=f"""
 WITH corpus AS (SELECT vec_id, embedding FROM {_SQL_EMB} embeddings WHERE vec_id >= 3),
+cdnorm AS (
+  -- null-propagating draw-eligibility norm (r11): mirrors the engine's
+  -- quantized_dot fold, where one NULL element nulls the whole dot —
+  -- degenerate vectors (zero/NULL/empty/NULL-element) never become
+  -- centroids in either engine
+  SELECT vec_id,
+         {sql_qsum_nullprop('embedding[i::INT]::DOUBLE * embedding[i::INT]::DOUBLE')} AS dqn
+  FROM corpus, unnest(range(1, len(embedding) + 1)) t(i) GROUP BY vec_id
+),
 cents AS (
   SELECT row_number() OVER (
            ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
            AS cent_id,
          embedding AS cv
-  FROM corpus
+  FROM corpus JOIN cdnorm USING (vec_id)
+  WHERE cdnorm.dqn > 0
   ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id
   LIMIT {_IVF_K}
 ),
@@ -538,29 +564,68 @@ def q56_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFND_TOPK = 25
 _IVFND_TAU = 0.0  # cosine threshold, applied BELOW the global top-k
 _IVFND_NCELLS_FLOOR = 16  # auto_ncells' 4*nprobe floor, mirrored in SQL
+_NDR_NANCHOR = 20   # census anchor split: vec_id < 20 (the q237 convention)
+_NDR_TAU = 0.25     # "true near-dup" cosine on this near-orthogonal corpus
 
+# ---- shared near-dup SQL blocks (r11) --------------------------------
+# q271 (flat IVF), q272 (hierarchical), and the blocking-recall
+# censuses (q273/q274/q275) interpolate these NAMED module-level CTE
+# constants.  This retires the r10 runtime-slicing of registered oracle
+# texts on literal markers ('vnorm AS (' / 'nc AS (' / 'pairs AS ('),
+# whose import-time asserts caught a LOST marker but not semantic
+# drift: a CTE inserted before a marker, or a name collision between
+# two sliced prefixes, would have composed silently into wrong SQL
+# (ADVICE r10).  Composition is now by construction: the stem owns
+# {e, dnorm, enz, vnorm}, the flat chain owns {nc, ranked, cents,
+# cnorm, vass, cells}, the hierarchical chain owns {fc, r1, c1, n1,
+# v1, a1, subs, subsnz, c2, n2, v2, a2}, the census stem owns
+# {apairs, truep} — disjointness asserted at import below.
 
-@register(
-    "q271_ivf_cell_near_dup",
-    tags=("similarity", "dedup", "llm-data", "ann", "ivf", "topk"),
-    oracle=f"""
-WITH e AS (
+_SQL_NDR_STEM = f"""e AS (
   SELECT vec_id, embedding FROM {_SQL_EMB} embeddings
 ),
-nc AS (
-  -- auto_ncells' sqrt(n) production dial, computed FROM the corpus:
-  -- the oracle sizes the quantizer exactly like the operator does at
-  -- any scale factor (floor 16 = 4*nprobe)
-  SELECT GREATEST({_IVFND_NCELLS_FLOOR},
-                  CAST(FLOOR(SQRT(COUNT(*))) AS INT)) AS ncells
-  FROM e
+dnorm AS (
+  -- NULL-PROPAGATING quantized self-norm: the centroid-DRAW
+  -- eligibility relation (r11).  Mirrors the engine's quantized_dot
+  -- fold (one NULL element nulls the whole dot; plain SQL SUM would
+  -- skip it).  A vector whose norm QUANTIZES to 0 — all |x| < ~1e-6
+  -- passes the validity boundary but floors to 0 — must never become
+  -- a centroid: a zero-norm centroid scores 0/0 = NaN for every
+  -- vector, and Spark's struct sort places NaN last while the SQL
+  -- row_number ranks it first, assigning different cells per engine
+  -- (the embeddings_tiny_norm hostile fixture forces the case).
+  SELECT vec_id,
+         {sql_qsum_nullprop('embedding[i::INT]::DOUBLE * embedding[i::INT]::DOUBLE')} AS dqn
+  FROM e, unnest(range(1, len(embedding) + 1)) t(i) GROUP BY vec_id
+),
+enz AS (
+  SELECT e.vec_id, e.embedding
+  FROM e JOIN dnorm USING (vec_id) WHERE dnorm.dqn > 0
+),
+vnorm AS (
+  SELECT vec_id,
+         {sql_qsum('embedding[i::INT]::DOUBLE * embedding[i::INT]::DOUBLE')} AS qn
+  FROM e, unnest(range(1, len(embedding) + 1)) t(i) GROUP BY vec_id
+)"""
+
+_SQL_FLAT_CHAIN = f"""nc AS (
+  -- auto_ncells' sqrt(n) production dial, computed FROM the corpus in
+  -- EXACT integer arithmetic (largest f with f*f <= n — mirrors
+  -- math.isqrt, replacing FLOOR(SQRT(n)): correctly-rounded float
+  -- sqrt rounds k*k - 1 UP to k once n ~ 2^52, splitting the dial
+  -- across engines; same discipline as fc's cube root).  Floor
+  -- {_IVFND_NCELLS_FLOOR} = 4*nprobe; range bound 1e5 covers corpora
+  -- to 1e10 rows.
+  SELECT GREATEST({_IVFND_NCELLS_FLOOR}, MAX(t.f)) AS ncells
+  FROM (SELECT unnest(range(1, 100001)) AS f) t
+  WHERE t.f * t.f <= (SELECT COUNT(*) FROM e)
 ),
 ranked AS (
   SELECT row_number() OVER (
            ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
            AS cent_id,
          embedding AS cv
-  FROM e
+  FROM enz
 ),
 cents AS (
   SELECT cent_id, cv FROM ranked WHERE cent_id < (SELECT ncells FROM nc)
@@ -568,11 +633,6 @@ cents AS (
 cnorm AS (
   SELECT cent_id, {sql_qsum('cv[i::INT]::DOUBLE * cv[i::INT]::DOUBLE')} AS qnc
   FROM cents, unnest(range(1, len(cv) + 1)) t(i) GROUP BY cent_id
-),
-vnorm AS (
-  SELECT vec_id,
-         {sql_qsum('embedding[i::INT]::DOUBLE * embedding[i::INT]::DOUBLE')} AS qn
-  FROM e, unnest(range(1, len(embedding) + 1)) t(i) GROUP BY vec_id
 ),
 vass AS (
   SELECT v.vec_id, k.cent_id,
@@ -589,13 +649,91 @@ cells AS (
                       v.cent_id ASC) AS arn
     FROM vass v JOIN cnorm n USING (cent_id)
   ) WHERE arn = 1
+)"""
+
+_SQL_HIER_CHAIN = f"""fc AS (
+  -- auto_fanout's EXACT integer cube root (largest f with f^3 <= n,
+  -- floor 4): integer arithmetic is the only cube-root form both
+  -- engines reproduce bit-identically (libm pow is not correctly
+  -- rounded); range bound 1e5 covers corpora to 1e15 rows
+  SELECT GREATEST(4, (SELECT MAX(t.f)
+                      FROM (SELECT unnest(range(1, 100001)) AS f) t
+                      WHERE t.f * t.f * t.f <= (SELECT COUNT(*) FROM e)))
+         AS f
 ),
-pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM cells a JOIN cells b
-    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+r1 AS (
+  SELECT row_number() OVER (
+           ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cent_id,
+         embedding AS cv
+  FROM enz
 ),
-pdot AS (
+c1 AS (SELECT cent_id, cv FROM r1 WHERE cent_id < (SELECT f FROM fc)),
+n1 AS (
+  SELECT cent_id, {sql_qsum('cv[i::INT]::DOUBLE * cv[i::INT]::DOUBLE')} AS qnc
+  FROM c1, unnest(range(1, len(cv) + 1)) t(i) GROUP BY cent_id
+),
+v1 AS (
+  SELECT v.vec_id, k.cent_id,
+         {sql_qsum('v.embedding[i::INT]::DOUBLE * k.cv[i::INT]::DOUBLE')} AS qd
+  FROM e v, c1 k, unnest(range(1, len(v.embedding) + 1)) t(i)
+  GROUP BY v.vec_id, k.cent_id
+),
+a1 AS (
+  SELECT vec_id, cent_id AS cell1 FROM (
+    SELECT v.vec_id, v.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY (CAST(v.qd AS DOUBLE) / {_S!r})
+                        / sqrt(CAST(n.qnc AS DOUBLE) / {_S!r}) DESC,
+                      v.cent_id ASC) AS arn
+    FROM v1 v JOIN n1 n USING (cent_id)
+  ) WHERE arn = 1
+),
+subs AS (
+  SELECT a.cell1, a.vec_id, e.embedding
+  FROM a1 a JOIN e ON e.vec_id = a.vec_id
+),
+subsnz AS (
+  -- the sub-centroid DRAW ranks only draw-eligible members
+  -- (dnorm.dqn > 0 — same r11 rule as the level-1 draw); every subs
+  -- member is still ASSIGNED a leaf via v2 below
+  SELECT s.cell1, s.vec_id, s.embedding,
+         row_number() OVER (PARTITION BY s.cell1
+           ORDER BY md5('42b:' || CAST(s.vec_id AS VARCHAR)), s.vec_id) - 1
+           AS srn
+  FROM subs s JOIN dnorm d USING (vec_id)
+  WHERE d.dqn > 0
+),
+c2 AS (
+  SELECT cell1, srn AS cent_id, embedding AS cv
+  FROM subsnz WHERE srn < (SELECT f FROM fc)
+),
+n2 AS (
+  SELECT cell1, cent_id,
+         {sql_qsum('cv[i::INT]::DOUBLE * cv[i::INT]::DOUBLE')} AS qnc
+  FROM c2, unnest(range(1, len(cv) + 1)) t(i) GROUP BY cell1, cent_id
+),
+v2 AS (
+  SELECT s.vec_id, s.cell1, k.cent_id,
+         {sql_qsum('s.embedding[i::INT]::DOUBLE * k.cv[i::INT]::DOUBLE')} AS qd
+  FROM subs s JOIN c2 k ON k.cell1 = s.cell1,
+       unnest(range(1, len(s.embedding) + 1)) t(i)
+  GROUP BY s.vec_id, s.cell1, k.cent_id
+),
+a2 AS (
+  SELECT vec_id, cell1, cent_id AS cell2 FROM (
+    SELECT v.vec_id, v.cell1, v.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY (CAST(v.qd AS DOUBLE) / {_S!r})
+                        / sqrt(CAST(n.qnc AS DOUBLE) / {_S!r}) DESC,
+                      v.cent_id ASC) AS arn
+    FROM v2 v JOIN n2 n ON n.cell1 = v.cell1 AND n.cent_id = v.cent_id
+  ) WHERE arn = 1
+)"""
+
+# pdot + final cosine/top-k select shared by q271/q272 — expects a
+# `pairs(id_a, id_b)` CTE composed by the caller
+_SQL_NDR_SCORE = f"""pdot AS (
   SELECT p.id_a, p.id_b,
          {sql_qsum('ea.embedding[i::INT]::DOUBLE * eb.embedding[i::INT]::DOUBLE')} AS qd
   FROM pairs p
@@ -615,7 +753,60 @@ SELECT * FROM (
 )
 WHERE cosine_sim >= {_IVFND_TAU!r}
 ORDER BY cosine_sim DESC, id_a ASC, id_b ASC
-LIMIT {_IVFND_TOPK}
+LIMIT {_IVFND_TOPK}"""
+
+# sampled-anchor exact ground truth shared by the recall censuses
+_SQL_NDR_TRUEP = f"""apairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {sql_qsum('a.embedding[i::INT]::DOUBLE * b.embedding[i::INT]::DOUBLE')} AS qd
+  FROM e a JOIN e b ON a.vec_id < {_NDR_NANCHOR} AND b.vec_id > a.vec_id,
+       unnest(range(1, len(a.embedding) + 1)) t(i)
+  GROUP BY a.vec_id, b.vec_id
+),
+truep AS (
+  SELECT p.id_a, p.id_b
+  FROM apairs p
+  JOIN vnorm na ON na.vec_id = p.id_a
+  JOIN vnorm nb ON nb.vec_id = p.id_b
+  WHERE (CAST(p.qd AS DOUBLE) / {_S!r})
+          / (sqrt(CAST(na.qn AS DOUBLE) / {_S!r})
+             * sqrt(CAST(nb.qn AS DOUBLE) / {_S!r})) >= {_NDR_TAU!r}
+)"""
+
+
+def _cte_names(sql_block: str) -> set:
+    import re as _re
+
+    return set(_re.findall(r"(?m)^(\w+) AS \(", sql_block))
+
+
+# composition safety: the blocks any census composes must not collide
+assert not (_cte_names(_SQL_FLAT_CHAIN) & _cte_names(_SQL_HIER_CHAIN)), (
+    "flat/hier near-dup CTE name collision"
+)
+assert not (
+    _cte_names(_SQL_NDR_STEM)
+    & (_cte_names(_SQL_FLAT_CHAIN) | _cte_names(_SQL_HIER_CHAIN)
+       | _cte_names(_SQL_NDR_TRUEP))
+), "near-dup stem CTE name collision"
+assert not (
+    _cte_names(_SQL_NDR_TRUEP)
+    & (_cte_names(_SQL_FLAT_CHAIN) | _cte_names(_SQL_HIER_CHAIN))
+), "census CTE name collision"
+
+
+@register(
+    "q271_ivf_cell_near_dup",
+    tags=("similarity", "dedup", "llm-data", "ann", "ivf", "topk"),
+    oracle=f"""
+WITH {_SQL_NDR_STEM},
+{_SQL_FLAT_CHAIN},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+),
+{_SQL_NDR_SCORE}
 """,
 )
 def q271_ivf_cell_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,111 +860,14 @@ def q271_ivf_cell_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup", "llm-data", "ann", "ivf", "topk",
           "hierarchical"),
     oracle=f"""
-WITH e AS (
-  SELECT vec_id, embedding FROM {_SQL_EMB} embeddings
-),
-fc AS (
-  -- auto_fanout's EXACT integer cube root (largest f with f^3 <= n,
-  -- floor 4): integer arithmetic is the only cube-root form both
-  -- engines reproduce bit-identically (libm pow is not correctly
-  -- rounded); range bound 1e5 covers corpora to 1e15 rows
-  SELECT GREATEST(4, (SELECT MAX(t.f)
-                      FROM (SELECT unnest(range(1, 100001)) AS f) t
-                      WHERE t.f * t.f * t.f <= (SELECT COUNT(*) FROM e)))
-         AS f
-),
-r1 AS (
-  SELECT row_number() OVER (
-           ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
-           AS cent_id,
-         embedding AS cv
-  FROM e
-),
-c1 AS (SELECT cent_id, cv FROM r1 WHERE cent_id < (SELECT f FROM fc)),
-n1 AS (
-  SELECT cent_id, {sql_qsum('cv[i::INT]::DOUBLE * cv[i::INT]::DOUBLE')} AS qnc
-  FROM c1, unnest(range(1, len(cv) + 1)) t(i) GROUP BY cent_id
-),
-v1 AS (
-  SELECT v.vec_id, k.cent_id,
-         {sql_qsum('v.embedding[i::INT]::DOUBLE * k.cv[i::INT]::DOUBLE')} AS qd
-  FROM e v, c1 k, unnest(range(1, len(v.embedding) + 1)) t(i)
-  GROUP BY v.vec_id, k.cent_id
-),
-a1 AS (
-  SELECT vec_id, cent_id AS cell1 FROM (
-    SELECT v.vec_id, v.cent_id,
-           row_number() OVER (PARTITION BY v.vec_id
-             ORDER BY (CAST(v.qd AS DOUBLE) / {_S!r})
-                        / sqrt(CAST(n.qnc AS DOUBLE) / {_S!r}) DESC,
-                      v.cent_id ASC) AS arn
-    FROM v1 v JOIN n1 n USING (cent_id)
-  ) WHERE arn = 1
-),
-subs AS (
-  SELECT a.cell1, a.vec_id, e.embedding,
-         row_number() OVER (PARTITION BY a.cell1
-           ORDER BY md5('42b:' || CAST(a.vec_id AS VARCHAR)), a.vec_id) - 1
-           AS srn
-  FROM a1 a JOIN e ON e.vec_id = a.vec_id
-),
-c2 AS (
-  SELECT cell1, srn AS cent_id, embedding AS cv
-  FROM subs WHERE srn < (SELECT f FROM fc)
-),
-n2 AS (
-  SELECT cell1, cent_id,
-         {sql_qsum('cv[i::INT]::DOUBLE * cv[i::INT]::DOUBLE')} AS qnc
-  FROM c2, unnest(range(1, len(cv) + 1)) t(i) GROUP BY cell1, cent_id
-),
-v2 AS (
-  SELECT s.vec_id, s.cell1, k.cent_id,
-         {sql_qsum('s.embedding[i::INT]::DOUBLE * k.cv[i::INT]::DOUBLE')} AS qd
-  FROM subs s JOIN c2 k ON k.cell1 = s.cell1,
-       unnest(range(1, len(s.embedding) + 1)) t(i)
-  GROUP BY s.vec_id, s.cell1, k.cent_id
-),
-a2 AS (
-  SELECT vec_id, cell1, cent_id AS cell2 FROM (
-    SELECT v.vec_id, v.cell1, v.cent_id,
-           row_number() OVER (PARTITION BY v.vec_id
-             ORDER BY (CAST(v.qd AS DOUBLE) / {_S!r})
-                        / sqrt(CAST(n.qnc AS DOUBLE) / {_S!r}) DESC,
-                      v.cent_id ASC) AS arn
-    FROM v2 v JOIN n2 n ON n.cell1 = v.cell1 AND n.cent_id = v.cent_id
-  ) WHERE arn = 1
-),
-vnorm AS (
-  SELECT vec_id,
-         {sql_qsum('embedding[i::INT]::DOUBLE * embedding[i::INT]::DOUBLE')} AS qn
-  FROM e, unnest(range(1, len(embedding) + 1)) t(i) GROUP BY vec_id
-),
+WITH {_SQL_NDR_STEM},
+{_SQL_HIER_CHAIN},
 pairs AS (
   SELECT x.vec_id AS id_a, y.vec_id AS id_b
   FROM a2 x JOIN a2 y
     ON x.cell1 = y.cell1 AND x.cell2 = y.cell2 AND x.vec_id < y.vec_id
 ),
-pdot AS (
-  SELECT p.id_a, p.id_b,
-         {sql_qsum('ea.embedding[i::INT]::DOUBLE * eb.embedding[i::INT]::DOUBLE')} AS qd
-  FROM pairs p
-  JOIN e ea ON ea.vec_id = p.id_a
-  JOIN e eb ON eb.vec_id = p.id_b,
-  unnest(range(1, len(ea.embedding) + 1)) t(i)
-  GROUP BY p.id_a, p.id_b
-)
-SELECT * FROM (
-  SELECT d.id_a, d.id_b,
-         (CAST(d.qd AS DOUBLE) / {_S!r})
-           / (sqrt(CAST(na.qn AS DOUBLE) / {_S!r})
-              * sqrt(CAST(nb.qn AS DOUBLE) / {_S!r})) AS cosine_sim
-  FROM pdot d
-  JOIN vnorm na ON na.vec_id = d.id_a
-  JOIN vnorm nb ON nb.vec_id = d.id_b
-)
-WHERE cosine_sim >= {_IVFND_TAU!r}
-ORDER BY cosine_sim DESC, id_a ASC, id_b ASC
-LIMIT {_IVFND_TOPK}
+{_SQL_NDR_SCORE}
 """,
 )
 def q272_hierarchical_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -813,45 +907,46 @@ def q272_hierarchical_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "cosine_sim")
 
 
-_NDR_NANCHOR = 20   # anchor split: vec_id < 20 (the q237 convention)
-_NDR_TAU = 0.25     # "true near-dup" cosine on this near-orthogonal corpus
-
-# q273's oracle composes the two registered blocking chains verbatim:
-# q272's CTE prefix (e, fc, r1..a2 — both hierarchical levels) and
-# q271's middle CTEs (nc, ranked, cents, cnorm, vnorm, vass, cells —
-# the flat √n assignment). Runtime-sliced from the REGISTERED oracle
-# texts (the q175/q187 discipline) so the census audits exactly the
-# assignments the near-dup entries pair on — a hand copy would drift.
-_hier_split = QUERIES["q272_hierarchical_near_dup"].oracle.split("vnorm AS (")
-assert len(_hier_split) == 2, "q272 oracle lost its vnorm CTE marker"
-_flat_mid = QUERIES["q271_ivf_cell_near_dup"].oracle.split("nc AS (")
-assert len(_flat_mid) == 2, "q271 oracle lost its nc CTE marker"
-_flat_mid2 = _flat_mid[1].split("pairs AS (")
-assert len(_flat_mid2) == 2, "q271 oracle lost its pairs CTE marker"
-_SQL_NDR_CTES = _hier_split[0] + "nc AS (" + _flat_mid2[0]
+def _ndr_ground_truth(spark: SparkSession, sf_dir: str):
+    """Shared census ground truth: (e, n, truep) — the corpus behind
+    the validity boundary, its row count (index sizing), and the
+    anchor pairs (vec_id < {_NDR_NANCHOR} vs the rest) whose EXACT
+    quantized cosine clears τ={_NDR_TAU}.  O(anchors·n·d): anchors
+    broadcast against one corpus scan, never all-pairs.  Used by all
+    three recall censuses (q273 both-dial, q274 flat, q275
+    hierarchical) so their ground truth cannot drift."""
+    e = temb(spark, sf_dir)
+    n = e.count()  # index sizing — the one sanctioned driver action here
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("qn", _qdot(F.col("v"), F.col("v")))
+    anch = base.filter(F.col("vec_id") < _NDR_NANCHOR).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("qn").alias("qna"),
+    )
+    cos = (_qdot(F.col("va"), F.col("v")).cast("double") / F.lit(_S)) / (
+        F.sqrt(F.col("qna").cast("double") / F.lit(_S))
+        * F.sqrt(F.col("qn").cast("double") / F.lit(_S))
+    )
+    truep = (
+        base.crossJoin(F.broadcast(anch))
+        .filter(F.col("vec_id") > F.col("id_a"))
+        .select("id_a", F.col("vec_id").alias("id_b"), cos.alias("c"))
+        .filter(F.col("c") >= _NDR_TAU)
+        .select("id_a", "id_b")
+    )
+    return e, n, truep
 
 
 @register(
     "q273_near_dup_blocking_recall",
     tags=("similarity", "dedup", "llm-data", "ann", "eval"),
     oracle=f"""
-{_SQL_NDR_CTES}
-apairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         {sql_qsum('a.embedding[i::INT]::DOUBLE * b.embedding[i::INT]::DOUBLE')} AS qd
-  FROM e a JOIN e b ON a.vec_id < {_NDR_NANCHOR} AND b.vec_id > a.vec_id,
-       unnest(range(1, len(a.embedding) + 1)) t(i)
-  GROUP BY a.vec_id, b.vec_id
-),
-truep AS (
-  SELECT p.id_a, p.id_b
-  FROM apairs p
-  JOIN vnorm na ON na.vec_id = p.id_a
-  JOIN vnorm nb ON nb.vec_id = p.id_b
-  WHERE (CAST(p.qd AS DOUBLE) / {_S!r})
-          / (sqrt(CAST(na.qn AS DOUBLE) / {_S!r})
-             * sqrt(CAST(nb.qn AS DOUBLE) / {_S!r})) >= {_NDR_TAU!r}
-),
+WITH {_SQL_NDR_STEM},
+{_SQL_HIER_CHAIN},
+{_SQL_FLAT_CHAIN},
+{_SQL_NDR_TRUEP},
 flags AS (
   SELECT t.id_a, t.id_b,
          CASE WHEN ca.cent_id = cb.cent_id THEN 1 ELSE 0 END AS ivf_hit,
@@ -898,8 +993,10 @@ def q273_near_dup_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     O(anchors·n·d), linear in the corpus, never all-pairs.  Both
     assignment relations come from the extracted operators
     (ivf_cell_assignments / hierarchical_cell_assignments), and the
-    oracle composes the REGISTERED q271/q272 CTE texts runtime-sliced
-    (the q175/q187 discipline), so census and production assignments
+    oracle interpolates the SAME named module-level CTE constants
+    (_SQL_FLAT_CHAIN / _SQL_HIER_CHAIN) that render q271's and q272's
+    registered oracles (r11 — replacing the r10 runtime slicing of
+    rendered texts, per ADVICE), so census and production assignments
     cannot drift apart.  A pair is recalled iff both ends share a
     cell (flat) / both levels (hierarchical); with nassign=1 the
     assignment is single-valued, so the equality test IS the blocked
@@ -916,27 +1013,7 @@ def q273_near_dup_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame
         ivf_cell_assignments,
     )
 
-    e = temb(spark, sf_dir)
-    n = e.count()  # index sizing — the one sanctioned driver action here
-    base = e.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("qn", _qdot(F.col("v"), F.col("v")))
-    anch = base.filter(F.col("vec_id") < _NDR_NANCHOR).select(
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("qn").alias("qna"),
-    )
-    cos = (_qdot(F.col("va"), F.col("v")).cast("double") / F.lit(_S)) / (
-        F.sqrt(F.col("qna").cast("double") / F.lit(_S))
-        * F.sqrt(F.col("qn").cast("double") / F.lit(_S))
-    )
-    truep = (
-        base.crossJoin(F.broadcast(anch))
-        .filter(F.col("vec_id") > F.col("id_a"))
-        .select("id_a", F.col("vec_id").alias("id_b"), cos.alias("c"))
-        .filter(F.col("c") >= _NDR_TAU)
-        .select("id_a", "id_b")
-    )
+    e, n, truep = _ndr_ground_truth(spark, sf_dir)
     ivf = ivf_cell_assignments(e, ncells=auto_ncells(n), corpus_rows=n)
     hier = hierarchical_cell_assignments(
         e, fanout=auto_fanout(n), corpus_rows=n
@@ -978,6 +1055,134 @@ def q273_near_dup_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame
         F.when(
             nz, F.col("ivf_recalled").cast("double") / F.col("n_true_pairs")
         ).alias("ivf_recall"),
+        "hier_recalled",
+        F.when(
+            nz, F.col("hier_recalled").cast("double") / F.col("n_true_pairs")
+        ).alias("hier_recall"),
+    )
+
+
+@register(
+    "q274_flat_blocking_recall",
+    tags=("similarity", "dedup", "llm-data", "ann", "eval"),
+    oracle=f"""
+WITH {_SQL_NDR_STEM},
+{_SQL_FLAT_CHAIN},
+{_SQL_NDR_TRUEP},
+flags AS (
+  SELECT CASE WHEN ca.cent_id = cb.cent_id THEN 1 ELSE 0 END AS ivf_hit
+  FROM truep t
+  JOIN cells ca ON ca.vec_id = t.id_a
+  JOIN cells cb ON cb.vec_id = t.id_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(SUM(ivf_hit) AS BIGINT) AS ivf_recalled,
+       CASE WHEN COUNT(*) > 0
+            THEN CAST(SUM(ivf_hit) AS DOUBLE) / COUNT(*) END AS ivf_recall
+FROM flags
+""",
+)
+def q274_flat_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q273's census restricted to the FLAT √n dial (q271) — split out
+    (r11, per the r10 verdict) so each census oracle composes ONE
+    blocking chain plus the anchor ground truth instead of both: at
+    the sf1 clone q273's combined oracle profiled 95.9 s (past the
+    90 s sweep budget), while each single-chain census fits, putting
+    blocking-recall parity coverage INTO the sf1 sweep rather than
+    the exclusion list.  Ground truth, anchor split, τ, and the flat
+    assignment relation are shared with q273 via _ndr_ground_truth /
+    ivf_cell_assignments / _SQL_FLAT_CHAIN — the three censuses
+    cannot drift from each other or from the registered q271."""
+    from ..operators.similarity import auto_ncells, ivf_cell_assignments
+
+    e, n, truep = _ndr_ground_truth(spark, sf_dir)
+    ivf = ivf_cell_assignments(e, ncells=auto_ncells(n), corpus_rows=n)
+    ca = ivf.select(F.col("vec_id").alias("id_a"), F.col("cent_id").alias("ka"))
+    cb = ivf.select(F.col("vec_id").alias("id_b"), F.col("cent_id").alias("kb"))
+    flags = (
+        truep.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            F.when(F.col("ka") == F.col("kb"), 1).otherwise(0).alias("ivf_hit")
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum("ivf_hit").cast("bigint").alias("ivf_recalled"),
+    )
+    nz = F.col("n_true_pairs") > 0
+    return agg.select(
+        "n_true_pairs",
+        "ivf_recalled",
+        F.when(
+            nz, F.col("ivf_recalled").cast("double") / F.col("n_true_pairs")
+        ).alias("ivf_recall"),
+    )
+
+
+@register(
+    "q275_hier_blocking_recall",
+    tags=("similarity", "dedup", "llm-data", "ann", "eval"),
+    oracle=f"""
+WITH {_SQL_NDR_STEM},
+{_SQL_HIER_CHAIN},
+{_SQL_NDR_TRUEP},
+flags AS (
+  SELECT CASE WHEN xa.cell1 = xb.cell1 AND xa.cell2 = xb.cell2
+              THEN 1 ELSE 0 END AS hier_hit
+  FROM truep t
+  JOIN a2 xa ON xa.vec_id = t.id_a
+  JOIN a2 xb ON xb.vec_id = t.id_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(SUM(hier_hit) AS BIGINT) AS hier_recalled,
+       CASE WHEN COUNT(*) > 0
+            THEN CAST(SUM(hier_hit) AS DOUBLE) / COUNT(*) END AS hier_recall
+FROM flags
+""",
+)
+def q275_hier_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q273's census restricted to the HIERARCHICAL two-level dial
+    (q272) — the other half of the r11 census split (see q274's
+    docstring for the sf1 sweep-budget rationale).  Shares
+    _ndr_ground_truth and the _SQL_HIER_CHAIN constant with
+    q272/q273."""
+    from ..operators.similarity import (
+        auto_fanout,
+        hierarchical_cell_assignments,
+    )
+
+    e, n, truep = _ndr_ground_truth(spark, sf_dir)
+    hier = hierarchical_cell_assignments(
+        e, fanout=auto_fanout(n), corpus_rows=n
+    )
+    xa = hier.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cell1").alias("h1a"),
+        F.col("cell2").alias("h2a"),
+    )
+    xb = hier.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cell1").alias("h1b"),
+        F.col("cell2").alias("h2b"),
+    )
+    flags = (
+        truep.join(xa, "id_a")
+        .join(xb, "id_b")
+        .select(
+            F.when(
+                (F.col("h1a") == F.col("h1b")) & (F.col("h2a") == F.col("h2b")),
+                1,
+            ).otherwise(0).alias("hier_hit")
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum("hier_hit").cast("bigint").alias("hier_recalled"),
+    )
+    nz = F.col("n_true_pairs") > 0
+    return agg.select(
+        "n_true_pairs",
         "hier_recalled",
         F.when(
             nz, F.col("hier_recalled").cast("double") / F.col("n_true_pairs")
@@ -2364,7 +2569,7 @@ def q188_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q202_embedding_validation_audit",
     tags=("similarity", "llm-data", "validation", "audit"),
-    oracle="""
+    oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
        CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_null_vec,
@@ -2383,6 +2588,13 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
                  AND len(list_filter(embedding,
                        x -> x IS NULL OR NOT isfinite(x))) = 0
                  AND len(list_filter(embedding, x -> x <> 0)) > 0
+                 AND NOT ({_SQL_QNZ})
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_qzero_vec,
+       CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+                 AND len(list_filter(embedding,
+                       x -> x IS NULL OR NOT isfinite(x))) = 0
+                 AND len(list_filter(embedding, x -> x <> 0)) > 0
+                 AND {_SQL_QNZ}
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
        CAST(COUNT(DISTINCT CASE WHEN embedding IS NOT NULL
                  THEN len(embedding) END) AS BIGINT) AS n_distinct_dims,
@@ -2433,7 +2645,12 @@ def q202_embedding_validation_audit(
     has_bad = v.isNotNull() & F.exists(v, bad)
     nonnull_clean = v.isNotNull() & (F.size(v) > 0) & ~F.exists(v, bad)
     is_zero = nonnull_clean & ~F.exists(v, lambda x: x != F.lit(0.0))
-    is_valid = nonnull_clean & F.exists(v, lambda x: x != F.lit(0.0))
+    nonzero_clean = nonnull_clean & F.exists(v, lambda x: x != F.lit(0.0))
+    # r11 class: nonzero elements but all-zero at the quantizer's
+    # resolution (see _util._SQL_QNZ) — rejected by the boundary
+    # because its quantized cosines have no defined value
+    is_qzero = nonzero_clean & ~has_quantizable_element(v)
+    is_valid = nonzero_clean & has_quantizable_element(v)
 
     def cnt(cond) -> Column:
         return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
@@ -2444,6 +2661,7 @@ def q202_embedding_validation_audit(
         cnt(is_empty).alias("n_empty_vec"),
         cnt(has_bad).alias("n_bad_elem_vec"),
         cnt(is_zero).alias("n_zero_vec"),
+        cnt(is_qzero).alias("n_qzero_vec"),
         cnt(is_valid).alias("n_valid"),
         F.countDistinct(F.when(v.isNotNull(), F.size(v)))
         .cast("bigint")

@@ -166,8 +166,119 @@ def test_embedding_audit_counts_each_defect_class(spark, hostile_emb_dir):
     assert row["n_empty_vec"] == 1
     assert row["n_bad_elem_vec"] == 2  # NULL element + Inf element
     assert row["n_zero_vec"] == 1
+    assert row["n_qzero_vec"] == 0
     assert row["n_valid"] == 500
     assert row["n_valid"] == temb(spark, hostile_emb_dir).count()
+
+
+# Quantized-zero-norm vectors (r11): elements nonzero and finite — they
+# pass every ELEMENT-level check — but the whole vector floors to 0 at
+# the quantizer's resolution (64 * floor(1e-14 * 1e12) = 0).  Planted
+# at ids that WIN the md5 centroid draws (300728/300413 out-hash the
+# entire corpus under '42:', 300777 under the L2 key '42b:'), so
+# without both fixes each similarity query either /0-crashes under
+# Spark ANSI (the oracle says ±Inf) or assigns divergent cells (a
+# zero-norm centroid scores NaN for every vector; Spark sorts NaN last,
+# SQL row_number ranks it first).  Fixes under test: the boundary's
+# quantized-norm conjunct (_util._SQL_QNORM / qnorm_embedding) and the
+# operators' draw-eligibility filter (sampled_centroids, the L2 subs
+# rank) mirrored by the oracles' dnorm/enz CTEs.
+HOSTILE_QNORM_PINNED = [
+    "q50_cosine_topk",            # was: DIVIDE_BY_ZERO under ANSI
+    "q55_embedding_near_dup",     # was: DIVIDE_BY_ZERO
+    "q56_ivf_topk",               # was: poison id drawn as centroid #1
+    "q121_semantic_dedup",
+    "q175_ivf_cell_census",
+    "q202_embedding_validation_audit",  # the audit itself
+    "q271_ivf_cell_near_dup",     # was: divergent cells (NaN argmax)
+    "q272_hierarchical_near_dup",  # both levels' draws poisoned
+    "q273_near_dup_blocking_recall",
+    "q274_flat_blocking_recall",
+    "q275_hier_blocking_recall",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_qnorm_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hostile_qnorm")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents"):
+        os.symlink(f"{_SRC}/{t}.parquet", d / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT * FROM read_parquet('{_SRC}/embeddings.parquet')
+          UNION ALL SELECT 300728, list_transform(range(64),
+                             i -> 1.0e-7::FLOAT), 0
+          UNION ALL SELECT 300413, list_transform(range(64),
+                             i -> (-1.0e-7)::FLOAT), 1
+          UNION ALL SELECT 300777, list_transform(range(64),
+                             i -> ((i % 2) * 2 - 1)::FLOAT * 1.0e-7), 2
+        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize("name", HOSTILE_QNORM_PINNED)
+def test_hostile_qnorm_parity(spark, hostile_qnorm_dir, name):
+    spec = catalog.QUERIES[name]
+    res = compare(name, spark, hostile_qnorm_dir, spec.fn, spec.oracle)
+    assert res.ok, str(res)
+
+
+def test_qnorm_audit_attributes_the_new_class(spark, hostile_qnorm_dir):
+    from geospatial_etl_pipeline_spark.plans._util import temb
+
+    row = catalog.QUERIES["q202_embedding_validation_audit"].fn(
+        spark, hostile_qnorm_dir
+    ).collect()[0]
+    assert row["n_total"] == 503
+    assert row["n_qzero_vec"] == 3
+    assert row["n_zero_vec"] == 0
+    assert row["n_valid"] == 500
+    assert row["n_valid"] == temb(spark, hostile_qnorm_dir).count()
+
+
+def test_qnorm_fixture_would_win_the_draw(spark, hostile_qnorm_dir):
+    """The fixture stays honest: the planted ids must OUT-HASH the
+    whole corpus in the md5 draw order (otherwise the fixture stops
+    exercising the draw-eligibility rule when the base data changes),
+    and the boundary must keep them out of the drawn centroids."""
+    import duckdb as ddb
+
+    con = ddb.connect()
+    top = con.execute(
+        "SELECT vec_id FROM read_parquet("
+        f"'{hostile_qnorm_dir}/embeddings.parquet') "
+        "ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 2"
+    ).fetchall()
+    con.close()
+    assert {r[0] for r in top} == {300728, 300413}
+
+    from geospatial_etl_pipeline_spark.operators.similarity import (
+        ivf_cell_assignments,
+        sampled_centroids,
+    )
+    from geospatial_etl_pipeline_spark.plans._util import temb
+
+    e = temb(spark, hostile_qnorm_dir)
+    # the boundary already rejects the planted rows; the operator-level
+    # draw filter must ALSO hold on the raw table (generic callers)
+    from geospatial_etl_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    raw = load_table(spark, hostile_qnorm_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    cents = sampled_centroids(raw, 22, "vec_id", "_v")
+    picked = {r["cent_id"] for r in cents.collect()}
+    assert len(picked) == 22  # enough eligible vectors remain
+    # and no assignment row can reference a poisoned centroid: every
+    # cell's centroid came from the filtered draw, so q271's machinery
+    # on the BOUNDARY-filtered corpus sees 500 assigned vectors
+    assigned = ivf_cell_assignments(e, corpus_rows=500)
+    assert assigned.count() == 500
 
 
 # Events family: NULL user_id / NULL event_type / NULL value / NULL or

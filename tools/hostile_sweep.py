@@ -11,6 +11,9 @@ full rows, NULL keys, and r8's NULL event-time):
 - documents + (NULL text, '' text, whitespace-only text)
 - embeddings + (NULL vector, empty vector, all-zero vector,
   NULL-element vector, Inf-element vector)
+- embeddings_tiny_norm: quantized-zero-norm vectors planted at ids
+  that WIN the md5 centroid draws (r11 — the draw-eligibility +
+  validity-boundary probe)
 - events     + (NULL user_id; NULL event_type/value/props; malformed
   JSON props)
 - customer/supplier/part + (all-NULL attribute rows: NULL names,
@@ -122,6 +125,26 @@ AUGMENTS = {
                          'en', 'wiki', 77
         UNION ALL SELECT NULL, 'null id doc two', NULL, 'books', 3210
     """,
+    # centroid-DRAW poison (r11): vectors whose elements are nonzero
+    # and finite (they PASS the validity boundary) but whose quantized
+    # self-norm floors to 0 (64 * floor(1e-14 * 1e12) = 0), planted at
+    # ids that out-hash the ENTIRE corpus in the md5 draw orders —
+    # 300728/300413 rank #1/#2 under md5('42:'||id) (the flat/L1/q56
+    # centroid draws), 300777 ranks minimal under md5('42b:'||id) (the
+    # hierarchical L2 sub-centroid draw).  Without the r11 draw-
+    # eligibility rule (quantized norm > 0, engine filter mirrored by
+    # the oracles' dnorm/enz CTEs) each would become a centroid and
+    # score 0/0 = NaN for every vector, which Spark's struct sort and
+    # the SQL row_number rank on OPPOSITE ends — divergent cells.
+    "embeddings_tiny_norm": """
+        SELECT * FROM read_parquet('{src}/embeddings.parquet')
+        UNION ALL SELECT 300728, list_transform(range(64),
+                           i -> 1.0e-7::FLOAT), 0
+        UNION ALL SELECT 300413, list_transform(range(64),
+                           i -> (-1.0e-7)::FLOAT), 1
+        UNION ALL SELECT 300777, list_transform(range(64),
+                           i -> ((i % 2) * 2 - 1)::FLOAT * 1.0e-7), 2
+    """,
     # the same identity probe for the vector table: duplicate vec_ids
     # with DIFFERENT embeddings (id-keyed norm/dot joins produce
     # chimera pairings if either side assumes uniqueness), one
@@ -172,8 +195,9 @@ AUGMENTS = {
 }
 
 # fixture name → the table it augments (defaults to the name itself;
-# variants like documents_dupid write documents.parquet)
-FIXTURE_TABLE = {name: name.split("_dupid")[0] for name in AUGMENTS}
+# variants like documents_dupid / embeddings_tiny_norm write their
+# base table's parquet)
+FIXTURE_TABLE = {name: name.split("_")[0] for name in AUGMENTS}
 
 # The r9 zero-row fixture: EVERY table truncated to 0 rows (schema
 # preserved).  Empty-input divergence is its own class — global
