@@ -39,8 +39,8 @@ scale-data:      ## seed-deterministic sf0.1/0.3/1 clones -> .scaledata/
 	python tools/gen_scale_data.py 0.3
 	python tools/gen_scale_data.py 1.0
 
-scale-curve:     ## per-query scaling exponents over the clones (r10)
-	python tools/scale_curve.py --out SCALE_CURVE_r10.json
+scale-curve:     ## per-query scaling exponents over the clones (r11)
+	python tools/scale_curve.py --out SCALE_CURVE_r11.json
 
 # sf1-only oracle exclusions (r9, reconstructed into the tree r10 for
 # auditability): each profiled TIMEOUT>90s in DuckDB at the sf1 clone —
@@ -53,9 +53,9 @@ scale-curve:     ## per-query scaling exponents over the clones (r10)
 # 22s + q272's 59s + the exact pair scan); q271/q272 themselves stay IN.
 PARITY_SF1_EXCLUDE = q121_semantic_dedup,q125_pagerank_dup_graph,q127_ngram_containment_pairs,q141_triangle_count,q142_weighted_pagerank,q146_benchmark_leak_report,q163_minhash_calibration,q179_dedup_cascade_agreement,q196_dedup_threshold_sweep,q206_corpus_containment,q208_skyline_pareto,q210_spatial_nn_join,q216_two_hop_reach,q269_dup_graph_triangles,q270_dup_graph_assortativity,q79_benchmark_decontamination,q273_near_dup_blocking_recall
 
-parity-scale:    ## full oracle sweep at the sf1 clone (r10) — 10x sf0.1
+parity-scale:    ## full oracle sweep at the sf1 clone (r11) — 10x sf0.1
 	PARITY_EXTRA_EXCLUDE=$(PARITY_SF1_EXCLUDE) \
-	  python tools/parity_sf01.py PARITY_SCALE_r10.json /root/repo/.scaledata/sf1
+	  python tools/parity_sf01.py PARITY_SCALE_r11.json /root/repo/.scaledata/sf1
 
 bench:           ## headline queries at sf0.1, one JSON line
 	python bench.py

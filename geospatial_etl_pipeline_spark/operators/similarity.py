@@ -211,15 +211,23 @@ def sampled_centroids(
     )
 
 
-def auto_ncells(corpus_rows: int, nprobe: int = 4) -> int:
+def auto_ncells(corpus_rows: int, nprobe: int = 4, nassign: int = 1) -> int:
     """√n dial for the IVF cell count (classic IVF sizing): cells ≈ √n
     keeps both the per-cell candidate list (~√n) and the join-key
     cardinality (√n distinct cent_ids) growing with the corpus, so the
     cand equi-join on cent_id never concentrates a 100 TB corpus into a
-    handful of partitions. Floor at 4×nprobe so probing stays selective."""
+    handful of partitions. Floor at 4×nprobe so probing stays selective.
+
+    ``nassign`` re-balances for multi-assignment (r11): at FIXED ncells,
+    assigning each vector to its top-k cells multiplies candidate pairs
+    by ~k²; sizing ncells = k·√n restores ~√n expected occupancy so
+    BOTH the assignment scan (n·ncells·d) and the pair work
+    (ncells·(n·k/ncells)²) scale LINEARLY in k — measured on the 21k
+    clustered fixture: candidate pairs 2.61M → 5.48M (2.1×) going
+    nassign 1 → 2 under this rule (NEARDUP_RECALL, r11)."""
     import math
 
-    return max(4 * nprobe, int(math.isqrt(max(corpus_rows, 1))))
+    return max(4 * nprobe, nassign * int(math.isqrt(max(corpus_rows, 1))))
 
 
 def ivf_topk(
@@ -420,7 +428,9 @@ def ivf_cell_assignments(
     exchanged to be assigned."""
     if ncells is None:
         n = corpus_rows if corpus_rows is not None else corpus.count()
-        ncells = auto_ncells(n)  # sqrt(n): the flat-IVF balanced dial
+        # nassign·sqrt(n): the flat-IVF balanced dial, re-balanced so
+        # multi-assignment costs LINEAR in nassign (auto_ncells r11)
+        ncells = auto_ncells(n, nassign=nassign)
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     ).withColumn("_qn", quantized_dot(F.col("_v"), F.col("_v")))
@@ -461,7 +471,7 @@ def ivf_cell_near_dup(
     ncells: int | None = None,
     threshold: float = 0.85,
     topk: int | None = None,
-    nassign: int = 1,
+    nassign: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_rows: int | None = None,
@@ -495,8 +505,20 @@ def ivf_cell_near_dup(
 
     ``nassign > 1`` assigns each vector to its ``nassign`` nearest
     cells (the standard boundary-recall mitigation; pairs sharing two
-    cells are deduped by the id-pair key). Recall caveat mirrors
-    embedding_near_dup's: near-dups whose cells all differ are missed.
+    cells are deduped by the id-pair key).
+
+    RECALL — MEASURED, r11 (tools/neardup_recall.py, planted pairs at
+    cosine 0.95–0.999 on the 21k-row clustered clone): nassign=1
+    blocks only 63.6% of planted pairs (78.5% even at cosine ≥ 0.99 —
+    the old "cosine→1 ⇒ co-location→1" claim is FALSE, and it DECAYS
+    with n as the √n cells shrink: 76% at 2k rows).  The DEFAULT is
+    therefore nassign=2 with ncells re-balanced to 2√n
+    (:func:`auto_ncells`): 91.0% of all planted pairs and 98.5% of
+    cosine ≥ 0.99 pairs at 2.1× the candidate cost (the linear law —
+    5.48M vs 2.61M candidates).  nassign=4 reaches 98.6%/100% at
+    4.0×.  Deletion-grade dedup should not go below the default;
+    nassign=1 remains available for candidate mining where misses are
+    cheap.
 
     All similarity math — the cell-assignment argmax AND the final
     cosine — runs on floor-quantized integer dots (r10:
@@ -703,6 +725,19 @@ def hierarchical_cell_near_dup(
     cells at BOTH levels (boundary-recall mitigation squared; pairs
     dedup on the id-pair key).  Determinism: both centroid draws are
     md5-seeded rank picks — no RNG state anywhere.
+
+    RECALL/COST — MEASURED, r11 (tools/neardup_recall.py, planted
+    pairs at cosine 0.95–0.999 on the 21k clustered clone): at the
+    default nassign=1 the two-level leaves block only 52.8% of planted
+    pairs (71.3% at cosine ≥ 0.99) — the f² small leaves trade recall
+    for their sub-n^1.5 cost.  nassign=2 recovers 94.8%/99.4% but at
+    nassign² leaf memberships = 12× the candidate pairs (11.4M vs
+    0.93M; the fan-out is not re-balanced).  Division of labor,
+    wired into the defaults: THIS dial (nassign=1) is the
+    candidate-mining / clustering path where misses are cheap and
+    candidate cost dominates; deletion-grade near-dup dedup is
+    :func:`ivf_cell_near_dup` at its nassign=2 default (98.5% of
+    cosine ≥ 0.99 pairs, linear 2.1× cost).
     """
     l2 = hierarchical_cell_assignments(
         corpus,

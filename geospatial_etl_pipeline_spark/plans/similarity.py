@@ -564,6 +564,14 @@ def q56_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFND_TOPK = 25
 _IVFND_TAU = 0.0  # cosine threshold, applied BELOW the global top-k
 _IVFND_NCELLS_FLOOR = 16  # auto_ncells' 4*nprobe floor, mirrored in SQL
+# The flat dial's PRODUCTION nassign (r11, measured in
+# tools/neardup_recall.py on the 21k clustered clone with planted
+# near-dups at cosine 0.95-0.999): nassign=1 blocked only 63.6% of
+# planted pairs (78.5% at cosine>=0.99, decaying with n); nassign=2
+# with ncells re-balanced to 2*sqrt(n) blocks 91.0% / 98.5% at 2.1x
+# candidate cost (the linear law).  Mirrored in the oracle: nc scales
+# by this factor, cells keeps arn <= nassign, pairs dedupe (DISTINCT).
+_IVFND_NASSIGN = 2
 _NDR_NANCHOR = 20   # census anchor split: vec_id < 20 (the q237 convention)
 _NDR_TAU = 0.25     # "true near-dup" cosine on this near-orthogonal corpus
 
@@ -609,14 +617,17 @@ vnorm AS (
 )"""
 
 _SQL_FLAT_CHAIN = f"""nc AS (
-  -- auto_ncells' sqrt(n) production dial, computed FROM the corpus in
-  -- EXACT integer arithmetic (largest f with f*f <= n — mirrors
-  -- math.isqrt, replacing FLOOR(SQRT(n)): correctly-rounded float
-  -- sqrt rounds k*k - 1 UP to k once n ~ 2^52, splitting the dial
-  -- across engines; same discipline as fc's cube root).  Floor
+  -- auto_ncells' nassign*sqrt(n) production dial, computed FROM the
+  -- corpus in EXACT integer arithmetic (largest f with f*f <= n —
+  -- mirrors math.isqrt, replacing FLOOR(SQRT(n)): correctly-rounded
+  -- float sqrt rounds k*k - 1 UP to k once n ~ 2^52, splitting the
+  -- dial across engines; same discipline as fc's cube root).  The
+  -- {_IVFND_NASSIGN}x factor re-balances for multi-assignment so the
+  -- candidate cost stays LINEAR in nassign (auto_ncells r11).  Floor
   -- {_IVFND_NCELLS_FLOOR} = 4*nprobe; range bound 1e5 covers corpora
   -- to 1e10 rows.
-  SELECT GREATEST({_IVFND_NCELLS_FLOOR}, MAX(t.f)) AS ncells
+  SELECT GREATEST({_IVFND_NCELLS_FLOOR}, {_IVFND_NASSIGN} * MAX(t.f))
+         AS ncells
   FROM (SELECT unnest(range(1, 100001)) AS f) t
   WHERE t.f * t.f <= (SELECT COUNT(*) FROM e)
 ),
@@ -641,6 +652,9 @@ vass AS (
   GROUP BY v.vec_id, k.cent_id
 ),
 cells AS (
+  -- top-{_IVFND_NASSIGN} cells per vector (multi-assignment): this
+  -- relation is MULTI-VALUED per vec_id — consumers pairing on it
+  -- must dedupe (q271's DISTINCT) or aggregate (the censuses' MAX)
   SELECT vec_id, cent_id FROM (
     SELECT v.vec_id, v.cent_id,
            row_number() OVER (PARTITION BY v.vec_id
@@ -648,7 +662,7 @@ cells AS (
                         / sqrt(CAST(n.qnc AS DOUBLE) / {_S!r}) DESC,
                       v.cent_id ASC) AS arn
     FROM vass v JOIN cnorm n USING (cent_id)
-  ) WHERE arn = 1
+  ) WHERE arn <= {_IVFND_NASSIGN}
 )"""
 
 _SQL_HIER_CHAIN = f"""fc AS (
@@ -802,7 +816,9 @@ assert not (
 WITH {_SQL_NDR_STEM},
 {_SQL_FLAT_CHAIN},
 pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  -- DISTINCT: a pair sharing both of its {_IVFND_NASSIGN} assigned
+  -- cells must score once (the engine's dropDuplicates on the id pair)
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM cells a JOIN cells b
     ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
 ),
@@ -828,6 +844,16 @@ def q271_ivf_cell_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``nc``), so the catalog entry runs the true dial at every scale
     factor, not a parity-pinned constant.
 
+    nassign={_IVFND_NASSIGN} (r11 — the MEASURED production default,
+    tools/neardup_recall.py on the 21k clustered clone with planted
+    near-dups at cosine 0.95–0.999): single assignment blocked only
+    63.6% of planted pairs (78.5% at cosine ≥ 0.99, decaying with n);
+    top-2 cells with ncells re-balanced to 2√n blocks 91.0% / 98.5%
+    at 2.1× candidate cost (linear, by the auto_ncells re-balance).
+    The oracle runs the same dial: nc scales by {_IVFND_NASSIGN},
+    cells keeps arn ≤ {_IVFND_NASSIGN}, pairs are DISTINCT on the id
+    pair exactly like the engine's dropDuplicates.
+
     This entry calls operators.similarity.ivf_cell_near_dup DIRECTLY
     (no plan-side reimplementation): r10 moved the operator's
     assignment argmax and final cosine onto floor-quantized integer
@@ -847,9 +873,10 @@ def q271_ivf_cell_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = e.count()  # index sizing — the one sanctioned driver action here
     out = ivf_cell_near_dup(
         e,
-        ncells=auto_ncells(n),
+        ncells=auto_ncells(n, nassign=_IVFND_NASSIGN),
         threshold=_IVFND_TAU,
         topk=_IVFND_TOPK,
+        nassign=_IVFND_NASSIGN,
         corpus_rows=n,
     )
     return out.select("id_a", "id_b", "cosine_sim")
@@ -948,15 +975,19 @@ WITH {_SQL_NDR_STEM},
 {_SQL_FLAT_CHAIN},
 {_SQL_NDR_TRUEP},
 flags AS (
+  -- recalled iff ANY shared cell: cells is multi-valued per vec_id
+  -- (nassign > 1), so the hit is a per-pair MAX over the join fan-out
   SELECT t.id_a, t.id_b,
-         CASE WHEN ca.cent_id = cb.cent_id THEN 1 ELSE 0 END AS ivf_hit,
-         CASE WHEN xa.cell1 = xb.cell1 AND xa.cell2 = xb.cell2
-              THEN 1 ELSE 0 END AS hier_hit
+         MAX(CASE WHEN ca.cent_id = cb.cent_id THEN 1 ELSE 0 END)
+           AS ivf_hit,
+         MAX(CASE WHEN xa.cell1 = xb.cell1 AND xa.cell2 = xb.cell2
+              THEN 1 ELSE 0 END) AS hier_hit
   FROM truep t
   JOIN cells ca ON ca.vec_id = t.id_a
   JOIN cells cb ON cb.vec_id = t.id_b
   JOIN a2 xa ON xa.vec_id = t.id_a
   JOIN a2 xb ON xb.vec_id = t.id_b
+  GROUP BY t.id_a, t.id_b
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
        CAST(SUM(ivf_hit) AS BIGINT) AS ivf_recalled,
@@ -981,11 +1012,15 @@ def q273_near_dup_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus (max pairwise cosine ≈ 0.5), so the census reads as a
     LOWER bound — weakly-similar pairs scatter across cells by
     design, while true near-identical pairs (cosine → 1) land in the
-    same Voronoi cell with probability → 1.  Measured at sf0.01:
-    flat cells recall 21% and the two-level leaves 8% of τ≥0.25
-    pairs with nassign=1 — the hierarchy's smaller leaves trade
-    exactly this recall for its n^(4/3) cost, which is why nassign
-    exists and why the dial belongs in a census, not a docstring.
+    same Voronoi cell with a probability MEASURED in r11 on planted
+    pairs (tools/neardup_recall.py / NEARDUP_RECALL_r11.json): 98.5%
+    at cosine ≥ 0.99 for the flat nassign=2 production dial, NOT →1 —
+    which is exactly why the dial defaults to nassign=2.  Measured at
+    sf0.01 on THIS near-orthogonal corpus: flat (nassign=2) recalls
+    30.8% and the two-level leaves (nassign=1) 8.1% of τ≥0.25 pairs —
+    the hierarchy's smaller leaves trade recall for its n^(4/3) cost,
+    which is why it stays the candidate-mining dial, not the
+    deletion-grade one.
 
     Method: the standard SAMPLED ground truth — exact quantized
     cosines for the {_NDR_NANCHOR}-anchor split (vec_id <
@@ -997,10 +1032,10 @@ def q273_near_dup_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     (_SQL_FLAT_CHAIN / _SQL_HIER_CHAIN) that render q271's and q272's
     registered oracles (r11 — replacing the r10 runtime slicing of
     rendered texts, per ADVICE), so census and production assignments
-    cannot drift apart.  A pair is recalled iff both ends share a
-    cell (flat) / both levels (hierarchical); with nassign=1 the
-    assignment is single-valued, so the equality test IS the blocked
-    predicate.
+    cannot drift apart.  A pair is recalled iff both ends share ANY
+    cell (flat — multi-valued at the nassign={_IVFND_NASSIGN} default,
+    per-pair MAX over the join fan-out) / both levels (hierarchical,
+    single-valued at its nassign=1 default).
 
     Scale shape: anchors broadcast (one sanctioned tiny-side cross),
     assignments map-side (broadcast centroid arrays; the L2 window is
@@ -1014,7 +1049,12 @@ def q273_near_dup_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     e, n, truep = _ndr_ground_truth(spark, sf_dir)
-    ivf = ivf_cell_assignments(e, ncells=auto_ncells(n), corpus_rows=n)
+    ivf = ivf_cell_assignments(
+        e,
+        ncells=auto_ncells(n, nassign=_IVFND_NASSIGN),
+        nassign=_IVFND_NASSIGN,
+        corpus_rows=n,
+    )
     hier = hierarchical_cell_assignments(
         e, fanout=auto_fanout(n), corpus_rows=n
     )
@@ -1030,17 +1070,26 @@ def q273_near_dup_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("cell1").alias("h1b"),
         F.col("cell2").alias("h2b"),
     )
+    # recalled iff ANY shared cell: the ivf relation is multi-valued
+    # per id (nassign > 1), so the hit is a per-pair MAX over the
+    # join fan-out (the oracle's GROUP BY form)
     flags = (
         truep.join(ca, "id_a")
         .join(cb, "id_b")
         .join(xa, "id_a")
         .join(xb, "id_b")
-        .select(
-            F.when(F.col("ka") == F.col("kb"), 1).otherwise(0).alias("ivf_hit"),
-            F.when(
-                (F.col("h1a") == F.col("h1b")) & (F.col("h2a") == F.col("h2b")),
-                1,
-            ).otherwise(0).alias("hier_hit"),
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(
+                F.when(F.col("ka") == F.col("kb"), 1).otherwise(0)
+            ).alias("ivf_hit"),
+            F.max(
+                F.when(
+                    (F.col("h1a") == F.col("h1b"))
+                    & (F.col("h2a") == F.col("h2b")),
+                    1,
+                ).otherwise(0)
+            ).alias("hier_hit"),
         )
     )
     agg = flags.agg(
@@ -1070,10 +1119,15 @@ WITH {_SQL_NDR_STEM},
 {_SQL_FLAT_CHAIN},
 {_SQL_NDR_TRUEP},
 flags AS (
-  SELECT CASE WHEN ca.cent_id = cb.cent_id THEN 1 ELSE 0 END AS ivf_hit
+  -- recalled iff ANY shared cell (cells is multi-valued per vec_id at
+  -- nassign {_IVFND_NASSIGN} — per-pair MAX over the join fan-out)
+  SELECT t.id_a, t.id_b,
+         MAX(CASE WHEN ca.cent_id = cb.cent_id THEN 1 ELSE 0 END)
+           AS ivf_hit
   FROM truep t
   JOIN cells ca ON ca.vec_id = t.id_a
   JOIN cells cb ON cb.vec_id = t.id_b
+  GROUP BY t.id_a, t.id_b
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
        CAST(SUM(ivf_hit) AS BIGINT) AS ivf_recalled,
@@ -1096,14 +1150,23 @@ def q274_flat_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import auto_ncells, ivf_cell_assignments
 
     e, n, truep = _ndr_ground_truth(spark, sf_dir)
-    ivf = ivf_cell_assignments(e, ncells=auto_ncells(n), corpus_rows=n)
+    ivf = ivf_cell_assignments(
+        e,
+        ncells=auto_ncells(n, nassign=_IVFND_NASSIGN),
+        nassign=_IVFND_NASSIGN,
+        corpus_rows=n,
+    )
     ca = ivf.select(F.col("vec_id").alias("id_a"), F.col("cent_id").alias("ka"))
     cb = ivf.select(F.col("vec_id").alias("id_b"), F.col("cent_id").alias("kb"))
+    # ANY-shared-cell hit: per-pair MAX over the multi-assignment fan-out
     flags = (
         truep.join(ca, "id_a")
         .join(cb, "id_b")
-        .select(
-            F.when(F.col("ka") == F.col("kb"), 1).otherwise(0).alias("ivf_hit")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(
+                F.when(F.col("ka") == F.col("kb"), 1).otherwise(0)
+            ).alias("ivf_hit")
         )
     )
     agg = flags.agg(
@@ -1128,11 +1191,16 @@ WITH {_SQL_NDR_STEM},
 {_SQL_HIER_CHAIN},
 {_SQL_NDR_TRUEP},
 flags AS (
-  SELECT CASE WHEN xa.cell1 = xb.cell1 AND xa.cell2 = xb.cell2
-              THEN 1 ELSE 0 END AS hier_hit
+  -- per-pair MAX form for uniformity with the flat census (a2 is
+  -- single-valued at the hier dial's nassign=1 default, so the GROUP
+  -- BY is a no-op today — but the hit stays correct if it ever isn't)
+  SELECT t.id_a, t.id_b,
+         MAX(CASE WHEN xa.cell1 = xb.cell1 AND xa.cell2 = xb.cell2
+              THEN 1 ELSE 0 END) AS hier_hit
   FROM truep t
   JOIN a2 xa ON xa.vec_id = t.id_a
   JOIN a2 xb ON xb.vec_id = t.id_b
+  GROUP BY t.id_a, t.id_b
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
        CAST(SUM(hier_hit) AS BIGINT) AS hier_recalled,
@@ -1166,14 +1234,20 @@ def q275_hier_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell1").alias("h1b"),
         F.col("cell2").alias("h2b"),
     )
+    # per-pair MAX form for uniformity with the flat census (no-op at
+    # the hier dial's single-valued nassign=1 default)
     flags = (
         truep.join(xa, "id_a")
         .join(xb, "id_b")
-        .select(
-            F.when(
-                (F.col("h1a") == F.col("h1b")) & (F.col("h2a") == F.col("h2b")),
-                1,
-            ).otherwise(0).alias("hier_hit")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("h1a") == F.col("h1b"))
+                    & (F.col("h2a") == F.col("h2b")),
+                    1,
+                ).otherwise(0)
+            ).alias("hier_hit")
         )
     )
     agg = flags.agg(

@@ -10,6 +10,16 @@ Tree: 48 grids (12 parameter codes × 4 period codes) of 200×200 cells
 which gets a real GeoTIFF, a stats sidecar, a zip, and a metadata JSON
 document. Records row counts + wall time to CLI_E2E_r04.json.
 
+Noise adjudication (r11, closing the r10 verdict's bookkeeping item):
+the raw products/s drifted 32.0 (r6) → 29.96 (r9) → 25.88 (r10) with
+no sentinel to attribute it. The run is ONE cli.run call, so the
+bench.py interleave can't apply; instead the run is BRACKETED by the
+same fixed CPU sentinel (3 before + 3 after), the artifact records a
+sentinel-normalized throughput (products/s × sentinel median — the
+host-speed-invariant figure), and a `verdict_on_trend` field
+self-adjudicates against the recorded series: flat-or-better raw, a
+host-phase-excused dip (elevated sentinel), or an unexcused drift.
+
 Usage: python tools/cli_e2e_bench.py [out_json]
 """
 
@@ -31,6 +41,25 @@ from geospatial_etl_pipeline_spark.sources.asc import write_asc  # noqa: E402
 _PARAMS = ["00", "01", "02", "03", "04", "09", "11", "17", "23", "33", "34", "37"]
 _PERIODS = ["monthly1", "monthly7", "seasonal2", "annual"]
 _W = _H = 200
+
+# bench.py's sentinel (same plan, same size): pure whole-stage-codegen
+# range fold — its only variable is host CPU availability
+_SENTINEL_N = 200_000_000
+# the long-run calm sentinel on this box (bench.py series r4-r11:
+# calm medians 0.09-0.11 s) and the recorded raw throughput series —
+# the references verdict_on_trend adjudicates against
+_CALM_SENTINEL_SEC = 0.099
+_RAW_SERIES = {"r6": 32.0, "r9": 29.96, "r10": 25.88}
+_PHASE_ELEVATED = 1.5   # same bar as bench.py's excusal rule
+_FLAT_TOLERANCE = 0.92  # within 8% of the r9 raw = flat
+
+
+def run_sentinel(spark) -> float:
+    t0 = time.perf_counter()
+    spark.range(_SENTINEL_N).selectExpr(
+        "sum(id % 7) AS s"
+    ).write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 3)
 
 
 def build_tree(src: str) -> tuple[int, int]:
@@ -89,6 +118,7 @@ def main() -> None:
         n_grids, n_cells = build_tree(src)
         n_regions = build_regions(regions_csv)
 
+        pre_sent = [run_sentinel(spark) for _ in range(3)]
         t0 = time.perf_counter()
         result = cli.run(
             spark,
@@ -101,6 +131,7 @@ def main() -> None:
             strict=True,
         )
         elapsed = time.perf_counter() - t0
+        post_sent = [run_sentinel(spark) for _ in range(3)]
 
         n_zip_files = len(
             [f for f in os.listdir(zips) if f.endswith(".zip")]
@@ -122,6 +153,33 @@ def main() -> None:
             "pipeline": "recursive .asc scan -> decode -> x regions "
             "fan-out -> clip -> stats -> naming dims -> GeoTIFF+zip+"
             "metadata sinks (strict mode)",
+        }
+        # trend adjudication (module docstring): bracket sentinels +
+        # self-verdict against the recorded raw series
+        import statistics
+
+        sents = pre_sent + post_sent
+        med = round(statistics.median(sents), 3)
+        pps = rec["products_per_sec"]
+        phase = round(med / _CALM_SENTINEL_SEC, 2)
+        if pps >= _RAW_SERIES["r9"] * _FLAT_TOLERANCE:
+            verdict = "flat_or_better"
+        elif phase >= _PHASE_ELEVATED:
+            verdict = "host_phase_excused"
+        else:
+            verdict = "drift_unexcused"
+        rec["sentinel"] = {
+            "pre": pre_sent,
+            "post": post_sent,
+            "median_sec": med,
+            "calm_ref_sec": _CALM_SENTINEL_SEC,
+            "phase_factor": phase,
+        }
+        # host-speed-invariant figure: products per sentinel-unit of CPU
+        rec["products_per_sentinel"] = round(pps * med, 3)
+        rec["trend"] = {
+            "raw_series": _RAW_SERIES,
+            "verdict_on_trend": verdict,
         }
         line = json.dumps(rec)
         print(line)

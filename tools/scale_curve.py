@@ -81,7 +81,11 @@ def _q55_production(spark, sf_dir):
 def _q55_ivf_cells(spark, sf_dir):
     """q55 re-blocked on IVF coarse cells — since r10 this is the
     REGISTERED q271 production path (√n cells, quantized scoring);
-    kept as a variant row so the r9→r10 series stays comparable."""
+    kept as a variant row so the r9→r10 series stays comparable.
+    NOTE r11: the operator default moved to nassign=2 / ncells=2√n
+    (the measured deletion-grade recall dial, NEARDUP_RECALL_r11), so
+    this row's absolute seconds step up ~2x vs the r10 series — the
+    TAIL exponent is the comparable quantity."""
     from geospatial_etl_pipeline_spark.operators.similarity import (
         ivf_cell_near_dup,
     )
@@ -187,14 +191,21 @@ def main() -> None:
     reps = int(_opt("--reps", "3"))
     out_path = _opt("--out", "/root/repo/SCALE_CURVE_r10.json")
     fams = _opt("--families", "headline,heavy,risk").split(",")
+    only = _opt("--queries", "")
     names: list[str] = []
-    if "headline" in fams:
-        names += bench.HEADLINE
-    if "heavy" in fams:
-        names += bench.HEAVY
-    if "risk" in fams:
-        names += RISK
-    names += list(VARIANTS)
+    if only:
+        # explicit subset (catalog names and/or VARIANTS keys) — e.g.
+        # the r11 sf3 near-dup-ladder run, where generating the full
+        # sf3 clone for every family would add nothing to the question
+        names = only.split(",")
+    else:
+        if "headline" in fams:
+            names += bench.HEADLINE
+        if "heavy" in fams:
+            names += bench.HEAVY
+        if "risk" in fams:
+            names += RISK
+        names += list(VARIANTS)
 
     catalog.load_all_plans()
     spark = get_spark("scale-curve")
