@@ -418,11 +418,13 @@ def ivf_cell_assignments(
     corpus_rows: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
-    """The flat-IVF blocking relation: (id, _v, _qn, cent_id) — each
-    vector with its quantized self-norm and its (top-``nassign``)
-    Voronoi cell(s) around the md5-sampled centroids.  Extracted from
-    :func:`ivf_cell_near_dup` (r10) so the recall census (q273) audits
-    EXACTLY the assignment the registered near-dup pairs on — a
+    """The flat-IVF blocking relation: (id, _v, _qn, _cells, cent_id)
+    — each vector with its quantized self-norm, its full sorted
+    assigned-cell array (``_cells``, nassign ints — the r11 structural
+    pair-dedup payload), and one row per assigned Voronoi cell around
+    the md5-sampled centroids.  Extracted from
+    :func:`ivf_cell_near_dup` (r10) so the recall censuses (q273/q274)
+    audit EXACTLY the assignment the registered near-dup pairs on — a
     re-derivation could drift.  Map-side only: one broadcast
     struct-array row + an in-row quantized argmax; the corpus is never
     exchanged to be assigned."""
@@ -459,10 +461,40 @@ def ivf_cell_assignments(
         ),
     )
     top = F.slice(F.array_sort(scored_cells), 1, nassign)
-    return (
+    # _cells: the vector's full (sorted) assigned-cell set, carried
+    # beside the exploded join key — map-side, tiny (nassign ints),
+    # and what lets ivf_cell_near_dup dedupe multi-cell pairs with an
+    # in-row filter instead of a pair-sized exchange (r11).
+    #
+    # The explode(array(top)) hop is a DELIBERATE Generate barrier:
+    # deriving _cells and the per-cell explode from the same `top`
+    # expression in one projection makes Catalyst evaluate the whole
+    # O(ncells·d) argmax TWICE per row (measured: 45 -> 132 s at the
+    # sf1 clone, the argmax re-run costing more than the assignment
+    # itself).  A generator's output is a bona fide attribute, so both
+    # downstream references read the materialized 2-element array and
+    # the argmax runs exactly once.
+    materialized = (
         c.crossJoin(F.broadcast(carr))
-        .select(F.col(id_col), "_v", "_qn", F.explode(top).alias("_t"))
-        .select(id_col, "_v", "_qn", F.col("_t.cent_id").alias("cent_id"))
+        .select(
+            F.col(id_col), "_v", "_qn",
+            F.explode(F.array(top)).alias("_top"),
+        )
+    )
+    return (
+        materialized.select(
+            F.col(id_col),
+            "_v",
+            "_qn",
+            F.array_sort(
+                F.transform("_top", lambda t: t["cent_id"])
+            ).alias("_cells"),
+            F.explode("_top").alias("_t"),
+        )
+        .select(
+            id_col, "_v", "_qn", "_cells",
+            F.col("_t.cent_id").alias("cent_id"),
+        )
     )
 
 
@@ -537,21 +569,39 @@ def ivf_cell_near_dup(
         corpus_rows=corpus_rows,
         seed=seed,
     )
+    # Multi-assignment dedup is STRUCTURAL, not an exchange:
+    # dropDuplicates on the joined pairs would shuffle rows carrying
+    # both 64-dim vectors (measured 5.6x wall at the sf1 clone — ~5 GB
+    # of array payload through the dedup aggregate for a 2.1x candidate
+    # count).  Instead each vector rides with its (tiny, sorted) cell
+    # ARRAY — produced map-side by the assignment itself — and a pair
+    # is emitted ONLY in the minimum cell the two sides share: an
+    # in-row array_intersect filter, zero extra exchanges, exactly one
+    # row per qualifying pair (== the oracle's DISTINCT).
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         F.col("_v").alias("_va"),
         F.col("_qn").alias("_qna"),
+        *(["_cells"] if nassign > 1 else []),
         "cent_id",
     )
+    if nassign > 1:
+        a = a.withColumnRenamed("_cells", "_cells_a")
     b = assigned.select(
         F.col(id_col).alias("id_b"),
         F.col("_v").alias("_vb"),
         F.col("_qn").alias("_qnb"),
+        *(["_cells"] if nassign > 1 else []),
         "cent_id",
     )
+    if nassign > 1:
+        b = b.withColumnRenamed("_cells", "_cells_b")
     pairs = a.join(b, "cent_id").filter(F.col("id_a") < F.col("id_b"))
     if nassign > 1:
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+        pairs = pairs.filter(
+            F.col("cent_id")
+            == F.array_min(F.array_intersect("_cells_a", "_cells_b"))
+        )
     scored = pairs.select(
         "id_a",
         "id_b",
