@@ -1265,6 +1265,80 @@ def q275_hier_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q276_blocking_cost_census",
+    tags=("similarity", "dedup", "llm-data", "ann", "eval"),
+    oracle=f"""
+WITH {_SQL_NDR_STEM},
+{_SQL_FLAT_CHAIN},
+occ AS (
+  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM cells GROUP BY cent_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(c) AS BIGINT) AS n_assignments,
+       CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS candidate_pairs,
+       CAST(MAX(c) AS BIGINT) AS max_cell,
+       CASE WHEN SUM(c) > 0
+            THEN CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c)
+       END AS skew_ratio
+FROM occ
+""",
+)
+def q276_blocking_cost_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COST side of the recall/cost tradeoff the r11 measurements
+    quantified (NEARDUP_RECALL_r11.json): one row with the registered
+    flat dial's cell count, total assignments (n·nassign), candidate
+    pairs Σ C(occupancy, 2) — the exact number of cosine evaluations
+    q271 will perform — the largest cell, and the occupancy skew ratio
+    (max/mean).  A 100 TB dedup owner reads this BEFORE launching the
+    pair stage: candidate_pairs is the job's dominant cost term (the
+    measured linear-in-nassign law), and skew_ratio predicts the
+    longest shuffle partition.  Companion to q274's recall census —
+    together they are the measured dial table, per corpus, from the
+    engine itself.
+
+    Composes the SAME _SQL_FLAT_CHAIN constant / ivf_cell_assignments
+    relation as q271/q273/q274, so the census can never drift from the
+    registered blocking.  Scale shape: assignments map-side (broadcast
+    centroid array), one groupBy on cent_id (~nassign·√n keys), one
+    1-row aggregate."""
+    from ..operators.similarity import auto_ncells, ivf_cell_assignments
+
+    e = temb(spark, sf_dir)
+    n = e.count()  # index sizing — the one sanctioned driver action here
+    occ = (
+        ivf_cell_assignments(
+            e,
+            ncells=auto_ncells(n, nassign=_IVFND_NASSIGN),
+            nassign=_IVFND_NASSIGN,
+            corpus_rows=n,
+        )
+        .groupBy("cent_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nz = F.col("n_assignments") > 0
+    return occ.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("c").cast("bigint").alias("n_assignments"),
+        F.sum(F.expr("c * (c - 1) DIV 2"))
+        .cast("bigint")
+        .alias("candidate_pairs"),
+        F.max("c").cast("bigint").alias("max_cell"),
+    ).select(
+        "n_cells",
+        "n_assignments",
+        "candidate_pairs",
+        "max_cell",
+        F.when(
+            nz,
+            F.col("max_cell").cast("double")
+            * F.col("n_cells")
+            / F.col("n_assignments"),
+        ).alias("skew_ratio"),
+    )
+
+
+@register(
     "q54_ann_lsh_topk",
     tags=("similarity", "llm-data", "ann", "lsh", "topk"),
     oracle=None,  # the Gaussian-plane float-matmul path is not
