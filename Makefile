@@ -39,8 +39,8 @@ scale-data:      ## seed-deterministic sf0.1/0.3/1 clones -> .scaledata/
 	python tools/gen_scale_data.py 0.3
 	python tools/gen_scale_data.py 1.0
 
-scale-curve:     ## per-query scaling exponents over the clones (r11)
-	python tools/scale_curve.py --out SCALE_CURVE_r11.json
+scale-curve:     ## per-query scaling exponents over the clones (r12)
+	python tools/scale_curve.py --out SCALE_CURVE_r12.json
 
 # sf1-only oracle exclusions, re-profiled r11 (every candidate
 # measured with a per-query kill cap at the sf1 clone): the ROOT CAUSE
@@ -51,9 +51,16 @@ scale-curve:     ## per-query scaling exponents over the clones (r11)
 # can either.  r11 therefore splits the sweep into two lanes:
 # * SLOW LANE (removed from this exclude list): q125/q142/q216/q269/
 #   q270 — their downstream beyond lsh_pairs is trivial (pagerank /
-#   two-hop / triangles / assortativity over the 555 sf1 edges), so
-#   each completes in ~430-460 s.  Parity at sf1 is worth ~7-8 min of
-#   DuckDB wall each; the sweep runs them with real hash checks.
+#   two-hop / triangles / assortativity over the 555 sf1 edges).  r11
+#   ran each at ~430-460 s (every oracle re-paying the 422 s shared
+#   CTE); r12 materializes the EXACT shared chain text ONCE per sweep
+#   (tools/parity_sf01.py _materialize_lsh_pairs: COPY the rendered
+#   `WITH <_SQL_LSH_CTES> SELECT ... FROM lsh_pairs` to parquet, then
+#   rewrite each composing oracle's lsh_pairs body to read it back —
+#   the rewrite REFUSES an oracle that doesn't embed the exact chain
+#   constant, so chain edits can't pair with a stale materialization).
+#   Semantics unchanged — same SQL text, same views; the 5 oracles
+#   drop to downstream-only cost (~35 min of sweep wall -> ~8).
 # * STILL EXCLUDED (re-justified by measurement, all >85-100 s with
 #   heavy work PAST the shared CTEs): q121 per-cluster kernel, q127/
 #   q206 pairwise containment inventories, q141 (pre-LSH triangle
@@ -63,9 +70,9 @@ scale-curve:     ## per-query scaling exponents over the clones (r11)
 #   its halves ARE swept — q274 76.7 s, q275 81.8 s).
 PARITY_SF1_EXCLUDE = q121_semantic_dedup,q127_ngram_containment_pairs,q141_triangle_count,q146_benchmark_leak_report,q163_minhash_calibration,q179_dedup_cascade_agreement,q196_dedup_threshold_sweep,q206_corpus_containment,q208_skyline_pareto,q210_spatial_nn_join,q79_benchmark_decontamination,q273_near_dup_blocking_recall
 
-parity-scale:    ## full oracle sweep at the sf1 clone (r11) — 10x sf0.1
+parity-scale:    ## full oracle sweep at the sf1 clone (r12) — 10x sf0.1
 	PARITY_EXTRA_EXCLUDE=$(PARITY_SF1_EXCLUDE) \
-	  python tools/parity_sf01.py PARITY_SCALE_r11.json /root/repo/.scaledata/sf1
+	  python tools/parity_sf01.py PARITY_SCALE_r12.json /root/repo/.scaledata/sf1
 
 bench:           ## headline queries at sf0.1, one JSON line
 	python bench.py

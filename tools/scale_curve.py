@@ -147,6 +147,7 @@ RISK = [
     # families the first sweep skipped
     "q271_ivf_cell_near_dup",          # the new registered production dial
     "q272_hierarchical_near_dup",      # the registered sub-n^1.5 path
+    "q277_hier2_deletion_near_dup",    # r12 deletion-grade re-balanced dial
     "q151_rolling_weekly_actives",     # rolling distinct (exact)
     "q201_rolling_weekly_actives_sketch",  # its HLL swap — scale is the point
     "q217_bigram_lm_score",            # bigram-SMJ LM family
