@@ -539,16 +539,24 @@ def ivf_cell_near_dup(
     cells (the standard boundary-recall mitigation; pairs sharing two
     cells are deduped by the id-pair key).
 
-    RECALL — MEASURED, r11 (tools/neardup_recall.py, planted pairs at
-    cosine 0.95–0.999 on the 21k-row clustered clone): nassign=1
+    RECALL — MEASURED, r11+r12 (tools/neardup_recall.py, planted
+    pairs at cosine 0.95–0.999 on the clustered clones): nassign=1
     blocks only 63.6% of planted pairs (78.5% even at cosine ≥ 0.99 —
     the old "cosine→1 ⇒ co-location→1" claim is FALSE, and it DECAYS
     with n as the √n cells shrink: 76% at 2k rows).  The DEFAULT is
     therefore nassign=2 with ncells re-balanced to 2√n
     (:func:`auto_ncells`): 91.0% of all planted pairs and 98.5% of
-    cosine ≥ 0.99 pairs at 2.1× the candidate cost (the linear law —
-    5.48M vs 2.61M candidates).  nassign=4 reaches 98.6%/100% at
-    4.0×.  Deletion-grade dedup should not go below the default;
+    cosine ≥ 0.99 pairs at 21k rows, at 2.1× the candidate cost (the
+    linear law — 5.48M vs 2.61M candidates).  r12's sf3 run shows the
+    decay persists under multi-assignment too: at 63k rows the default
+    drops to 85.7%/97.0% — below deletion grade.  DELETION-GRADE use
+    should therefore either escalate to nassign=4 (measured 100% at
+    cosine ≥ 0.99 at ALL three scales, 4× cost) or switch to the r12
+    re-balanced hierarchical dial (q277 /
+    :func:`hierarchical_cell_near_dup` with ``nassign=2``), which
+    beats this dial on BOTH recall and cost at every measured scale
+    ≥ 21k while staying sub-n^1.5.  The q274 recall census reports
+    this dial's recall per corpus; read it before deleting.
     nassign=1 remains available for candidate mining where misses are
     cheap.
 

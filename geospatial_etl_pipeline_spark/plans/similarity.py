@@ -973,6 +973,15 @@ def q271_ivf_cell_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells keeps arn ≤ {_IVFND_NASSIGN}, pairs are DISTINCT on the id
     pair exactly like the engine's dropDuplicates.
 
+    r12 caveat (NEARDUP_RECALL_r12, the 63k sf3 clone): this dial's
+    recall decays with n even at nassign=2 (97.0% at cosine ≥ 0.99 at
+    63k — below deletion grade).  It stays the flat REFERENCE dial
+    (simplest plan, exchange-free assignment, its q274 census reports
+    recall per corpus); deletion-grade dedup belongs to q277 (the
+    re-balanced hierarchical dial — better recall AND cost at every
+    measured scale ≥ 21k) or flat nassign=4 (measured 100% at
+    cosine ≥ 0.99 at all three scales).
+
     This entry calls operators.similarity.ivf_cell_near_dup DIRECTLY
     (no plan-side reimplementation): r10 moved the operator's
     assignment argmax and final cosine onto floor-quantized integer

@@ -258,6 +258,9 @@ def main() -> None:
     # re-balanced by auto_fanout's isqrt(k·f₀²) law)
     rebal = [
         ("hier_a2_f2x", dict(fanout=2 * f0, nassign=2), None),
+        # the escalation dial for corpora where a=2's recall decays
+        # below deletion grade: same a²-linear law, 9/4 the candidates
+        ("hier_a3_f3x", dict(fanout=3 * f0, nassign=3), None),
         ("hier_a2_f2.8x",
          dict(fanout=max(4, math.isqrt(8 * f0 * f0)), nassign=2), None),
         ("hier_topk2_f1x", dict(fanout=f0, nassign=2), 2),
