@@ -688,6 +688,62 @@ def auto_fanout(
     return max(floor, f)
 
 
+# Largest corpus (rows) at which each ``nassign`` of the re-balanced
+# hierarchical dial is MEASURED at deletion grade (>= 98.5% blocking
+# recall on planted pairs at cosine >= 0.99) — NEARDUP_RECALL_r12,
+# clustered clones 2k/21k/63k/210k rows:
+#   a=2: 100% @ 2k, 99.7% @ 21k, 98.5% @ 63k, 97.8% @ 210k
+#        -> at grade through 63k (decay ~0.6-1.2 pp per 3.3x rows)
+#   a=3: 100% @ 21k, 99.9% @ 63k, 99.88% @ 210k
+#        -> at grade through 210k with ~0.1 pp per 3.3x slope; the
+#        10x allowance below spends ~1.3 pp of its ~1.4 pp headroom
+_NASSIGN_GRADE_CEILING: list[tuple[int, int]] = [
+    (2, 63_010),
+    (3, 2_098_090),  # 10x the largest measured point, slope-justified
+]
+
+
+def auto_nassign(corpus_rows: int, floor: int = 2) -> int:
+    """Smallest ``nassign`` measured (or slope-extrapolated) to hold
+    DELETION GRADE — >= 98.5% blocking recall at cosine >= 0.99 — for
+    the re-balanced hierarchical dial (q277) at this corpus size.
+
+    Every fixed dial's recall decays with corpus size (~0.6–1.2 pp per
+    3.3× rows for a=2, ~0.1 pp for a=3 — measured, see
+    ``_NASSIGN_GRADE_CEILING``), so a 100 TB deletion pipeline cannot
+    freeze ``nassign``: this helper steps it with n. Within the
+    measured grid the step points are measurements; past 2.1M rows
+    (10× the largest measured corpus) it escalates +1 per additional
+    decade and emits a ``UserWarning`` — that region is EXTRAPOLATION,
+    and the honest protocol there is to run the q278 recall/cost
+    census on the actual corpus before deleting anything.
+
+    Cost stays sub-n^1.5 along the whole schedule: candidates follow
+    a²·n^(4/3)/2 (:func:`auto_fanout`), and a grows like log n."""
+    import warnings
+
+    n = max(corpus_rows, 1)
+    for a, ceiling in _NASSIGN_GRADE_CEILING:
+        if n <= ceiling:
+            return max(floor, a)
+    last_a, last_ceiling = _NASSIGN_GRADE_CEILING[-1]
+    # exact integer decade count (float log10 is off by an ulp at
+    # exact powers of ten — same discipline as auto_fanout's icbrt)
+    decades, bound = 0, last_ceiling
+    while n > bound:
+        decades += 1
+        bound *= 10
+    warnings.warn(
+        f"auto_nassign: corpus_rows={n} is past the measured recall "
+        f"grid (<= {last_ceiling}); escalating to nassign="
+        f"{last_a + decades} by +1/decade EXTRAPOLATION — run the "
+        "q278 blocking census on this corpus before deletion-grade use",
+        UserWarning,
+        stacklevel=2,
+    )
+    return max(floor, last_a + decades)
+
+
 def hierarchical_cell_assignments(
     corpus: DataFrame,
     fanout: int | None = None,
@@ -929,6 +985,15 @@ def hierarchical_cell_near_dup(
     over vector payloads).  ``leaf_topk`` (global top-k leaves,
     memberships n·k) measured WORSE at scale (89–93% at ≥ 0.99) and
     stays a tool-exercised negative control.
+
+    RECALL-vs-n (r12 extension, 210k-row clone): nassign=2 decays
+    ~0.6–1.2 pp per 3.3× rows at cosine ≥ 0.99 (99.7% → 98.5% →
+    97.8% over 21k/63k/210k) and crosses below deletion grade past
+    ~63k rows; nassign=3 (same a² law, measured 100%/99.9%/99.88% at
+    the three scales) holds grade with a ~0.1 pp slope.  Size
+    ``nassign`` with :func:`auto_nassign` — the measured escalation
+    schedule (a grows like log n, so cost stays sub-n^1.5) — and past
+    its measured grid run the q278 census on the real corpus first.
     """
     if fanout is None and nassign > 1 and leaf_topk is None:
         # resolve the re-balanced fan-out HERE so the leaf_id encoding

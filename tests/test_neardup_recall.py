@@ -218,3 +218,40 @@ def test_registered_q277_runs_the_deletion_dial():
     # census rides the SAME chain constant as the registered pairs
     assert sim._SQL_HIER2_CHAIN in oracle
     assert sim._SQL_HIER2_CHAIN in census
+
+
+def test_auto_nassign_measured_schedule():
+    """auto_nassign steps exactly at the measured grade ceilings
+    (NEARDUP_RECALL_r12: a=2 at grade through 63k rows, a=3 through
+    210k measured + 10x slope allowance), is monotonic, and warns
+    loudly once it leaves the measured grid."""
+    import warnings
+
+    from geospatial_etl_pipeline_spark.operators.similarity import (
+        auto_nassign,
+    )
+
+    # measured region: pinned to the grid's step points
+    assert auto_nassign(1) == 2
+    assert auto_nassign(2_096) == 2        # 100% measured
+    assert auto_nassign(63_010) == 2       # 98.5% measured (at grade)
+    assert auto_nassign(63_011) == 3       # a=2 decays past grade here
+    assert auto_nassign(209_809) == 3      # 99.88% measured
+    assert auto_nassign(2_098_090) == 3    # 10x slope allowance
+    # monotonic non-decreasing across the whole range
+    prev = 0
+    for n in (1, 10**3, 10**4, 10**5, 10**6, 10**7, 10**8, 10**9):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            a = auto_nassign(n)
+        assert a >= prev
+        prev = a
+    # past the grid: +1 per decade AND a UserWarning naming q278
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert auto_nassign(2_098_091) == 4
+        assert auto_nassign(20_980_900) == 4
+        assert auto_nassign(20_980_901) == 5
+    assert any("q278" in str(x.message) for x in w)
+    # floor is respected (candidate mining may relax to a=1 explicitly)
+    assert auto_nassign(1, floor=1) == 2  # schedule still wins

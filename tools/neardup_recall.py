@@ -230,7 +230,7 @@ def main() -> None:
         print(f"# {name}: {json.dumps(out['dials'][name])}",
               file=sys.stderr, flush=True)
 
-    for nassign in (1, 2, 4):
+    for nassign in (1, 2, 3, 4):
         nc = max(16, nassign * isq)
         _run(
             f"flat_nassign{nassign}", {"ncells": nc},
