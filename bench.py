@@ -384,6 +384,13 @@ def main() -> None:
         spark.range(1000, numPartitions=ncpu).mapInPandas(
             lambda it: it, "id long"
         ).write.mode("overwrite").format("noop").save()
+        # ... and the DataFrame->RDD bridge: the first .rdd access of a
+        # session pays ~0.95 s of py4j/serializer setup (later calls
+        # ~0.07 s).  fan_out() (sources/tables.py) and localCheckpoint
+        # staging ride that bridge inside query fns, so warm it here —
+        # session setup, not query cost, same rationale as the Arrow
+        # worker-pool warmup above (r12).
+        spark.range(8).rdd.getNumPartitions()
     except Exception as exc:  # noqa: BLE001 — warmup is best-effort
         print(f"# warmup failed: {exc}", file=sys.stderr, flush=True)
 

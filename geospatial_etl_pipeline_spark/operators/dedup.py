@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.tables import fan_out
 from ..functions.text import (
     char_ngrams_t,
     fingerprint,
@@ -183,15 +184,21 @@ def lsh_candidate_pairs(
     so cost scales with bucket occupancy, not corpus².
     """
     assert num_hashes % bands == 0
+    # fan_out (r12, guide §2.5): the tokenize+md5 pipeline below is the
+    # heaviest per-row work in the dedup/graph family and runs entirely
+    # in the scan stage — which on the single-file testdata is ONE
+    # task.  One adaptive exchange of the raw (id, text) input spreads
+    # it across the session's cores; at scale the guard never fires.
+    #
     # repartition on the id so the tokenize+shingle pipeline materializes
     # into ONE shuffle whose output every downstream branch reuses
     # (banded self-join sides, sa/sb verify joins) via ReusedExchange —
     # without it the whole regex+md5 subtree re-executes per branch
     # (same fix as q48's inverted index; measured ~1.7 s → ~1.1 s at
     # sf0.1)
-    shingles = shingle_sets(df, text_col, id_col, shingle_mode, shingle_k).repartition(
-        id_col
-    )
+    shingles = shingle_sets(
+        fan_out(df), text_col, id_col, shingle_mode, shingle_k
+    ).repartition(id_col)
     sigs = _signatures_from_shingles(shingles, id_col, num_hashes)
     banded = banded_signatures(sigs, id_col, num_hashes, bands)
     a = banded.alias("a")

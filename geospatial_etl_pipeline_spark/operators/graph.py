@@ -93,12 +93,30 @@ def connected_components(
         # labels flowing one hop: neighbor's current component
         prop = (
             sym.join(labels, sym["a"] == labels["node"])
-            .select(F.col("b").alias("node"), "component")
+            .select(
+                F.col("b").alias("node"), "component",
+                # NULL here, the node's own row below carries the real
+                # old label — see _old note
+                F.lit(None).alias("_old"),
+            )
         )
+        # _old rides the node's OWN row through the min-agg (r12): each
+        # node appears exactly once in `labels`, so MAX(_old) recovers
+        # its previous component and the convergence check becomes a
+        # filter over the (already checkpointed) new labels — the old
+        # form re-joined two label-sized relations every round just to
+        # compare columns.  One tiny extra column per row, one join +
+        # its stage removed per round.
         new_labels = (
-            labels.unionByName(prop)
+            labels.select(
+                "node", "component", F.col("component").alias("_old")
+            )
+            .unionByName(prop)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("_old").alias("_old"),
+            )
         )
         if mode == "doubling":
             # pointer jump: component := min(component, label(component)).
@@ -121,18 +139,16 @@ def connected_components(
                         F.col("component"),
                         F.coalesce(F.col("j_comp"), F.col("component")),
                     ).alias("component"),
+                    "_old",
                 )
             )
         # cut lineage every round; eager so the convergence check below
         # doesn't recompute the whole history
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("component") != F.col("_old")
+        ).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             converged = True
             break

@@ -75,19 +75,23 @@ def brute_force_topk(
     The query side is broadcast (small by contract); ties break on
     vec_id so results are total-ordered and reproducible.
     """
+    # norms staged per ROW below the join (r12): inside the pair
+    # projection each _norm fold re-ran per (corpus x query) pair —
+    # same expression on the same row, so the staged value is
+    # bit-identical and only the evaluation site moves.
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    )
+    ).select(F.col(id_col), "_v", _norm(F.col("_v")).alias("_nv"))
     q = queries.select(
         F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_q")
-    )
+    ).select(F.col(query_id_col), "_q", _norm(F.col("_q")).alias("_nq"))
     sim = (
         c.crossJoin(F.broadcast(q))
         .select(
             query_id_col,
             id_col,
             (_dot(F.col("_v"), F.col("_q"))
-             / (_norm(F.col("_v")) * _norm(F.col("_q")))).alias("cosine_sim"),
+             / (F.col("_nv") * F.col("_nq"))).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -277,15 +281,23 @@ def ivf_topk(
     # fold (struct(-score, cent_id) ascending == score DESC, cent_id ASC)
     # instead of crossJoin(x ncells) + window — which shuffled and sorted
     # corpus x ncells rows just to pick each row's best centroid
+    # each centroid's norm computed ONCE into the broadcast struct (r12)
+    # — inside the argmax transform it re-ran the O(d) fold per
+    # (row x centroid); the trailing struct field leaves the array_sort
+    # order (keyed on the leading distinct cent_id) unchanged.
     carr = cents.agg(
-        F.array_sort(F.collect_list(F.struct("cent_id", "_c"))).alias("_cents")
+        F.array_sort(
+            F.collect_list(
+                F.struct("cent_id", "_c", _norm(F.col("_c")).alias("_nc"))
+            )
+        ).alias("_cents")
     )
 
     def _assign(df, idc, vc, keep_n, payload=()):
         scored = F.transform(
             F.col("_cents"),
             lambda ct: F.struct(
-                (-(_dot(F.col(vc), ct["_c"]) / _norm(ct["_c"]))).alias(
+                (-(_dot(F.col(vc), ct["_c"]) / ct["_nc"])).alias(
                     "negscore"
                 ),
                 ct["cent_id"].alias("cent_id"),
@@ -304,18 +316,23 @@ def ivf_topk(
     # generation + exact re-rank happen in the same map-side pipeline,
     # and the only shuffle in the whole operator is the final per-query
     # top-k window (WindowGroupLimit pre-prunes each partition to k).
-    cells = _assign(c, id_col, "_v", 1, payload=("_v",))
+    # per-row norms ride the assignment as payload (r12): in the
+    # re-rank projection they re-ran the O(d) fold per candidate pair.
+    cn = c.select(F.col(id_col), "_v", _norm(F.col("_v")).alias("_nv"))
+    cells = _assign(cn, id_col, "_v", 1, payload=("_v", "_nv"))
     q = queries.select(
         F.col(query_id_col),
         F.col(query_vec_col).cast("array<double>").alias("_q"),
+    ).select(
+        F.col(query_id_col), "_q", _norm(F.col("_q")).alias("_nq")
     )
-    qcells = _assign(q, query_id_col, "_q", nprobe, payload=("_q",))
+    qcells = _assign(q, query_id_col, "_q", nprobe, payload=("_q", "_nq"))
     cand = cells.join(F.broadcast(qcells), "cent_id")
     sim = cand.select(
         query_id_col,
         id_col,
         (_dot(F.col("_v"), F.col("_q"))
-         / (_norm(F.col("_v")) * _norm(F.col("_q")))).alias("cosine_sim"),
+         / (F.col("_nv") * F.col("_nq"))).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
@@ -392,15 +409,28 @@ def embedding_near_dup(
         ),
         "",
     )
-    e = corpus.select(F.col(id_col).alias("_id"), v.alias("_v"), blk.alias("_blk"))
-    a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_blk")
-    b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_blk")
+    # per-row norm computed ONCE below the self-join (r12): inside the
+    # pair projection each side's _norm fold re-ran per PAIR, and the
+    # threshold predicate pushed into the join condition re-ran the
+    # whole cosine for both orderings of every block-mate (see
+    # _pair_score).  Same expression on the same row -> same IEEE bits.
+    e = corpus.select(
+        F.col(id_col).alias("_id"), v.alias("_v"), blk.alias("_blk")
+    ).select("_id", "_v", "_blk", _norm(F.col("_v")).alias("_nr"))
+    a = e.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_nr").alias("_nra"), "_blk",
+    )
+    b = e.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_nr").alias("_nrb"), "_blk",
+    )
     pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        F.col("_nra") * F.col("_nrb")
+    )
     scored = pairs.select(
-        "id_a",
-        "id_b",
-        (_dot(F.col("_va"), F.col("_vb"))
-         / (_norm(F.col("_va")) * _norm(F.col("_vb")))).alias("cosine_sim"),
+        "id_a", "id_b", F.explode(F.array(cos)).alias("cosine_sim")
     ).filter(F.col("cosine_sim") >= threshold)
     if topk is not None:
         scored = scored.orderBy(
@@ -495,6 +525,38 @@ def ivf_cell_assignments(
             id_col, "_v", "_qn", "_cells",
             F.col("_t.cent_id").alias("cent_id"),
         )
+    )
+
+
+def _pair_score(pairs: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b, cosine_sim >= threshold) from blocked candidate
+    pairs carrying (_va, _qna, _vb, _qnb) — the shared scoring tail of
+    the near-dup operators.
+
+    The explode(array(cosine)) hop is a DELIBERATE Generate barrier
+    (the ivf_cell_assignments argmax rule applied to pair scoring,
+    r12): written as select(cos).filter(cos >= t), Catalyst pushes the
+    threshold predicate into the blocked JOIN CONDITION, where the
+    O(d) quantized dot runs for BOTH orderings of every cell-mate pair
+    — the conjunct order puts it BEFORE the id_a < id_b cut — and then
+    once more in the surviving projection: ~2.5 dot folds per
+    candidate pair.  Behind the generator the dot is a materialized
+    attribute: the join condition keeps only the cheap structural
+    predicates, and each unordered candidate pair pays exactly ONE
+    fold.  Same rows, same values — only where the expression
+    evaluates."""
+    cos = (
+        quantized_dot(F.col("_va"), F.col("_vb")).cast("double")
+        / F.lit(_QSCALE)
+    ) / (
+        F.sqrt(F.col("_qna").cast("double") / F.lit(_QSCALE))
+        * F.sqrt(F.col("_qnb").cast("double") / F.lit(_QSCALE))
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b", F.explode(F.array(cos)).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
     )
 
 
@@ -610,18 +672,7 @@ def ivf_cell_near_dup(
             F.col("cent_id")
             == F.array_min(F.array_intersect("_cells_a", "_cells_b"))
         )
-    scored = pairs.select(
-        "id_a",
-        "id_b",
-        (
-            (quantized_dot(F.col("_va"), F.col("_vb")).cast("double")
-             / F.lit(_QSCALE))
-            / (
-                F.sqrt(F.col("_qna").cast("double") / F.lit(_QSCALE))
-                * F.sqrt(F.col("_qnb").cast("double") / F.lit(_QSCALE))
-            )
-        ).alias("cosine_sim"),
-    ).filter(F.col("cosine_sim") >= threshold)
+    scored = _pair_score(pairs, threshold)
     if topk is not None:
         scored = scored.orderBy(
             F.col("cosine_sim").desc(), F.col("id_a").asc(),
@@ -1102,18 +1153,7 @@ def hierarchical_cell_near_dup(
         pairs = a.join(b, ["cell1", "cell2"]).filter(
             F.col("id_a") < F.col("id_b")
         )
-    scored = pairs.select(
-        "id_a",
-        "id_b",
-        (
-            (quantized_dot(F.col("_va"), F.col("_vb")).cast("double")
-             / F.lit(_QSCALE))
-            / (
-                F.sqrt(F.col("_qna").cast("double") / F.lit(_QSCALE))
-                * F.sqrt(F.col("_qnb").cast("double") / F.lit(_QSCALE))
-            )
-        ).alias("cosine_sim"),
-    ).filter(F.col("cosine_sim") >= threshold)
+    scored = _pair_score(pairs, threshold)
     if topk is not None:
         scored = scored.orderBy(
             F.col("cosine_sim").desc(), F.col("id_a").asc(),

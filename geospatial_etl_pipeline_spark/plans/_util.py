@@ -6,7 +6,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table  # noqa: F401 — fan_out re-exported for plans
 
 DEC = "decimal(38,6)"
 
@@ -110,6 +110,19 @@ def valid_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 def temb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings table behind the validity boundary."""
     return valid_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+def temb_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """temb behind :func:`fan_out` — for plans whose scan-side per-row
+    work (argmax folds, pair scoring, kernel evaluation) dominates and
+    MEASURABLY wins from the extra exchange (r12, guide §2.5: the
+    single-file testdata scan is one task, so unfanned, all that work
+    runs on one core).  Kept separate from temb because the exchange is
+    NOT free: plans that are already exchange-heavy at this corpus size
+    (iterative k-means loops, multi-arm fusions, banded multi-table
+    hashing) measured SLOWER with it — each site chooses by
+    measurement, recorded in OPTIMIZATION_r12.md."""
+    return fan_out(temb(spark, sf_dir))
 
 
 def literal_df(spark: SparkSession, rows: list[tuple], cols: list[str]) -> DataFrame:

@@ -19,7 +19,7 @@ from ..operators.dedup import (
     minhash_signatures,
     shingle_sets,
 )
-from ._util import qsum, qsum_big, sql_qsum, t
+from ._util import fan_out, qsum, qsum_big, sql_qsum, t
 from .catalog import QUERIES, register
 
 _NUM_HASHES = 8
@@ -407,13 +407,36 @@ def q48_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     # stage the token array so the regex split runs once per row, not
-    # once per element_at reference (see plans/text.py module docstring)
-    staged = d.select("doc_id", "lang", tokens("text").alias("_tok"))
+    # once per element_at reference (see plans/text.py module docstring);
+    # fan_out (r12, guide §2.5) spreads the regex+bigram pipeline across
+    # the session instead of the single-file scan's one task — applied
+    # AFTER a projection to the three columns this query reads, so the
+    # fan-out exchange never carries (or hashes) the unused ones
+    # (guide §2.3 "project before the exchange")
+    staged = fan_out(d.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", tokens("text").alias("_tok")
+    )
+    # bg_raw is consumed TWICE (stop-list derivation + the main posting
+    # path) and exchange reuse CANNOT deduplicate it: the main path
+    # infers isnotnull(doc_id) from the pair join while the stop path
+    # must not (the oracle's df counts include null-id docs), so the two
+    # copies never canonicalize equal — verified in the runtime final
+    # plan, where the stop path re-ran scan+tokenize+bigrams end to end
+    # (a doc_id-keyed staging repartition was tried first and measured
+    # 3.60 s; it did NOT fuse the subtrees for the same reason).
+    # localCheckpoint materializes the tokenized bigram sets ONCE per
+    # execution (inside the timed region — nothing persists across
+    # runs) and both consumers read the checkpointed partitions: the
+    # guide §2.4 "share one computation" rule where Catalyst's reuse
+    # machinery can't see the sharing.  Measured 4.13 → 2.84 s at
+    # sf0.1; at scale this is one corpus-sized local materialization
+    # replacing a full scan+tokenize pass — the same trade the family's
+    # reused exchanges already make.
     bg_raw = staged.select(
         "doc_id",
         "lang",
         F.array_distinct(word_ngrams_t(F.col("_tok"), 2)).alias("bgs"),
-    )
+    ).localCheckpoint()
     # stop-bigram list: df per (lang, bigram) → keep only the > frac·n
     # head (small by construction: ≤ total_postings/(frac·n) entries)
     total = d.select(F.count(F.lit(1)).alias("n_docs"))
@@ -816,7 +839,9 @@ def q127_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens, word_ngrams_t
 
     d = t(spark, sf_dir, "documents")
-    staged = d.select("doc_id", "lang", tokens("text").alias("_tok"))
+    # fan_out (r12, guide §2.5): spread the regex+trigram pipeline
+    # across the session instead of the single-file scan's one task
+    staged = fan_out(d).select("doc_id", "lang", tokens("text").alias("_tok"))
     tg = staged.select(
         "doc_id",
         "lang",
@@ -1344,7 +1369,9 @@ def q162_lsh_band_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket counts collapse map-side — then a ~30-key histogram agg.
     All integers, log2 via binary-digit-count (q76's trick)."""
     sigs = minhash_signatures(
-        t(spark, sf_dir, "documents"),
+        # fan_out (r12, guide §2.5): the shingle+md5 signature pipeline
+        # runs scan-side — one task on the single-file testdata
+        fan_out(t(spark, sf_dir, "documents")),
         num_hashes=_NUM_HASHES,
         shingle_k=_SHINGLE_K,
     )
@@ -1417,7 +1444,7 @@ def q163_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     both reduce through floor-quantized BIGINT sums (qsum)."""
     from ..operators.dedup import _signatures_from_shingles
 
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(t(spark, sf_dir, "documents"))  # r12, guide §2.5
     # ONE shingle pipeline materialized into ONE doc_id exchange; the
     # signature projection and both sh_a/sh_b join sides reuse it via
     # ReusedExchange (the lsh_candidate_pairs discipline) — building
@@ -1702,7 +1729,8 @@ def q206_corpus_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens, word_ngrams_t
 
     d = t(spark, sf_dir, "documents")
-    staged = d.select("source", tokens("text").alias("_tok"))
+    # fan_out (r12, guide §2.5): spread the tokenize+n-gram pipeline
+    staged = fan_out(d).select("source", tokens("text").alias("_tok"))
     grams = staged.select(
         "source",
         F.array_distinct(word_ngrams_t(F.col("_tok"), _SHINGLE_K)).alias("gs"),
@@ -2215,7 +2243,9 @@ def q265_rare_trigram_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens as _rtl_tokens
     from ..functions.text import word_ngrams_t as _rtl_ngrams
 
-    d = t(spark, sf_dir, "documents").filter(
+    d = fan_out(  # r12, guide §2.5 — parallelize the trigram pipeline
+        t(spark, sf_dir, "documents")
+    ).filter(
         F.col("text").isNotNull() & F.col("doc_id").isNotNull()
     )
     # token array STAGED as its own projection before the trigram

@@ -11,6 +11,7 @@ from ..functions.text import tokens
 from ._util import (
     _SQL_EMB,
     at_rank,
+    fan_out,
     int_hist,
     mq,
     msalt,
@@ -20,6 +21,7 @@ from ._util import (
     sql_qsum,
     t,
     temb,
+    temb_f,
 )
 from .catalog import register
 
@@ -265,7 +267,9 @@ def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's unnest(NULL tokens) naturally drops the doc; Spark's
     # in-row fold would emit a degenerate all-(-1)-votes row without
     # this scan-level prefilter (hostile-input sweep finding).
-    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = fan_out(  # r12, guide §2.5 — parallelize the md5 vote fold
+        t(spark, sf_dir, "documents")
+    ).filter(F.col("text").isNotNull())
     staged = d.select("doc_id", tokens("text").alias("_tok")).select(
         "doc_id",
         F.expr(
@@ -328,11 +332,19 @@ def q53_knn_topk_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     its oracle-checked twin."""
     from .similarity import _qdot
 
-    e = temb(spark, sf_dir).select(
+    # self-norms staged per ROW below the broadcast join (r12 — the
+    # q224 fix): per-pair they re-ran the O(d) fold twice per pair for
+    # |corpus| distinct values.  Same expression, same rows, same bits;
+    # the oracle's per-pair GROUP BY yields the identical value.
+    e = temb_f(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).select(
+        "vec_id", "v",
+        (_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(1e12)).alias("na"),
     )
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("na").alias("nq"),
     )
     agg = (
         e.crossJoin(F.broadcast(q))
@@ -340,8 +352,8 @@ def q53_knn_topk_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id", "vec_id",
             (_qdot(F.col("v"), F.col("qv")).cast("double") / F.lit(1e12)).alias("dot"),
-            (_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(1e12)).alias("na"),
-            (_qdot(F.col("qv"), F.col("qv")).cast("double") / F.lit(1e12)).alias("nq"),
+            "na",
+            "nq",
         )
     )
     sim = agg.select(
@@ -1672,13 +1684,22 @@ def q224_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     #queries×#labels vote agg, and a label-sized final rollup."""
     from .similarity import _qdot
 
-    e = temb(spark, sf_dir).select(
+    # self-norms are per-ROW quantities: compute each vector's na once
+    # below the join (r12 — unmoved, the oracle's per-pair GROUP BY
+    # yields the identical value; q255 already stages norms this way).
+    # Inside the join's projection they re-ran the O(d) fold twice per
+    # PAIR: |corpus|x|eval| extra folds for |corpus| distinct values.
+    e = temb_f(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).select(
+        "vec_id", "label", "v",
+        (_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(1e12)).alias("na"),
     )
     q = e.filter(F.col("vec_id") < _KNN_EVAL_N).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("v").alias("qv"),
+        F.col("na").alias("nq"),
     )
     agg = (
         e.crossJoin(F.broadcast(q))
@@ -1686,8 +1707,8 @@ def q224_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id", "qlabel", "vec_id", F.col("label").alias("nlabel"),
             (_qdot(F.col("v"), F.col("qv")).cast("double") / F.lit(1e12)).alias("dot"),
-            (_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(1e12)).alias("na"),
-            (_qdot(F.col("qv"), F.col("qv")).cast("double") / F.lit(1e12)).alias("nq"),
+            "na",
+            "nq",
         )
     )
     cos = F.col("dot") / (F.sqrt("na") * F.sqrt("nq"))
@@ -1835,7 +1856,7 @@ def q255_knn_consistency_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k window (WindowGroupLimit pre-pruned) and the
     label-sized rollups."""
     _e, _corpus, assign = _ivf_parts(spark, sf_dir)
-    el = temb(spark, sf_dir).select(
+    el = temb_f(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     corpus = el.filter(F.col("vec_id") >= 3).withColumn(

