@@ -135,6 +135,9 @@ EXTRA = [
     # series beside the frozen-headline q55 legacy dial)
     "q271_ivf_cell_near_dup",
     "q272_hierarchical_near_dup",
+    # r12: the re-balanced deletion-grade sub-n^1.5 dial + its census
+    "q277_hier2_deletion_near_dup",
+    "q278_hier2_blocking_census",
     "q100_hourly_gap_fill",
     "q111_dup_graph_degrees",
     "q127_ngram_containment_pairs",

@@ -197,7 +197,8 @@ def lsh_candidate_pairs(
     # (same fix as q48's inverted index; measured ~1.7 s → ~1.1 s at
     # sf0.1)
     shingles = shingle_sets(
-        fan_out(df), text_col, id_col, shingle_mode, shingle_k
+        fan_out(df.select(id_col, text_col)),
+        text_col, id_col, shingle_mode, shingle_k,
     ).repartition(id_col)
     sigs = _signatures_from_shingles(shingles, id_col, num_hashes)
     banded = banded_signatures(sigs, id_col, num_hashes, bands)

@@ -839,9 +839,12 @@ def q127_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens, word_ngrams_t
 
     d = t(spark, sf_dir, "documents")
-    # fan_out (r12, guide §2.5): spread the regex+trigram pipeline
-    # across the session instead of the single-file scan's one task
-    staged = fan_out(d).select("doc_id", "lang", tokens("text").alias("_tok"))
+    # fan_out measured SLOWER here (1.13 → 1.29 s at sf0.1, r12) — the
+    # posting pipeline's consumers run as concurrent scan stages
+    # unfanned; left unfanned per the measurement rule.
+    staged = d.select("doc_id", "lang", "text").select(
+        "doc_id", "lang", tokens("text").alias("_tok")
+    )
     tg = staged.select(
         "doc_id",
         "lang",
@@ -1370,8 +1373,9 @@ def q162_lsh_band_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     All integers, log2 via binary-digit-count (q76's trick)."""
     sigs = minhash_signatures(
         # fan_out (r12, guide §2.5): the shingle+md5 signature pipeline
-        # runs scan-side — one task on the single-file testdata
-        fan_out(t(spark, sf_dir, "documents")),
+        # runs scan-side — one task on the single-file testdata;
+        # projected first so the exchange carries only (doc_id, text)
+        fan_out(t(spark, sf_dir, "documents").select("doc_id", "text")),
         num_hashes=_NUM_HASHES,
         shingle_k=_SHINGLE_K,
     )
@@ -1444,7 +1448,11 @@ def q163_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     both reduce through floor-quantized BIGINT sums (qsum)."""
     from ..operators.dedup import _signatures_from_shingles
 
-    docs = fan_out(t(spark, sf_dir, "documents"))  # r12, guide §2.5
+    # fan_out measured SLOWER here (1.99 → 2.82 s at sf0.1, r12): the
+    # shingle pipeline already materializes into the shared doc_id
+    # exchange below, so the extra fan-out exchange only serializes the
+    # scan through one task before it.  Left unfanned.
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     # ONE shingle pipeline materialized into ONE doc_id exchange; the
     # signature projection and both sh_a/sh_b join sides reuse it via
     # ReusedExchange (the lsh_candidate_pairs discipline) — building
@@ -1729,8 +1737,11 @@ def q206_corpus_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens, word_ngrams_t
 
     d = t(spark, sf_dir, "documents")
-    # fan_out (r12, guide §2.5): spread the tokenize+n-gram pipeline
-    staged = fan_out(d).select("source", tokens("text").alias("_tok"))
+    # fan_out measured SLOWER here (1.76 → 1.91 s at sf0.1, r12);
+    # left unfanned per the measurement rule.
+    staged = d.select("source", "text").select(
+        "source", tokens("text").alias("_tok")
+    )
     grams = staged.select(
         "source",
         F.array_distinct(word_ngrams_t(F.col("_tok"), _SHINGLE_K)).alias("gs"),
@@ -2243,10 +2254,12 @@ def q265_rare_trigram_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tokens as _rtl_tokens
     from ..functions.text import word_ngrams_t as _rtl_ngrams
 
-    d = fan_out(  # r12, guide §2.5 — parallelize the trigram pipeline
+    # r12, guide §2.5 — parallelize the trigram pipeline; projected and
+    # prefiltered first so the exchange moves only live (doc_id, text)
+    d = fan_out(
         t(spark, sf_dir, "documents")
-    ).filter(
-        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
     )
     # token array STAGED as its own projection before the trigram
     # fan-out — the 13× tokens() re-evaluation trap (plans/text.py

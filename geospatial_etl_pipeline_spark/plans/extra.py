@@ -267,9 +267,16 @@ def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's unnest(NULL tokens) naturally drops the doc; Spark's
     # in-row fold would emit a degenerate all-(-1)-votes row without
     # this scan-level prefilter (hostile-input sweep finding).
-    d = fan_out(  # r12, guide §2.5 — parallelize the md5 vote fold
+    # fan_out AFTER projecting to the two columns this query reads and
+    # after the null prefilter, so the exchange neither hashes nor
+    # carries dead bytes (r12, guide §2.3 "project before the exchange";
+    # the xxhash64 partitioning key references every input column, so
+    # Catalyst can never prune below it on its own)
+    d = fan_out(
         t(spark, sf_dir, "documents")
-    ).filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
     staged = d.select("doc_id", tokens("text").alias("_tok")).select(
         "doc_id",
         F.expr(

@@ -26,7 +26,7 @@ from ..functions.naming import (
     product_name,
     region_title,
 )
-from ._util import t
+from ._util import fan_out, t
 from .catalog import register
 
 _PARAM_CODES = sorted(PARAMETER)  # 16
@@ -231,8 +231,13 @@ def q72_metadata_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a declarative plan: products × regions cross join (the reference's
     per-file-per-region fan-out, :229–270), GeoJSON envelope polygon ring
     (:438–451), Mongo-extended ``$date`` wrappers (:481–484), fixed
-    climatology window (:110–117), injected clock for determinism."""
-    inv = _inventory(spark, sf_dir)
+    climatology window (:110–117), injected clock for determinism.
+
+    The whole ×16-region template pipeline is map-side, so on the
+    single-file testdata it ran as ONE task; fan_out (r12, guide §2.5)
+    spreads the ~320 k-document string assembly across the session and
+    is a no-op once the input scan carries real splits."""
+    inv = fan_out(_inventory(spark, sf_dir))
     parsed = parse_base_name(F.col("base_name"))
     pn = dim_df(spark, PARAMETER, "parameter_code", "parameter_name")
     mn = dim_df(spark, MONTH_SEASON, "period_key", "period_name")

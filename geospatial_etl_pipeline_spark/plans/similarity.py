@@ -66,18 +66,26 @@ def q50_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the only exchange is the final TakeOrdered top-k. The
     per-element floor-quantized integers are identical to the oracle's
     explode+SUM formulation because integer addition is order-free."""
+    # self-norms staged per ROW below the broadcast join (r12 — the
+    # q53/q224 fix): nq re-ran the O(d) fold once per corpus row for a
+    # single broadcast value.  Same expression, same row → same bits.
     e = temb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).select(
+        "vec_id", "v",
+        (_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(_S)).alias("na"),
     )
-    q = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    q = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("na").alias("nq")
+    )
     agg = (
         e.filter(F.col("vec_id") != _QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             (_qdot(F.col("v"), F.col("qv")).cast("double") / F.lit(_S)).alias("dot"),
-            (_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(_S)).alias("na"),
-            (_qdot(F.col("qv"), F.col("qv")).cast("double") / F.lit(_S)).alias("nq"),
+            "na",
+            "nq",
         )
     )
     return (
@@ -1820,13 +1828,22 @@ def q124_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds, and the per-query top-k window partitions on query_id. The
     only exchange is the window's — sized |candidates|, already
     threshold-pruned."""
+    # self-norms staged per ROW below the label join (r12 — the
+    # q53/q224 fix): both O(d) folds re-ran per (corpus × query) pair
+    # for per-row values.  Same expression, same rows, same bits.
     e = temb(spark, sf_dir).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).select(
+        "vec_id", "label", "v",
+        F.sqrt(_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(_S)).alias(
+            "nr"
+        ),
     )
     q = e.filter(F.col("vec_id") < _FILT_NQ).select(
         F.col("vec_id").alias("query_id"),
         "label",
         F.col("v").alias("qv"),
+        F.col("nr").alias("nq"),
     )
     c = e.filter(F.col("vec_id") >= _FILT_NQ)
     scored = c.join(F.broadcast(q), "label").select(
@@ -1834,12 +1851,7 @@ def q124_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         (
             (_qdot(F.col("qv"), F.col("v")).cast("double") / F.lit(_S))
-            / (
-                F.sqrt(_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(_S))
-                * F.sqrt(
-                    _qdot(F.col("qv"), F.col("qv")).cast("double") / F.lit(_S)
-                )
-            )
+            / (F.col("nr") * F.col("nq"))
         ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -2813,11 +2825,20 @@ def q188_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = QUERIES["q56_ivf_topk"].fn(spark, sf_dir).select(
         "query_id", F.col("vec_id").alias("ivf_vec")
     )
+    # self-norms staged per ROW below the broadcast join (r12 — the
+    # q53/q224 fix): both O(d) folds re-ran per (corpus × query) pair
+    # for per-row values.  Same expression, same rows, same bits.
     e = temb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).select(
+        "vec_id", "v",
+        F.sqrt(_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(_S)).alias(
+            "nr"
+        ),
     )
     q = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nr").alias("nq"),
     )
     corpus = e.filter(F.col("vec_id") >= 3)
     scored = corpus.crossJoin(F.broadcast(q)).select(
@@ -2825,12 +2846,7 @@ def q188_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         (
             (_qdot(F.col("v"), F.col("qv")).cast("double") / F.lit(_S))
-            / (
-                F.sqrt(_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(_S))
-                * F.sqrt(
-                    _qdot(F.col("qv"), F.col("qv")).cast("double") / F.lit(_S)
-                )
-            )
+            / (F.col("nr") * F.col("nq"))
         ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -3383,19 +3399,28 @@ def q247_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vb"),
         F.col("rn").alias("rn_b"),
     )
+    # self-norms staged per ROW below the broadcast join (r12 — the
+    # q53/q224 fix): inside the pair projection each O(d) fold re-ran
+    # per (corpus × query) pair for per-row values.  Same expression on
+    # the same row → identical IEEE bits; only the evaluation site
+    # moves.
     e = temb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).select(
+        "vec_id", "v",
+        (_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(_S)).alias("na"),
     )
     q = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("na").alias("nq"),
     )
     corpus = e.filter(F.col("vec_id") >= 3)
     agg = corpus.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
         (_qdot(F.col("v"), F.col("qv")).cast("double") / F.lit(_S)).alias("dot"),
-        (_qdot(F.col("v"), F.col("v")).cast("double") / F.lit(_S)).alias("na"),
-        (_qdot(F.col("qv"), F.col("qv")).cast("double") / F.lit(_S)).alias("nq"),
+        "na",
+        "nq",
     )
     cos = F.col("dot") / (F.sqrt("na") * F.sqrt("nq"))
     wa = Window.partitionBy("query_id").orderBy(

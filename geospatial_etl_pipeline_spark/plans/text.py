@@ -439,8 +439,9 @@ def q38_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     b4, b3, b2 = _RH_B**4, _RH_B**3, _RH_B**2
     # fan_out (r12, guide §2.5): the per-char rolling-hash transform is
-    # the family's heaviest per-row pipeline and runs scan-side
-    d = fan_out(t(spark, sf_dir, "documents"))
+    # the family's heaviest per-row pipeline and runs scan-side;
+    # projected first so the exchange carries only (doc_id, text)
+    d = fan_out(t(spark, sf_dir, "documents").select("doc_id", "text"))
     staged = d.select(
         "doc_id", normalized(F.coalesce(F.col("text"), F.lit(""))).alias("_norm")
     ).select(
@@ -1933,8 +1934,15 @@ def q217_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SMJ at scale — the model is corpus-sized, never broadcast), then
     one final doc_id agg. V and nothing else crosses as a scalar
     broadcast."""
+    # fan_out measured SLOWER here (1.51 → 2.69 s at sf0.1, r12): the
+    # token pipeline feeds TWO aggregations that, unfanned, run as
+    # concurrent independent scan stages; the serialized exchange write
+    # through the single scan task costs more than the 32-way fan-out
+    # of this query's moderate per-row work recovers.  Left unfanned —
+    # the per-site-measurement rule (plans/_util.temb_f docstring).
     nn = (
-        fan_out(t(spark, sf_dir, "documents"))  # r12, guide §2.5
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
         .filter(F.col("text").isNotNull())
         .select("doc_id", tokens("text").alias("_tok"))
     )
@@ -2166,7 +2174,13 @@ def q219_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus never shuffles by token, only by the 256-bucket key and
     doc_id."""
     occ = (
-        fan_out(t(spark, sf_dir, "documents"))  # r12, guide §2.5
+        # fan_out measured SLOWER here (1.10 → 2.97 s at sf0.1, r12):
+        # same two-consumer shape as q217 — unfanned, the cnt and docb
+        # aggregations scan concurrently; fanned, both wait on one
+        # serialized exchange write.  Left unfanned (the per-site-
+        # measurement rule, plans/_util.temb_f docstring).
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
         .filter(F.col("text").isNotNull())
         .select("doc_id", "lang", tokens("text").alias("_tok"))
         .select("doc_id", "lang", F.explode_outer("_tok").alias("_t"))
