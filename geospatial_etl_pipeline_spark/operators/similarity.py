@@ -883,6 +883,24 @@ def hierarchical_cell_assignments(
     l1 = _argmax_cells(
         c.crossJoin(F.broadcast(carr1)), "_c1", nassign, "cell1"
     )
+    # ONE cell1-keyed exchange shared by BOTH l1 consumers (r12, guide
+    # §2.4 "two operations keyed the same way share one exchange"): the
+    # sub-centroid window and the level-2 join both need cell1
+    # clustering, but left to ENSURE_REQUIREMENTS each plants its own
+    # exchange whose subtree re-runs the O(n·f·d) L1 argmax — the
+    # window side's partial WindowGroupLimit and the subs _qn filter
+    # get PUSHED BELOW a bare repartition (PushDownPredicates crosses
+    # RepartitionByExpression), so the two subtrees never canonicalize
+    # equal and ReusedExchange can't fire (verified in the q277/q278
+    # runtime final plans: the argmax pipeline executed 2x/3x, and a
+    # bare .repartition still left 2 copies).  localCheckpoint is the
+    # barrier no rule crosses: the relation materializes ONCE per
+    # execution (inside the timed region — nothing persists across
+    # runs, the q48 precedent) already cell1-partitioned, and
+    # LogicalRDD preserves that partitioning so neither consumer adds
+    # an exchange.  Values are untouched (argmax, window order and
+    # join keys are deterministic per row).
+    l1 = l1.repartition("cell1").localCheckpoint(eager=False)
 
     # ---- level 2: per-cell sub-centroid draw + in-row argmax ----------
     # Draw eligibility mirrors sampled_centroids (r11): zero-norm /

@@ -1304,6 +1304,13 @@ def q274_flat_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         nassign=_IVFND_NASSIGN,
         corpus_rows=n,
     )
+    # NOTE (r12): narrow localCheckpoint staging of the two-consumer
+    # (ca, cb) relation was MEASURED SLOWER here (2.15 -> 2.40 s solo)
+    # — the flat argmax is one map-side pass whose duplicate runs
+    # concurrently as independent scan stages, cheaper than the
+    # materialization barrier; contrast q275/q278, where the staged
+    # relation saves a windowed two-level pipeline and wins.  Left
+    # unstaged (the per-site-measurement rule).
     ca = ivf.select(F.col("vec_id").alias("id_a"), F.col("cent_id").alias("ka"))
     cb = ivf.select(F.col("vec_id").alias("id_b"), F.col("cent_id").alias("kb"))
     # ANY-shared-cell hit: per-pair MAX over the multi-assignment fan-out
@@ -1371,6 +1378,12 @@ def q275_hier_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e, n, truep = _ndr_ground_truth(spark, sf_dir)
     hier = hierarchical_cell_assignments(
         e, fanout=auto_fanout(n), corpus_rows=n
+    )
+    # TWO consumers (xa, xb): stage the narrow assignment triple once
+    # per execution instead of re-running the L2 argmax per side (r12,
+    # the q48/q278 rule — vectors never enter the checkpoint).
+    hier = hier.select("vec_id", "cell1", "cell2").localCheckpoint(
+        eager=False
     )
     xa = hier.select(
         F.col("vec_id").alias("id_a"),
@@ -3686,12 +3699,19 @@ def q278_hier2_blocking_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e, n, truep = _ndr_ground_truth(spark, sf_dir)
+    # The assignment relation feeds THREE consumers (xa, xb, occ) and
+    # the L2 argmax + window pipeline re-ran per consumer in the
+    # runtime final plan (3x — AQE exchange reuse cannot dedupe it for
+    # the same pushed-filter reason as the operator's L1 stage).
+    # Stage the NARROW projection once per execution (3 small ints per
+    # assignment row — never the vector payload); all three consumers
+    # read the checkpointed partitions (r12, the q48 rule).
     hier = hierarchical_cell_assignments(
         e,
         fanout=auto_fanout(n, nassign=_HIER2_NASSIGN),
         nassign=_HIER2_NASSIGN,
         corpus_rows=n,
-    )
+    ).select("vec_id", "cell1", "cell2").localCheckpoint(eager=False)
     xa = hier.select(
         F.col("vec_id").alias("id_a"),
         F.col("cell1").alias("h1a"),
