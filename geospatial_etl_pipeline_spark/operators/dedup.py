@@ -107,14 +107,16 @@ def _hasher(seed: int):
 
 
 def _signatures_from_shingles(
-    sh_df: DataFrame, id_col: str, num_hashes: int
+    sh_df: DataFrame, id_col: str, num_hashes: int, keep_sh: bool = False
 ) -> DataFrame:
     n_seeds = -(-num_hashes // 4)
     # stage the md5 arrays ONCE per seed, in their own projection —
     # slice-mins in the same select would re-evaluate the md5 transform
     # per output column (no cross-lambda subexpression elimination)
+    extra = [F.col("sh")] if keep_sh else []
     staged = sh_df.select(
         F.col(id_col),
+        *extra,
         *[
             F.transform(F.col("sh"), _hasher(seed)).alias(f"_hex{seed}")
             for seed in range(n_seeds)
@@ -125,7 +127,7 @@ def _signatures_from_shingles(
         # (element, index) and the index would clobber a default arg)
         return lambda x: F.substring(x, off, 8)
 
-    cols = [F.col(id_col)]
+    cols = [F.col(id_col)] + extra
     for i in range(num_hashes):
         seed, off = i // 4, (i % 4) * 8 + 1
         cols.append(
@@ -190,17 +192,34 @@ def lsh_candidate_pairs(
     # task.  One adaptive exchange of the raw (id, text) input spreads
     # it across the session's cores; at scale the guard never fires.
     #
-    # repartition on the id so the tokenize+shingle pipeline materializes
-    # into ONE shuffle whose output every downstream branch reuses
-    # (banded self-join sides, sa/sb verify joins) via ReusedExchange —
-    # without it the whole regex+md5 subtree re-executes per branch
-    # (same fix as q48's inverted index; measured ~1.7 s → ~1.1 s at
-    # sf0.1)
-    shingles = shingle_sets(
-        fan_out(df.select(id_col, text_col)),
-        text_col, id_col, shingle_mode, shingle_k,
-    ).repartition(id_col)
-    sigs = _signatures_from_shingles(shingles, id_col, num_hashes)
+    # Stage (id, sh, mh0..mh{n-1}) ONCE for every downstream branch.
+    # The r11 form repartitioned the SHINGLES and computed signatures
+    # above that exchange — so the ⌈n/4⌉ md5-per-shingle folds (the
+    # measured dominant cost of this pipeline) re-ran once per banded
+    # side (verified in the q42 runtime final plan: two Generate
+    # branches each re-evaluating the mh folds over the reused
+    # exchange).  Computing the signatures BELOW a shared barrier would
+    # break ReusedExchange via per-consumer column pruning, so the
+    # staging is a localCheckpoint (the q48/q277 rule): one
+    # materialization per execution, id-partitioned for the verify
+    # joins, ~64 B/row of signature columns beside the shingle arrays
+    # the old exchange already carried.  Measured (solo min-of-4,
+    # sf0.1): q42 1.95 → 1.52 s, q49 3.43 → 2.37, q111 2.02 → 1.39,
+    # q269 2.41 → 1.78 — the staging propagates to every graph-family
+    # consumer of this feed.
+    sig_sh = (
+        _signatures_from_shingles(
+            shingle_sets(
+                fan_out(df.select(id_col, text_col)),
+                text_col, id_col, shingle_mode, shingle_k,
+            ),
+            id_col, num_hashes, keep_sh=True,
+        )
+        .repartition(id_col)
+        .localCheckpoint(eager=False)
+    )
+    shingles = sig_sh.select(id_col, "sh")
+    sigs = sig_sh.drop("sh")
     banded = banded_signatures(sigs, id_col, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")

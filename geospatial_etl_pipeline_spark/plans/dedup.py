@@ -1457,7 +1457,11 @@ def q163_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature projection and both sh_a/sh_b join sides reuse it via
     # ReusedExchange (the lsh_candidate_pairs discipline) — building
     # shingles and signatures as separate pipelines ran the regex+md5
-    # subtree twice.
+    # subtree twice.  NOTE (r12): the signature-staging localCheckpoint
+    # that wins in lsh_candidate_pairs (q42 1.95→1.52 s) was MEASURED
+    # NEUTRAL here (2.050 → 2.053 s solo min-of-5) — this query's cost
+    # is the 4-way candidate join + exact-Jaccard verify, not the mh
+    # folds — so the r11 exchange-reuse form stays (per-site rule).
     shingles = shingle_sets(
         docs, text_col="text", id_col="doc_id", mode="word", k=_SHINGLE_K
     ).repartition("doc_id")
