@@ -1012,7 +1012,9 @@ def q271_ivf_cell_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import auto_ncells, ivf_cell_near_dup
 
     e = temb_f(spark, sf_dir)
-    n = e.count()  # index sizing — the one sanctioned driver action here
+    # index sizing on the UNfanned twin — same rows, skips the fanning
+    # exchange the count would otherwise pay (see _ndr_ground_truth)
+    n = temb(spark, sf_dir).count()
     out = ivf_cell_near_dup(
         e,
         ncells=auto_ncells(n, nassign=_IVFND_NASSIGN),
@@ -1085,7 +1087,12 @@ def _ndr_ground_truth(spark: SparkSession, sf_dir: str):
     three recall censuses (q273 both-dial, q274 flat, q275
     hierarchical) so their ground truth cannot drift."""
     e = temb_f(spark, sf_dir)
-    n = e.count()  # index sizing — the one sanctioned driver action here
+    # index sizing — the one sanctioned driver action here.  Counted on
+    # the UNfanned relation: same rows by construction (fan_out is a
+    # repartition), but the fanned count pays the xxhash64 full-row
+    # exchange just to throw the rows away (measured 0.56 vs 0.32 s
+    # solo at sf0.1, r12).
+    n = temb(spark, sf_dir).count()
     base = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("qn", _qdot(F.col("v"), F.col("v")))
@@ -1522,6 +1529,10 @@ def q54_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
+    # fan_out on the corpus side measured NEUTRAL-to-slower here (1.10
+    # → 1.13 s solo min-of-5, r12 wave 3): the embeddings corpus is
+    # small enough that the 4×8×64 sign computation doesn't repay the
+    # exchange.  Left unfanned (per-site measurement rule).
     corpus = e.filter(F.col("vec_id") >= 3)
     # dim=64: the embeddings tables are fixed 64-d by contract
     # (TESTDATA.md); passing it keeps the index build fully lazy —
@@ -3625,7 +3636,9 @@ def q277_hier2_deletion_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import hierarchical_cell_near_dup
 
     e = temb_f(spark, sf_dir)
-    n = e.count()  # index sizing — the one sanctioned driver action here
+    # index sizing on the UNfanned twin — same rows, skips the fanning
+    # exchange the count would otherwise pay (see _ndr_ground_truth)
+    n = temb(spark, sf_dir).count()
     out = hierarchical_cell_near_dup(
         e,
         threshold=_IVFND_TAU,

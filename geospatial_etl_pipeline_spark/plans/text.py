@@ -1940,6 +1940,13 @@ def q217_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through the single scan task costs more than the 32-way fan-out
     # of this query's moderate per-row work recovers.  Left unfanned —
     # the per-site-measurement rule (plans/_util.temb_f docstring).
+    # ALSO measured (r12 wave 3): fan_out + localCheckpoint of the
+    # tokenized (doc_id, _tok) relation — tokenize once, 32-wide, all
+    # three consumers reading the materialization — is WORSE STILL
+    # (1.30 → 2.10 s solo min-of-5): writing the token arrays costs
+    # more than the two tokenize re-runs they replace.  The q42/q48
+    # staging rule pays off only when the staged relation is NARROW
+    # relative to the compute it deduplicates.
     nn = (
         t(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -2192,6 +2199,10 @@ def q219_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 % _DSIR_B
             ).alias("b"),
         )
+        # r12 wave 3: localCheckpoint staging of this two-consumer
+        # relation measured SLOWER too (0.98 → 1.08 s solo min-of-5) —
+        # materializing one row per token costs more than the one
+        # tokenize+md5 re-run it saves.  Left as concurrent re-compute.
     )
     # One (bucket, is-target) partial agg (≤ 2·B = 512 keys) feeds every
     # model count as a rollup — the token stream aggregates map-side
