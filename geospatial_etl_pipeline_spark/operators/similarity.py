@@ -883,24 +883,22 @@ def hierarchical_cell_assignments(
     l1 = _argmax_cells(
         c.crossJoin(F.broadcast(carr1)), "_c1", nassign, "cell1"
     )
-    # ONE cell1-keyed exchange shared by BOTH l1 consumers (r12, guide
-    # §2.4 "two operations keyed the same way share one exchange"): the
-    # sub-centroid window and the level-2 join both need cell1
-    # clustering, but left to ENSURE_REQUIREMENTS each plants its own
-    # exchange whose subtree re-runs the O(n·f·d) L1 argmax — the
-    # window side's partial WindowGroupLimit and the subs _qn filter
-    # get PUSHED BELOW a bare repartition (PushDownPredicates crosses
-    # RepartitionByExpression), so the two subtrees never canonicalize
-    # equal and ReusedExchange can't fire (verified in the q277/q278
-    # runtime final plans: the argmax pipeline executed 2x/3x, and a
-    # bare .repartition still left 2 copies).  localCheckpoint is the
-    # barrier no rule crosses: the relation materializes ONCE per
-    # execution (inside the timed region — nothing persists across
-    # runs, the q48 precedent) already cell1-partitioned, and
-    # LogicalRDD preserves that partitioning so neither consumer adds
-    # an exchange.  Values are untouched (argmax, window order and
-    # join keys are deterministic per row).
-    l1 = l1.repartition("cell1").localCheckpoint(eager=False)
+    # NOTE (r12, measured at three scales): the L1 argmax pipeline
+    # below runs ONCE PER CONSUMER (the sub-centroid window and the
+    # level-2 join each plant their own cell1 exchange; filter +
+    # partial-WindowGroupLimit pushdown crosses RepartitionByExpression
+    # so the subtrees never canonicalize equal and ReusedExchange can't
+    # fire — verified in the q277/q278 runtime final plans).  A
+    # cell1-partitioned localCheckpoint of l1 here removes the
+    # duplicate pass and WINS at sf0.1 (q272 2.35→1.83 s solo) — but
+    # l1 carries the 64-dim vector payload, and at sf0.3/sf1 the
+    # materialization+read of that payload through the block manager
+    # dominates what the deduped argmax saves: q272 4.75→9.63 s,
+    # q277 4.86→7.38 s at sf0.3 (interleaved A/B, min-of-4).  A
+    # bench-scale-only win is excluded by the round rules, so the
+    # duplicate pass stays; the NARROW (id, cell) stagings at the
+    # census call sites (q275/q278) carry no payload and win at every
+    # measured scale — see plans/similarity.py.
 
     # ---- level 2: per-cell sub-centroid draw + in-row argmax ----------
     # Draw eligibility mirrors sampled_centroids (r11): zero-norm /
