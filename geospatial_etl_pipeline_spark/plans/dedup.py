@@ -465,25 +465,51 @@ def q48_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join for free — joining sizes back onto the ~|pairs|-sized
     # aggregate afterwards would be two more shuffles of the widest
     # relation in the query. explode_OUTER, not explode: inner explode
-    # plants an implicit size(bgs)>0 filter that gets pushed below the
-    # staged projections with the whole split+transform pipeline inlined
-    # (5 regex splits per row, interpreted, below the scan — measured
-    # ~4 s extra at sf0.1); outer explode emits no filter, and the
-    # array is never empty (sequence upper bound is greatest(..,1)).
-    # The repartition keys the exchange on the join keys so BOTH
-    # self-join sides read the same shuffle output (ReusedExchange).
-    postings = bg.select(
+    # plants an implicit size()>0 filter whose pushdown re-inlines the
+    # array pipeline below it (measured ~4 s extra at sf0.1 in the
+    # pre-checkpoint r11 shape); outer explode emits no filter, and a
+    # NULL key from an emptied array can never equi-join.
+    #
+    # r13 (guide §2.3 "narrower types" / "shuffle keys, not payloads"):
+    # the join only needs EQUALITY of (lang, bigram), so each posting
+    # carries xxhash64(lang, bigram) — one 8-byte key — instead of the
+    # bigram string + lang through the exchange, the SMJ sort, and the
+    # join compare.  Hashed in-row BELOW the explode (transform over
+    # the surviving-bigram array) so the string never leaves the row.
+    # Collision honesty: a 64-bit collision between two distinct
+    # in-lang bigrams could overcount n_common for a doc pair holding
+    # both; at p ~ (#distinct bigrams)²/2⁶⁵ that is ~1e-9 at the
+    # tested SFs (oracle-verified green) and stays below 1e-3 until
+    # ~10⁸ distinct informative bigrams per corpus — the standard
+    # hashing-trick trade for a near-dup *candidate* stage.
+    keyed = bg.select(
         "doc_id",
-        "lang",
         F.size("bgs").alias("n_bg"),
-        F.explode_outer("bgs").alias("bigram"),
-    ).repartition("lang", "bigram")
+        F.transform(
+            "bgs", lambda g: F.xxhash64(F.col("lang"), g)
+        ).alias("_keys"),
+    )
+    # r13 serial-fraction fix (guide §2.2/§2.5, measured): the posting
+    # exchange's bytes are tiny at bench scale (~3 MB), so AQE
+    # coalesced the self-join stage to 3 tasks — but the join's work is
+    # QUADRATIC per bucket, invisible to byte-based coalescing, and
+    # those 3 tasks ran ~4 s of compute while 29 cores idled (the
+    # measured 8v32 scaling ratio 1.12).  A PINNED partition count
+    # (sized to the session's parallelism — scale-adaptive, never a
+    # local constant) opts this one exchange out of AQE coalescing; at
+    # 100 TB the posting bytes exceed the advisory size and AQE would
+    # not have coalesced anyway, so the pin only bites where it should.
+    # Keyed on bg_key so BOTH self-join sides read ONE shuffle output
+    # (ReusedExchange, unchanged from r12).
+    nparts = spark.sparkContext.defaultParallelism
+    postings = keyed.select(
+        "doc_id", "n_bg", F.explode_outer("_keys").alias("bg_key")
+    ).repartition(nparts, "bg_key")
     co = (
         postings.alias("a")
         .join(
             postings.alias("b"),
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.bigram") == F.col("b.bigram"))
+            (F.col("a.bg_key") == F.col("b.bg_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(

@@ -417,6 +417,24 @@ def test_q55_norms_carried_through_blocked_join(spark):
     assert n_shuffles(p) == 0, p
 
 
+def test_q48_posting_exchange_hashed_key_pinned_count(spark):
+    """r13 contract for the posting self-join: (1) the exchange keys on
+    the 8-byte xxhash64(lang, bigram) — the bigram STRING never crosses
+    the shuffle (guide §2.3); (2) the partition count is PINNED
+    (REPARTITION_BY_NUM) so AQE's byte-based coalescing can never fold
+    the quadratic-per-bucket join stage down to a handful of tasks —
+    the measured r12 serial fraction (3 tasks holding ~4 s of compute
+    while 29 cores idled, 8v32 scaling ratio 1.12)."""
+    p = plan_text(catalog.QUERIES["q48_ngram_jaccard_pairs"].fn(spark, SF))
+    assert "REPARTITION_BY_NUM" in p, p
+    assert "bg_key" in p, p
+    # the posting exchange must carry only (doc_id, n_bg, bg_key): no
+    # Exchange row anywhere in the plan mentions the bigram string
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "bigram" not in line, line
+
+
 def test_q48_df_cap_bounds_posting_lists(spark):
     """The stop-bigram df-cap is q48's skew bound: after the cap, no
     bigram that reaches the posting self-join may appear in more than
