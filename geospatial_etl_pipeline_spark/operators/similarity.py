@@ -880,25 +880,40 @@ def hierarchical_cell_assignments(
             "_c1"
         )
     )
-    l1 = _argmax_cells(
+    l1_pass = _argmax_cells(
         c.crossJoin(F.broadcast(carr1)), "_c1", nassign, "cell1"
     )
-    # NOTE (r12, measured at three scales): the L1 argmax pipeline
-    # below runs ONCE PER CONSUMER (the sub-centroid window and the
-    # level-2 join each plant their own cell1 exchange; filter +
-    # partial-WindowGroupLimit pushdown crosses RepartitionByExpression
-    # so the subtrees never canonicalize equal and ReusedExchange can't
-    # fire — verified in the q277/q278 runtime final plans).  A
-    # cell1-partitioned localCheckpoint of l1 here removes the
-    # duplicate pass and WINS at sf0.1 (q272 2.35→1.83 s solo) — but
-    # l1 carries the 64-dim vector payload, and at sf0.3/sf1 the
-    # materialization+read of that payload through the block manager
-    # dominates what the deduped argmax saves: q272 4.75→9.63 s,
-    # q277 4.86→7.38 s at sf0.3 (interleaved A/B, min-of-4).  A
-    # bench-scale-only win is excluded by the round rules, so the
-    # duplicate pass stays; the NARROW (id, cell) stagings at the
-    # census call sites (q275/q278) carry no payload and win at every
-    # measured scale — see plans/similarity.py.
+    # r12 measured the L1 argmax pipeline running ONCE PER CONSUMER
+    # (the sub-centroid window and the level-2 join each plant their
+    # own cell1 exchange; filter + partial-WindowGroupLimit pushdown
+    # crosses RepartitionByExpression so the subtrees never
+    # canonicalize equal and ReusedExchange can't fire — verified in
+    # the q277/q278 runtime final plans).  A cell1-partitioned
+    # localCheckpoint of the PAYLOAD-CARRYING l1 removed the duplicate
+    # pass but inverted at sf0.3+ (q272 4.75→9.63 s: materializing +
+    # re-reading 64-dim vectors through the block manager grows with
+    # bytes while the deduped argmax doesn't) and was reverted.
+    #
+    # r13: checkpoint only the NARROW (id, _qn, cell1) assignment —
+    # ints and a bigint, never the vector — so the argmax folds run
+    # exactly once per execution, then re-attach the payload by id:
+    # * the sub-centroid draw ranks on narrow columns alone; only the
+    #   ≤ fanout² SURVIVORS (a²·n^(2/3) rows) fetch their vector back,
+    #   via an explicit broadcast join against the corpus scan —
+    #   map-side, no corpus exchange, broadcast stays ~64 MB even at
+    #   n = 10⁹.
+    # * the level-2 probe side re-joins (id, cell1) onto the corpus
+    #   scan; AQE picks the strategy from the checkpoint's exact size
+    #   (broadcast at bench scale, id-shuffle of scan-fresh rows at
+    #   cluster scale — shuffle files are fault-tolerant where a
+    #   payload checkpoint block is not, the r12 ADVICE point).
+    # Unique non-null id_col is the similarity family's documented
+    # ingest precondition (tools/hostile_sweep.contract_exempt), so
+    # the id-keyed re-join is exact: one corpus row per narrow id.
+    narrow = l1_pass.select(id_col, "_qn", "cell1").localCheckpoint(
+        eager=True
+    )
+    l1 = c.join(narrow.select(id_col, "cell1"), id_col)
 
     # ---- level 2: per-cell sub-centroid draw + in-row argmax ----------
     # Draw eligibility mirrors sampled_centroids (r11): zero-norm /
@@ -910,11 +925,15 @@ def hierarchical_cell_assignments(
     # oracles' v2 join (ADVICE r11).
     h2 = F.md5(F.concat(F.lit(f"{seed}b:"), F.col(id_col).cast("string")))
     w2 = Window.partitionBy("cell1").orderBy("_h2", id_col)
-    subs = (
-        l1.filter(F.col("_qn") > 0)
+    picked = (
+        narrow.filter(F.col("_qn") > 0)
         .withColumn("_h2", h2)
         .withColumn("_srn", F.row_number().over(w2))
         .filter(F.col("_srn") <= fanout)
+        .select(id_col, "cell1", "_srn")
+    )
+    subs = (
+        c.join(F.broadcast(picked), id_col)
         .select(
             "cell1",
             F.struct(
@@ -1079,12 +1098,27 @@ def hierarchical_cell_near_dup(
         leaf_topk=leaf_topk,
     )
 
+    # r13, both pair branches below: the self-join's two sides are the
+    # SAME relation, so key it on the join key through ONE exchange
+    # with a PINNED partition count before aliasing the sides —
+    # (1) both sides read a single shuffle output (ReusedExchange: the
+    # whole assignment pipeline runs once per execution, not once per
+    # side — verified in the runtime final plan), and (2) the pin opts
+    # the exchange out of AQE's byte-based coalescing, which at bench
+    # scale folded the quadratic-per-leaf pair stage to 4 tasks (the
+    # q48 rule: per-bucket join work is invisible to byte-sized
+    # coalescing; at 100 TB the bytes exceed the advisory size and AQE
+    # would not coalesce anyway, so the pin only bites where it
+    # should).  Leaf keys number ~a²·n^(2/3) — never a handful.
+    _nparts = corpus.sparkSession.sparkContext.defaultParallelism
+
     if leaf_topk is not None:
         # Structural multi-membership dedup (the flat dial's r11 rule:
         # never dropDuplicates over rows carrying vector payloads) — a
         # pair is emitted ONLY in the minimum leaf the two sides
         # share, an in-row array_intersect filter on the tiny sorted
         # leaf_id arrays the assignment produced map-side.
+        l2 = l2.repartition(_nparts, "leaf_id")
         a = l2.select(
             F.col(id_col).alias("id_a"),
             F.col("_v").alias("_va"),
@@ -1128,6 +1162,7 @@ def hierarchical_cell_near_dup(
                 id_col, "_v", "_qn", "_leaves",
                 F.explode("_leaves").alias("leaf_id"),
             )
+            .repartition(_nparts, "leaf_id")
         )
         a = assembled.select(
             F.col(id_col).alias("id_a"),
@@ -1152,6 +1187,7 @@ def hierarchical_cell_near_dup(
             )
         )
     else:
+        l2 = l2.repartition(_nparts, "cell1", "cell2")
         a = l2.select(
             F.col(id_col).alias("id_a"),
             F.col("_v").alias("_va"),

@@ -1213,9 +1213,26 @@ def q273_near_dup_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     hier = hierarchical_cell_assignments(
         e, fanout=auto_fanout(n), corpus_rows=n
     )
-    ca = ivf.select(F.col("vec_id").alias("id_a"), F.col("cent_id").alias("ka"))
+    # r13 census-join shape (guide §3.1 + §2.5, applied to every
+    # recall census — q273/q274/q275/q278): truep's id_a values are
+    # the < _NDR_NANCHOR anchors BY CONSTRUCTION, so the a-side
+    # assignment joins need only the ≤ nanchor·nassign anchor rows —
+    # filtered and BROADCAST, those joins are map-side, the anchor
+    # filter prunes the a-side assignment pipeline to anchor rows at
+    # the scan, and the 20-distinct-key id_a shuffle (a parallelism
+    # ceiling no partition count can fix) never exists.  The b-side
+    # joins the full relation on the n-cardinality id_b through a
+    # PINNED exchange (the q48 rule: AQE's byte-based coalescing
+    # folded this exploding join to ONE task at bench scale — ~5 s of
+    # census compute on 1 of 32 cores); the (id_a, id_b) groupBy then
+    # rides the id_b partitioning exchange-free (hash partitioning on
+    # a subset of the group keys already co-locates every pair).
+    nparts = spark.sparkContext.defaultParallelism
+    ca = ivf.filter(F.col("vec_id") < _NDR_NANCHOR).select(
+        F.col("vec_id").alias("id_a"), F.col("cent_id").alias("ka")
+    )
     cb = ivf.select(F.col("vec_id").alias("id_b"), F.col("cent_id").alias("kb"))
-    xa = hier.select(
+    xa = hier.filter(F.col("vec_id") < _NDR_NANCHOR).select(
         F.col("vec_id").alias("id_a"),
         F.col("cell1").alias("h1a"),
         F.col("cell2").alias("h2a"),
@@ -1229,9 +1246,10 @@ def q273_near_dup_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     # per id (nassign > 1), so the hit is a per-pair MAX over the
     # join fan-out (the oracle's GROUP BY form)
     flags = (
-        truep.join(ca, "id_a")
+        truep.repartition(nparts, "id_b")
+        .join(F.broadcast(ca), "id_a")
         .join(cb, "id_b")
-        .join(xa, "id_a")
+        .join(F.broadcast(xa), "id_a")
         .join(xb, "id_b")
         .groupBy("id_a", "id_b")
         .agg(
@@ -1318,11 +1336,20 @@ def q274_flat_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization barrier; contrast q275/q278, where the staged
     # relation saves a windowed two-level pipeline and wins.  Left
     # unstaged (the per-site-measurement rule).
-    ca = ivf.select(F.col("vec_id").alias("id_a"), F.col("cent_id").alias("ka"))
+    # r13 census-join shape (see q273): anchor side filtered to the
+    # < _NDR_NANCHOR rows and broadcast (the anchor filter prunes that
+    # side's assignment pass to anchor rows at the scan); b side on
+    # the n-cardinality id_b through a pinned exchange; the pair
+    # groupBy rides the id_b partitioning exchange-free.
+    nparts = spark.sparkContext.defaultParallelism
+    ca = ivf.filter(F.col("vec_id") < _NDR_NANCHOR).select(
+        F.col("vec_id").alias("id_a"), F.col("cent_id").alias("ka")
+    )
     cb = ivf.select(F.col("vec_id").alias("id_b"), F.col("cent_id").alias("kb"))
     # ANY-shared-cell hit: per-pair MAX over the multi-assignment fan-out
     flags = (
-        truep.join(ca, "id_a")
+        truep.repartition(nparts, "id_b")
+        .join(F.broadcast(ca), "id_a")
         .join(cb, "id_b")
         .groupBy("id_a", "id_b")
         .agg(
@@ -1389,10 +1416,21 @@ def q275_hier_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TWO consumers (xa, xb): stage the narrow assignment triple once
     # per execution instead of re-running the L2 argmax per side (r12,
     # the q48/q278 rule — vectors never enter the checkpoint).
+    # eager=False is MEASURED, not an oversight (r13, sf0.3 interleaved
+    # min-of-6): eager=True serializes the assignment materialization
+    # into one up-front job and LOST (q275 4.88→5.48, q278 6.63→8.04,
+    # q273 6.00→7.47 s) — the lazy form's racing consumers duplicate
+    # the compute but overlap on otherwise-idle cores, and at bench
+    # scale the overlap wins.  At cluster scale the duplicated pipeline
+    # costs real resources; revisit only with a measured regression.
     hier = hier.select("vec_id", "cell1", "cell2").localCheckpoint(
         eager=False
     )
-    xa = hier.select(
+    # r13 census-join shape (see q273): anchor side filtered (reads
+    # the checkpointed blocks) and broadcast; b side on id_b through a
+    # pinned exchange; pair groupBy exchange-free on that partitioning.
+    nparts = spark.sparkContext.defaultParallelism
+    xa = hier.filter(F.col("vec_id") < _NDR_NANCHOR).select(
         F.col("vec_id").alias("id_a"),
         F.col("cell1").alias("h1a"),
         F.col("cell2").alias("h2a"),
@@ -1405,7 +1443,8 @@ def q275_hier_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-pair MAX form for uniformity with the flat census (no-op at
     # the hier dial's single-valued nassign=1 default)
     flags = (
-        truep.join(xa, "id_a")
+        truep.repartition(nparts, "id_b")
+        .join(F.broadcast(xa), "id_a")
         .join(xb, "id_b")
         .groupBy("id_a", "id_b")
         .agg(
@@ -3725,7 +3764,11 @@ def q278_hier2_blocking_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         nassign=_HIER2_NASSIGN,
         corpus_rows=n,
     ).select("vec_id", "cell1", "cell2").localCheckpoint(eager=False)
-    xa = hier.select(
+    # r13 census-join shape (see q273): anchor side filtered (reads
+    # the checkpointed blocks) and broadcast; b side on id_b through a
+    # pinned exchange; pair groupBy exchange-free on that partitioning.
+    nparts = spark.sparkContext.defaultParallelism
+    xa = hier.filter(F.col("vec_id") < _NDR_NANCHOR).select(
         F.col("vec_id").alias("id_a"),
         F.col("cell1").alias("h1a"),
         F.col("cell2").alias("h2a"),
@@ -3736,7 +3779,8 @@ def q278_hier2_blocking_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell2").alias("h2b"),
     )
     flags = (
-        truep.join(xa, "id_a")
+        truep.repartition(nparts, "id_b")
+        .join(F.broadcast(xa), "id_a")
         .join(xb, "id_b")
         .groupBy("id_a", "id_b")
         .agg(

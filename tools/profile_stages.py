@@ -101,6 +101,7 @@ def main() -> None:
         return
     stages = {}  # (stageId, attempt) -> dict
     tasks = {}  # stage -> aggregated metrics
+    job_desc = {}  # stageId -> job description
     import itertools
 
     def _lines():
@@ -115,12 +116,36 @@ def main() -> None:
             except json.JSONDecodeError:
                 continue
             e = ev.get("Event")
-            if e == "SparkListenerStageSubmitted":
+            if e == "SparkListenerJobStart":
+                props = ev.get("Properties") or {}
+                desc = props.get("spark.job.description") or props.get(
+                    "callSite.short", ""
+                )
+                for sid in ev.get("Stage IDs", []):
+                    job_desc[sid] = desc[:80]
+            elif e == "SparkListenerStageSubmitted":
                 si = ev["Stage Info"]
+                # operator attribution: the stage's RDD scope chain
+                # (Exchange / WholeStageCodegen / BroadcastNestedLoop-
+                # Join ...) names WHICH plan operators ran in it —
+                # stage names and job descriptions don't.
+                scopes, seen = [], set()
+                for ri in si.get("RDD Info", []):
+                    sc = ri.get("Scope")
+                    if not sc:
+                        continue
+                    try:
+                        nm = json.loads(sc).get("name", "")
+                    except (json.JSONDecodeError, AttributeError):
+                        nm = str(sc)
+                    if nm and nm not in seen:
+                        seen.add(nm)
+                        scopes.append(nm)
                 stages[(si["Stage ID"], si["Stage Attempt ID"])] = {
                     "name": si["Stage Name"],
                     "ntasks": si["Number of Tasks"],
                     "submit": si.get("Submission Time"),
+                    "scopes": " | ".join(scopes),
                 }
             elif e == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
@@ -176,7 +201,8 @@ def main() -> None:
             f"{m.get('run', 0) / 1000:>7.3f} {m.get('fetch', 0) / 1000:>7.3f} "
             f"{m.get('gc', 0) / 1000:>5.2f} "
             f"{m.get('sread_b', 0):>9} {m.get('swrite_b', 0):>9}  "
-            f"{v['name'][:60]}"
+            f"{job_desc.get(sid, v['name'])[:40]}  "
+            f"{v.get('scopes', '')[:110]}"
         )
     # driver-side gaps: wall windows with no running stage
     intervals = sorted(
