@@ -232,12 +232,28 @@ def transitive_closure(
     while the actual drainage closes in 1, making fixed-7 ~2× slower
     than adaptive. An understated round count silently truncates.
     """
-    r = edges.select(
-        F.col(src).alias("org"), F.col(dst).alias("cur")
-    ).distinct().localCheckpoint(eager=True)
     # one loop body for both modes — the composition step must never
     # fork between the adaptive and fixed-rounds paths
     adaptive = rounds is None
+    # r13 (guide §1.2 "remove passes", VERDICT r12 item 3): in adaptive
+    # mode the convergence count doubles as the checkpoint
+    # materializer — localCheckpoint(eager=False) marks the RDD and the
+    # count() that follows SYNCHRONOUSLY computes it (storing full rows:
+    # checkpointing happens at the RDD layer, below the count's column
+    # pruning), so each round costs ONE job where eager=True + count()
+    # cost two.  No consumer race: the count is the only action until
+    # the blocks exist.  Fixed-rounds mode has no count, so it keeps the
+    # EAGER checkpoint — lazy there would let the next round's self-join
+    # sides race the materialization and duplicate the compose work.
+    # Measured (q232 solo, min-of-4, interleaved ×2, sf-invariant
+    # grid): FLAT — 3.04/3.12 s fused vs 3.20/2.85 s split; the counts
+    # this removes ran on in-memory checkpoint blocks (~50 ms each).
+    # Kept for the halved per-round job count: the job boundary is the
+    # cost term that grows with scheduler latency on a real cluster,
+    # and the fusion costs nothing here.
+    r = edges.select(
+        F.col(src).alias("org"), F.col(dst).alias("cur")
+    ).distinct().localCheckpoint(eager=not adaptive)
     n = r.count() if adaptive else None
     for _ in range(max_rounds if adaptive else rounds):
         hop = (
@@ -245,7 +261,7 @@ def transitive_closure(
             .join(r.alias("b"), F.col("a.cur") == F.col("b.org"))
             .select(F.col("a.org").alias("org"), F.col("b.cur").alias("cur"))
         )
-        r = r.unionByName(hop).distinct().localCheckpoint(eager=True)
+        r = r.unionByName(hop).distinct().localCheckpoint(eager=not adaptive)
         if adaptive:
             new_n = r.count()
             if new_n == n:
