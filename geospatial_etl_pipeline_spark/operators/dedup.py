@@ -110,6 +110,13 @@ def _signatures_from_shingles(
     sh_df: DataFrame, id_col: str, num_hashes: int, keep_sh: bool = False
 ) -> DataFrame:
     n_seeds = -(-num_hashes // 4)
+    # keep_sh emits the shingle array under its fixed column name 'sh'
+    # beside the id — an id column NAMED 'sh' would silently duplicate
+    # (ADVICE r12); fail loudly instead
+    assert not (keep_sh and id_col == "sh"), (
+        "keep_sh=True reserves the column name 'sh' for the shingle "
+        f"array; id_col={id_col!r} collides"
+    )
     # stage the md5 arrays ONCE per seed, in their own projection —
     # slice-mins in the same select would re-evaluate the md5 transform
     # per output column (no cross-lambda subexpression elimination)
@@ -207,6 +214,17 @@ def lsh_candidate_pairs(
     # sf0.1): q42 1.95 → 1.52 s, q49 3.43 → 2.37, q111 2.02 → 1.39,
     # q269 2.41 → 1.78 — the staging propagates to every graph-family
     # consumer of this feed.
+    #
+    # 100 TB caveat (ADVICE r12): unlike fan_out's parallelism guard
+    # this checkpoint fires at EVERY scale, and local checkpoint blocks
+    # are not lineage-recoverable — an executor loss (or dynamic
+    # allocation reclaiming one) forfeits the blocks where shuffle
+    # files would have been fetched or recomputed.  On a real cluster
+    # trade it per corpus: keep the checkpoint where the ⌈n/4⌉ md5
+    # folds dominate (they re-run ONCE PER BANDED SIDE without it) and
+    # executors are stable; under aggressive dynamic allocation,
+    # replace with .repartition(id_col) and accept the duplicated fold
+    # — both forms are value-identical.
     sig_sh = (
         _signatures_from_shingles(
             shingle_sets(
