@@ -397,6 +397,28 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — warmup is best-effort
         print(f"# warmup failed: {exc}", file=sys.stderr, flush=True)
 
+    # Per-query fixed-overhead floor (r13, VERDICT r12 item 7 —
+    # additions-only): the cheapest possible query-shaped action (a
+    # 1-row plan through the same noop sink, fresh plan each rep, like
+    # run_query) measures the session's per-execution constant —
+    # analysis + job scheduling + stage launch + sink commit.  At sf0.1
+    # this floor is a large fraction of every sub-second query, so the
+    # normalized series needs it to separate "plan cost" from "session
+    # floor".  Reported beside the sentinel; never enters any gate.
+    floor = None
+    try:
+        floor = round(
+            min(
+                run_once(
+                    spark, lambda s, _d: s.range(1).selectExpr("id"), sf_dir
+                )
+                for _ in range(5)
+            ),
+            3,
+        )
+    except Exception as exc:  # noqa: BLE001 — instrumentation only
+        print(f"# floor probe failed: {exc}", file=sys.stderr, flush=True)
+
     # Per-query failure isolation: one broken query must never abort the
     # run (round-2 lesson — a single AnalysisException cost the entire
     # perf record). Failures are reported in "errors"; when any headline
@@ -449,6 +471,13 @@ def main() -> None:
             "median_sec": med_sent,
         },
     }
+    if floor is not None:
+        # measured per-execution session floor (see probe above): raw
+        # seconds and the sentinel-normalized form the cross-round
+        # series should read
+        out["overhead_floor_sec"] = floor
+        if med_sent:
+            out["overhead_floor_normalized"] = round(floor / med_sent, 2)
     if med_sent:
         out["normalized"] = {
             n: round(t / med_sent, 2) for n, t in times.items()
@@ -509,6 +538,8 @@ def main() -> None:
         "sf": sf,
         "detail_file": "bench_detail.json",
     }
+    if floor is not None:
+        compact["overhead_floor_sec"] = floor
     if med_sent:
         compact["normalized_total"] = out.get("normalized_total")
     if excusal:
