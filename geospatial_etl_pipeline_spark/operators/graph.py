@@ -142,9 +142,13 @@ def connected_components(
                     "_old",
                 )
             )
-        # cut lineage every round; eager so the convergence check below
-        # doesn't recompute the whole history
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # cut lineage every round; LAZY + the convergence count below
+        # materializes the blocks in the same job (r13, the
+        # transitive_closure fusion — checkpointing happens at the RDD
+        # layer, below the count's pruning, so full rows are stored and
+        # next round's consumers read blocks).  The count is the only
+        # action until the blocks exist, so nothing races.
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.filter(
             F.col("component") != F.col("_old")
         ).count()
