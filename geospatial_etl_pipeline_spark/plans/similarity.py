@@ -1210,9 +1210,15 @@ def q273_near_dup_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame
         nassign=_IVFND_NASSIGN,
         corpus_rows=n,
     )
+    # Stage the NARROW (id, cell1, cell2) assignment once per execution
+    # (r13, mirroring q275/q278): without it the xa broadcast build and
+    # the xb side each re-ran the L2 assignment pipeline — measured
+    # +21% at sf0.3 in the census-reshape A/B before this checkpoint.
+    # eager=False per the measured q275/q278 rule (racing consumers
+    # overlap; up-front materialization lost at sf0.3).
     hier = hierarchical_cell_assignments(
         e, fanout=auto_fanout(n), corpus_rows=n
-    )
+    ).select("vec_id", "cell1", "cell2").localCheckpoint(eager=False)
     # r13 census-join shape (guide §3.1 + §2.5, applied to every
     # recall census — q273/q274/q275/q278): truep's id_a values are
     # the < _NDR_NANCHOR anchors BY CONSTRUCTION, so the a-side
